@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: every entry point (Verify, Bench, tests)
+  * builds its SparkSession here so configs stay consistent.
+  *
+  * Scale notes (targets a 1000-executor cluster even though we test on
+  * local[N]): AQE on for runtime re-planning + skew-join splitting; shuffle
+  * partitions sized to the local core count (the driver's contract), which
+  * on a real cluster would be `executors × cores × 2-3`; nanosAsLong because
+  * the events table carries TIMESTAMP(NANOS) parquet which Spark refuses to
+  * read as a timestamp.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  def get(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
