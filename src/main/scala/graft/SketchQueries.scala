@@ -1,5 +1,200 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions._
+import Det._
+
+/** Queries exercising the custom sketch/stateful aggregates: SpaceSaving
+  * TOP, reservoir SAMPLE, approximate distinct, FIT (linear regression),
+  * damped Holt smoothing, hysteresis, REMEMBER-style recency, DISTINCT
+  * novelty. See graft.aggs and graft.functions for the implementations.
+  */
 object SketchQueries {
-  val entries: Seq[QueryDef] = Seq()
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---- s01: TOP n x — SpaceSaving heavy hitters (HeavyHitters.ml).
+    // capacity 4096 ≥ distinct users, so counts are exact and the DuckDB
+    // oracle can verify the sketch path end-to-end.
+    QueryDef(
+      "s01_topk",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(topK(col("user_id"), lit(1L), capacity = 4096, k = 5).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).as("rk"),
+            col("col.key").as("user_key"), col("col.cnt").as("cnt"))
+          .orderBy("event_type", "rk")
+      },
+      Some("""SELECT event_type, rk, user_key, cnt FROM (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_key, COUNT(*) AS cnt,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR)) AS rk
+        FROM events GROUP BY 1, 2) t
+        WHERE rk <= 5 ORDER BY event_type, rk""")),
+
+    // ---- s02: SAMPLE n, x — reservoir sample; the sample itself is random,
+    // the oracle checks the deterministic part (reservoir fill size).
+    QueryDef(
+      "s02_sample",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(reservoir(col("value"), n = 20).as("sample"))
+          .select(col("event_type"), size(col("sample")).cast(LongType).as("n_sampled"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, LEAST(20, COUNT(value)) AS n_sampled
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- s03: approximate distinct (HLL++) — no oracle (approx differs
+    // by implementation); accuracy asserted in tests against the exact count.
+    QueryDef(
+      "s03_approx_distinct",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // ---- s04: FIT (multi)linear regression — least squares through exact
+    // decimal sums so both engines compute identical doubles
+    // (doc/raql/expr.ml:341; impl CodeGenLib.ml:946-1090)
+    QueryDef(
+      "s04_fit_linreg",
+      (s, d) => {
+        val q = col("l_quantity"); val p = col("l_extendedprice")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast(DoubleType).as("n_"),
+            dsum(q).as("sx"), dsum(p).as("sy"),
+            sum((q * p).cast(DecimalType(28, 6))).cast(DoubleType).as("sxy"),
+            sum((q * q).cast(DecimalType(28, 6))).cast(DoubleType).as("sxx"))
+          .withColumn("slope",
+            (col("n_") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_") * col("sxx") - col("sx") * col("sx")))
+          .select(col("l_returnflag"), col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / col("n_")).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, slope, (sy - slope * sx) / n_ AS intercept FROM (
+        SELECT l_returnflag, n_, sx, sy, sxy, sxx,
+          (n_ * sxy - sx * sy) / (n_ * sxx - sx * sx) AS slope
+        FROM (
+          SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n_,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+          FROM lineitem GROUP BY l_returnflag) a) b
+        ORDER BY l_returnflag""")),
+
+    // ---- s05: DAMPED HOLT a,b,phi,x — fold over the ordered series
+    // (no SQL oracle: the 2-component state doesn't fit list_reduce; the
+    // ScalaTest suite checks against a plain-Scala reference fold)
+    QueryDef(
+      "s05_holt_damped",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(orderedValues(col("ts"), col("value")).as("vals"))
+          .select(col("user_id"),
+            holtDampedArr(col("vals"), 0.5, 0.3, 0.9).as("holt_forecast"))
+          .orderBy("user_id")
+      },
+      None),
+
+    // ---- s06: HYSTERESIS x, acceptable, maximum — scan encoded as a
+    // 0.0/1.0 fold so DuckDB's list_reduce (acc type = element type) can
+    // mirror it exactly; sentinel 1.0 is the initial "ok" state.
+    QueryDef(
+      "s06_hysteresis",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(orderedValues(col("ts"), col("value")).as("vals"))
+          .select(col("user_id"),
+            (expr("""aggregate(vals, 1.0d, (acc, x) ->
+               CASE WHEN x > 150.0d THEN 0.0d
+                    WHEN x <= 50.0d THEN 1.0d
+                    ELSE acc END)""") > 0.5).as("in_ok_state"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+        list_reduce(list_prepend(1.0, list(value ORDER BY ts)),
+          (acc, x) -> CASE WHEN x > 150.0 THEN 0.0
+                           WHEN x <= 50.0 THEN 1.0
+                           ELSE acc END) > 0.5 AS in_ok_state
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- s07: REMEMBER-style recency (exact form): seen same user within
+    // the last hour, excluding self. The probabilistic SlicedBloom variant
+    // is exercised in tests/streaming (FP-bearing output can't hash-match).
+    QueryDef(
+      "s07_remember_exact",
+      (s, d) => {
+        val frame = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, -1L)
+        Tables.events(s, d)
+          .select(col("event_id"),
+            (count(lit(1)).over(frame) > 0).as("seen_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, COUNT(*) OVER w > 0 AS seen_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        ORDER BY event_id""")),
+
+    // ---- s08: DISTINCT x — per-row novelty flag (CodeGenLib.ml:425-442)
+    QueryDef(
+      "s08_distinct_novel",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+        Tables.events(s, d)
+          .select(col("event_id"),
+            (row_number().over(w) === 1).as("is_novel"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) = 1 AS is_novel
+        FROM events ORDER BY event_id""")),
+
+    // ---- s09: immediate aggregation of an array operand — n-th PERCENTILE
+    // of a vector value (RaQL aggregates apply to arrays directly,
+    // raql_expr.type:209-215); linear interpolation, same formula both sides
+    QueryDef(
+      "s09_percentile_arr",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("sort_array(transform(embedding, x -> CAST(x AS DOUBLE)))").as("v"))
+          // round(…, 9): DuckDB contracts the final a + b*c into an FMA,
+          // which differs from the JVM in the last ulp — rounding both
+          // sides to 9 decimals removes exactly that noise
+          .select(col("vec_id"),
+            round(expr("""element_at(v, CAST(floor(0.95d * (size(v) - 1)) AS INT) + 1)
+              + (element_at(v, CAST(ceil(0.95d * (size(v) - 1)) AS INT) + 1)
+                 - element_at(v, CAST(floor(0.95d * (size(v) - 1)) AS INT) + 1))
+                * (0.95d * (size(v) - 1) - floor(0.95d * (size(v) - 1)))"""), 9)
+              .as("p95"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+        ROUND(v[CAST(floor(0.95 * (len(v) - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(0.95 * (len(v) - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(0.95 * (len(v) - 1)) AS BIGINT) + 1])
+            * (0.95 * (len(v) - 1) - floor(0.95 * (len(v) - 1))), 9) AS p95
+        FROM (SELECT vec_id,
+                list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+              FROM embeddings) t
+        ORDER BY vec_id"""))
+  )
 }

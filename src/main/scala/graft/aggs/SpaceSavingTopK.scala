@@ -1,0 +1,142 @@
+package graft.aggs
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters state: at most `capacity` monitored keys, each
+  * with an observed count and an over-estimation error bound.
+  *
+  * Re-expresses the semantics of the reference's decayed heavy-hitters
+  * sketch (`/root/reference/src/HeavyHitters.ml`, 324 LoC; `TOP n x`
+  * operator, `doc/raql/expr.ml:969`) with the standard Metwally et al.
+  * Stream-Summary algorithm. The reference sizes its candidate table at
+  * 10×n; callers here pick `capacity` the same way. When `capacity` exceeds
+  * the true key cardinality the result is exact and merge-order-independent
+  * (that configuration is what the DuckDB-oracle query verifies; tests
+  * cover the lossy regime).
+  *
+  * Scale: the sketch is a constant-size mergeable summary, so a cluster-wide
+  * TOP is one partial-aggregate pass + tiny shuffled states — no shuffle of
+  * raw keys, no skew sensitivity.
+  */
+final class SpaceSavingState(val capacity: Int) {
+  /** key -> (count, error) */
+  val counts: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def observe(key: String, w: Long): Unit = counts.get(key) match {
+    case Some((c, e)) => counts.update(key, (c + w, e))
+    case None if counts.size < capacity => counts.update(key, (w, 0L))
+    case None =>
+      // evict the minimum; ties broken by key so the result is independent
+      // of hash-map iteration order
+      val (mk, (mc, _)) = counts.minBy { case (k, (c, _)) => (c, k) }
+      counts.remove(mk)
+      counts.update(key, (mc + w, mc))
+  }
+
+  def mergeIn(o: SpaceSavingState): Unit = {
+    o.counts.foreach { case (k, (c, e)) =>
+      counts.get(k) match {
+        case Some((c0, e0)) => counts.update(k, (c0 + c, e0 + e))
+        case None => counts.update(k, (c, e))
+      }
+    }
+    if (counts.size > capacity) {
+      val keep = counts.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+      counts.clear()
+      counts ++= keep
+    }
+  }
+
+  /** top-k by (count desc, key asc) — deterministic. */
+  def top(k: Int): Seq[(String, Long, Long)] =
+    counts.toSeq.sortBy { case (key, (c, _)) => (-c, key) }.take(k)
+      .map { case (key, (c, e)) => (key, c, e) }
+}
+
+/** `graft_topk(key, weight, capacity, k)` aggregate → array<struct<key,cnt>>.
+  * key is evaluated as a string; weight as a long (RaQL `TOP n x BY w`).
+  */
+case class SpaceSavingTopK(
+    left: Expression,
+    right: Expression,
+    capacity: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingState] with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): SpaceSavingState =
+    new SpaceSavingState(capacity)
+
+  override def update(b: SpaceSavingState, row: InternalRow): SpaceSavingState = {
+    val key = left.eval(row)
+    if (key != null) {
+      val w = right.eval(row) match {
+        case null => 0L
+        case x: java.lang.Long => x.longValue()
+        case x: java.lang.Integer => x.longValue()
+        case x: java.lang.Short => x.longValue()
+        case x => x.toString.toLong
+      }
+      if (w != 0L) b.observe(key.toString, w)
+    }
+    b
+  }
+
+  override def merge(b: SpaceSavingState, o: SpaceSavingState): SpaceSavingState = {
+    b.mergeIn(o); b
+  }
+
+  override def eval(b: SpaceSavingState): Any =
+    new GenericArrayData(b.top(k).map { case (key, c, _) =>
+      InternalRow(UTF8String.fromString(key), c)
+    })
+
+  override def serialize(b: SpaceSavingState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.capacity)
+    out.writeInt(b.counts.size)
+    b.counts.foreach { case (key, (c, e)) =>
+      out.writeUTF(key); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new SpaceSavingState(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      st.counts.update(key, (c, e))
+      i += 1
+    }
+    st
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType), StructField("cnt", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+
+  override def withNewMutableAggBufferOffset(n: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpaceSavingTopK =
+    copy(left = newLeft, right = newRight)
+}

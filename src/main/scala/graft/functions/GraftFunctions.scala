@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
+import org.apache.spark.sql.functions._
+
+import graft.aggs.{ReservoirSample, SpaceSavingTopK}
+
+/** Column-level wrappers for graft's custom aggregates and the
+  * sequential-scan functions built from higher-order array functions.
+  *
+  * The scan functions (expSmooth / holtDamped / hysteresis) re-express the
+  * reference's per-group mutable scans (`/root/reference/src/CodeGenLib.ml`:
+  * ExpSmooth :343-347, DampedHolt :348-359, Hysteresis :506-514) as a fold
+  * (`aggregate` HOF) over the time-ordered value array — pure Catalyst
+  * expressions, codegen-friendly, no UDFs.
+  */
+object GraftFunctions {
+
+  private def col2e(c: Column) = ExpressionUtils.expression(c)
+
+  /** RaQL `TOP k x BY w` — SpaceSaving heavy hitters.
+    * Exact iff `capacity` ≥ distinct keys; reference uses capacity = 10k. */
+  def topK(key: Column, weight: Column, capacity: Int, k: Int): Column =
+    ExpressionUtils.column(
+      SpaceSavingTopK(col2e(key.cast("string")), col2e(weight.cast("long")),
+        capacity, k).toAggregateExpression())
+
+  /** RaQL `SAMPLE n, x` — uniform reservoir sample of a group. */
+  def reservoir(x: Column, n: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(
+      ReservoirSample(col2e(x.cast("double")), n, seed).toAggregateExpression())
+
+  /** Values of `x` ordered by `ord` within the group, as an array. */
+  def orderedValues(ord: Column, x: Column): Column =
+    transform(array_sort(collect_list(struct(ord.as("o"), x.as("v")))),
+      p => p.getField("v"))
+
+  /** RaQL `SMOOTH alpha, x` over an ordered array: s := alpha*x + (1-a)*s,
+    * seeded with the first element; returns the final smoothed value. */
+  def expSmoothArr(vals: Column, alpha: Double): Column = {
+    val a = lit(alpha)
+    aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      element_at(vals, 1),
+      (acc, x) => a * x + (lit(1.0) - a) * acc)
+  }
+
+  /** RaQL `DAMPED HOLT a, b, phi, x`: damped-trend double exponential
+    * smoothing; returns the one-step forecast level + phi*trend. */
+  def holtDampedArr(vals: Column, alpha: Double, beta: Double, phi: Double): Column = {
+    val fold = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      struct(element_at(vals, 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => {
+        val lPrev = acc.getField("l"); val bPrev = acc.getField("b")
+        val lNew = lit(alpha) * x +
+          (lit(1.0) - lit(alpha)) * (lPrev + lit(phi) * bPrev)
+        val bNew = lit(beta) * (lNew - lPrev) +
+          (lit(1.0) - lit(beta)) * lit(phi) * bPrev
+        struct(lNew.as("l"), bNew.as("b"))
+      })
+    fold.getField("l") + lit(phi) * fold.getField("b")
+  }
+
+  /** RaQL `HYSTERESIS x, acceptable, maximum`: true while the signal is in
+    * the acceptable regime; flips false once it exceeds `maximum`, flips
+    * back once it returns to ≤ `acceptable`. Scans the ordered array and
+    * returns the final state. */
+  def hysteresisArr(vals: Column, acceptable: Double, maximum: Double): Column =
+    aggregate(vals, lit(true),
+      (acc, x) => when(x > maximum, lit(false))
+        .when(x <= acceptable, lit(true))
+        .otherwise(acc))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.aggs.SlicedBloom
+import graft.functions.GraftFunctions._
+
+class AggregatesSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  test("SpaceSaving topk is exact when capacity covers the key space") {
+    val df = Seq.tabulate(1000)(i => ("k" + (i % 7), 1L)).toDF("k", "w")
+    val out = df.agg(topK(col("k"), col("w"), capacity = 64, k = 3).as("t"))
+      .select(explode(col("t"))).select("col.key", "col.cnt")
+      .as[(String, Long)].collect()
+    // 1000 rows over 7 keys: k0..k5 get 143, k6 gets 142 → ties break by key
+    assert(out.toSeq == Seq(("k0", 143L), ("k1", 143L), ("k2", 143L)))
+  }
+
+  test("SpaceSaving topk finds heavy hitters in the lossy regime") {
+    // 2 heavy keys + 500 singletons, capacity far below cardinality
+    val rows = Seq.fill(400)("heavy1") ++ Seq.fill(300)("heavy2") ++
+      (1 to 500).map("rare" + _)
+    val df = rows.toDF("k")
+    val out = df.agg(topK(col("k"), lit(1L), capacity = 32, k = 2).as("t"))
+      .select(explode(col("t"))).select("col.key").as[String].collect()
+    assert(out.toSet == Set("heavy1", "heavy2"))
+  }
+
+  test("reservoir sample has the right size and only observed values") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val out = df.agg(reservoir(col("x"), n = 50).as("s"))
+      .select(explode(col("s"))).as[Double].collect()
+    assert(out.length == 50)
+    assert(out.forall(v => v >= 1.0 && v <= 1000.0))
+    // small group: keeps everything
+    val small = (1 to 10).map(_.toDouble).toDF("x")
+      .agg(reservoir(col("x"), 50).as("s"))
+      .select(size(col("s"))).as[Int].head()
+    assert(small == 10)
+  }
+
+  test("holtDampedArr matches a plain-Scala fold") {
+    val series = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0)
+    val (alpha, beta, phi) = (0.5, 0.3, 0.9)
+    var l = series.head; var b = 0.0
+    series.tail.foreach { x =>
+      val lNew = alpha * x + (1 - alpha) * (l + phi * b)
+      val bNew = beta * (lNew - l) + (1 - beta) * phi * b
+      l = lNew; b = bNew
+    }
+    val expected = l + phi * b
+    val got = Seq(series).toDF("vals")
+      .select(holtDampedArr(col("vals"), alpha, beta, phi)).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+
+  test("expSmoothArr matches a plain-Scala fold") {
+    val series = Seq(1.0, 5.0, 3.0, 9.0)
+    val expected = series.tail.foldLeft(series.head)((acc, x) => 0.3 * x + 0.7 * acc)
+    val got = Seq(series).toDF("vals")
+      .select(expSmoothArr(col("vals"), 0.3)).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("hysteresisArr flips at maximum and recovers at acceptable") {
+    def run(series: Seq[Double]): Boolean =
+      Seq(series).toDF("vals")
+        .select(hysteresisArr(col("vals"), acceptable = 50, maximum = 150))
+        .as[Boolean].head()
+    assert(run(Seq(10, 20, 30)))               // never exceeded
+    assert(!run(Seq(10, 200, 100)))            // tripped, not recovered
+    assert(run(Seq(10, 200, 40)))              // tripped then recovered
+    assert(!run(Seq(10, 200, 40, 160)))        // re-tripped
+  }
+
+  test("SlicedBloom remembers within the window, forgets after, no false negatives") {
+    val bloom = new SlicedBloom(fpr = 0.001, expectedPerSlice = 1000,
+      sliceDur = 10.0, nSlices = 10)
+    assert(!bloom.rememberAndAdd(0.0, "a"))
+    assert(bloom.rememberAndAdd(5.0, "a"))     // within 100 s window
+    assert(bloom.rememberAndAdd(99.0, "a"))
+    assert(!bloom.rememberAndAdd(300.0, "b"))  // fresh key
+    assert(!bloom.rememberAndAdd(500.0, "a"))  // "a" expired (last at 99)
+    // FP rate sanity: query 10k keys never inserted
+    val bloom2 = new SlicedBloom(0.001, 10000, 10.0, 10)
+    (1 to 10000).foreach(i => bloom2.rememberAndAdd(1.0, "in" + i))
+    val fps = (1 to 10000).count { i =>
+      // query via a different key space at the same time
+      val seen = bloom2.rememberAndAdd(2.0, "out" + i)
+      seen
+    }
+    assert(fps < 200, s"false-positive count $fps too high")
+  }
+
+  test("events table exposes both ts (micros) and ts_ns (exact nanos)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val row = ev.select(unix_micros(col("ts")).as("us"), col("ts_ns")).head()
+    assert(row.getLong(0) == row.getLong(1) / 1000)
+  }
+}
