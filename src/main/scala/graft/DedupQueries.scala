@@ -1,5 +1,90 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Deduplication operators over the documents/embeddings tables.
+  * See [[graft.ops.Dedup]] for the scale rationale of each method.
+  */
 object DedupQueries {
-  val entries: Seq[QueryDef] = Seq()
+
+  /** Oracle-side normalization mirroring TextFunctions.normalize. */
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** Oracle-side distinct word-3-gram shingles of the normalized text. */
+  private val shinglesSql =
+    s"""list_distinct([array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 1, 1))])"""
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---- d01: exact dedup on the order-insensitive bag fingerprint
+    QueryDef(
+      "d01_exact_dedup",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fp"),
+      Some(s"""SELECT md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS fp,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- d02: MinHash + banded LSH candidates, verified by exact Jaccard.
+    // Probabilistic recall ⇒ no SQL oracle; the test suite checks recall
+    // against d03's exact pairs.
+    QueryDef(
+      "d02_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      None,
+      headline = true),
+
+    // ---- d03: exact all-pairs n-gram Jaccard (the verification oracle for
+    // the probabilistic paths; integer-ratio Jaccard is bit-exact)
+    QueryDef(
+      "d03_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairsBruteForce(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // ---- d04: SimHash near-dup (8-byte fingerprint, pigeonhole chunk
+    // join). Hash-function-specific ⇒ no SQL oracle; tested vs d03 pairs.
+    QueryDef(
+      "d04_simhash",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b"),
+      None),
+
+    // ---- d05: embedding-cosine near-dup, exact pairwise (verification
+    // path; the LSH-bucketed scale path is a02_ann_lsh)
+    QueryDef(
+      "d05_embedding_neardup",
+      (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.4).orderBy("id_a", "id_b"),
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND(list_reduce(list_prepend(0.0,
+                list_transform(list_zip(a.v, b.v),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+                (acc, x) -> acc + x) / (a.norm * b.norm), 6) AS cosine
+          FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+        WHERE cosine >= 0.4 ORDER BY id_a, id_b"""))
+  )
 }

@@ -1,5 +1,77 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Similarity
+import Det._
+
+/** Similarity-search operators over the embeddings table.
+  * See [[graft.ops.Similarity]] for the brute-force vs LSH scale rationale.
+  */
 object SimilarityQueries {
-  val entries: Seq[QueryDef] = Seq()
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---- a01: exact cosine top-k for a small query set (broadcast join)
+    QueryDef(
+      "a01_ann_bruteforce",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings)
+        SELECT query_id, rk, neighbor_id, cos FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_reduce(list_prepend(0.0,
+                list_transform(list_zip(q.v, c.v),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+                (acc, x) -> acc + x) / (q.norm * c.norm), 9) AS cos,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ROUND(list_reduce(list_prepend(0.0,
+                list_transform(list_zip(q.v, c.v),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+                (acc, x) -> acc + x) / (q.norm * c.norm), 9) DESC, c.vec_id) AS rk
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10) t
+        WHERE rk <= 5 ORDER BY query_id, rk"""),
+      headline = true),
+
+    // ---- a02: random-hyperplane LSH ANN (the 100 TB path: bucket join
+    // instead of all pairs). Probabilistic recall ⇒ tested, not oracled.
+    QueryDef(
+      "a02_ann_lsh",
+      (s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d), "vec_id",
+        "embedding", bands = 12, r = 4, minCos = 0.3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- a03: per-label centroid (first 4 dims) — float aggregation via
+    // quantize-to-6dp + exact decimal sums so both engines agree bitwise
+    QueryDef(
+      "a03_centroids",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")))
+          .filter(col("pos") < 4)
+          .select(col("label"), (col("pos") + 1).as("dim"),
+            round(col("col").cast(DoubleType), 6).as("xq"))
+          .groupBy("label", "dim")
+          .agg((sum(col("xq").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1))).as("centroid"), count(lit(1)).as("n"))
+          .orderBy("label", "dim")
+      },
+      Some("""SELECT label, dim,
+        CAST(SUM(CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS centroid,
+        COUNT(*) AS n
+        FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS dim) dims
+        GROUP BY label, dim ORDER BY label, dim"""))
+  )
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators (beyond-parity training-data surface).
+  *
+  * Scale design: the only method here that touches all O(n²) pairs is
+  * [[jaccardPairsBruteForce]], kept as the small-scale verification oracle.
+  * The production paths are:
+  *   - [[exactDedup]]: map-only fingerprint + hash groupBy — one shuffle of
+  *     (16-byte key, id); at 100 TB this is the cheapest possible plan.
+  *   - [[minhashCandidates]]: per-doc constant-size signature (map-only),
+  *     explode to `bands` bucket keys, self-join on (band, bucket) — shuffle
+  *     volume is bands×docs tiny rows, and pair generation is confined to
+  *     hash buckets (skew-bounded by construction: a bucket only collects
+  *     genuinely similar docs except for hash collisions).
+  *   - [[simhashPairs]]: 8-byte fingerprint, candidates via 16-bit chunk
+  *     equality (pigeonhole: hamming ≤ 3 of 4 chunks ⇒ ≥ 1 chunk equal).
+  */
+object Dedup {
+
+  /** Exact dedup on an order-insensitive content fingerprint: one surviving
+    * (minimum) id per fingerprint group plus the duplicate count. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), bagFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Candidate near-dup pairs from MinHash + banded LSH over word
+    * `shingleN`-gram shingles. Probabilistic recall; verify candidates with
+    * exact Jaccard before acting on them. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
+    val r = k / bands
+    val buckets = docs
+      .select(col(idCol).as("id"),
+        wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard for a pair frame (id_a, id_b) — the verification
+    * stage after [[minhashCandidates]]. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** All-pairs exact Jaccard ≥ threshold. O(n²) — verification/oracle path
+    * only; use [[minhashCandidates]] + [[verifyJaccard]] at scale. */
+  def jaccardPairsBruteForce(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16·chunks
+    * guarantees candidate completeness via the pigeonhole chunk join). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
+    val fps = docs.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("fp"))
+    val chunks = fps.select(col("id"), col("fp"), posexplode(
+      expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact embedding-cosine near-dup pairs (brute force; verification path).
+    * The scale path is [[Similarity.lshNeighbors]]. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = embs.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), 0.0d, (a, x) -> a + x)")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+          / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

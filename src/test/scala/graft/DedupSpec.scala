@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.ops.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recall vs exact jaccard pairs on documents") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val found = Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(found.subsetOf(exact), "verified candidates must be true pairs")
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (${found.size}/${exact.size})")
+  }
+
+  test("simhash pairs are near-dups by jaccard too") {
+    val docs = Tables.documents(spark, sf)
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // simhash(hamming ≤ 3) and jaccard ≥ 0.2 are different similarity
+    // notions; require substantial but not total agreement
+    val exact = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text", threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty, "expected some simhash near-dup pairs")
+    val precision = sim.count(exact.contains).toDouble / sim.size
+    assert(precision >= 0.6, s"simhash precision $precision too low")
+  }
+
+  test("simhash of identical token multisets is identical; hamming is small for near-identical") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "the quick brown fox leaps over the lazy dog"),
+      ("d", "completely different words entirely unrelated content here")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"), simhash64(tokens(col("text"))).as("fp"))
+      .as[(String, Long)].collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(java.lang.Long.bitCount(fps("a") ^ fps("c")) <= 16)
+    assert(java.lang.Long.bitCount(fps("a") ^ fps("d")) >
+      java.lang.Long.bitCount(fps("a") ^ fps("c")))
+  }
+
+  test("langId classifies real sentences") {
+    val df = Seq(
+      ("en", "the cat is on the roof and it is happy with the sun"),
+      ("es", "el gato de la casa que est en los tejados por la noche"),
+      ("de", "der hund und die katze sind mit den kindern zu hause"),
+      ("fr", "le chien et les enfants sont dans le jardin de la maison")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), langId(tokens(col("text"))).as("pred"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(exp == pred, s"expected $exp got $pred") }
+  }
+
+  test("ANN LSH candidates have decent recall of top cosine pairs") {
+    val embs = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNeighbors(embs, "vec_id", "embedding",
+      bands = 12, r = 4, minCos = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact) || lsh.forall(exact.contains),
+      "LSH results must verify against exact cosine")
+    if (exact.nonEmpty) {
+      val recall = lsh.count(exact.contains).toDouble / exact.size
+      assert(recall >= 0.5, s"ANN LSH recall $recall too low")
+    }
+  }
+
+  test("exact dedup groups permuted duplicates together") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // permutation → same bag fingerprint
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L)
+    assert(out(3L) == 1L)
+  }
+}
