@@ -1,5 +1,52 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+import graft.functions.NetFunctions._
+
+/** Network-function queries. The test tables carry no address columns, so
+  * addresses are derived deterministically from user_id (the arithmetic is
+  * mirrored in the oracle); what's verified is the address algebra itself:
+  * formatting, CIDR membership, range bounds, MAC formatting.
+  */
 object NetQueries {
-  val entries: Seq[QueryDef] = Seq()
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "n01_ip_functions",
+      (s, d) => {
+        // synthesize: ip in 10.0.0.0/12 space, mac from user_id
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"))
+          .withColumn("ip", lit(167772160L) + (col("user_id") * 7919L) % 1048576L)
+          .withColumn("mac", col("user_id") * 1099511627L % 281474976710656L)
+          .select(
+            col("event_id"),
+            ip4ToString(col("ip")).as("ip_str"),
+            inCidr4(col("ip"), lit(167772160L), lit(16)).as("in_10_0_0_0_16"),
+            beginOfRange4(col("ip"), lit(20)).as("range_begin"),
+            endOfRange4(col("ip"), lit(20)).as("range_end"),
+            ethToString(col("mac")).as("mac_str"),
+            (ip4FromString(ip4ToString(col("ip"))) === col("ip")).as("roundtrip"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        CAST((ip >> 24) & 255 AS VARCHAR) || '.' || CAST((ip >> 16) & 255 AS VARCHAR)
+          || '.' || CAST((ip >> 8) & 255 AS VARCHAR) || '.' || CAST(ip & 255 AS VARCHAR) AS ip_str,
+        (ip & 4294901760) = (167772160 & 4294901760) AS in_10_0_0_0_16,
+        ip & 4294963200 AS range_begin,
+        (ip & 4294963200) | 4095 AS range_end,
+        lpad(lower(hex((mac >> 40) & 255)), 2, '0') || ':' ||
+          lpad(lower(hex((mac >> 32) & 255)), 2, '0') || ':' ||
+          lpad(lower(hex((mac >> 24) & 255)), 2, '0') || ':' ||
+          lpad(lower(hex((mac >> 16) & 255)), 2, '0') || ':' ||
+          lpad(lower(hex((mac >> 8) & 255)), 2, '0') || ':' ||
+          lpad(lower(hex(mac & 255)), 2, '0') AS mac_str,
+        TRUE AS roundtrip
+        FROM (SELECT event_id,
+            167772160 + (user_id * 7919) % 1048576 AS ip,
+            (user_id * 1099511627) % 281474976710656 AS mac
+          FROM events) t
+        ORDER BY event_id"""))
+  )
 }

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** `LISTEN FOR` protocol decoders with the reference's fixed schemas:
+  * netflow v5 (`/root/reference/src/RamenNetflow.ml:14-142`), collectd
+  * binary (`src/RamenCollectd.ml:24-90`), graphite plaintext
+  * (`src/RamenGraphiteSink.ml`).
+  *
+  * Decoders are pure byte/line parsers usable from any transport: the
+  * [[UdpIngest]] dev receiver, Kafka values, or archived packet files.
+  * Each emits the same record schema the reference declares.
+  */
+object Listeners {
+
+  // --- netflow v5 (public packet layout) --------------------------------
+  final case class NetflowRecord(
+      source: String, first: Double, last: Double, seqnum: Long,
+      engine_type: Short, engine_id: Short,
+      sampling_type: Short, sampling_rate: Int,
+      src: Long, dst: Long, next_hop: Long,
+      src_port: Int, dst_port: Int, in_iface: Int, out_iface: Int,
+      packets: Long, bytes: Long, tcp_flags: Short, ip_proto: Short,
+      ip_tos: Short, src_as: Int, dst_as: Int, src_mask: Short, dst_mask: Short)
+
+  /** Decode one netflow v5 packet (24-byte header + n×48-byte records).
+    * `first`/`last` are converted from router sysuptime to absolute unix
+    * seconds the way the reference does. */
+  def parseNetflowV5(source: String, packet: Array[Byte]): Seq[NetflowRecord] = {
+    val b = ByteBuffer.wrap(packet).order(ByteOrder.BIG_ENDIAN)
+    val version = b.getShort() & 0xffff
+    require(version == 5, s"not a netflow v5 packet (version=$version)")
+    val count = b.getShort() & 0xffff
+    val sysUptimeMs = b.getInt().toLong & 0xffffffffL
+    val unixSecs = b.getInt().toLong & 0xffffffffL
+    val unixNs = b.getInt().toLong & 0xffffffffL
+    val seq = b.getInt().toLong & 0xffffffffL
+    val engineType = (b.get() & 0xff).toShort
+    val engineId = (b.get() & 0xff).toShort
+    val sampling = b.getShort() & 0xffff
+    val samplingType = ((sampling >> 14) & 0x3).toShort
+    val samplingRate = sampling & 0x3fff
+    val bootTime = unixSecs.toDouble + unixNs / 1e9 - sysUptimeMs / 1e3
+    (0 until count).map { _ =>
+      val src = b.getInt().toLong & 0xffffffffL
+      val dst = b.getInt().toLong & 0xffffffffL
+      val hop = b.getInt().toLong & 0xffffffffL
+      val inIf = b.getShort() & 0xffff
+      val outIf = b.getShort() & 0xffff
+      val pkts = b.getInt().toLong & 0xffffffffL
+      val octets = b.getInt().toLong & 0xffffffffL
+      val first = b.getInt().toLong & 0xffffffffL
+      val last = b.getInt().toLong & 0xffffffffL
+      val sport = b.getShort() & 0xffff
+      val dport = b.getShort() & 0xffff
+      b.get() // pad1
+      val flags = (b.get() & 0xff).toShort
+      val proto = (b.get() & 0xff).toShort
+      val tos = (b.get() & 0xff).toShort
+      val srcAs = b.getShort() & 0xffff
+      val dstAs = b.getShort() & 0xffff
+      val srcMask = (b.get() & 0xff).toShort
+      val dstMask = (b.get() & 0xff).toShort
+      b.getShort() // pad2
+      NetflowRecord(source, bootTime + first / 1e3, bootTime + last / 1e3,
+        seq, engineType, engineId, samplingType, samplingRate,
+        src, dst, hop, sport, dport, inIf, outIf, pkts, octets,
+        flags, proto, tos, srcAs, dstAs, srcMask, dstMask)
+    }
+  }
+
+  // --- collectd binary protocol (public part-based layout) --------------
+  final case class CollectdRecord(
+      host: String, time: Double, plugin: String, plugin_instance: Option[String],
+      type_name: String, type_instance: Option[String], values: Seq[Double])
+
+  /** Decode the collectd binary "parts" protocol: each part is
+    * (type:u16be, len:u16be, payload); string parts are NUL-terminated;
+    * VALUES parts carry (count, per-value type tag, 8-byte values). */
+  def parseCollectd(packet: Array[Byte]): Seq[CollectdRecord] = {
+    val b = ByteBuffer.wrap(packet).order(ByteOrder.BIG_ENDIAN)
+    var host = ""; var time = 0.0; var plugin = ""; var pluginInst: Option[String] = None
+    var typeName = ""; var typeInst: Option[String] = None
+    val out = scala.collection.mutable.ArrayBuffer[CollectdRecord]()
+    def str(len: Int): String = {
+      val arr = new Array[Byte](len - 4)
+      b.get(arr)
+      new String(arr, "UTF-8").takeWhile(_ != '\u0000')
+    }
+    while (b.remaining() >= 4) {
+      val partType = b.getShort() & 0xffff
+      val partLen = b.getShort() & 0xffff
+      partType match {
+        case 0x0000 => host = str(partLen)
+        case 0x0001 => time = (b.getLong()).toDouble
+        case 0x0008 => time = b.getLong() / 1073741824.0 // 2^30 hi-res
+        case 0x0002 => plugin = str(partLen)
+        case 0x0003 => pluginInst = Some(str(partLen)).filter(_.nonEmpty)
+        case 0x0004 => typeName = str(partLen)
+        case 0x0005 => typeInst = Some(str(partLen)).filter(_.nonEmpty)
+        case 0x0006 =>
+          val n = b.getShort() & 0xffff
+          val kinds = Array.fill(n)(b.get())
+          val values = kinds.map {
+            case 1 => // GAUGE: little-endian double
+              java.lang.Double.longBitsToDouble(
+                java.lang.Long.reverseBytes(b.getLong()))
+            case _ => // COUNTER/DERIVE/ABSOLUTE: big-endian int64
+              b.getLong().toDouble
+          }.toSeq
+          out += CollectdRecord(host, time, plugin, pluginInst, typeName,
+            typeInst, values)
+        case _ => b.position(b.position() + (partLen - 4)) // skip unknown
+      }
+    }
+    out.toSeq
+  }
+
+  // --- graphite plaintext ----------------------------------------------
+  final case class GraphiteRecord(path: String, value: Double, time: Double)
+
+  /** "metric.path value unix_ts" lines. */
+  def parseGraphite(line: String): Option[GraphiteRecord] =
+    line.trim.split("\\s+") match {
+      case Array(p, v, t) =>
+        try Some(GraphiteRecord(p, v.toDouble, t.toDouble))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** Decode a Dataset of raw packets into netflow records. */
+  def netflowFrames(spark: SparkSession, packets: Dataset[(String, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    packets.flatMap { case (src, bytes) => parseNetflowV5(src, bytes) }.toDF()
+  }
+}

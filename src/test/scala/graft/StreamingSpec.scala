@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CommitHarness, GroupSpec, Notify, Notification}
+
+/** (user, valueTimeSec, value) input; tumbling 60 s windows per user.
+  * Top-level so Spark can generate encoders for them. */
+case class Ev(user: String, t: Long, v: Double)
+case class WinState(winStart: Long, n: Long, sum: Double)
+case class WinOut(user: String, winStart: Long, n: Long, sum: Double, prevSum: Double)
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  test("CommitHarness implements COMMIT BEFORE tumbling windows with previous") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val win = 60L
+
+    val out = CommitHarness.run[String, Ev, WinState, WinOut](
+      mem.toDS(),
+      (e: Ev) => e.user,
+      GroupSpec[Ev, WinState, WinOut](
+        init = () => WinState(-1L, 0L, 0.0),
+        update = (s, e) => {
+          val ws = e.t / win * win
+          WinState(if (s.winStart < 0) ws else s.winStart, s.n + 1, s.sum + e.v)
+        },
+        // COMMIT BEFORE in.start >= out.stop (tumbling.ramen semantics)
+        commitBefore = (s, e) => s.winStart >= 0 && e.t >= s.winStart + win,
+        emit = (s, prev) => WinOut("", s.winStart, s.n, s.sum,
+          prev.map(_.sum).getOrElse(0.0)),
+        keepOnCommit = false))
+      .map(o => o) // identity; user filled below via key? kept simple
+
+    val q = out.writeStream.format("memory").queryName("winout")
+      .outputMode("append").start()
+
+    // user a: window [0,60) gets 2 events, [60,120) one, [120,..) triggers
+    mem.addData(Ev("a", 10, 1.0), Ev("a", 20, 2.0), Ev("a", 70, 5.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 130, 7.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("winout").as[WinOut].collect().sortBy(_.winStart)
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0) == WinOut("", 0L, 2L, 3.0, 0.0))     // first window: 1+2
+    assert(rows(1) == WinOut("", 60L, 1L, 5.0, 3.0))    // second; previous=3.0
+  }
+
+  test("CommitHarness COMMIT AFTER with KEEP retains running state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // commit after every 2nd input, KEEP → running (not per-batch) counts
+    val out = CommitHarness.run[String, Ev, WinState, WinOut](
+      mem.toDS(),
+      (e: Ev) => e.user,
+      GroupSpec[Ev, WinState, WinOut](
+        init = () => WinState(0L, 0L, 0.0),
+        update = (s, e) => s.copy(n = s.n + 1, sum = s.sum + e.v),
+        commitAfter = (s, _) => s.n % 2 == 0,
+        emit = (s, _) => WinOut("", 0L, s.n, s.sum, 0.0),
+        keepOnCommit = true))
+    val q = out.writeStream.format("memory").queryName("keepout")
+      .outputMode("append").start()
+    mem.addData(Ev("a", 1, 1.0), Ev("a", 2, 2.0), Ev("a", 3, 3.0), Ev("a", 4, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("keepout").as[WinOut].collect().sortBy(_.n)
+    q.stop()
+    assert(rows.map(r => (r.n, r.sum)).toSeq == Seq((2L, 3.0), (4L, 10.0)))
+  }
+
+  test("NOTIFY alerter dedups into incidents (start/stop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val notifs = mem.toDS().map { case (name, v) =>
+      Notification(name, firing = v > 100.0, Map("value" -> v.toString))
+    }
+    val alerter = new Notify.Alerter
+    val q = Notify.sink(notifs, alerter).start()
+    mem.addData(("cpu_high", 150.0), ("cpu_high", 160.0), ("cpu_high", 50.0),
+      ("disk_full", 20.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(alerter.incidents == Seq("START cpu_high", "STOP cpu_high"))
+    assert(alerter.currentlyFiring.isEmpty)
+  }
+
+  test("EVERY d / YIELD maps to the rate source") {
+    val df = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+      .select(col("timestamp"), col("value"),
+        (col("value") % 5).as("series"))
+    val q = df.writeStream.format("memory").queryName("rateout")
+      .outputMode("append").start()
+    // wait for at least one non-empty batch
+    val deadline = System.currentTimeMillis() + 20000
+    while (spark.table("rateout").isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    assert(spark.table("rateout").count() > 0)
+  }
+
+  test("streaming file source runs the same plan as batch (tumbling counts)") {
+    // replay semantics: one plan, two modes — stream the sf0.001 events
+    // parquet as if live, compare against the batch result
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source wants a directory — stage the file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("replayout")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("replayout")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val batch = batchEv.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
