@@ -1,17 +1,43 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline query set on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * Each query is fully materialized through the noop sink — `count()` would
+  * let column pruning skip the projection work being measured. A warmup
+  * action runs untimed so JVM/session startup isn't billed to the first
+  * query.
+  *
+  * Args (local profiling only): `all` → every registered query;
+  * `name1,name2` → just those.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val selected: Seq[QueryDef] = args.headOption match {
+      case Some("all") => Queries.all
+      case Some(names) =>
+        val want = names.split(",").toSet
+        Queries.all.filter(q => want(q.name))
+      case None => Queries.all.filter(_.headline)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    val results = selected.map { q =>
+      val t0 = System.nanoTime()
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -102,7 +102,8 @@ object CoreQueries {
         FROM (SELECT o_custkey, ${dsumSql("o_totalprice")} AS cust_total
               FROM orders GROUP BY o_custkey) t
         JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      headline = true),
 
     // ---- q05: generator SPLIT → one tuple per substring
     // (reference: tests/func/word_split.ramen; explode(split) in Spark)
@@ -305,6 +306,7 @@ object CoreQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      headline = true)
   )
 }

@@ -24,7 +24,8 @@ object DedupQueries {
         .orderBy("fp"),
       Some(s"""SELECT md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS fp,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-        FROM documents GROUP BY 1 ORDER BY 1""")),
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      headline = true),
 
     // ---- d02: MinHash + banded LSH candidates, verified by exact Jaccard.
     // Probabilistic recall ⇒ no SQL oracle; the test suite checks recall
@@ -65,7 +66,8 @@ object DedupQueries {
       "d04_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3).orderBy("id_a", "id_b"),
-      None),
+      None,
+      headline = true),
 
     // ---- d05: embedding-cosine near-dup, exact pairwise (verification
     // path; the LSH-bucketed scale path is a02_ann_lsh)

@@ -47,6 +47,7 @@ object NetQueries {
             167772160 + (user_id * 7919) % 1048576 AS ip,
             (user_id * 1099511627) % 281474976710656 AS mac
           FROM events) t
-        ORDER BY event_id"""))
+        ORDER BY event_id"""),
+      headline = true)
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main: stage-level timings for the heavy operators.
+  * Not part of the driver contract. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+    println(s"[profile] cores=${spark.sparkContext.defaultParallelism}")
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+          yield c - s).getOrElse(-1L)
+        stages.add(f"stage ${si.stageId}%3d tasks=${si.numTasks}%3d " +
+          f"wall=${wall / 1e3}%6.2fs run=${m.executorRunTime / 1e3}%7.2fs " +
+          f"cpu=${m.executorCpuTime / 1e9}%7.2fs gc=${m.jvmGCTime / 1e3}%6.2fs " +
+          f"deserT=${m.executorDeserializeTime / 1e3}%6.2fs " +
+          si.name.takeWhile(_ != '\n').take(60))
+      }
+    })
+
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    stages.clear()
+
+    if (args.headOption.contains("micro")) {
+      import graft.functions.TextFunctions._
+      val docs = Tables.documents(spark, d).cache()
+      docs.count()
+      val t = col("text")
+      time("normalize")(mat(docs.select(normalize(t))))
+      time("tokens")(mat(docs.select(tokens(t))))
+      time("size_toks")(mat(docs.select(size(tokens(t)))))
+      time("shingles")(mat(docs.select(wordShingles(tokens(t), 3))))
+      time("shingles2")(mat(docs.select(wordShingles(tokens(t), 3))))
+      val toksDf = docs.select(col("doc_id"), tokens(t).as("toks")).cache()
+      toksDf.count()
+      time("shingles_pre")(mat(toksDf.select(wordShingles(col("toks"), 3))))
+      time("distinct_only")(mat(toksDf.select(array_distinct(col("toks")))))
+      time("explode_count")(toksDf.select(explode(col("toks"))).count())
+      // does a two-step projection (uncached) keep tokens evaluated once,
+      // or does CollapseProject re-inline the split into every element_at?
+      val twoStep = docs.select(col("doc_id"), tokens(t).as("toks"))
+        .select(wordShingles(col("toks"), 3).as("sh"))
+      time("shingles_2step")(mat(twoStep))
+      twoStep.explain("formatted")
+    } else {
+      val q = args.headOption.getOrElse("d02_minhash_lsh")
+      time(q)(mat(Queries.byName(q).run(spark, d)))
+    }
+    stages.forEach(println)
+    spark.stop()
+  }
+}

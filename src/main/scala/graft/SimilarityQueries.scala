@@ -50,7 +50,8 @@ object SimilarityQueries {
       (s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d), "vec_id",
         "embedding", bands = 12, r = 4, minCos = 0.3)
         .orderBy("id_a", "id_b"),
-      None),
+      None,
+      headline = true),
 
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise

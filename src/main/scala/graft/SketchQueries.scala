@@ -34,7 +34,8 @@ object SketchQueries {
           row_number() OVER (PARTITION BY event_type
             ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR)) AS rk
         FROM events GROUP BY 1, 2) t
-        WHERE rk <= 5 ORDER BY event_type, rk""")),
+        WHERE rk <= 5 ORDER BY event_type, rk"""),
+      headline = true),
 
     // ---- s02: SAMPLE n, x — reservoir sample; the sample itself is random,
     // the oracle checks the deterministic part (reservoir fill size).
@@ -48,7 +49,8 @@ object SketchQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, LEAST(20, COUNT(value)) AS n_sampled
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      headline = true),
 
     // ---- s03: approximate distinct (HLL++) — no oracle (approx differs
     // by implementation); accuracy asserted in tests against the exact count.

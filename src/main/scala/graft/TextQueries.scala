@@ -10,6 +10,13 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  /** Documents spread across the cores: these are CPU-heavy map-only
+    * passes, and the local single-row-group parquet gives one input split —
+    * without a rebalance they run on one core. (At corpus scale the scan
+    * has thousands of splits and AQE rebalancing covers skew instead.) */
+  private def docsPar(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
 
@@ -25,8 +32,12 @@ object TextQueries {
     QueryDef(
       "t01_tokstats",
       (s, d) => {
-        val toks = tokens(col("text"))
-        Tables.documents(s, d)
+        // project the token array once; an inline tokens(text) referenced
+        // from several expressions (and per-element inside the shingle HOF)
+        // re-runs the regex split each time
+        val toks = col("toks")
+        docsPar(s, d)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             length(col("text")).as("n_chars_txt"),
             size(toks).as("n_tokens"),
@@ -41,19 +52,21 @@ object TextQueries {
         len(list_distinct([array_to_string(toks[i:i+2], ' ')
           for i in range(1, greatest(len(toks) - 1, 1))])) AS n_shingles3
         FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      headline = true),
 
     // ---- t02: quality scoring from length/stopword/digit signals
     QueryDef(
       "t02_quality",
       (s, d) => {
-        val toks = tokens(col("text"))
+        val toks = col("toks")
         val n = size(toks).cast("double")
         val stopRatio = langScore(toks, "en").cast("double") / n
         val digitRatio = (length(col("text")) -
           length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
           length(col("text"))
-        Tables.documents(s, d)
+        docsPar(s, d)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             round(stopRatio, 9).as("stopword_ratio"),
             round(digitRatio, 9).as("digit_ratio"),
@@ -78,8 +91,22 @@ object TextQueries {
     // ---- t03: language ID by stopword-profile scoring
     QueryDef(
       "t03_langid",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), langId(tokens(col("text"))).as("pred_lang"))
+      (s, d) => docsPar(s, d)
+        // stepwise projections (toks → scores → best → verdict) so each
+        // stopword scan runs once per row, mirroring the oracle's shape
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id") +: stopwordProfiles.map { case (l, _) =>
+          langScore(col("toks"), l).as(s"s_$l") }: _*)
+        .select((col("doc_id") +:
+          stopwordProfiles.map { case (l, _) => col(s"s_$l") }
+            .reduce(greatest(_, _)).as("best") +:
+          stopwordProfiles.map { case (l, _) => col(s"s_$l") }): _*)
+        .select(col("doc_id"),
+          stopwordProfiles.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (l, _)) =>
+              val hit = col(s"s_$l") === col("best") && col("best") > 0
+              Some(acc.fold(when(hit, lit(l)))(_.when(hit, lit(l))))
+          }.get.otherwise(lit("und")).as("pred_lang"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
         CASE WHEN best > 0 AND s_en = best THEN 'en'
@@ -98,7 +125,7 @@ object TextQueries {
     // ---- t04: order-sensitive content fingerprint (md5 of normalized text)
     QueryDef(
       "t04_fingerprint",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => docsPar(s, d)
         .select(col("doc_id"), md5(normalize(col("text")).cast("binary")).as("fp"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id"""))

@@ -69,7 +69,8 @@ object WindowQueries {
       },
       Some("""SELECT event_id, user_id, value,
         lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS prev2
-        FROM events ORDER BY event_id""")),
+        FROM events ORDER BY event_id"""),
+      headline = true),
 
     // ---- w04: DERIVE x (dv/dt vs previous point, CodeGenLib.ml:443-466)
     QueryDef(
@@ -204,6 +205,7 @@ object WindowQueries {
                       > 1800000000
                  THEN 1 ELSE 0 END AS is_new
           FROM events)
-        ORDER BY event_id"""))
+        ORDER BY event_id"""),
+      headline = true)
   )
 }

@@ -22,6 +22,12 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Cores to spread pair-expansion work over. Row-count stats of a small
+    * input undersell a join whose OUTPUT is quadratic — without an explicit
+    * repartition Spark plans the expansion into one or two tasks. */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact dedup on an order-insensitive content fingerprint: one surviving
     * (minimum) id per fingerprint group plus the duplicate count. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -35,13 +41,28 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
     val r = k / bands
-    val buckets = docs
-      .select(col(idCol).as("id"),
-        wordShingles(tokens(col(textCol)), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    // Codegen-friendly minhash: explode shingles once, compute the k seeded
+    // hashes as flat columns (whole-stage codegen'd xxhash64 — the nested
+    // transform/array_min HOF form is interpreted and ~50× slower), and
+    // min-aggregate. The partial (map-side) min reduces each doc to k longs
+    // before the shuffle, so at corpus scale the exchange carries
+    // k×8 bytes/doc regardless of document size.
+    val sigs = docs
+      .repartition(par(docs)) // single-file local input ⇒ force map parallelism
+      // project the token array BEFORE the shingle HOF: a composite child
+      // referenced from inside a higher-order-function lambda is re-evaluated
+      // per element (the regex split would run ~3×|shingles| times per doc)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("shingle"))
+      .select(col("id") +: (0 until k).map(i =>
+        xxhash64(col("shingle"), lit(i)).as(s"h$i")): _*)
+      .groupBy("id")
+      .agg(min(s"h0").as("m0"), (1 until k).map(i => min(s"h$i").as(s"m$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val buckets = sigs
       .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .repartition(par(docs), col("band"), col("bucket"))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -54,9 +75,11 @@ object Dedup {
     * stage after [[minhashCandidates]]. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
     pairs
+      .repartition(par(docs)) // spread the per-pair set intersections
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -68,8 +91,10 @@ object Dedup {
     * only; use [[minhashCandidates]] + [[verifyJaccard]] at scale. */
   def jaccardPairsBruteForce(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+      .repartition(par(docs)) // streamed side of the nested-loop pair join
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
@@ -82,11 +107,27 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
-    val fps = docs.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("fp"))
+    // Codegen-friendly simhash: explode tokens, one xxhash64 per token, 64
+    // per-bit vote sums as flat agg columns (map-side partial ⇒ the shuffle
+    // carries 64 ints per doc), then assemble the fingerprint. Semantics
+    // identical to TextFunctions.simhash64 (same hash, same majority vote).
+    val fps = docs
+      .repartition(par(docs))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(
+        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
     val chunks = fps.select(col("id"), col("fp"), posexplode(
       expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+      .repartition(par(docs), col("chunk"), col("chunk_val"))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
@@ -104,6 +145,7 @@ object Dedup {
     val v = embs.select(col(idCol).as("id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), 0.0d, (a, x) -> a + x)")))
+      .repartition(par(embs)) // streamed side of the nested-loop pair join
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")

@@ -32,10 +32,15 @@ object Similarity {
     expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
       / (col("q.norm") * col("c.norm")), 9)
 
+  /** Cores to spread pair-expansion work over (small-input row stats
+    * undersell a join with quadratic output — force the parallelism). */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact top-k cosine neighbors of each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = withVec(corpus, idCol, vecCol).as("c")
+    val c = withVec(corpus, idCol, vecCol).repartition(par(corpus)).as("c")
     val q = withVec(queries, idCol, vecCol).as("q")
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(c, col("q.id") =!= col("c.id"))
@@ -59,24 +64,41 @@ object Similarity {
     val first = embs.select(expr(s"size($vecCol)")).first()
     val dim = first.getInt(0)
     val planes = hyperplanes(dim, bands, r, seed)
-    // literal plane matrix; per row compute sign bits then band bucket keys
-    val planeArr = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val v = withVec(embs, idCol, vecCol)
-      .withColumn("planes", planeArr)
-      .withColumn("bits", expr(
-        """transform(planes, p ->
-             CASE WHEN aggregate(zip_with(p, v, (x, y) -> x * y), 0.0d, (a, x) -> a + x) >= 0
-             THEN 1L ELSE 0L END)"""))
-      .withColumn("buckets", expr(
-        s"""transform(sequence(0, ${bands - 1}, 1), b ->
-              aggregate(slice(bits, b * $r + 1, $r), 0L, (acc, x) -> acc * 2 + x))"""))
-      .select(col("id"), col("v"), col("norm"), posexplode(col("buckets")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val pairs = v.as("q").join(v.as("c"),
-        col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
-          col("q.id") < col("c.id"))
-      .select(col("q.id").as("id_a"), col("c.id").as("id_b"), cosine.as("cos"))
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val v = withVec(embs, idCol, vecCol).repartition(par(embs))
+    // Codegen-friendly projections: vector elements × broadcast plane
+    // elements through a hash join + two-level partial aggregation (the
+    // transform/zip_with HOF form is interpreted and dominates runtime).
+    // Map-side partials reduce to bands×r dots then bands buckets per id
+    // before each shuffle, so the exchanges stay narrow at corpus scale.
+    val planeElems = broadcast(planes.zipWithIndex
+      .flatMap { case (p, pid) => p.zipWithIndex.map { case (w, i) => (pid, i, w) } }
+      .toDF("plane_id", "pos", "w"))
+    val buckets = v
+      .select(col("id"), posexplode(col("v")))
+      .join(planeElems, "pos")
+      .groupBy(col("id"), col("plane_id"))
+      .agg(sum(col("col") * col("w")).as("dot"))
+      // bucket value of band b = the r sign bits of its planes packed
+      // big-endian: bit (r-1 - offset) of plane b*r + offset
+      .groupBy(col("id"), (col("plane_id") / r).cast("int").as("band"))
+      .agg(sum(when(col("dot") >= 0,
+        call_function("shiftleft", lit(1L), lit(r - 1) - col("plane_id") % r))
+        .otherwise(0L)).as("bucket"))
+      .repartition(par(embs), col("band"), col("bucket"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs.filter(col("cos") >= minCos)
+    // cosine only for deduped candidates; vector sides broadcast/hash-join
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+          / (col("na") * col("nb")), 9).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 }
