@@ -18,6 +18,8 @@ object NetQueries {
         // synthesize: ip in 10.0.0.0/12 space, mac from user_id
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"))
+          // single-row-group local file ⇒ spread the formatting work
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("ip", lit(167772160L) + (col("user_id") * 7919L) % 1048576L)
           .withColumn("mac", col("user_id") * 1099511627L % 281474976710656L)
           .select(

@@ -38,6 +38,31 @@ object Profile {
     spark.range(1000).selectExpr("sum(id)").collect()
     stages.clear()
 
+    if (args.headOption.contains("a02raw")) {
+      // raw bucket-join pair count for the LSH parameterization
+      import graft.ops.Similarity
+      val embs = Tables.embeddings(spark, d)
+      val dim = Similarity.vecDim(embs, "embedding")
+      val planes = Similarity.hyperplanes(dim, 12, 4)
+      import spark.implicits._
+      val planeElems = broadcast(planes.zipWithIndex
+        .flatMap { case (p, pid) => p.zipWithIndex.map { case (w, i) => (pid, i, w) } }
+        .toDF("plane_id", "pos", "w"))
+      val buckets = embs.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .repartition(32)
+        .select(col("id"), posexplode(col("v")))
+        .join(planeElems, "pos")
+        .groupBy(col("id"), col("plane_id"))
+        .agg(sum(col("col") * col("w")).as("dot"))
+        .groupBy(col("id"), (col("plane_id") / 4).cast("int").as("band"))
+        .agg(sum(when(col("dot") >= 0,
+          call_function("shiftleft", lit(1L), lit(3) - col("plane_id") % 4))
+          .otherwise(0L)).as("bucket"))
+      time("rawpairs")(println("  raw=" + buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id")).count()))
+      spark.stop(); return
+    }
     if (args.headOption.contains("micro")) {
       import graft.functions.TextFunctions._
       val docs = Tables.documents(spark, d).cache()

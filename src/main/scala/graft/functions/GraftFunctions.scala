@@ -30,6 +30,14 @@ object GraftFunctions {
     ExpressionUtils.column(
       ReservoirSample(col2e(x.cast("double")), n, seed).toAggregateExpression())
 
+  /** Dot product of two float/double array columns (codegen'd loop — see
+    * [[VecDot]]); the workhorse of the similarity operators. */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDot(col2e(a), col2e(b)))
+
+  /** L2 norm of a float/double array column. */
+  def vecNorm(v: Column): Column = sqrt(vecDot(v, v))
+
   /** Values of `x` ordered by `ord` within the group, as an array. */
   def orderedValues(ord: Column, x: Column): Column =
     transform(array_sort(collect_list(struct(ord.as("o"), x.as("v")))),

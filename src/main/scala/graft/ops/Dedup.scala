@@ -142,13 +142,13 @@ object Dedup {
     * The scale path is [[Similarity.lshNeighbors]]. */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = embs.select(col(idCol).as("id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(transform(v, x -> x * x), 0.0d, (a, x) -> a + x)")))
+    val dim = Similarity.vecDim(embs, vecCol)
+    val v = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.normFlat(col(vecCol), dim).as("norm"))
       .repartition(par(embs)) // streamed side of the nested-loop pair join
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+        round(Similarity.dotFlat(col("a.v"), col("b.v"), dim)
           / (col("a.norm") * col("b.norm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

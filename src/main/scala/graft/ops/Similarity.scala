@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.util.Random
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -21,16 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalize + precompute norm once. */
-  private def withVec(df: DataFrame, idCol: String, vecCol: String) =
-    df.select(col(idCol).as("id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(transform(v, x -> x * x), 0.0d, (a, x) -> a + x)")))
+  /** Vector dimension, resolved once at plan-build time. */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
 
-  private def cosine = round(
-    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
-      / (col("q.norm") * col("c.norm")), 9)
+  /** Codegen'd dot product / norm (native [[graft.functions.VecDot]]
+    * expression — a tight loop, sequential addition order matching the
+    * DuckDB oracle's list_reduce). */
+  def dotFlat(a: Column, b: Column, dim: Int): Column =
+    graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** Codegen'd L2 norm. */
+  def normFlat(v: Column, dim: Int): Column =
+    graft.functions.GraftFunctions.vecNorm(v)
+
+  /** Precompute norm once; keep the raw vector for flat dot products. */
+  private def withVec(df: DataFrame, idCol: String, vecCol: String, dim: Int) =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normFlat(col(vecCol), dim).as("norm"))
+
+  private def cosine(dim: Int) = round(
+    dotFlat(col("q.v"), col("c.v"), dim) / (col("q.norm") * col("c.norm")), 9)
 
   /** Cores to spread pair-expansion work over (small-input row stats
     * undersell a join with quadratic output — force the parallelism). */
@@ -40,12 +51,13 @@ object Similarity {
   /** Exact top-k cosine neighbors of each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = withVec(corpus, idCol, vecCol).repartition(par(corpus)).as("c")
-    val q = withVec(queries, idCol, vecCol).as("q")
+    val dim = vecDim(corpus, vecCol)
+    val c = withVec(corpus, idCol, vecCol, dim).repartition(par(corpus)).as("c")
+    val q = withVec(queries, idCol, vecCol, dim).as("q")
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(c, col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        cosine.as("cos"))
+        cosine(dim).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -61,44 +73,43 @@ object Similarity {
     * cos ≥ minCos. */
   def lshNeighbors(embs: DataFrame, idCol: String, vecCol: String,
       bands: Int = 8, r: Int = 8, minCos: Double = 0.0, seed: Long = 42L): DataFrame = {
-    val first = embs.select(expr(s"size($vecCol)")).first()
-    val dim = first.getInt(0)
+    val dim = vecDim(embs, vecCol)
     val planes = hyperplanes(dim, bands, r, seed)
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val v = withVec(embs, idCol, vecCol).repartition(par(embs))
-    // Codegen-friendly projections: vector elements × broadcast plane
-    // elements through a hash join + two-level partial aggregation (the
-    // transform/zip_with HOF form is interpreted and dominates runtime).
-    // Map-side partials reduce to bands×r dots then bands buckets per id
-    // before each shuffle, so the exchanges stay narrow at corpus scale.
-    val planeElems = broadcast(planes.zipWithIndex
-      .flatMap { case (p, pid) => p.zipWithIndex.map { case (w, i) => (pid, i, w) } }
-      .toDF("plane_id", "pos", "w"))
-    val buckets = v
-      .select(col("id"), posexplode(col("v")))
-      .join(planeElems, "pos")
-      .groupBy(col("id"), col("plane_id"))
-      .agg(sum(col("col") * col("w")).as("dot"))
-      // bucket value of band b = the r sign bits of its planes packed
-      // big-endian: bit (r-1 - offset) of plane b*r + offset
-      .groupBy(col("id"), (col("plane_id") / r).cast("int").as("band"))
-      .agg(sum(when(col("dot") >= 0,
-        call_function("shiftleft", lit(1L), lit(r - 1) - col("plane_id") % r))
-        .otherwise(0L)).as("bucket"))
+    val v = withVec(embs, idCol, vecCol, dim).repartition(par(embs))
+    // Map-only bucket computation: each plane is a literal vector, each
+    // projection a codegen'd VecDot; bucket of band b packs the r sign
+    // bits big-endian. The only shuffle downstream carries the narrow
+    // (id, band, bucket) rows.
+    val dots = v.select(
+      col("id") +: planes.zipWithIndex.map { case (p, pid) =>
+        graft.functions.GraftFunctions.vecDot(col("v"), typedlit(p)).as(s"dot$pid")
+      }: _*)
+    val bucketArr = array((0 until bands).map { b =>
+      (0 until r).map { off =>
+        when(col(s"dot${b * r + off}") >= 0, lit(1L << (r - 1 - off)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val buckets = dots
+      .select(col("id"), posexplode(bucketArr))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .repartition(par(embs), col("band"), col("bucket"))
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    // One pipelined codegen stage per bucket partition: generate pairs,
+    // probe the (broadcast) vector table twice, flat-dot cosine, filter —
+    // THEN dedup the (now small) surviving pairs. Dedup-before-cosine reads
+    // nicer but forces a full shuffle of every raw candidate pair; with the
+    // codegen'd dot product the re-scored duplicates (≤ bands per pair) are
+    // far cheaper than that exchange.
+    buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // cosine only for deduped candidates; vector sides broadcast/hash-join
-    candidates
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
-          / (col("na") * col("nb")), 9).as("cos"))
+        round(dotFlat(col("va"), col("vb"), dim) / (col("na") * col("nb")), 9)
+          .as("cos"))
       .filter(col("cos") >= minCos)
+      .distinct()
   }
 }
