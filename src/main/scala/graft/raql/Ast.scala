@@ -1,0 +1,67 @@
+package graft.raql
+
+/** RaQL abstract syntax, mirroring the shapes of the reference's AST types
+  * (`/root/reference/src/raql_expr.type`, `raql_operation.type`,
+  * `RamenProgram.ml`) — only the shapes: the compiler targets Catalyst, not
+  * the reference's codegen.
+  */
+object Ast {
+
+  sealed trait Expr
+
+  /** Literal; `typ` carries a cast-suffix when written as e.g. `0.1s`
+    * (durations are plain float seconds in RaQL). */
+  final case class Lit(value: Any) extends Expr
+
+  /** Field/variable reference: `x`, `in.x`, `previous.stop`, `param.p`. */
+  final case class Ref(path: Seq[String]) extends Expr
+
+  final case class Unop(op: String, e: Expr) extends Expr
+  final case class Binop(op: String, l: Expr, r: Expr) extends Expr
+
+  /** Scalar function application, including cast-functions (`u32(x)`). */
+  final case class FunCall(name: String, args: Seq[Expr]) extends Expr
+
+  /** Stateful/aggregate call: `sum x`, `sum group x`, `sum keep null x`,
+    * `min globally x`, `distinct x`, `lag x`, `group x`. */
+  final case class AggCall(fn: String, operand: Expr,
+      modifiers: Set[String] = Set.empty) extends Expr
+
+  /** `10th percentile (e)` or `[10th; 95th] percentile (e)`. */
+  final case class PercentileCall(ps: Seq[Double], operand: Expr) extends Expr
+
+  final case class CaseExpr(branches: Seq[(Expr, Expr)], otherwise: Option[Expr])
+      extends Expr
+  final case class VectorLit(items: Seq[Expr]) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+
+  // --- operations -------------------------------------------------------
+
+  final case class SelectField(expr: Expr, alias: Option[String])
+
+  /** RaQL type from a READ schema: base name + nullability (+units, kept
+    * verbatim for metadata). */
+  final case class RType(base: String, nullable: Boolean, units: Option[String])
+
+  sealed trait Operation
+
+  /** The Swiss-army SELECT (reference `Aggregate`). */
+  final case class Aggregate(
+      fields: Seq[SelectField],
+      star: Boolean,
+      from: Seq[String],
+      fromSub: Seq[Operation] = Nil,
+      where: Option[Expr] = None,
+      groupBy: Seq[Expr] = Nil,
+      commitBefore: Boolean = false,
+      commitCond: Option[Expr] = None,
+      every: Option[Expr] = None) extends Operation
+
+  /** READ FROM FILE "path" AS CSV (schema). */
+  final case class ReadCsv(path: String, fields: Seq[(String, RType)],
+      separator: String = ",") extends Operation
+
+  final case class Func(name: String, op: Operation)
+  final case class Param(name: String, default: Option[Expr])
+  final case class Program(params: Seq[Param], funcs: Seq[Func])
+}

@@ -1,0 +1,405 @@
+package graft.raql
+
+import scala.util.parsing.combinator.RegexParsers
+
+import Ast._
+
+/** Parser for the RaQL subset covering the common shapes in the reference's
+  * test corpus (the .ramen programs under `/root/reference/tests/func`):
+  * DEFINE programs with
+  * SELECT/YIELD/READ CSV operations, the expression algebra with aggregate
+  * calls and their modifier syntax, CASE, percentiles, vector literals,
+  * `|?` coalesce, duration literals, and `--` comments.
+  *
+  * Grammar shapes follow the reference parser (`src/RamenOperation.ml`,
+  * `src/RamenExpr.ml`) re-expressed with scala-parser-combinators.
+  */
+object RaqlParser extends RegexParsers {
+
+  override protected val whiteSpace = """(\s|--[^\n]*)+""".r
+
+  private def kw(s: String): Parser[String] =
+    ("""(?i)\b""" + s + """\b""").r ^^ (_.toLowerCase)
+
+  private val ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private val qualName: Parser[String] = """[A-Za-z_][A-Za-z0-9_/.]*""".r
+
+  private val keywords = Set("select", "from", "where", "group", "by",
+    "commit", "after", "before", "every", "yield", "define", "as", "read",
+    "file", "csv", "parameters", "defaults", "to", "and", "or", "not", "is",
+    "null", "case", "when", "then", "else", "end", "like", "in", "if",
+    "sort", "notify", "keep", "flush", "factors", "event")
+
+  private val plainIdent: Parser[String] =
+    ident.filter(i => !keywords.contains(i.toLowerCase))
+
+  // --- literals ---------------------------------------------------------
+
+  private val number: Parser[Expr] = {
+    // suffixes: durations (0.1s, 1min), type tags (0u32, 1i8[?]); also hex
+    // and trailing-dot floats (`0.`)
+    val core = """-?(0x[0-9a-fA-F]+|\d+(\.\d*)?([eE]-?\d+)?)(ms|min|h|s|[ui](8|16|24|32|40|48|56|64|128)\??)?""".r
+    val unitWord =
+      kw("milliseconds") | kw("millisecond") | kw("seconds") | kw("second") |
+      kw("minutes") | kw("minute") | kw("hours") | kw("hour")
+    core ~ opt(unitWord) ^^ { case s0 ~ unit =>
+      val (num, mult) =
+        if (s0.matches(""".*[ui]\d+\??$""")) (s0.replaceAll("[ui]\\d+\\??$", ""), 1.0)
+        else if (s0.endsWith("ms")) (s0.dropRight(2), 0.001)
+        else if (s0.endsWith("min")) (s0.dropRight(3), 60.0)
+        else if (s0.endsWith("h")) (s0.dropRight(1), 3600.0)
+        else if (s0.endsWith("s")) (s0.dropRight(1), 1.0)
+        else (s0, 1.0)
+      val wordMult = unit match {
+        case Some(u) if u.startsWith("milli") => 0.001
+        case Some(u) if u.startsWith("second") => 1.0
+        case Some(u) if u.startsWith("minute") => 60.0
+        case Some(u) if u.startsWith("hour") => 3600.0
+        case _ => 1.0
+      }
+      val m = mult * wordMult
+      if (num.startsWith("0x") || num.startsWith("-0x"))
+        Lit(java.lang.Long.parseLong(num.replace("0x", ""), 16) * m.toLong)
+      else if (m != 1.0 || unit.isDefined || num.contains('.') ||
+          num.contains('e') || num.contains('E'))
+        Lit(num.stripSuffix(".").toDouble * m)
+      else num.toLongOption match {
+        case Some(l) => Lit(l)
+        case None => Lit(BigDecimal(num)) // beyond-i64 literals (u128 tests)
+      }
+    }
+  }
+
+  /** Char literal `#\a`; compiled as a 1-char string. */
+  private val charLit: Parser[Expr] =
+    """#\\[!-~]""".r ^^ (s => Lit(s.substring(2)))
+
+  /** `#start` / `#stop` event-time pseudo-fields. */
+  private val eventTimeRef: Parser[Expr] =
+    "#" ~> (kw("start") | kw("stop")) ^^ (n => Ref(Seq("#" + n)))
+
+  // single token — split sub-parsers would skip whitespace inside the quotes
+  private val stringLit: Parser[Expr] =
+    """"(\\.|[^"\\])*"""".r ^^ { s =>
+      Lit(s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+
+  private val boolLit: Parser[Expr] =
+    kw("true") ^^^ Lit(true) | kw("false") ^^^ Lit(false)
+
+  private val nullLit: Parser[Expr] = kw("null") ^^^ Lit(null)
+
+  // --- expressions ------------------------------------------------------
+
+  def expr: Parser[Expr] = coalesce
+
+  private def coalesce: Parser[Expr] =
+    orExpr ~ rep("|?" ~> orExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)((a, b) => FunCall("coalesce", Seq(a, b)))
+    }
+
+  private def orExpr: Parser[Expr] =
+    andExpr ~ rep(kw("or") ~> andExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)(Binop("or", _, _))
+    }
+
+  private def andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("and") ~> notExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)(Binop("and", _, _))
+    }
+
+  private def notExpr: Parser[Expr] =
+    kw("not") ~> notExpr ^^ (Unop("not", _)) | cmpExpr
+
+  private def cmpExpr: Parser[Expr] = {
+    val isNullTail: Parser[Either[Boolean, (String, Expr)]] =
+      kw("is") ~> opt(kw("not")) <~ kw("null") ^^ (n => Left(n.isDefined))
+    val cmpTail: Parser[Either[Boolean, (String, Expr)]] =
+      ("<=" | ">=" | "<>" | "!=" | "=" | kw("like") | kw("in") |
+        (kw("not") ~ kw("in")) ^^^ "not_in" |
+        ((kw("starts") | kw("ends")) <~ kw("with")) ^^ (_ + "_with") |
+        """<(?!<)""".r | """>(?!>)""".r) ~ bitExpr ^^ {
+        case op ~ r => Right((op, r))
+      }
+    bitExpr ~ opt(isNullTail | cmpTail) ^^ {
+      case l ~ None => l
+      case l ~ Some(Left(neg)) => IsNull(l, negated = neg)
+      case l ~ Some(Right(("not_in", r))) => Unop("not", Binop("in", l, r))
+      case l ~ Some(Right((op, r))) => Binop(op, l, r)
+    }
+  }
+
+  /** Bitwise `& | # << >>` (`#` is xor). `|` must not swallow `|?`/`||`. */
+  private def bitExpr: Parser[Expr] =
+    addExpr ~ rep(("<<" | ">>" | "&" | "#" | """\|(?![|?])""".r) ~ addExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) }
+    }
+
+  private def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-" | "||") ~ mulExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) }
+    }
+
+  private def mulExpr: Parser[Expr] =
+    unaryExpr ~ rep(("*" | "//" | "/" | "%") ~ unaryExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) }
+    }
+
+  private def unaryExpr: Parser[Expr] =
+    "-" ~> unaryExpr ^^ (Unop("neg", _)) | powExpr
+
+  private def powExpr: Parser[Expr] =
+    primary ~ opt("^" ~> unaryExpr) ^^ {
+      case b ~ Some(e) => Binop("^", b, e)
+      case b ~ None => b
+    }
+
+  private val aggNames = Set("min", "max", "sum", "avg", "first", "last",
+    "count", "bitor", "bitand", "bitxor", "group", "distinct", "lag",
+    "smooth", "derive", "hysteresis", "remember", "sample", "all", "any",
+    "latest", "oldest", "largest", "smallest", "changed", "past")
+
+  /** Aggregate call: name, optional modifiers, then a unary operand (no
+    * parens needed: `min horsepower`). `and`/`or` as prefix = bool aggs;
+    * `count distinct x`; `latest 10 x`. */
+  private def aggCall: Parser[Expr] = {
+    val aggName =
+      ident.filter(i => aggNames.contains(i.toLowerCase)) ^^ (_.toLowerCase) |
+      (kw("and") | kw("or")) ^^ ("aggr_" + _)
+    val modifier =
+      (kw("keep") ~ (kw("nulls") | kw("null"))) ^^^ "keep_nulls" |
+      (kw("skip") ~ (kw("nulls") | kw("null"))) ^^^ "skip_nulls" |
+      kw("distinct") ^^^ "distinct" |
+      kw("globally") ^^^ "globally" | kw("locally") ^^^ "locally" |
+      kw("immediately") ^^^ "immediately"
+    // the count form must be a full alternative: opt() would not be
+    // re-tried when the operand after a consumed count fails to parse
+    val withCount =
+      aggName ~ rep(modifier) ~ number ~ rep(modifier) ~ unaryExpr ^^ {
+        case fn ~ m1 ~ Lit(k) ~ m2 ~ e =>
+          AggCall(fn, e, (m1 ++ m2).toSet + s"n=$k")
+        case fn ~ m1 ~ _ ~ m2 ~ e => AggCall(fn, e, (m1 ++ m2).toSet)
+      }
+    val simple = aggName ~ rep(modifier) ~ unaryExpr ^^ {
+      case fn ~ mods ~ e => AggCall(fn, e, mods.toSet)
+    }
+    withCount | simple
+  }
+
+  /** `95th percentile (e)` / `[10th; 95th] percentile (e)`. */
+  private def percentileCall: Parser[Expr] = {
+    val pct = """\d+(\.\d+)?""".r <~ ("th" | "st" | "nd" | "rd") ^^ (_.toDouble)
+    val ps = pct ^^ (Seq(_)) | "[" ~> rep1sep(pct, ";") <~ "]"
+    ps ~ (kw("percentile") ~> unaryExpr) ^^ { case p ~ e => PercentileCall(p, e) }
+  }
+
+  private def caseExpr: Parser[Expr] =
+    kw("case") ~> rep1(kw("when") ~> expr ~ (kw("then") ~> expr)) ~
+      opt(kw("else") ~> expr) <~ kw("end") ^^ { case br ~ el =>
+      CaseExpr(br.map { case c ~ v => (c, v) }, el)
+    }
+
+  private def ifCall: Parser[Expr] =
+    kw("if") ~> "(" ~> expr ~ ("," ~> expr) ~ opt("," ~> expr) <~ ")" ^^ {
+      case c ~ t ~ e => CaseExpr(Seq((c, t)), e)
+    } |
+    // `IF cond THEN x [ELSE y]` prefix form
+    kw("if") ~> expr ~ (kw("then") ~> expr) ~ opt(kw("else") ~> expr) ^^ {
+      case c ~ t ~ e => CaseExpr(Seq((c, t)), e)
+    }
+
+  private def funCall: Parser[Expr] =
+    plainIdent ~ opt("?") ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
+      case f ~ q ~ args =>
+        FunCall(f.toLowerCase + (if (q.isDefined) "?" else ""), args)
+    }
+
+  /** Special bound variables may lead a path even though they are keywords
+    * elsewhere (`in.start`, `out.stop`, `previous.x`, `param.p`). */
+  private def varRef: Parser[Expr] =
+    (kw("in") | kw("out") | kw("previous") | kw("param") | kw("env") |
+      kw("group")) ~ ("." ~> rep1sep(plainIdent, ".")) ^^ {
+      case v ~ rest => Ref(v +: rest)
+    }
+
+  private def pathRef: Parser[Expr] =
+    rep1sep(plainIdent, ".") ^^ (Ref(_))
+
+  private def vectorLit: Parser[Expr] =
+    "[" ~> repsep(expr, ";") <~ "]" ^^ (VectorLit(_))
+
+  /** IPv4/IPv6/CIDR literals (`192.168.1.1`, `2001:db8::1`, `10.0.0.0/8`). */
+  private val ipLit: Parser[Expr] =
+    """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r ^^ (Lit(_)) |
+    """[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""".r
+      .filter(_.contains(":")) ^^ (Lit(_))
+
+  private def castExpr: Parser[Expr] =
+    kw("cast") ~> "(" ~> expr ~ (kw("as") ~> ident <~ opt("[" ~ "]")) <~
+      opt("?") <~ ")" ^^ { case e ~ t => FunCall(t.toLowerCase, Seq(e)) }
+
+  /** `ONCE EVERY d [TUMBLING] x` time-sampling aggregate. */
+  private def onceEvery: Parser[Expr] =
+    kw("once") ~> kw("every") ~> number ~ opt(kw("tumbling")) ~ unaryExpr ^^ {
+      case Lit(d) ~ _ ~ e => AggCall("once_every", e, Set(s"d=$d"))
+      case _ ~ _ ~ e => AggCall("once_every", e, Set.empty)
+    }
+
+  /** `ONE OUT OF n x` decimation. */
+  private def oneOutOf: Parser[Expr] =
+    kw("one") ~> kw("out") ~> kw("of") ~> number ~ unaryExpr ^^ {
+      case Lit(n) ~ e => AggCall("one_out_of", e, Set(s"n=$n"))
+      case _ ~ e => AggCall("one_out_of", e, Set.empty)
+    }
+
+  /** `PEEK type [LITTLE|BIG ENDIAN] x`. */
+  private def peekCall: Parser[Expr] =
+    kw("peek") ~> ident ~ opt((kw("little") | kw("big")) <~ kw("endian")) ~
+      unaryExpr ^^ { case t ~ endian ~ e =>
+      FunCall("peek", Seq(Lit(t + endian.map("_" + _).getOrElse("")), e))
+    }
+
+  private def primary: Parser[Expr] = {
+    val base =
+      percentileCall | ipLit | number | charLit | eventTimeRef | stringLit |
+        boolLit | nullLit | caseExpr | ifCall | castExpr | onceEvery |
+        oneOutOf | peekCall | aggCall | funCall | varRef | pathRef |
+        vectorLit | "(" ~> expr <~ ")"
+    // postfix indexing: `_ts[1]` = GET(1, _ts)
+    base ~ rep("[" ~> expr <~ "]") ^^ { case e ~ idxs =>
+      idxs.foldLeft(e)((acc, i) => FunCall("get", Seq(i, acc)))
+    }
+  }
+
+  // --- operations -------------------------------------------------------
+
+  private def selectField: Parser[SelectField] =
+    ("*" ~ opt("-" ~> rep1sep(ident, ","))) ^^ {
+      case _ ~ minus => SelectField(Ref(Seq("*")), minus.map(_.mkString("-")))
+    } |
+    expr ~ opt(kw("as") ~> ident) ^^ { case e ~ a => SelectField(e, a) }
+
+  private def fromRef: Parser[Either[String, Operation]] =
+    qualName ^^ (Left(_)) |
+    "(" ~> aggregateOp <~ ")" ^^ (Right(_)) |
+    stringLit ^^ { case Lit(s: String) => Left(s); case _ => Left("") }
+
+  private def fromClause: Parser[Seq[Either[String, Operation]]] =
+    kw("from") ~> rep1sep(fromRef, ",")
+
+  /** `EVENT STARTS AT e [WITH DURATION d | AND STOPS AT e]` — parsed and
+    * carried as metadata only in the batch compiler. */
+  private def eventClause: Parser[Unit] =
+    kw("event") ~ (kw("starts") | kw("starting")) ~ kw("at") ~ expr ~
+      opt((kw("with") ~ kw("duration") ~ expr) |
+          (kw("and") ~ (kw("stops") | kw("stopping")) ~ kw("at") ~ expr)) ^^^ ()
+
+  // clause soup: the reference accepts its Aggregate clauses in any order
+  private sealed trait Clause
+  private case class CSelect(fs: Seq[SelectField]) extends Clause
+  private case class CFrom(refs: Seq[Either[String, Operation]]) extends Clause
+  private case class CWhere(e: Expr) extends Clause
+  private case class CGroup(ks: Seq[Expr]) extends Clause
+  private case class CCommit(before: Boolean, cond: Expr) extends Clause
+  private case class CEvery(e: Expr) extends Clause
+  private case object CIgnored extends Clause
+
+  def aggregateOp: Parser[Operation] = {
+    val clause: Parser[Clause] =
+      (kw("select") | kw("yield")) ~> rep1sep(selectField, ",") ^^ CSelect.apply |
+      fromClause ^^ CFrom.apply |
+      (kw("where") | kw("when")) ~> expr ^^ CWhere.apply |
+      kw("group") ~> kw("by") ~> rep1sep(expr, ",") ^^ CGroup.apply |
+      // [COMMIT] [AND] [KEEP ALL | FLUSH] (AFTER|BEFORE|WHEN) cond
+      opt(kw("commit")) ~ opt(kw("and")) ~
+        opt((kw("keep") ~ opt(kw("all"))) | (kw("flush") ^^^ null)) ~
+        ((kw("after") ^^^ false) | (kw("before") ^^^ true)) ~ expr ^^ {
+          case _ ~ _ ~ _ ~ before ~ cond => CCommit(before, cond)
+        } |
+      kw("commit") ~ kw("when") ~> expr ^^ (CCommit(false, _)) |
+      kw("every") ~> expr ^^ CEvery.apply |
+      eventClause ^^^ CIgnored |
+      kw("factors") ~> rep1sep(ident, ",") ^^^ CIgnored |
+      // SORT LAST n [UNTIL cond] BY e…: input reorder buffer — no-op in batch
+      kw("sort") ~ kw("last") ~ number ~ opt(kw("until") ~ expr) ~
+        opt(kw("by") ~ rep1sep(expr, ",")) ^^^ CIgnored |
+      kw("notify") ~ expr ^^^ CIgnored |
+      (kw("keep") ~ opt(kw("all")) | kw("flush")) ^^^ CIgnored
+
+    rep1(clause).filter(_.exists(_.isInstanceOf[CSelect])) ^^ { cs =>
+      val fields = cs.collect { case CSelect(fs) => fs }.flatten
+      val from = cs.collect { case CFrom(r) => r }.flatten
+      val wheres = cs.collect { case CWhere(e) => e }
+      Aggregate(fields,
+        star = fields.exists(_.expr == Ref(Seq("*"))),
+        from = from.collect { case Left(n) => n },
+        fromSub = from.collect { case Right(op) => op },
+        where = wheres.reduceOption(Binop("and", _, _)),
+        groupBy = cs.collect { case CGroup(ks) => ks }.flatten,
+        commitBefore = cs.collectFirst { case CCommit(b, _) => b }.getOrElse(false),
+        commitCond = cs.collectFirst { case CCommit(_, c) => c },
+        every = cs.collectFirst { case CEvery(e) => e })
+    }
+  }
+
+  private def rtype: Parser[RType] =
+    ident ~ opt("?") ~ opt("""\{[^}]*\}""".r) ^^ { case t ~ n ~ u =>
+      RType(t.toLowerCase, n.isDefined, u)
+    }
+
+  private def readCsvOp: Parser[Operation] =
+    kw("read") ~> kw("from") ~> kw("file") ~> stringLit ~
+      opt(kw("preprocess") ~ kw("with") ~ stringLit) ~
+      opt((kw("then") ~ kw("delete") ~ opt(kw("if") ~ expr)) |
+          (kw("delete") ~ kw("if") ~ expr)) ~
+      (kw("as") ~> kw("csv")) ~ opt(kw("separator") ~> stringLit) ~
+      opt(kw("no") ~ kw("quotes")) ~ opt(kw("null") ~ stringLit) ~
+      ("(" ~> rep1sep(ident ~ rtype, ",") <~ ")") ^^ {
+      case Lit(path: String) ~ _ ~ _ ~ _ ~ sep ~ _ ~ _ ~ fields =>
+        val sepStr = sep match { case Some(Lit(s: String)) => s; case _ => "," }
+        ReadCsv(path, fields.map { case n ~ t => (n, t) }, sepStr)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  private def operation: Parser[Operation] = readCsvOp | aggregateOp
+
+  private def define: Parser[Func] =
+    kw("define") ~> opt(kw("lazy")) ~> ident ~ (kw("as") ~> operation) <~ opt(";") ^^ {
+      case n ~ op => Func(n, op)
+    }
+
+  private def paramDecl: Parser[Param] =
+    ident ~
+      opt(ident.filter(i => !Set("defaults", "default").contains(i.toLowerCase)) ~
+        opt("?") ~ opt("[" ~ opt(number) ~ "]") ~ opt("?")) ~
+      opt("""\{[^}]*\}""".r) ~
+      opt((kw("defaults") | kw("default")) ~> kw("to") ~> expr) ^^ {
+      case n ~ _ ~ _ ~ d => Param(n, d)
+    }
+
+  private def parameters: Parser[Seq[Param]] =
+    (kw("parameters") | kw("parameter")) ~> rep1sep(paramDecl, ",") <~ ";"
+
+  def program: Parser[Program] =
+    rep(parameters | define) ^^ { items =>
+      val params = items.collect { case ps: Seq[_] => ps.asInstanceOf[Seq[Param]] }.flatten
+      val funcs = items.collect { case f: Func => f }
+      Program(params, funcs)
+    }
+
+  def parseProgram(src: String): Either[String, Program] =
+    parseAll(program, src) match {
+      case Success(p, _) => Right(p)
+      case NoSuccess(msg, rest) =>
+        Left(s"$msg at line ${rest.pos.line}:${rest.pos.column}")
+      case other => Left(other.toString)
+    }
+
+  def parseExpr(src: String): Either[String, Expr] =
+    parseAll(expr, src) match {
+      case Success(e, _) => Right(e)
+      case NoSuccess(msg, rest) =>
+        Left(s"$msg at line ${rest.pos.line}:${rest.pos.column}")
+      case other => Left(other.toString)
+    }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raql.{RaqlCompiler, RaqlParser}
+
+/** RaQL front-end: parse + batch-compile the reference's own test programs
+  * and check the golden values from the matching .test specs
+  * (`/root/reference/tests/func/basic_aggr.test` etc.). */
+class RaqlSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private val funcDir = "/root/reference/tests/func"
+
+  private def load(names: String*): RaqlCompiler = {
+    val sources = names.map { n =>
+      n -> Files.readString(Paths.get(s"$funcDir/$n.ramen"))
+    }.toMap
+    RaqlCompiler.fromSources(spark, funcDir, sources) match {
+      case Right(c) => c
+      case Left(e) => fail(s"parse: $e")
+    }
+  }
+
+  test("basic_aggr/f1 matches the reference golden values") {
+    val c = load("fixtures/cars", "basic_aggr")
+    val row = c.compile("basic_aggr/f1").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    def v(n: String): Any = row.get(byName(n))
+    assert(v("min_horsepower") == 1)
+    assert(v("max_horsepower") == 946)
+    assert(v("sum_horsepower") == 1262598L)
+    assert(v("sum_horsepower_2") == 1262598L)
+    assert(math.abs(v("avg_horsepower").asInstanceOf[Double] - 278.16655651) < 1e-6)
+    assert(math.abs(v("avg_horsepower_2").asInstanceOf[Double] - 278.16655651) < 1e-6)
+    assert(v("first_horsepower") == 552)
+    assert(v("last_horsepower") == 313)
+    assert(v("horsepower_10th") == 140)
+    assert(v("horsepower_95th") == 553)
+    assert(v("horsepower_perc") == Seq(140, 553))
+    assert(v("manufacturers") == 30L)
+    assert(v("sum_CO") == 1653.0)
+    assert(row.isNullAt(byName("sum_CO_null")))
+    assert(v("bityears") == 2017)
+  }
+
+  test("basic_aggr a3/o3 boolean aggregates over the n123 fixture") {
+    val c = load("fixtures/n123", "basic_aggr")
+    // batch = end-of-input commit ⇒ matches the k=3 (whole input) variants
+    assert(c.compile("basic_aggr/a3").collect().head.getBoolean(0) == false)
+    assert(c.compile("basic_aggr/o3").collect().head.getBoolean(0) == true)
+  }
+
+  test("word_split generators: YIELD + SPLIT cartesian semantics") {
+    val c = load("word_split")
+    val f1 = c.compile("word_split/f1").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(f1.toSeq == Seq(("pas", "glop"), ("glop", "glop")))
+    val f2 = c.compile("word_split/f2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // two independent splits ⇒ cartesian product
+    assert(f2 == Set(("foo", "pas"), ("foo", "glop"), ("bar", "pas"), ("bar", "glop")))
+    val f3 = c.compile("word_split/f3").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(f3.toSeq == Seq(("pas glop", "pas pas"), ("glop glop", "pas glop")))
+    val f4 = c.compile("word_split/f4").collect().map(_.getString(0))
+    assert(f4.toSeq == Seq("pas glop", "pas glop"))
+  }
+
+  test("parses a healthy fraction of the full reference test corpus") {
+    val all = Files.list(Paths.get(funcDir)).iterator().asScala
+      .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
+    val results = all.map { p =>
+      val ok = RaqlParser.parseProgram(Files.readString(p)).isRight
+      p.getFileName.toString -> ok
+    }
+    val good = results.count(_._2)
+    info(s"parsed $good/${results.size}: " +
+      results.filterNot(_._2).map(_._1).mkString("failing: ", ", ", ""))
+    assert(good >= results.size / 2,
+      s"only $good of ${results.size} reference programs parsed")
+  }
+}
