@@ -45,7 +45,8 @@ object Queries {
       DedupQueries.entries ++
       TextQueries.entries ++
       SimilarityQueries.entries ++
-      NetQueries.entries
+      NetQueries.entries ++
+      RaqlQueries.entries
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -28,6 +28,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   def register(name: String, p: Program): Unit = programs += name -> p
 
+  /** Expose an existing DataFrame as a parent (`FROM <key>`): how RaQL
+    * programs read this engine's tables (parquet, Kafka, …). */
+  def registerTable(key: String, df: DataFrame): Unit =
+    compiled(key) = df
+
   def sparkType(t: RType): DataType = t.base match {
     case "bool" => BooleanType
     case "char" | "string" => StringType
@@ -266,6 +271,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   })
 
   private def resolveFrom(ref: String, progName: String): DataFrame = {
+    if (compiled.contains(ref)) return compiled(ref) // registered tables
     val candidates = Seq(
       ref,                                   // fully qualified prog/func
       s"$progName/$ref",                     // sibling function
@@ -337,12 +343,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         (f.expr, name)
       }
       if (agg.fields.exists(f => hasAgg(f.expr))) {
-        val cols = named.map { case (e, n) => compileExpr(e, params, splitCols).as(n) }
         if (agg.groupBy.nonEmpty) {
+          // grouping columns come back from groupBy() itself — only the
+          // aggregate fields go through agg(), then project in field order
           val keys = agg.groupBy.map(k => compileExpr(k, params, splitCols))
-          src.groupBy(keys: _*).agg(cols.head, cols.tail: _*)
-            .select(named.map { case (_, n) => col(n) }: _*)
-        } else src.agg(cols.head, cols.tail: _*)
+          val aggCols = named.collect { case (e, n) if hasAgg(e) =>
+            compileExpr(e, params, splitCols).as(n) }
+          src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+            .select(named.map { case (e, n) =>
+              if (hasAgg(e)) col(n)
+              else compileExpr(e, params, splitCols).as(n) }: _*)
+        } else {
+          val cols = named.map { case (e, n) =>
+            compileExpr(e, params, splitCols).as(n) }
+          src.agg(cols.head, cols.tail: _*)
+        }
       } else {
         src.select(named.map { case (e, n) =>
           compileExpr(e, params, splitCols).as(n) }: _*)
