@@ -117,6 +117,7 @@ object RaqlParser extends RegexParsers {
     val cmpTail: Parser[Either[Boolean, (String, Expr)]] =
       ("<=" | ">=" | "<>" | "!=" | "=" | kw("like") | kw("in") |
         (kw("not") ~ kw("in")) ^^^ "not_in" |
+        (kw("case") ~ kw("sensitive") ~ kw("like")) ^^^ "like" |
         ((kw("starts") | kw("ends")) <~ kw("with")) ^^ (_ + "_with") |
         """<(?!<)""".r | """>(?!>)""".r) ~ bitExpr ^^ {
         case op ~ r => Right((op, r))
@@ -172,6 +173,17 @@ object RaqlParser extends RegexParsers {
       kw("distinct") ^^^ "distinct" |
       kw("globally") ^^^ "globally" | kw("locally") ^^^ "locally" |
       kw("immediately") ^^^ "immediately"
+    // `SAMPLE n OF THE PAST d OF x` windowed-reservoir form
+    val samplePast =
+      kw("sample") ~> number ~ (kw("of") ~> kw("the") ~> kw("past") ~> number) ~
+        (kw("of") ~> unaryExpr) ^^ {
+        case _ ~ _ ~ e => AggCall("sample_past", e)
+      }
+    // argument-tuple form: `sample (10, x)`, `remember globally (fpr, d, k, x)`
+    val argsForm =
+      aggName ~ rep1(modifier) ~ ("(" ~> rep1sep(expr, ",") <~ ")") ^^ {
+        case fn ~ mods ~ args => AggCall(fn, args.last, mods.toSet)
+      }
     // the count form must be a full alternative: opt() would not be
     // re-tried when the operand after a consumed count fails to parse
     val withCount =
@@ -183,8 +195,27 @@ object RaqlParser extends RegexParsers {
     val simple = aggName ~ rep(modifier) ~ unaryExpr ^^ {
       case fn ~ mods ~ e => AggCall(fn, e, mods.toSet)
     }
-    withCount | simple
+    samplePast | argsForm | withCount | simple
   }
+
+  /** `IS x IN TOP n` / `RANK OF x IN TOP n` heavy-hitter membership. */
+  private def topMembership: Parser[Expr] =
+    kw("is") ~> unaryExpr ~ (kw("in") ~> kw("top") ~> number) ^^ {
+      case e ~ _ => AggCall("is_in_top", e)
+    } |
+    kw("rank") ~> kw("of") ~> unaryExpr ~ (kw("in") ~> kw("top") ~> number) ^^ {
+      case e ~ _ => AggCall("rank_in_top", e)
+    }
+
+  /** Bare unary function application (`length t4` — no parens needed). */
+  private val prefixFunNames = Set("length", "abs", "exp", "log", "log10",
+    "sqrt", "floor", "ceil", "round", "lower", "upper", "hash", "basename",
+    "age", "chr", "string", "force", "uuid_of_u128", "sparkline",
+    "countrycode", "ipfamily", "fit", "truncate", "parse_time")
+  private def prefixFun: Parser[Expr] =
+    ident.filter(i => prefixFunNames.contains(i.toLowerCase)) ~ unaryExpr ^^ {
+      case f ~ e => FunCall(f.toLowerCase, Seq(e))
+    }
 
   /** `95th percentile (e)` / `[10th; 95th] percentile (e)`. */
   private def percentileCall: Parser[Expr] = {
@@ -228,6 +259,12 @@ object RaqlParser extends RegexParsers {
   private def vectorLit: Parser[Expr] =
     "[" ~> repsep(expr, ";") <~ "]" ^^ (VectorLit(_))
 
+  /** Positional tuple literal `(a; b; c)`. */
+  private def tupleLit: Parser[Expr] =
+    "(" ~> expr ~ rep1(";" ~> expr) <~ ")" ^^ {
+      case h ~ t => FunCall("tuple", h +: t)
+    }
+
   /** IPv4/IPv6/CIDR literals (`192.168.1.1`, `2001:db8::1`, `10.0.0.0/8`). */
   private val ipLit: Parser[Expr] =
     """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r ^^ (Lit(_)) |
@@ -263,11 +300,12 @@ object RaqlParser extends RegexParsers {
     val base =
       percentileCall | ipLit | number | charLit | eventTimeRef | stringLit |
         boolLit | nullLit | caseExpr | ifCall | castExpr | onceEvery |
-        oneOutOf | peekCall | aggCall | funCall | varRef | pathRef |
-        vectorLit | "(" ~> expr <~ ")"
-    // postfix indexing: `_ts[1]` = GET(1, _ts)
-    base ~ rep("[" ~> expr <~ "]") ^^ { case e ~ idxs =>
-      idxs.foldLeft(e)((acc, i) => FunCall("get", Seq(i, acc)))
+        oneOutOf | peekCall | topMembership | aggCall | funCall | prefixFun |
+        varRef | pathRef | tupleLit | vectorLit | "(" ~> expr <~ ")"
+    // postfix indexing `_ts[1]` = GET(1, _ts); units annotations ignored
+    base ~ rep("[" ~> expr <~ "]") ~ opt("""\{[^}]*\}""".r) ^^ {
+      case e ~ idxs ~ _ =>
+        idxs.foldLeft(e)((acc, i) => FunCall("get", Seq(i, acc)))
     }
   }
 
@@ -281,7 +319,7 @@ object RaqlParser extends RegexParsers {
 
   private def fromRef: Parser[Either[String, Operation]] =
     qualName ^^ (Left(_)) |
-    "(" ~> aggregateOp <~ ")" ^^ (Right(_)) |
+    "(" ~> operation <~ ")" ^^ (Right(_)) |
     stringLit ^^ { case Lit(s: String) => Left(s); case _ => Left("") }
 
   private def fromClause: Parser[Seq[Either[String, Operation]]] =
