@@ -307,6 +307,41 @@ object CoreQueries {
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      headline = true)
+      headline = true),
+
+    // ---- q16: remaining scalar functions — BASENAME, python-style
+    // SUBSTRING, string·int repetition, CHR, ^, %, bit shifts, div-or-null
+    // (reference doc/raql/expr.ml:437-713)
+    QueryDef(
+      "q16_scalars2",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+          .select(
+            col("event_id"),
+            element_at(split(
+              concat(lit("srv/"), col("event_type"), lit("/"), col("user_id")),
+              "/"), -1).as("base"),
+            expr("right(event_type, 3)").as("last3"),
+            repeat(col("event_type"), 2).as("twice"),
+            chr(lit(65) + col("event_id") % 26).as("letter"),
+            pow(lit(2.0), (col("event_id") % 10).cast("double")).as("pow2"),
+            call_function("shiftleft", col("event_id") % 16, lit(3)).as("shl3"),
+            when(col("event_id") % 5 === 0, lit(null))
+              .otherwise(col("value") / (col("event_id") % 5)).as("div_or_null"),
+            least(col("value"), col("user_id").cast("double"), lit(500.0)).as("least3"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          list_extract(string_split('srv/' || event_type || '/' || user_id, '/'), -1) AS base,
+          right(event_type, 3) AS last3,
+          repeat(event_type, 2) AS twice,
+          chr(CAST(65 + event_id % 26 AS INT)) AS letter,
+          pow(2.0, CAST(event_id % 10 AS DOUBLE)) AS pow2,
+          (event_id % 16) << 3 AS shl3,
+          CASE WHEN event_id % 5 = 0 THEN NULL
+               ELSE value / (event_id % 5) END AS div_or_null,
+          least(value, CAST(user_id AS DOUBLE), 500.0) AS least3
+        FROM events ORDER BY event_id"""))
   )
 }

@@ -50,6 +50,38 @@ object NetQueries {
             (user_id * 1099511627) % 281474976710656 AS mac
           FROM events) t
         ORDER BY event_id"""),
-      headline = true)
+      headline = true),
+
+    // ---- n02: COUNTRYCODE — GeoIP-style range lookup. The reference embeds
+    // an ip→country CSV and resolves per tuple (src/CountryOfIp.ml); the
+    // Spark-first shape is a broadcast range join against the lookup table,
+    // which at corpus scale stays a map-side probe (no shuffle of events).
+    QueryDef(
+      "n02_countrycode",
+      (s, d) => {
+        import s.implicits._
+        val ranges = broadcast(Seq(
+          (167772160L, 167837695L, "AA"),   // 10.0.0.0/16
+          (167837696L, 167903231L, "BB"),   // 10.1.0.0/16
+          (167903232L, 168034303L, "CC"),   // 10.2.0.0/15
+          (168034304L, 184549375L, "DD"))   // rest of 10/8
+          .toDF("r_begin", "r_end", "country"))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            (lit(167772160L) + (col("user_id") * 7919L) % 1048576L).as("ip"))
+          .join(ranges, col("ip") >= col("r_begin") && col("ip") <= col("r_end"),
+            "left")
+          .select(col("event_id"), col("ip"),
+            coalesce(col("country"), lit("??")).as("country"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ips AS (SELECT event_id,
+          167772160 + (user_id * 7919) % 1048576 AS ip FROM events),
+        ranges(r_begin, r_end, country) AS (VALUES
+          (167772160, 167837695, 'AA'), (167837696, 167903231, 'BB'),
+          (167903232, 168034303, 'CC'), (168034304, 184549375, 'DD'))
+        SELECT event_id, ip, COALESCE(country, '??') AS country
+        FROM ips LEFT JOIN ranges ON ip >= r_begin AND ip <= r_end
+        ORDER BY event_id"""))
   )
 }
