@@ -149,8 +149,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case "and" => a && b
           case "or" => a || b
           case "||" => concat(a, b)
-          case "like" => a.like(b.toString)
-          case "in" => b.getItem(a) // MVP: not used by covered tests
+          case "like" => r match {
+            case Lit(pat: String) => a.like(pat)
+            case _ => unsupported("LIKE with non-literal pattern")
+          }
+          case "in" =>
+            // item-in-vector, substring-in-string (reference doc expr.ml:626);
+            // a NULL needle is NULL (SQL semantics)
+            if (l == Lit(null)) lit(null).cast("boolean")
+            else r match {
+              case VectorLit(_) => array_contains(b, a)
+              case Lit(_: String) => b.contains(a)
+              case _ => array_contains(b, a)
+            }
+          case "starts_with" => a.startsWith(b)
+          case "ends_with" => a.endsWith(b)
+          case "&" => a.bitwiseAND(b)
+          case "|" => a.bitwiseOR(b)
+          case "#" => a.bitwiseXOR(b)
+          case "<<" => call_function("shiftleft", a, b)
+          case ">>" => call_function("shiftright", a, b)
           case other => unsupported(s"binop $other")
         }
       case IsNull(x, false) => go(x).isNull
@@ -199,6 +217,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("truncate", Seq(x, s)) => floor(go(x) / go(s)) * go(s)
       case ("hash", Seq(x)) => xxhash64(go(x))
       case ("sparkline", Seq(x)) => go(x).cast("string") // cosmetic
+      case ("get", Seq(i, coll)) =>
+        // RaQL GET is 0-based and NULL out of bounds; element_at is 1-based
+        i match {
+          case Lit(n: Long) => element_at(go(coll), n.toInt + 1)
+          case _ => element_at(go(coll), (go(i) + 1).cast("int"))
+        }
+      case ("tuple", items) =>
+        struct(items.zipWithIndex.map { case (e, i) => go(e).as(s"_${i + 1}") }: _*)
+      case ("chr", Seq(x)) => chr(go(x))
+      case ("index", Seq(s0, c)) => instr(go(s0), go(c).cast("string")) - 1
+      case ("substring", Seq(s0, a, b)) =>
+        // python-style slice with negative indices (doc expr.ml:702)
+        (a, b) match {
+          case (Lit(start: Long), Lit(stop: Long)) if start >= 0 && stop >= 0 =>
+            substring(go(s0), start.toInt + 1, (stop - start).toInt)
+          case _ => unsupported("SUBSTRING with dynamic/negative bounds")
+        }
+      case ("countrycode", Seq(x)) => lit(null).cast("string") // needs a geo table
+      case ("format_time", Seq(Lit(fmt: String), t)) =>
+        date_format(timestamp_seconds(go(t)), fmt)
       case ("split", _) =>
         unsupported("split generator outside SELECT field")
       case (other, _) => unsupported(s"function $other/${args.size}")

@@ -70,6 +70,16 @@ class RaqlSpec extends AnyFunSuite {
     assert(f4.toSeq == Seq("pas glop", "pas glop"))
   }
 
+  test("in.ramen membership expressions compile to the right booleans") {
+    val c = load("in")
+    val row = c.compile("in/f1").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    def b(n: String): Boolean = row.getBoolean(byName(n))
+    assert(b("t1") && b("t2") && b("t3") && b("t4"))
+    assert(b("t5") && b("t6"))
+    assert(b("t14") == false && b("t15") == false && b("t16"))
+  }
+
   test("parses a healthy fraction of the full reference test corpus") {
     val all = Files.list(Paths.get(funcDir)).iterator().asScala
       .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
