@@ -197,6 +197,50 @@ object SketchQueries {
         FROM (SELECT vec_id,
                 list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
               FROM embeddings) t
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ---- s10: ONCE EVERY d — pass the first value per time period, else
+    // NULL (reference doc/raql/expr.ml:908, impl CodeGenLib.ml:1112-1144).
+    // Batch: first-in-bucket via a window rank; streaming would use the
+    // same bucket key under a watermark.
+    QueryDef(
+      "s10_once_every",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bucket = floor(col("ts_ns") / lit(3600L * 1000 * 1000 * 1000))
+        val w = Window.partitionBy(col("user_id"), bucket)
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .select(col("event_id"),
+            when(col("rk") === 1, col("value")).as("once_hourly"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+          CASE WHEN rk = 1 THEN value END AS once_hourly
+        FROM (SELECT event_id, value,
+                row_number() OVER (
+                  PARTITION BY user_id, floor(epoch_ns(ts) / 3600000000000)
+                  ORDER BY epoch_ns(ts), event_id) AS rk
+              FROM events) t
+        ORDER BY event_id""")),
+
+    // ---- s11: DAMPED HOLT WINTER — seasonal exponential smoothing scan
+    // over each series (hash-function-free but fold-order sensitive ⇒ no
+    // SQL oracle; rows-only check like the other scans)
+    QueryDef(
+      "s11_holt_winters",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(orderedValues(col("ts"), col("value")).as("vals"))
+          .filter(size(col("vals")) > 1)
+          .select(col("user_id"),
+            round(holtWintersArr(col("vals"), 0.5, 0.3, 0.2, 0.9, 4), 6)
+              .as("hw_forecast"))
+          .orderBy("user_id")
+      },
+      None)
   )
 }

@@ -55,6 +55,36 @@ object GraftFunctions {
 
   /** RaQL `DAMPED HOLT a, b, phi, x`: damped-trend double exponential
     * smoothing; returns the one-step forecast level + phi*trend. */
+  /** RaQL `DAMPED HOLT WINTER a,b,g,phi,p,x` — damped-trend double
+    * exponential smoothing plus additive seasonality of period `p`
+    * (reference `src/CodeGenLib.ml:360-382`), folded over the time-ordered
+    * group array. Returns the one-step forecast. Group arrays are bounded
+    * per key, so the HOF fold is off the hot row path. */
+  def holtWintersArr(vals: Column, alpha: Double, beta: Double,
+      gamma: Double, phi: Double, period: Int): Column = {
+    // state: level, trend, seasonal components s[0..p-1], index i
+    val init = struct(
+      element_at(vals, 1).as("l"), lit(0.0).as("b"),
+      array_repeat(lit(0.0), period).as("s"), lit(1).as("i"))
+    val fold = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      init,
+      (acc, x) => {
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val s = acc.getField("s"); val i = acc.getField("i")
+        val si = element_at(s, i % period + 1)
+        val lNew = lit(alpha) * (x - si) +
+          (lit(1.0) - lit(alpha)) * (l + lit(phi) * b)
+        val bNew = lit(beta) * (lNew - l) + (lit(1.0) - lit(beta)) * lit(phi) * b
+        val siNew = lit(gamma) * (x - lNew) + (lit(1.0) - lit(gamma)) * si
+        val sNew = transform(sequence(lit(1), lit(period)), j =>
+          when(j === i % period + 1, siNew).otherwise(element_at(s, j)))
+        struct(lNew.as("l"), bNew.as("b"), sNew.as("s"), (i + 1).as("i"))
+      })
+    fold.getField("l") + lit(phi) * fold.getField("b") +
+      element_at(fold.getField("s"), fold.getField("i") % period + 1)
+  }
+
   def holtDampedArr(vals: Column, alpha: Double, beta: Double, phi: Double): Column = {
     val fold = aggregate(
       slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
