@@ -31,7 +31,8 @@ object Dedup {
   /** Exact dedup on an order-insensitive content fingerprint: one surviving
     * (minimum) id per fingerprint group plus the duplicate count. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), bagFingerprint(col(textCol)).as("fp"))
+    docs.repartition(par(docs)) // spread the per-doc sort+md5 map work
+      .select(col(idCol), bagFingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
