@@ -198,14 +198,15 @@ object RaqlParser extends RegexParsers {
     samplePast | argsForm | withCount | simple
   }
 
-  /** `IS x IN TOP n` / `RANK OF x IN TOP n` heavy-hitter membership. */
-  private def topMembership: Parser[Expr] =
-    kw("is") ~> unaryExpr ~ (kw("in") ~> kw("top") ~> number) ^^ {
-      case e ~ _ => AggCall("is_in_top", e)
-    } |
-    kw("rank") ~> kw("of") ~> unaryExpr ~ (kw("in") ~> kw("top") ~> number) ^^ {
-      case e ~ _ => AggCall("rank_in_top", e)
-    }
+  /** `IS x IN TOP n [AT TIME t] [FOR d] [ABOVE s SIGMAS]` /
+    * `RANK OF x IN TOP n` heavy-hitter membership. */
+  private def topMembership: Parser[Expr] = {
+    val topTail = kw("in") ~> kw("top") ~> number ~
+      opt(kw("at") ~ kw("time") ~ expr) ~ opt(kw("for") ~ expr) ~
+      opt(kw("above") ~ expr ~ opt(kw("sigmas") | kw("sigma")))
+    kw("is") ~> unaryExpr <~ topTail ^^ (AggCall("is_in_top", _)) |
+    kw("rank") ~> kw("of") ~> unaryExpr <~ topTail ^^ (AggCall("rank_in_top", _))
+  }
 
   /** Bare unary function application (`length t4` — no parens needed). */
   private val prefixFunNames = Set("length", "abs", "exp", "log", "log10",
@@ -289,6 +290,22 @@ object RaqlParser extends RegexParsers {
       case _ ~ e => AggCall("one_out_of", e, Set.empty)
     }
 
+  /** `PAST d [SLIDING|TUMBLING] [SAMPLE SIZE n] OF x` time-window collect
+    * with an expression (often a parameter) duration. */
+  private def pastOf: Parser[Expr] =
+    kw("past") ~> unaryExpr ~ opt(kw("sliding") | kw("tumbling")) ~
+      opt(kw("sample") ~ kw("size") ~ number) ~ (kw("of") ~> unaryExpr) ^^ {
+      case _ ~ _ ~ _ ~ x => AggCall("past", x)
+    }
+
+  /** `LIST TOP n x [BY w] [IN THE LAST d]` returning the top list. */
+  private def listTop: Parser[Expr] =
+    kw("list") ~> kw("top") ~> number ~> unaryExpr ~
+      opt(kw("by") ~ unaryExpr) ~
+      opt(kw("in") ~ kw("the") ~ kw("last") ~ unaryExpr) ^^ {
+      case x ~ _ ~ _ => AggCall("top_list", x)
+    }
+
   /** `PEEK type [LITTLE|BIG ENDIAN] x`. */
   private def peekCall: Parser[Expr] =
     kw("peek") ~> ident ~ opt((kw("little") | kw("big")) <~ kw("endian")) ~
@@ -300,8 +317,9 @@ object RaqlParser extends RegexParsers {
     val base =
       percentileCall | ipLit | number | charLit | eventTimeRef | stringLit |
         boolLit | nullLit | caseExpr | ifCall | castExpr | onceEvery |
-        oneOutOf | peekCall | topMembership | aggCall | funCall | prefixFun |
-        varRef | pathRef | tupleLit | vectorLit | "(" ~> expr <~ ")"
+        oneOutOf | peekCall | topMembership | pastOf | listTop | aggCall |
+        funCall | prefixFun | varRef | pathRef | tupleLit | vectorLit |
+        "(" ~> expr <~ ")"
     // postfix indexing `_ts[1]` = GET(1, _ts); units annotations ignored
     base ~ rep("[" ~> expr <~ "]") ~ opt("""\{[^}]*\}""".r) ^^ {
       case e ~ idxs ~ _ =>
