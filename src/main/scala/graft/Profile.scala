@@ -38,6 +38,13 @@ object Profile {
     spark.range(1000).selectExpr("sum(id)").collect()
     stages.clear()
 
+    if (args.headOption.contains("explain")) {
+      for (q <- args.drop(1)) {
+        println(s"===== $q")
+        Queries.byName(q).run(spark, d).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("a02raw")) {
       // raw bucket-join pair count for the LSH parameterization
       import graft.ops.Similarity
