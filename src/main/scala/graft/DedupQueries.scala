@@ -22,7 +22,7 @@ object DedupQueries {
       "d01_exact_dedup",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy("fp"),
-      Some(s"""SELECT md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS fp,
+      Some(s"""SELECT md5(array_to_string(list_sort(string_split($normSql, ' ')), ' ')) AS fp,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY 1 ORDER BY 1"""),
       headline = true),

@@ -32,11 +32,12 @@ object RaqlQueries {
                     sum u64(user_id) AS sum_uid,
                     min value AS min_value,
                     max value AS max_value
-             GROUP BY event_type;"""),
+             GROUP BY event_type;""")
+        .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
           MIN(value) AS min_value, MAX(value) AS max_value
-        FROM events GROUP BY event_type"""),
+        FROM events GROUP BY event_type ORDER BY event_type"""),
       headline = true),
 
     QueryDef(
@@ -48,11 +49,15 @@ object RaqlQueries {
                     l_quantity * 2 AS qty2,
                     l_extendedprice // 100 AS price_bucket,
                     l_returnflag || "/" || l_linestatus AS flags
-             WHERE l_quantity >= 40 AND l_returnflag = "R";"""),
+             WHERE l_quantity >= 40 AND l_returnflag = "R";""")
+        // Total order for the driver's order-sensitive hash (RaQL itself is
+        // stream-ordered; batch verification needs a deterministic sort).
+        .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2,
           FLOOR(l_extendedprice / 100) AS price_bucket,
           l_returnflag || '/' || l_linestatus AS flags
-        FROM lineitem WHERE l_quantity >= 40 AND l_returnflag = 'R'""")),
+        FROM lineitem WHERE l_quantity >= 40 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
 
     QueryDef(
       "r03_raql_case",
@@ -65,12 +70,13 @@ object RaqlQueries {
                          ELSE "high" END AS bucket,
                     value IS NULL AS no_value,
                     round(value) AS value_round
-             WHERE event_id % 10 = 0;"""),
+             WHERE event_id % 10 = 0;""")
+        .orderBy("event_id"),
       Some("""SELECT event_id,
           CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid'
                ELSE 'high' END AS bucket,
           value IS NULL AS no_value,
           ROUND(value) AS value_round
-        FROM events WHERE event_id % 10 = 0"""))
+        FROM events WHERE event_id % 10 = 0 ORDER BY event_id"""))
   )
 }

@@ -9,9 +9,18 @@ object Verify {
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // `.coalesce(1)` directly on the query can interact with the global
+        // sort (AQE may drop the range exchange), losing the row order the
+        // driver's order-sensitive hash compares against. Collect (results
+        // are small at verify SF) — collect preserves a global orderBy — and
+        // write back from a LocalRelation, whose single coalesced partition
+        // keeps list order.
+        val df = fn(spark, sfDir)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        spark.createDataFrame(rows, df.schema).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

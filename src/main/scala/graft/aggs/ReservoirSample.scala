@@ -39,6 +39,18 @@ final class ReservoirState(val n: Int, seed: Long) {
     }
   }
 
+  /** In-place partial Fisher–Yates: move k uniformly-chosen distinct
+    * elements to the front of `buf`, return them. Without replacement. */
+  private def drawK(buf: mutable.ArrayBuffer[Double], k: Int): Seq[Double] = {
+    var i = 0
+    while (i < k) {
+      val j = i + rng.nextInt(buf.size - i)
+      val t = buf(i); buf(i) = buf(j); buf(j) = t
+      i += 1
+    }
+    buf.take(k).toSeq
+  }
+
   def mergeIn(o: ReservoirState): Unit = {
     if (o.count == 0) return
     if (count == 0) {
@@ -46,19 +58,27 @@ final class ReservoirState(val n: Int, seed: Long) {
       items.clear(); items ++= o.items
       return
     }
-    // draw each kept item from `this` w.p. count/(count+o.count)
     val total = count + o.count
-    val target = math.min(n, items.size + o.items.size)
-    val combined = mutable.ArrayBuffer[Double]()
-    var i = 0
-    while (i < target) {
-      val fromThis = rng.nextDouble() < count.toDouble / total
-      val src = if (fromThis && items.nonEmpty) items
-                else if (o.items.nonEmpty) o.items else items
-      combined += src(rng.nextInt(src.size))
-      i += 1
+    if (items.size + o.items.size <= n) {
+      // Both sides under-filled (items == full population seen): the
+      // concatenation is itself an exact sample of the union.
+      items ++= o.items
+      count = total
+      return
     }
-    items.clear(); items ++= combined
+    // Weighted merge WITHOUT replacement: the number of survivors taken
+    // from `this` is Binomial(n, count/total) — each merged slot belongs to
+    // this side's population w.p. count/total — then distinct items are
+    // drawn from each side via partial Fisher–Yates. No item can appear
+    // twice and inclusion stays uniform (cf. RamenSampling.ml's merge).
+    val p = count.toDouble / total
+    var kThis = 0
+    var i = 0
+    while (i < n) { if (rng.nextDouble() < p) kThis += 1; i += 1 }
+    kThis = math.max(n - o.items.size, math.min(kThis, items.size))
+    val fromThis = drawK(items, kThis)
+    val fromOther = drawK(o.items.clone(), n - kThis)
+    items.clear(); items ++= fromThis; items ++= fromOther
     count = total
   }
 }

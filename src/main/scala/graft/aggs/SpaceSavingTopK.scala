@@ -43,18 +43,34 @@ final class SpaceSavingState(val capacity: Int) {
       counts.update(key, (mc + w, mc))
   }
 
+  /** Smallest monitored count, the upper bound on any unmonitored key's true
+    * count. 0 while the table isn't full (every seen key is monitored). */
+  def minCount: Long =
+    if (counts.size < capacity) 0L else counts.values.iterator.map(_._1).min
+
+  /** Standard mergeable-summaries SpaceSaving merge (Agarwal et al. 2012;
+    * cf. Metwally): a key absent from one side could have up to that side's
+    * min count there, so fold that min into both count and error — keeping
+    * the overestimate invariant (reported cnt ≥ true count) across
+    * partitions — then truncate to the top `capacity` by count. */
   def mergeIn(o: SpaceSavingState): Unit = {
+    val mThis = minCount
+    val mOther = o.minCount
+    val merged = mutable.HashMap[String, (Long, Long)]()
+    counts.foreach { case (k, (c, e)) =>
+      merged.update(k, (c + mOther, e + mOther))
+    }
     o.counts.foreach { case (k, (c, e)) =>
-      counts.get(k) match {
-        case Some((c0, e0)) => counts.update(k, (c0 + c, e0 + e))
-        case None => counts.update(k, (c, e))
+      merged.get(k) match {
+        // both sides monitored k: undo the mOther floor, use the real counts
+        case Some((c0, e0)) => merged.update(k, (c0 - mOther + c, e0 - mOther + e))
+        case None => merged.update(k, (c + mThis, e + mThis))
       }
     }
-    if (counts.size > capacity) {
-      val keep = counts.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
-      counts.clear()
-      counts ++= keep
-    }
+    counts.clear()
+    if (merged.size > capacity)
+      counts ++= merged.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+    else counts ++= merged
   }
 
   /** top-k by (count desc, key asc) — deterministic. */

@@ -32,10 +32,12 @@ object TextFunctions {
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** Order-insensitive content fingerprint: md5 of the sorted distinct
-    * token bag. Collapses word-order permutations; exact-dedup key. */
+  /** Order-insensitive content fingerprint: md5 of the sorted token
+    * MULTISET (true bag semantics — multiplicity counts, so "the the cat"
+    * and "the cat" fingerprint differently). Collapses word-order
+    * permutations only; exact-dedup key. */
   def bagFingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+    md5(concat_ws(" ", array_sort(tokens(text))).cast("binary"))
 
   /** MinHash signature: k minimums of per-seed 64-bit hashes over shingles.
     * (k × |shingles| xxhash64 calls, all codegen'd.) */

@@ -89,10 +89,16 @@ object Listeners {
       b.get(arr)
       new String(arr, "UTF-8").takeWhile(_ != '\u0000')
     }
-    while (b.remaining() >= 4) {
+    // A hostile/corrupt packet must never hang or throw: every part length
+    // is validated (a partLen < 4 would rewind the buffer and loop forever;
+    // one longer than the payload would underflow), and any residual
+    // underflow aborts the packet, keeping the records decoded so far.
+    var bail = false
+    try while (!bail && b.remaining() >= 4) {
       val partType = b.getShort() & 0xffff
       val partLen = b.getShort() & 0xffff
-      partType match {
+      if (partLen < 4 || partLen - 4 > b.remaining()) bail = true
+      else partType match {
         case 0x0000 => host = str(partLen)
         case 0x0001 => time = (b.getLong()).toDouble
         case 0x0008 => time = b.getLong() / 1073741824.0 // 2^30 hi-res
@@ -114,7 +120,7 @@ object Listeners {
             typeInst, values)
         case _ => b.position(b.position() + (partLen - 4)) // skip unknown
       }
-    }
+    } catch { case _: java.nio.BufferUnderflowException => () }
     out.toSeq
   }
 

@@ -43,6 +43,43 @@ class AggregatesSpec extends AnyFunSuite {
     assert(small == 10)
   }
 
+  test("reservoir merge never duplicates items (without replacement)") {
+    import graft.aggs.ReservoirState
+    (0 until 200).foreach { seed =>
+      val a = new ReservoirState(50, seed)
+      val b = new ReservoirState(50, seed + 10000)
+      (1 to 500).foreach(i => a.observe(i.toDouble))
+      (501 to 1000).foreach(i => b.observe(i.toDouble))
+      a.mergeIn(b)
+      assert(a.items.size == 50)
+      assert(a.items.distinct.size == 50,
+        s"seed $seed: merged reservoir has duplicate items")
+    }
+  }
+
+  test("reservoir merge keeps inclusion probability uniform across partitions") {
+    import graft.aggs.ReservoirState
+    // 1000 values split over 32 uneven partitions, merged pairwise as Spark
+    // would; each value must land in the n=50 sample w.p. 0.05.
+    val trials = 2000
+    val hits = new Array[Int](1001)
+    (0 until trials).foreach { t =>
+      val parts = (1 to 1000).groupBy(i => i % 32).values.toSeq
+      val states = parts.zipWithIndex.map { case (vs, pi) =>
+        val st = new ReservoirState(50, t * 100L + pi)
+        vs.foreach(v => st.observe(v.toDouble))
+        st
+      }
+      val merged = states.reduce { (x, y) => x.mergeIn(y); x }
+      merged.items.foreach(v => hits(v.toInt) += 1)
+    }
+    val freqs = (1 to 1000).map(i => hits(i).toDouble / trials)
+    // Binomial(2000, .05): 3σ ≈ 0.0146 — allow 0.02, and check the mean too.
+    assert(math.abs(freqs.sum / 1000 - 0.05) < 0.002)
+    val worst = freqs.maxBy(f => math.abs(f - 0.05))
+    assert(math.abs(worst - 0.05) < 0.02, s"worst inclusion freq $worst vs 0.05")
+  }
+
   test("holtDampedArr matches a plain-Scala fold") {
     val series = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0)
     val (alpha, beta, phi) = (0.5, 0.3, 0.9)

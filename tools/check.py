@@ -91,7 +91,25 @@ for name in sorted(oracle):
                 close = False
                 if bad is None:
                     bad = (col, i, x, y)
+    # driver-parity order check: the driver's hash is ROW-ORDER sensitive
+    # (columns sorted by name, rows in file order). Compare unsorted too.
+    ordered = True
     if exact:
+        ao = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        bo = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        for col in ao.columns:
+            for x, y in zip(ao[col].tolist(), bo[col].tolist()):
+                e, c = cmp_cell(x, y)
+                if not c:
+                    ordered = False
+                    break
+            if not ordered:
+                break
+    if exact and not ordered:
+        print(f"ORDER {name}: cell-exact after sort but row order differs "
+              f"({len(a)} rows) — driver hash would flag this")
+        n_fail += 1
+    elif exact:
         print(f"PASS  {name} ({len(a)} rows)")
         n_pass += 1
     elif close:
