@@ -12,7 +12,10 @@ object RaqlQueries {
       src: String): org.apache.spark.sql.DataFrame = {
     val c = new RaqlCompiler(s, dir)
     Tables.names.foreach { t =>
-      try c.registerTable(s"tables/$t", Tables.load(s, dir, t))
+      // events goes through the nanos→micros normalization so RaQL sees a
+      // proper TimestampType ts (time windows cast it to epoch seconds)
+      try c.registerTable(s"tables/$t",
+        if (t == "events") Tables.events(s, dir) else Tables.load(s, dir, t))
       catch { case _: Throwable => () }
     }
     RaqlParser.parseProgram(src) match {
@@ -77,6 +80,80 @@ object RaqlQueries {
                ELSE 'high' END AS bucket,
           value IS NULL AS no_value,
           ROUND(value) AS value_round
-        FROM events WHERE event_id % 10 = 0 ORDER BY event_id"""))
+        FROM events WHERE event_id % 10 = 0 ORDER BY event_id""")),
+
+    // ---- running (commit-every-tuple) stateful functions through the RaQL
+    // front-end. The events parquet is written in event_id order and the
+    // registered table is a single scan partition, so the arrival order the
+    // compiler windows over (`_graft_seq`) IS event_id order — the oracle
+    // mirrors it with ORDER BY event_id windows.
+
+    QueryDef(
+      "r04_raql_lag_changed",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id, value, lag value AS prev,
+                    lag (2, value) AS prev2,
+                    CHANGED event_type AS type_changed;""")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, value,
+          lag(value, 1) OVER w AS prev, lag(value, 2) OVER w AS prev2,
+          NOT (event_type IS NOT DISTINCT FROM lag(event_type, 1) OVER w)
+            AS type_changed
+        FROM events WINDOW w AS (ORDER BY event_id) ORDER BY event_id""")),
+
+    QueryDef(
+      "r05_raql_running_aggs",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id, sum 1 AS running_n,
+                    min value AS running_min, max value AS running_max,
+                    lag value AS prev;""")
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          CAST(SUM(1) OVER w AS BIGINT) AS running_n,
+          MIN(value) OVER w AS running_min, MAX(value) OVER w AS running_max,
+          lag(value, 1) OVER w AS prev
+        FROM events
+        WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    QueryDef(
+      "r06_raql_moveavg_latest",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id, moveavg (4, user_id) AS mavg4,
+                    latest 3 user_id AS last3,
+                    one out of 10 value AS sampled;""")
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          AVG(user_id) OVER (ORDER BY event_id ROWS BETWEEN 4 PRECEDING
+                             AND 1 PRECEDING) AS mavg4,
+          list(user_id) OVER (ORDER BY event_id ROWS BETWEEN 2 PRECEDING
+                              AND CURRENT ROW) AS last3,
+          CASE WHEN (row_number() OVER (ORDER BY event_id) - 1) % 10 = 0
+               THEN value END AS sampled
+        FROM events ORDER BY event_id""")),
+
+    QueryDef(
+      "r07_raql_remember_distinct",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id,
+                    remember (0.01, ts, 3600, user_id) AS seen_1h,
+                    distinct user_id AS novel_user;""")
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          COALESCE(epoch(ts) - lag(epoch(ts), 1)
+              OVER (PARTITION BY user_id ORDER BY event_id) <= 3600, FALSE)
+            AS seen_1h,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+            AS novel_user
+        FROM events ORDER BY event_id"""))
   )
 }

@@ -23,9 +23,11 @@ object Ast {
   final case class FunCall(name: String, args: Seq[Expr]) extends Expr
 
   /** Stateful/aggregate call: `sum x`, `sum group x`, `sum keep null x`,
-    * `min globally x`, `distinct x`, `lag x`, `group x`. */
+    * `min globally x`, `distinct x`, `lag x`, `group x`. `extra` carries
+    * secondary operands that may be non-literal (e.g. the duration of
+    * `PAST d OF x`, which can reference a parameter). */
   final case class AggCall(fn: String, operand: Expr,
-      modifiers: Set[String] = Set.empty) extends Expr
+      modifiers: Set[String] = Set.empty, extra: Seq[Expr] = Nil) extends Expr
 
   /** `10th percentile (e)` or `[10th; 95th] percentile (e)`. */
   final case class PercentileCall(ps: Seq[Double], operand: Expr) extends Expr

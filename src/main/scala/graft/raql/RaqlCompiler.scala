@@ -1,6 +1,7 @@
 package graft.raql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,8 +65,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * (`min horsepower` → `min_horsepower`). */
   def autoName(e: Expr): String = e match {
     case Ref(path) => path.last
-    case AggCall("group", op, _) => autoName(op)
-    case AggCall(fn, op, _) =>
+    case AggCall("group", op, _, _) => autoName(op)
+    case AggCall(fn, op, _, _) =>
       val f = fn.stripPrefix("aggr_")
       s"${f}_${autoName(op)}"
     case FunCall(name, args) if castType(name).isDefined && args.nonEmpty =>
@@ -83,7 +84,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** Does this expression contain an aggregate call (after unification)? */
   private def hasAgg(e: Expr): Boolean = e match {
-    case AggCall(_, _, _) | PercentileCall(_, _) => true
+    case AggCall(_, _, _, _) | PercentileCall(_, _) => true
     case Binop(_, l, r) => hasAgg(l) || hasAgg(r)
     case Unop(_, x) => hasAgg(x)
     case FunCall(_, args) => args.exists(hasAgg)
@@ -92,6 +93,78 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case IsNull(x, _) => hasAgg(x)
     case VectorLit(items) => items.exists(hasAgg)
     case _ => false
+  }
+
+  // --- running (per-row stream) mode --------------------------------------
+  //
+  // A RaQL SELECT without GROUP BY whose fields use sequence/window stateful
+  // functions commits every tuple: each input row emits the current state.
+  // Batch translation: window functions over the arrival order (`_graft_seq`
+  // = monotonically_increasing_id; RaQL CSV sources are single-partition so
+  // this IS file order). Event time for time-based windows (PAST, ONCE
+  // EVERY, DERIVE) follows the reference convention: the `start` field if
+  // defined, else `ts`, else the sequence number.
+
+  /** Stateful functions that force running mode (AggCall spellings). */
+  private val windowFns = Set("lag", "smooth", "derive", "hysteresis",
+    "remember", "sample", "sample_past", "latest", "oldest", "largest",
+    "smallest", "changed", "past", "once_every", "one_out_of",
+    "is_in_top", "rank_in_top", "moveavg")
+
+  /** Same functions in their parenthesized FunCall spelling. */
+  private val windowFunCalls = Set("lag", "moveavg", "sample", "hysteresis",
+    "remember", "smooth", "derive", "changed")
+
+  private def hasWindowFn(e: Expr): Boolean = e match {
+    case AggCall(fn, op, _, extra) =>
+      windowFns(fn) || hasWindowFn(op) || extra.exists(hasWindowFn)
+    case FunCall(fn, args) => windowFunCalls(fn) || args.exists(hasWindowFn)
+    case Binop(_, l, r) => hasWindowFn(l) || hasWindowFn(r)
+    case Unop(_, x) => hasWindowFn(x)
+    case CaseExpr(br, el) =>
+      br.exists { case (c, v) => hasWindowFn(c) || hasWindowFn(v) } ||
+        el.exists(hasWindowFn)
+    case IsNull(x, _) => hasWindowFn(x)
+    case VectorLit(items) => items.exists(hasWindowFn)
+    case PercentileCall(_, op) => hasWindowFn(op)
+    case _ => false
+  }
+
+  /** Running-mode context: the DataFrame built so far (for type lookups and
+    * eager TOP computations) and the name of the sequence column. */
+  private final class RunCtx(var df: DataFrame, val seqName: String)
+  private var runCtx: Option[RunCtx] = None
+
+  /** Static evaluator for numeric arguments (window sizes, durations) that
+    * must be compile-time constants; resolves parameter defaults. */
+  private def evalNum(e: Expr, params: Map[String, Expr]): Double = e match {
+    case Lit(v: Long) => v.toDouble
+    case Lit(v: Int) => v.toDouble
+    case Lit(v: Double) => v
+    case Lit(v: BigDecimal) => v.toDouble
+    case Ref(Seq(name)) if params.contains(name) => evalNum(params(name), params)
+    case Ref(Seq("param", name)) if params.contains(name) =>
+      evalNum(params(name), params)
+    case Binop("*", l, r) => evalNum(l, params) * evalNum(r, params)
+    case Binop("/", l, r) => evalNum(l, params) / evalNum(r, params)
+    case Binop("+", l, r) => evalNum(l, params) + evalNum(r, params)
+    case Binop("-", l, r) => evalNum(l, params) - evalNum(r, params)
+    case Unop("neg", x) => -evalNum(x, params)
+    case other => unsupported(s"non-constant window argument $other")
+  }
+
+  /** Plan-only type lookup against the running context. */
+  private def dtypeOf(c: Column): DataType =
+    runCtx.get.df.select(c).schema.head.dataType
+
+  /** Materialize a (window) column as a private intermediate column so it
+    * can feed another window function — Spark rejects nested window
+    * expressions in a single projection (`lag latest 1 n`). */
+  private def matCol(c: Column): Column = {
+    val ctx = runCtx.get
+    val name = s"_graft_w${ctx.df.columns.length}"
+    ctx.df = ctx.df.withColumn(name, c)
+    col(name)
   }
 
   private def collectSplits(e: Expr, acc: scala.collection.mutable.ListBuffer[FunCall]): Unit =
@@ -179,11 +252,204 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         }
         el.map(e0 => w.otherwise(go(e0))).getOrElse(w)
       case VectorLit(items) => array(items.map(go): _*)
+      case e0 @ AggCall(fn, _, _, _) if runCtx.isDefined && windowFns(fn) =>
+        compileStateful(e0, go, params)
+      case e0 @ FunCall(fn, _) if runCtx.isDefined && windowFunCalls(fn) =>
+        compileStateful(e0, go, params)
       case FunCall(name, args) => compileFun(name, args, go)
       case agg: AggCall => compileAgg(agg, go)
       case PercentileCall(ps, op) => compilePercentile(ps, op, go)
     }
     go(e)
+  }
+
+  /** The `n` / `d=` numeric modifiers attached by the parser. */
+  private def modNum(mods: Set[String], key: String): Option[Double] =
+    mods.collectFirst { case m if m.startsWith(key + "=") =>
+      m.drop(key.length + 1).toDouble }
+
+  /** Whole-input top-n keys of `keyC` by count, heaviest first — the eager
+    * steady-state answer for TOP membership/rank/list in batch (the
+    * reference's running sketch converges to this by end of stream). */
+  private def topKeysOf(keyC: Column, n: Int): Seq[Any] =
+    runCtx.get.df.groupBy(keyC.as("k")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("k")).limit(n).collect().map(_.get(0)).toSeq
+
+  /** Compile one stateful call in running mode. Window frames over the
+    * arrival sequence re-express the reference's per-worker mutable state
+    * (`CodeGenLib.ml`: Seasonal :808-903, ExpSmooth :343-347, Past :600-680,
+    * OncePerTumblingWindow :1111-1140, HeavyHitters.ml).
+    *
+    * Scale note: this is the RaQL front-end's semantics-exact path — global
+    * windows run single-partition, matching the reference's single-threaded
+    * workers. The distributed equivalents (partitioned windows, sketch
+    * aggregates) live in graft.WindowQueries / graft.aggs for the DataFrame
+    * API. */
+  private def compileStateful(e: Expr, go: Expr => Column,
+      params: Map[String, Expr]): Column = {
+    val ctx = runCtx.get
+    val seqC = col(ctx.seqName)
+    val W = Window.orderBy(seqC)
+    val prefix = W.rowsBetween(Window.unboundedPreceding, 0)
+
+    /** Event time per the reference convention. */
+    def time: Column =
+      if (ctx.df.columns.contains("start")) col("start").cast("double")
+      else if (ctx.df.columns.contains("ts")) unix_micros(col("ts")) / 1e6
+      else seqC.cast("double")
+
+    /** Operand compile that materializes nested stateful results first —
+      * their window expression cannot nest inside this one's. */
+    def goM(x: Expr): Column =
+      if (hasWindowFn(x) || hasAgg(x)) matCol(go(x)) else go(x)
+
+    /** Uniform k-sample without replacement over a frame: tag each value
+      * with a per-row hash, keep the k smallest — deterministic stand-in
+      * for the reference's seeded reservoir (RamenSampling.ml). */
+    def sampleOf(v: Column, k: Int, frame: WindowSpec): Column =
+      transform(
+        slice(array_sort(collect_list(
+          when(v.isNotNull, struct(xxhash64(seqC).as("h"), v.as("v"))))
+          .over(frame)), 1, k),
+        s => s.getField("v"))
+
+    def lagOver(x: Expr, k: Int): Column = lag(goM(x), k).over(W)
+
+    def deriveOf(x: Expr): Column = {
+      val t = time
+      val c = goM(x)
+      (c - lag(c, 1).over(W)) / (t - lag(t, 1).over(W))
+    }
+
+    def changedOf(x: Expr): Column = {
+      val c = goM(x)
+      !(c <=> lag(c, 1).over(W))
+    }
+
+    def smoothOf(x: Expr, alpha: Double): Column =
+      graft.functions.GraftFunctions.expSmoothArr(
+        collect_list(goM(x)).over(prefix), alpha)
+
+    /** moveavg k = avg of the k values BEFORE the current one (the
+      * reference's Seasonal state excludes the current value — see
+      * tests/func/moveavg.ramen's `avg lag latest k` equivalence). */
+    def moveavgOf(x: Expr, k: Long): Column =
+      avg(goM(x)).over(W.rowsBetween(-k, -1))
+
+    e match {
+      case AggCall("lag", x, mods, _) =>
+        lagOver(x, modNum(mods, "n").getOrElse(1.0).toInt)
+      case FunCall("lag", Seq(k, x)) => lagOver(x, evalNum(k, params).toInt)
+
+      case AggCall("latest", x, mods, _) =>
+        val k = modNum(mods, "n").getOrElse(1.0).toLong
+        collect_list(goM(x)).over(W.rowsBetween(-(k - 1), 0))
+      case AggCall("oldest", x, mods, _) =>
+        slice(collect_list(goM(x)).over(prefix), 1,
+          modNum(mods, "n").getOrElse(1.0).toInt)
+
+      case AggCall("moveavg", x, mods, _) =>
+        moveavgOf(x, modNum(mods, "n").getOrElse(1.0).toLong)
+      case FunCall("moveavg", Seq(k, x)) => moveavgOf(x, evalNum(k, params).toLong)
+
+      case AggCall("smooth", x, mods, _) =>
+        smoothOf(x, modNum(mods, "n").getOrElse(0.5))
+      case FunCall("smooth", Seq(a, x)) => smoothOf(x, evalNum(a, params))
+      case FunCall("smooth", Seq(x)) => smoothOf(x, 0.5)
+
+      case AggCall("derive", x, _, _) => deriveOf(x)
+      case FunCall("derive", Seq(x)) => deriveOf(x)
+
+      case AggCall("changed", x, _, _) => changedOf(x)
+      case FunCall("changed", Seq(x)) => changedOf(x)
+
+      case AggCall("one_out_of", x, mods, _) =>
+        val n = modNum(mods, "n").getOrElse(1.0).toInt
+        when((row_number().over(W) - 1) % n === 0, go(x))
+
+      case AggCall("once_every", x, mods, _) =>
+        // clock-aligned: emit on the first row of each duration bucket
+        val d = modNum(mods, "d").getOrElse(1.0)
+        val bucket = (time / d).cast("long")
+        when(lag(bucket, 1).over(W).isNull ||
+          bucket =!= lag(bucket, 1).over(W), go(x))
+
+      case FunCall("hysteresis", Seq(x, acceptable, maximum)) =>
+        graft.functions.GraftFunctions.hysteresisArr(
+          collect_list(goM(x)).over(prefix),
+          evalNum(acceptable, params), evalNum(maximum, params))
+
+      case FunCall("remember", args) if args.size >= 4 =>
+        // REMEMBER (fpr, time, duration, e…): seen within `duration` of the
+        // last sighting. Batch is exact — no bloom false positives.
+        val t = go(args(1)).cast("double")
+        val dur = evalNum(args(2), params)
+        val keyCols = args.drop(3).map(go)
+        val wk = Window.partitionBy(keyCols: _*).orderBy(seqC)
+        val prevT = lag(t, 1).over(wk)
+        prevT.isNotNull && (t - prevT) <= dur
+
+      case AggCall("distinct", x, _, _) =>
+        row_number().over(Window.partitionBy(go(x)).orderBy(seqC)) === 1
+
+      case AggCall("sample", x, mods, _) =>
+        if (x == Lit(null)) lit(null)
+        else sampleOf(goM(x), modNum(mods, "n").getOrElse(1.0).toInt, prefix)
+      case FunCall("sample", Seq(k, x)) =>
+        if (x == Lit(null)) lit(null)
+        else sampleOf(goM(x), evalNum(k, params).toInt, prefix)
+
+      case AggCall("sample_past", x, mods, extra) =>
+        val d = extra.headOption.map(evalNum(_, params)).getOrElse(1.0)
+        val tUs = (time * 1e6).cast("long")
+        val frame = Window.orderBy(tUs)
+          .rangeBetween(-((d * 1e6).toLong - 1), 0)
+        sampleOf(goM(x), modNum(mods, "n").getOrElse(1.0).toInt, frame)
+
+      case AggCall("past", x, mods, extra) =>
+        val d = extra.headOption.map(evalNum(_, params))
+          .orElse(modNum(mods, "n")).getOrElse(1.0)
+        if (mods.contains("tumbling")) {
+          // Aligned buckets (int_of_float truncation toward zero, matching
+          // OCaml for negative times); the completed window is emitted on
+          // the first row of the next bucket, NULL otherwise
+          // (CodeGenLib.ml Past.add :630-646).
+          val bucket = (time / d).cast("long")
+          val bw = Window.partitionBy(bucket).orderBy(time, seqC)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          val arr = collect_list(goM(x)).over(bw)
+          when(lag(bucket, 1).over(W).isNotNull &&
+            bucket =!= lag(bucket, 1).over(W), lag(arr, 1).over(W))
+        } else {
+          // sliding: strictly younger than d (t_cur - t' < d), current
+          // row included, time-ascending order
+          val tUs = (time * 1e6).cast("long")
+          val frame = Window.orderBy(tUs)
+            .rangeBetween(-((d * 1e6).toLong - 1), 0)
+          collect_list(goM(x)).over(frame)
+        }
+
+      case AggCall("largest", x, mods, _) =>
+        slice(reverse(array_sort(collect_list(goM(x)).over(prefix))), 1,
+          modNum(mods, "n").getOrElse(1.0).toInt)
+      case AggCall("smallest", x, mods, _) =>
+        slice(array_sort(collect_list(goM(x)).over(prefix)), 1,
+          modNum(mods, "n").getOrElse(1.0).toInt)
+
+      case AggCall("is_in_top", x, mods, _) =>
+        val keys = topKeysOf(go(x), modNum(mods, "n").getOrElse(10.0).toInt)
+        if (keys.isEmpty) lit(false) else go(x).isin(keys: _*)
+      case AggCall("rank_in_top", x, mods, _) =>
+        val keys = topKeysOf(go(x), modNum(mods, "n").getOrElse(10.0).toInt)
+        keys.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+          case (acc, (k, i)) => when(go(x) === lit(k), i + 1).otherwise(acc)
+        }
+      case AggCall("top_list", x, mods, _) =>
+        val keys = topKeysOf(go(x), modNum(mods, "n").getOrElse(10.0).toInt)
+        array(keys.map(lit): _*)
+
+      case other => unsupported(s"stateful $other in running mode")
+    }
   }
 
   private def compileFun(name: String, args: Seq[Expr], go: Expr => Column): Column =
@@ -204,7 +470,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("random", Seq()) => rand()
       case ("now", Seq()) => unix_timestamp().cast("double")
       case ("age", Seq(x)) => unix_timestamp().cast("double") - go(x)
-      case ("length", Seq(x)) => length(go(x)).cast("int")
+      case ("length", Seq(x)) =>
+        val c = go(x)
+        // LENGTH of an array is its cardinality (past.ramen f2)
+        if (runCtx.exists(_ => dtypeOf(c).isInstanceOf[ArrayType])) size(c)
+        else length(c).cast("int")
+      case ("print", as) if as.nonEmpty => go(as.head) // side-effect-free
+      case ("force", Seq(x)) => go(x) // assert-non-null: type-level only
       case ("lower", Seq(x)) => lower(go(x))
       case ("upper", Seq(x)) => upper(go(x))
       case ("basename", Seq(x)) => element_at(split(go(x), "/"), -1)
@@ -242,21 +514,90 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case (other, _) => unsupported(s"function $other/${args.size}")
     }
 
+  /** Immediate aggregation over an array-typed operand (the reference's
+    * "every aggregation function must also accept lists" rule — see
+    * tests/func/basic_aggr.ramen and past.ramen's `min recent_n`). */
+  private def arrayAgg(fn: String, c: Column): Column = {
+    def nonNull = filter(c, x => x.isNotNull)
+    fn match {
+      case "min" => array_min(c)
+      case "max" => array_max(c)
+      case "sum" =>
+        aggregate(nonNull, lit(0.0), (acc, x) => acc + x.cast("double"))
+      case "avg" =>
+        aggregate(nonNull, lit(0.0), (acc, x) => acc + x.cast("double")) /
+          size(nonNull)
+      case "first" => element_at(c, 1)
+      case "last" => element_at(c, -1)
+      case "count" => size(nonNull)
+      case "aggr_and" | "all" => forall(c, x => x)
+      case "aggr_or" | "any" => exists(c, x => x)
+      case "group" => c
+      case other => unsupported(s"aggregate $other over an array")
+    }
+  }
+
+  /** Running (prefix-window) version of a plain aggregate, for
+    * commit-every-tuple mode. */
+  private def runningAgg(a: AggCall, c: Column): Column = {
+    val prefix = Window.orderBy(col(runCtx.get.seqName))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    a.fn match {
+      case "min" => min(c).over(prefix)
+      case "max" => max(c).over(prefix)
+      case "sum" => sum(c).over(prefix)
+      case "avg" => avg(c).over(prefix)
+      case "first" => first(c, ignoreNulls = true).over(prefix)
+      case "last" => last(c, ignoreNulls = true).over(prefix)
+      case "count" if a.modifiers.contains("distinct") =>
+        size(collect_set(c).over(prefix))
+      case "count" => count(c).over(prefix)
+      case "aggr_and" | "all" => min(c.cast("boolean")).over(prefix)
+      case "aggr_or" | "any" => max(c.cast("boolean")).over(prefix)
+      case "bitor" => call_function("bit_or", c).over(prefix)
+      case "bitand" => call_function("bit_and", c).over(prefix)
+      case "bitxor" => call_function("bit_xor", c).over(prefix)
+      case "group" => collect_list(c).over(prefix)
+      case "distinct" => // novelty flag: first sighting of this value
+        row_number().over(Window.partitionBy(c)
+          .orderBy(col(runCtx.get.seqName))) === 1
+      case other => unsupported(s"running aggregate $other")
+    }
+  }
+
   private def compileAgg(a: AggCall, go: Expr => Column): Column = {
     // aggregate-of-array unification: agg (group x) ≡ agg x
     val operand = a.operand match {
-      case AggCall("group", inner, _) => inner
+      case AggCall("group", inner, _, _) => inner
       case other => other
     }
     // sum (cast (distinct x)) — the RaQL count-distinct idiom
     (a.fn, operand) match {
-      case ("sum", FunCall(c, Seq(AggCall("distinct", e, _)))) if castType(c).isDefined =>
+      case ("sum", FunCall(c, Seq(AggCall("distinct", e, _, _)))) if castType(c).isDefined =>
+        return if (runCtx.isDefined)
+          size(collect_set(go(e)).over(Window.orderBy(col(runCtx.get.seqName))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        else count_distinct(go(e))
+      case ("sum", AggCall("distinct", e, _, _)) =>
         return count_distinct(go(e))
-      case ("sum", AggCall("distinct", e, _)) =>
-        return count_distinct(go(e))
+      case ("top_list", _) =>
+        // LIST TOP n x: SpaceSaving sketch, capacity 10×n like the
+        // reference (HeavyHitters.ml), keys only, heaviest first
+        val n = modNum(a.modifiers, "n").getOrElse(10.0).toInt
+        return transform(
+          graft.functions.GraftFunctions.topK(go(operand).cast("string"),
+            lit(1L), capacity = 10 * n, k = n),
+          s => s.getField("key"))
       case _ => ()
     }
     val c = go(operand)
+    if (runCtx.isDefined) {
+      // commit-every-tuple mode: array operands aggregate immediately,
+      // scalar operands become running prefix aggregates (a stateful
+      // operand is materialized first — no nested windows)
+      if (dtypeOf(c).isInstanceOf[ArrayType]) return arrayAgg(a.fn, c)
+      return runningAgg(a, if (hasWindowFn(operand)) matCol(c) else c)
+    }
     val keepNulls = a.modifiers.contains("keep_nulls")
     def withKeepNulls(agg: Column): Column =
       if (!keepNulls) agg
@@ -284,10 +625,17 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * sorted values (`/root/reference/src/CodeGenLib.ml:158-297`). */
   private def compilePercentile(ps: Seq[Double], op: Expr, go: Expr => Column): Column = {
     val inner = op match {
-      case AggCall("group", e, _) => e
+      case AggCall("group", e, _, _) => e
       case e => e
     }
-    val sorted = sort_array(collect_list(go(inner)))
+    val sorted = runCtx match {
+      case Some(ctx) =>
+        val c = go(inner)
+        if (dtypeOf(c).isInstanceOf[ArrayType]) sort_array(c)
+        else sort_array(collect_list(c).over(Window.orderBy(col(ctx.seqName))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      case None => sort_array(collect_list(go(inner)))
+    }
     def at(p: Double): Column =
       element_at(sorted, (floor(lit(p) / 100.0 * (size(sorted) - 1)) + 1).cast("int"))
     if (ps.size == 1) at(ps.head) else array(ps.map(at): _*)
@@ -353,53 +701,129 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case Nil => spark.range(1).toDF("_unit") // YIELD / EVERY source
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
       }
-      val filtered = agg.where match {
-        case Some(w) if !hasAgg(w) => base.filter(compileExpr(w, params))
-        case Some(w) => unsupported(s"stateful WHERE (streaming harness): $w")
-        case None => base
+      val fields = expandStar(agg, base)
+      // commit-every-tuple mode: no GROUP BY + sequence/window stateful fns
+      val runMode = agg.groupBy.isEmpty &&
+        (fields.exists(f => hasWindowFn(f.expr)) || agg.where.exists(hasWindowFn))
+      val result =
+        if (runMode) compileRunning(base, fields, agg, params)
+        else compileFinal(base, fields, agg, params)
+      // fields named _xyz are private: used by later fields, not emitted
+      // (reference RamenOperation: "private field" convention)
+      val pub = result.columns.filterNot(_.startsWith("_"))
+      if (pub.isEmpty || pub.length == result.columns.length) result
+      else result.select(pub.map(col): _*)
+  }
+
+  /** `*` / `* - f` expansion against the resolved parent schema: all parent
+    * columns not explicitly selected, not subtracted, not private. */
+  private def expandStar(agg: Aggregate, base: DataFrame): Seq[SelectField] = {
+    if (!agg.star) return agg.fields
+    val explicit = agg.fields.collect {
+      case SelectField(e, a) if e != Ref(Seq("*")) => a.getOrElse(autoName(e))
+    }.toSet
+    agg.fields.flatMap {
+      case SelectField(Ref(Seq("*")), minus) =>
+        val excluded = explicit ++ minus.toSeq.flatMap(_.split("-"))
+        base.columns.toSeq
+          .filterNot(c => excluded.contains(c) || c.startsWith("_"))
+          .map(c => SelectField(Ref(Seq(c)), Some(c)))
+      case f => Seq(f)
+    }
+  }
+
+  /** End-of-input commit semantics (explicit COMMIT clauses, GROUP BY):
+    * the original batch translation. */
+  private def compileFinal(base: DataFrame, fields: Seq[SelectField],
+      agg: Aggregate, params: Map[String, Expr]): DataFrame = {
+    val filtered = agg.where match {
+      case Some(w) if !hasAgg(w) && !hasWindowFn(w) =>
+        base.filter(compileExpr(w, params))
+      case Some(w) => unsupported(s"stateful WHERE with GROUP BY: $w")
+      case None => base
+    }
+    // SPLIT generators: explode each occurrence, cartesian when several
+    val splitBuf = scala.collection.mutable.ListBuffer.empty[FunCall]
+    fields.foreach(f => collectSplits(f.expr, splitBuf))
+    var src = filtered
+    var splitCols = Map.empty[FunCall, Column]
+    splitBuf.toList.distinct.zipWithIndex.foreach { case (fc, i) =>
+      val FunCall(_, Seq(sepE, strE)) = fc: @unchecked
+      val sepLit = sepE match {
+        case Lit(s: String) => s
+        case other => throw new UnsupportedOperationException(s"split sep $other")
       }
-      // SPLIT generators: explode each occurrence, cartesian when several
-      val splitBuf = scala.collection.mutable.ListBuffer.empty[FunCall]
-      agg.fields.foreach(f => collectSplits(f.expr, splitBuf))
-      var src = filtered
-      var splitCols = Map.empty[FunCall, Column]
-      splitBuf.toList.distinct.zipWithIndex.foreach { case (fc, i) =>
-        val FunCall(_, Seq(sepE, strE)) = fc: @unchecked
-        val sepLit = sepE match {
-          case Lit(s: String) => s
-          case other => throw new UnsupportedOperationException(s"split sep $other")
+      val strCol = compileExpr(strE, params, splitCols)
+      // escape regex metachars by hand (Spark's split chokes on \Q..\E)
+      val sepRe = sepLit.replaceAll("""([.\[\]{}()*+?^$|\\])""", """\\$1""")
+      src = src.select(col("*"),
+        explode(split(strCol, sepRe)).as(s"_split_$i"))
+      splitCols += fc -> col(s"_split_$i")
+    }
+    val named = fields.map { f =>
+      val name = f.alias.getOrElse(autoName(f.expr))
+      (f.expr, name)
+    }
+    if (fields.exists(f => hasAgg(f.expr))) {
+      if (agg.groupBy.nonEmpty) {
+        // grouping columns come back from groupBy() itself; aggregate
+        // fields go through agg(); other fields take the group's last
+        // value (reference semantics for bare input refs under GROUP BY —
+        // deterministic here because RaQL CSV sources are single-partition)
+        val keyExprs = agg.groupBy.toSet
+        val keys = agg.groupBy.map(k => compileExpr(k, params, splitCols))
+        val aggCols = named.collect {
+          case (e, n) if hasAgg(e) => compileExpr(e, params, splitCols).as(n)
+          case (e, n) if !keyExprs.contains(e) =>
+            last(compileExpr(e, params, splitCols)).as(n)
         }
-        val strCol = compileExpr(strE, params, splitCols)
-        // escape regex metachars by hand (Spark's split chokes on \Q..\E)
-        val sepRe = sepLit.replaceAll("""([.\[\]{}()*+?^$|\\])""", """\\$1""")
-        src = src.select(col("*"),
-          explode(split(strCol, sepRe)).as(s"_split_$i"))
-        splitCols += fc -> col(s"_split_$i")
-      }
-      val named = agg.fields.map { f =>
-        val name = f.alias.getOrElse(autoName(f.expr))
-        (f.expr, name)
-      }
-      if (agg.fields.exists(f => hasAgg(f.expr))) {
-        if (agg.groupBy.nonEmpty) {
-          // grouping columns come back from groupBy() itself — only the
-          // aggregate fields go through agg(), then project in field order
-          val keys = agg.groupBy.map(k => compileExpr(k, params, splitCols))
-          val aggCols = named.collect { case (e, n) if hasAgg(e) =>
-            compileExpr(e, params, splitCols).as(n) }
-          src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-            .select(named.map { case (e, n) =>
-              if (hasAgg(e)) col(n)
-              else compileExpr(e, params, splitCols).as(n) }: _*)
-        } else {
-          val cols = named.map { case (e, n) =>
-            compileExpr(e, params, splitCols).as(n) }
-          src.agg(cols.head, cols.tail: _*)
-        }
+        val aggDf =
+          if (aggCols.nonEmpty) src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+          else src.groupBy(keys: _*).agg(count(lit(1)).as("_graft_cnt"))
+        aggDf.select(named.map { case (e, n) =>
+          if (keyExprs.contains(e)) compileExpr(e, params, splitCols).as(n)
+          else col(n) }: _*)
       } else {
-        src.select(named.map { case (e, n) =>
-          compileExpr(e, params, splitCols).as(n) }: _*)
+        val cols = named.map { case (e, n) =>
+          compileExpr(e, params, splitCols).as(n) }
+        src.agg(cols.head, cols.tail: _*)
       }
+    } else {
+      // sequential withColumn so later fields can reference earlier aliases
+      // (`1970 AS _first_year, (year - _first_year) … AS start`)
+      var df = src
+      named.foreach { case (e, n) =>
+        df = df.withColumn(n, compileExpr(e, params, splitCols))
+      }
+      df.select(named.map(n => col(n._2)): _*)
+    }
+  }
+
+  /** Commit-every-tuple (running) compilation: one output row per input
+    * row, stateful functions as window expressions over the arrival
+    * sequence. WHERE runs against the unfiltered stream first (its own
+    * state sees every input), then field state evolves over the surviving
+    * rows — matching the reference's update order. */
+  private def compileRunning(base: DataFrame, fields: Seq[SelectField],
+      agg: Aggregate, params: Map[String, Expr]): DataFrame = {
+    val seqName = "_graft_seq"
+    var df = base.withColumn(seqName, monotonically_increasing_id())
+    runCtx = Some(new RunCtx(df, seqName))
+    try {
+      agg.where.foreach { w =>
+        val c = compileExpr(w, params)
+        df = df.withColumn("_graft_where", c)
+          .filter(col("_graft_where")).drop("_graft_where")
+        runCtx.get.df = df
+      }
+      val outNames = fields.map(f => f.alias.getOrElse(autoName(f.expr)))
+      fields.zip(outNames).foreach { case (f, n) =>
+        val c = compileExpr(f.expr, params) // may grow ctx.df (materialized)
+        df = runCtx.get.df.withColumn(n, c)
+        runCtx.get.df = df
+      }
+      df.select(outNames.map(col): _*)
+    } finally runCtx = None
   }
 }
 

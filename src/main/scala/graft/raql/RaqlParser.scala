@@ -173,11 +173,14 @@ object RaqlParser extends RegexParsers {
       kw("distinct") ^^^ "distinct" |
       kw("globally") ^^^ "globally" | kw("locally") ^^^ "locally" |
       kw("immediately") ^^^ "immediately"
-    // `SAMPLE n OF THE PAST d OF x` windowed-reservoir form
+    // `SAMPLE [OF SIZE] n OF THE PAST d OF x` windowed-reservoir form
     val samplePast =
-      kw("sample") ~> number ~ (kw("of") ~> kw("the") ~> kw("past") ~> number) ~
+      kw("sample") ~> opt(kw("of") ~ kw("size")) ~> number ~
+        (kw("of") ~> kw("the") ~> kw("past") ~> number) ~
         (kw("of") ~> unaryExpr) ^^ {
-        case _ ~ _ ~ e => AggCall("sample_past", e)
+        case Lit(n) ~ d ~ e =>
+          AggCall("sample_past", e, Set(s"n=$n"), Seq(d))
+        case _ ~ d ~ e => AggCall("sample_past", e, Set.empty, Seq(d))
       }
     // argument-tuple form: `sample (10, x)`, `remember globally (fpr, d, k, x)`
     val argsForm =
@@ -204,8 +207,13 @@ object RaqlParser extends RegexParsers {
     val topTail = kw("in") ~> kw("top") ~> number ~
       opt(kw("at") ~ kw("time") ~ expr) ~ opt(kw("for") ~ expr) ~
       opt(kw("above") ~ expr ~ opt(kw("sigmas") | kw("sigma")))
-    kw("is") ~> unaryExpr <~ topTail ^^ (AggCall("is_in_top", _)) |
-    kw("rank") ~> kw("of") ~> unaryExpr <~ topTail ^^ (AggCall("rank_in_top", _))
+    def mk(fn: String)(x: Expr, tail: Any): Expr = tail match {
+      case Lit(n) ~ _ ~ _ ~ _ => AggCall(fn, x, Set(s"n=$n"))
+      case _ => AggCall(fn, x)
+    }
+    kw("is") ~> unaryExpr ~ topTail ^^ { case x ~ t => mk("is_in_top")(x, t) } |
+    kw("rank") ~> kw("of") ~> unaryExpr ~ topTail ^^ {
+      case x ~ t => mk("rank_in_top")(x, t) }
   }
 
   /** Bare unary function application (`length t4` — no parens needed). */
@@ -294,16 +302,21 @@ object RaqlParser extends RegexParsers {
     * with an expression (often a parameter) duration. */
   private def pastOf: Parser[Expr] =
     kw("past") ~> unaryExpr ~ opt(kw("sliding") | kw("tumbling")) ~
-      opt(kw("sample") ~ kw("size") ~ number) ~ (kw("of") ~> unaryExpr) ^^ {
-      case _ ~ _ ~ _ ~ x => AggCall("past", x)
+      opt(kw("sample") ~> kw("size") ~> number) ~ (kw("of") ~> unaryExpr) ^^ {
+      case d ~ st ~ ss ~ x =>
+        val mods = st.toSet ++ (ss match {
+          case Some(Lit(n)) => Set(s"sample=$n"); case _ => Set.empty[String]
+        })
+        AggCall("past", x, mods, Seq(d))
     }
 
   /** `LIST TOP n x [BY w] [IN THE LAST d]` returning the top list. */
   private def listTop: Parser[Expr] =
-    kw("list") ~> kw("top") ~> number ~> unaryExpr ~
-      opt(kw("by") ~ unaryExpr) ~
-      opt(kw("in") ~ kw("the") ~ kw("last") ~ unaryExpr) ^^ {
-      case x ~ _ ~ _ => AggCall("top_list", x)
+    kw("list") ~> kw("top") ~> number ~ unaryExpr ~
+      opt(kw("by") ~> unaryExpr) ~
+      opt(kw("in") ~> kw("the") ~> kw("last") ~> unaryExpr) ^^ {
+      case Lit(n) ~ x ~ by ~ _ => AggCall("top_list", x, Set(s"n=$n"), by.toSeq)
+      case _ ~ x ~ by ~ _ => AggCall("top_list", x, Set.empty, by.toSeq)
     }
 
   /** `PEEK type [LITTLE|BIG ENDIAN] x`. */

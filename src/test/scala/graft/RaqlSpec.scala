@@ -80,6 +80,75 @@ class RaqlSpec extends AnyFunSuite {
     assert(b("t14") == false && b("t15") == false && b("t16"))
   }
 
+  test("lag/f matches the reference golden (running per-row lag)") {
+    val c = load("fixtures/n123", "lag")
+    val rows = c.compile("lag/f").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    assert(rows.toSeq == Seq((1L, null, null), (2L, 1L, null), (3L, 2L, 1L)))
+  }
+
+  test("basic_aggr/f2: stateful WHERE over the input stream") {
+    val c = load("fixtures/n123", "basic_aggr")
+    val rows = c.compile("basic_aggr/f2").collect().map(_.get(0))
+    assert(rows.toSeq == Seq(3L)) // rows where lag n = 2 → the n=3 row
+  }
+
+  test("moveavg/f1 golden: moveavg excludes the current value") {
+    val c = load("fixtures/n123", "moveavg")
+    val rows = c.compile("moveavg/f1").collect()
+    val last = rows.last
+    val byName = last.schema.fieldNames.zipWithIndex.toMap
+    assert(last.get(byName("n")) == 3L)
+    assert(last.get(byName("n1_1")) == 2.0)
+    assert(last.get(byName("n1_2")) == 2.0)
+    assert(last.get(byName("n2_1")) == 1.5)
+    assert(last.get(byName("n2_2")) == 1.5)
+  }
+
+  test("past/f golden: sliding and tumbling time windows over earthquakes") {
+    val c = load("fixtures/earthquakes", "past")
+    val rows = c.compile("past/f").collect()
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def row(year: Long) = rows.find(_.get(byName("year")) == year).get
+    val y2010 = row(2010)
+    assert(y2010.get(byName("min_recent_n")) == 12L ||
+           y2010.get(byName("min_recent_n")) == 12)
+    assert(y2010.get(byName("max_recent_n")) == 24L ||
+           y2010.get(byName("max_recent_n")) == 24)
+    assert(y2010.getDouble(byName("avg_recent_n")) == 18.0)
+    val y2011 = row(2011)
+    assert(y2011.get(byName("min_recent_n")) == 17L ||
+           y2011.get(byName("min_recent_n")) == 17)
+    assert(y2011.getDouble(byName("avg_recent_n")) == 20.0)
+    val y1921 = row(1921)
+    assert(y1921.getSeq[Any](byName("sliding_years")).map(_.toString.toInt) ==
+      Seq(1916, 1917, 1918, 1919, 1920, 1921))
+    assert(y1921.getSeq[Any](byName("tumbling_years")).map(_.toString.toInt) ==
+      Seq(1916, 1917, 1918, 1919, 1920))
+  }
+
+  test("sample/f golden: reservoir size and NULL set") {
+    val c = load("fixtures/n123", "sample")
+    val rows = c.compile("sample/f").collect()
+    val last = rows.last
+    val byName = last.schema.fieldNames.zipWithIndex.toMap
+    assert(last.get(byName("two")) == 2)
+    assert(last.isNullAt(byName("trou")) || last.get(byName("trou")) == true)
+  }
+
+  test("top_expr goldens: membership rewrite and LIST TOP") {
+    val c = load("fixtures/cars", "top_expr")
+    val prep = c.compile("top_expr/preparation").collect()
+      .map(_.getString(1)).toSet
+    assert(prep.contains("BMW") && prep.contains("Toyota") &&
+      prep.contains("other"))
+    val f1 = c.compile("top_expr/f1").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(f1.keySet == Set("BMW", "Toyota", "other"))
+    val f2 = c.compile("top_expr/f2").collect().head.getSeq[String](0)
+    assert(f2 == Seq("BMW", "Toyota", "GM"))
+  }
+
   test("parses a healthy fraction of the full reference test corpus") {
     val all = Files.list(Paths.get(funcDir)).iterator().asScala
       .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)

@@ -94,9 +94,16 @@ for name in sorted(oracle):
     # driver-parity order check: the driver's hash is ROW-ORDER sensitive
     # (columns sorted by name, rows in file order). Compare unsorted too.
     ordered = True
+    def strify(df):
+        df = df.reindex(sorted(df.columns), axis=1).copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(lambda v: str(v) if isinstance(v, (list, tuple)) or
+                                  type(v).__name__ == "ndarray" else v)
+        return df
     if exact:
-        ao = spark_df.reindex(sorted(spark_df.columns), axis=1)
-        bo = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        ao = strify(spark_df)
+        bo = strify(duck_df)
         for col in ao.columns:
             for x, y in zip(ao[col].tolist(), bo[col].tolist()):
                 e, c = cmp_cell(x, y)
