@@ -241,6 +241,24 @@ object SketchQueries {
               .as("hw_forecast"))
           .orderBy("user_id")
       },
+      None),
+
+    // ---- s12: TOP with time decay (RaQL `TOP 5 user BY value AT TIME ts
+    // FOR 1d`, HeavyHitters.ml decay/inflation). One constant-size sketch
+    // per partition, merged with origin normalization — no raw-key shuffle.
+    // Float sketch state ⇒ no SQL oracle; AggregatesSpec covers decay
+    // order, rebase, sigma filtering, and partition invariance.
+    QueryDef(
+      "s12_top_decayed",
+      (s, d) => {
+        Tables.events(s, d)
+          .agg(topKDecayed(col("user_id"), col("value"),
+            unix_micros(col("ts")).cast("double") / 1e6,
+            capacity = 256, k = 10,
+            decay = decayForDuration(86400.0)).as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.key").as("user"), round(col("e.w"), 6).as("weight"))
+      },
       None)
   )
 }

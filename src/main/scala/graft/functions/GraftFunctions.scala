@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DecayedTopK, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
   * sequential-scan functions built from higher-order array functions.
@@ -24,6 +24,19 @@ object GraftFunctions {
     ExpressionUtils.column(
       SpaceSavingTopK(col2e(key.cast("string")), col2e(weight.cast("long")),
         capacity, k).toAggregateExpression())
+
+  /** RaQL `TOP k x BY w AT TIME t FOR d ABOVE s SIGMAS` — decayed heavy
+    * hitters with outlier filtering. `decay = ln 2 / (d/2)` matches the
+    * reference's FOR-duration half-life (CodeGen_RaQL2DIL.ml:1602-1606). */
+  def topKDecayed(key: Column, weight: Column, time: Column,
+      capacity: Int, k: Int, decay: Double, sigmas: Double = 0.0): Column =
+    ExpressionUtils.column(
+      DecayedTopK(col2e(key.cast("string")), col2e(weight.cast("double")),
+        col2e(time.cast("double")), capacity, k, decay, sigmas)
+        .toAggregateExpression())
+
+  /** The reference's FOR-duration → decay-rate mapping. */
+  def decayForDuration(d: Double): Double = math.log(2.0) / (0.5 * d)
 
   /** RaQL `SAMPLE n, x` — uniform reservoir sample of a group. */
   def reservoir(x: Column, n: Int, seed: Long = 42L): Column =

@@ -30,6 +30,83 @@ class AggregatesSpec extends AnyFunSuite {
     assert(out.toSet == Set("heavy1", "heavy2"))
   }
 
+  test("decayed topk favors recent keys (half-life weighting)") {
+    import graft.aggs.DecayedTopState
+    // "old": weight 100 at t=0; "new": weight 30 spread around t=10_000.
+    // Half-life 1000s → decay = ln2/500 ≈ 0.0014: old is inflated away.
+    val st = new DecayedTopState(capacity = 8, decay = math.log(2) / 500, sigmas = 0)
+    (1 to 100).foreach(_ => st.observe("old", 1.0, 0.0))
+    (1 to 30).foreach(i => st.observe("new", 1.0, 10000.0 + i))
+    val top = st.top(1)
+    assert(top.head._1 == "new", s"expected 'new' first, got $top")
+    // without decay the heavy early key wins
+    val st0 = new DecayedTopState(8, 0.0, 0)
+    (1 to 100).foreach(_ => st0.observe("old", 1.0, 0.0))
+    (1 to 30).foreach(i => st0.observe("new", 1.0, 10000.0 + i))
+    assert(st0.top(1).head._1 == "old")
+  }
+
+  test("decayed topk rebase keeps relative order across large time spans") {
+    import graft.aggs.DecayedTopState
+    // inflation exceeds 1e6 several times over this span
+    val st = new DecayedTopState(16, math.log(2) / 100, sigmas = 0)
+    (0 to 200).foreach { i =>
+      st.observe("steady", 1.0, i * 50.0)
+      if (i % 2 == 0) st.observe("half", 1.0, i * 50.0)
+    }
+    val keys = st.top(2).map(_._1)
+    assert(keys == Seq("steady", "half"))
+  }
+
+  test("sigma filter keeps only outlier keys") {
+    import graft.aggs.DecayedTopState
+    val st = new DecayedTopState(128, 0.0, sigmas = 2.0)
+    (1 to 50).foreach(i => st.observe("noise" + i, 1.0, 0.0))
+    (1 to 60).foreach(_ => st.observe("heavy", 5.0, 0.0))
+    val keys = st.top(10).map(_._1)
+    assert(keys == Seq("heavy"), s"expected only the outlier, got $keys")
+  }
+
+  test("decayed topk merge normalizes time origins") {
+    import graft.aggs.DecayedTopState
+    val decay = math.log(2) / 500
+    // one-shot state over the full stream
+    val whole = new DecayedTopState(16, decay, 0)
+    // two partial states with different first-seen times (origins)
+    val a = new DecayedTopState(16, decay, 0)
+    val b = new DecayedTopState(16, decay, 0)
+    (0 to 100).foreach { i =>
+      val t = i * 20.0
+      whole.observe("k" + (i % 5), 1.0, t)
+      if (i < 50) a.observe("k" + (i % 5), 1.0, t)
+      else b.observe("k" + (i % 5), 1.0, t)
+    }
+    a.mergeIn(b)
+    val got = a.top(5).map(_._1)
+    val want = whole.top(5).map(_._1)
+    assert(got == want, s"merged $got vs whole $want")
+    // inflated weights are relative to each state's own origin; the
+    // meaningful invariant is the RATIO between keys, which must agree
+    val wa0 = a.top(5).head._2
+    val ww0 = whole.top(5).head._2
+    a.top(5).zip(whole.top(5)).foreach { case ((_, wa), (_, ww)) =>
+      assert(math.abs(wa / wa0 - ww / ww0) < 1e-9,
+        s"ratio ${wa / wa0} vs ${ww / ww0}")
+    }
+  }
+
+  test("decayed topk as a Spark aggregate is partition-count invariant") {
+    val df = Seq.tabulate(2000) { i =>
+      ("u" + (i % 20), 1.0 + (i % 3), i * 10.0)
+    }.toDF("k", "w", "t")
+    def run(parts: Int): Seq[String] =
+      df.repartition(parts)
+        .agg(topKDecayed(col("k"), col("w"), col("t"),
+          capacity = 64, k = 5, decay = math.log(2) / 5000).as("top"))
+        .select(explode(col("top"))).select("col.key").as[String].collect().toSeq
+    assert(run(1) == run(8))
+  }
+
   test("reservoir sample has the right size and only observed values") {
     val df = (1 to 1000).map(_.toDouble).toDF("x")
     val out = df.agg(reservoir(col("x"), n = 50).as("s"))
