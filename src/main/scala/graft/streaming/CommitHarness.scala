@@ -45,16 +45,32 @@ object CommitHarness {
     * (RaQL's `previous` / `local_last_out`). */
   final case class GState[S, O](state: S, hasData: Boolean, previous: Option[O])
 
+  /** Run the commit harness over a (possibly streaming) Dataset.
+    *
+    * Timeout modes:
+    *  - `eventTimeMs` defined (+ `timeoutMs` > 0): EVENT-TIME timeout — the
+    *    group flushes when the query watermark passes (last event time seen
+    *    by the group + timeoutMs). This is the reference's cross-group
+    *    commit (`check_commit_for_all`, CodeGenLib_Skeletons.ml:814-876):
+    *    event-time monotone, correct under replay/backfill at any speed.
+    *    The caller must define a watermark upstream
+    *    (`df.withWatermark(...)` before this call).
+    *  - `eventTimeMs` empty (+ `timeoutMs` > 0): processing-time timeout —
+    *    wall-clock state expiry for live low-rate sources with no usable
+    *    event time.
+    */
   def run[K, I, S, O](
       input: Dataset[I],
       keyFn: I => K,
       spec: GroupSpec[I, S, O],
-      timeoutMs: Long = -1L)(implicit
+      timeoutMs: Long = -1L,
+      eventTimeMs: Option[I => Long] = None)(implicit
       ek: Encoder[K], ei: Encoder[I], es: Encoder[GState[S, O]],
       eo: Encoder[O]): Dataset[O] = {
 
     val timeout =
-      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      if (eventTimeMs.isDefined && timeoutMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
 
     input.groupByKey(keyFn).flatMapGroupsWithState[GState[S, O], O](
@@ -70,7 +86,9 @@ object CommitHarness {
           var st = gs.getOption.getOrElse(
             GState[S, O](spec.init(), hasData = false, None))
           val out = scala.collection.mutable.ArrayBuffer[O]()
+          var maxEventMs = Long.MinValue
           rows.foreach { row =>
+            eventTimeMs.foreach(f => maxEventMs = math.max(maxEventMs, f(row)))
             // COMMIT BEFORE: emit prior state, flush, then update
             if (st.hasData && spec.commitBefore(st.state, row)) {
               val o = spec.emit(st.state, st.previous)
@@ -91,7 +109,16 @@ object CommitHarness {
             }
           }
           gs.update(st)
-          if (timeoutMs > 0) gs.setTimeoutDuration(timeoutMs)
+          if (timeoutMs > 0) eventTimeMs match {
+            case Some(_) =>
+              // flush when the watermark passes last-seen + timeout; the
+              // timestamp must stay ahead of the current watermark
+              val target =
+                if (maxEventMs == Long.MinValue) gs.getCurrentWatermarkMs() + timeoutMs
+                else maxEventMs + timeoutMs
+              gs.setTimeoutTimestamp(math.max(target, gs.getCurrentWatermarkMs() + 1))
+            case None => gs.setTimeoutDuration(timeoutMs)
+          }
           out.iterator
         }
     }

@@ -76,6 +76,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.n, r.sum)).toSeq == Seq((2L, 3.0), (4L, 10.0)))
   }
 
+  test("event-time timeout flushes a quiet key when the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val win = 60L
+    // watermark on the event time; zero lateness so it tracks max(t)
+    val input = mem.toDS()
+      .withColumn("ets", timestamp_seconds(col("t")))
+      .withWatermark("ets", "0 seconds")
+      .as[Ev]
+    val out = CommitHarness.run[String, Ev, WinState, WinOut](
+      input,
+      (e: Ev) => e.user,
+      GroupSpec[Ev, WinState, WinOut](
+        init = () => WinState(-1L, 0L, 0.0),
+        update = (s, e) => {
+          val ws = e.t / win * win
+          WinState(if (s.winStart < 0) ws else s.winStart, s.n + 1, s.sum + e.v)
+        },
+        commitBefore = (s, e) => s.winStart >= 0 && e.t >= s.winStart + win,
+        emit = (s, prev) => WinOut("", s.winStart, s.n, s.sum,
+          prev.map(_.sum).getOrElse(0.0)),
+        keepOnCommit = false),
+      timeoutMs = win * 1000,
+      eventTimeMs = Some((e: Ev) => e.t * 1000))
+    val q = out.writeStream.format("memory").queryName("etimeout")
+      .outputMode("append").start()
+    // b gets ONE event then goes quiet; a keeps advancing the watermark
+    mem.addData(Ev("a", 10, 1.0), Ev("b", 5, 5.0))
+    q.processAllAvailable()                 // watermark → 10s
+    mem.addData(Ev("a", 200, 2.0))
+    q.processAllAvailable()                 // watermark → 200s (> 5+60)
+    mem.addData(Ev("a", 300, 3.0))
+    q.processAllAvailable()                 // b's state times out and flushes
+    val rows = spark.table("etimeout").as[WinOut].collect()
+    q.stop()
+    // b's window [0,60) committed WITHOUT any further b data
+    assert(rows.exists(r => r.winStart == 0 && r.n == 1 && r.sum == 5.0),
+      s"quiet key not flushed: ${rows.mkString(", ")}")
+    // a's first window committed by COMMIT BEFORE on its t=200 event
+    assert(rows.exists(r => r.winStart == 0 && r.n == 1 && r.sum == 1.0))
+  }
+
   test("NOTIFY alerter dedups into incidents (start/stop)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
