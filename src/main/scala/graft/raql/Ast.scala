@@ -57,11 +57,15 @@ object Ast {
       groupBy: Seq[Expr] = Nil,
       commitBefore: Boolean = false,
       commitCond: Option[Expr] = None,
-      every: Option[Expr] = None) extends Operation
+      every: Option[Expr] = None,
+      notifyName: Option[Expr] = None) extends Operation
 
   /** READ FROM FILE "path" AS CSV (schema). */
   final case class ReadCsv(path: String, fields: Seq[(String, RType)],
       separator: String = ",") extends Operation
+
+  /** LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]. */
+  final case class ListenFor(proto: String, port: Int) extends Operation
 
   final case class Func(name: String, op: Operation)
   final case class Param(name: String, default: Option[Expr])

@@ -677,8 +677,44 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     programs.get(p).exists(_.funcs.exists(_.name == f))
   }
 
+  /** The NOTIFY clause of `key`'s function compiled onto its output: one
+    * notification row (name, firing, params) per output tuple, ready for
+    * `.as[Notification]` and the alerter sink (graft.streaming.Notify).
+    * Params carry every output field stringified, like the reference's
+    * notification tuples (`RamenAlerter.ml`). */
+  def notifications(key: String): Option[DataFrame] = {
+    val (progName, funcName) = key.lastIndexOf('/') match {
+      case -1 => ("", key)
+      case i => (key.substring(0, i), key.substring(i + 1))
+    }
+    for {
+      prog <- programs.get(progName)
+      func <- prog.funcs.find(_.name == funcName)
+      agg <- func.op match { case a: Aggregate => Some(a); case _ => None }
+      nameE <- agg.notifyName
+    } yield {
+      val df = compile(key)
+      val params: Map[String, Expr] =
+        prog.params.flatMap(p => p.default.map(p.name -> _)).toMap
+      val pairs = df.columns.toSeq.flatMap(c => Seq(lit(c), col(c).cast("string")))
+      df.select(compileExpr(nameE, params).cast("string").as("name"),
+        lit(true).as("firing"),
+        (if (pairs.isEmpty) map() else map(pairs: _*)).as("params"))
+    }
+  }
+
   private def compileOp(op: Operation, progName: String,
       params: Map[String, Expr]): DataFrame = op match {
+    case ListenFor(proto, port) =>
+      // one socket per compiled LISTEN (cached by the compile() key map)
+      val ingest = new graft.sources.UdpIngest(spark, port).start()
+      proto match {
+        case "netflow" => ingest.netflow
+        case "collectd" => ingest.collectd
+        case "graphite" => ingest.graphite
+        case other => unsupported(s"LISTEN FOR $other")
+      }
+
     case ReadCsv(path, fields, sep) =>
       val schema = StructType(fields.map { case (n, t) =>
         StructField(n, sparkType(t), nullable = t.nullable,

@@ -371,6 +371,7 @@ object RaqlParser extends RegexParsers {
   private case class CGroup(ks: Seq[Expr]) extends Clause
   private case class CCommit(before: Boolean, cond: Expr) extends Clause
   private case class CEvery(e: Expr) extends Clause
+  private case class CNotify(e: Expr) extends Clause
   private case object CIgnored extends Clause
 
   def aggregateOp: Parser[Operation] = {
@@ -392,7 +393,7 @@ object RaqlParser extends RegexParsers {
       // SORT LAST n [UNTIL cond] BY e…: input reorder buffer — no-op in batch
       kw("sort") ~ kw("last") ~ number ~ opt(kw("until") ~ expr) ~
         opt(kw("by") ~ rep1sep(expr, ",")) ^^^ CIgnored |
-      kw("notify") ~ expr ^^^ CIgnored |
+      kw("notify") ~> expr ^^ CNotify.apply |
       (kw("keep") ~ opt(kw("all")) | kw("flush")) ^^^ CIgnored
 
     rep1(clause).filter(_.exists(_.isInstanceOf[CSelect])) ^^ { cs =>
@@ -407,9 +408,19 @@ object RaqlParser extends RegexParsers {
         groupBy = cs.collect { case CGroup(ks) => ks }.flatten,
         commitBefore = cs.collectFirst { case CCommit(b, _) => b }.getOrElse(false),
         commitCond = cs.collectFirst { case CCommit(_, c) => c },
-        every = cs.collectFirst { case CEvery(e) => e })
+        every = cs.collectFirst { case CEvery(e) => e },
+        notifyName = cs.collectFirst { case CNotify(e) => e })
     }
   }
+
+  /** `LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]`. */
+  private def listenOp: Parser[Operation] =
+    kw("listen") ~> kw("for") ~> ident ~
+      opt(opt(kw("on")) ~> kw("port") ~> number) ^^ {
+      case proto ~ port =>
+        val p = port match { case Some(Lit(n: Long)) => n.toInt; case _ => 0 }
+        ListenFor(proto.toLowerCase, p)
+    }
 
   private def rtype: Parser[RType] =
     ident ~ opt("?") ~ opt("""\{[^}]*\}""".r) ^^ { case t ~ n ~ u =>
@@ -430,7 +441,7 @@ object RaqlParser extends RegexParsers {
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
-  private def operation: Parser[Operation] = readCsvOp | aggregateOp
+  private def operation: Parser[Operation] = readCsvOp | listenOp | aggregateOp
 
   private def define: Parser[Func] =
     kw("define") ~> opt(kw("lazy")) ~> ident ~ (kw("as") ~> operation) <~ opt(";") ^^ {

@@ -4,6 +4,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.raql.{RaqlCompiler, RaqlParser}
+import graft.sources.UdpIngest
 import graft.streaming.{CommitHarness, GroupSpec, Notify, Notification}
 
 /** (user, valueTimeSec, value) input; tumbling 60 s windows per user.
@@ -132,6 +134,53 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(alerter.incidents == Seq("START cpu_high", "STOP cpu_high"))
     assert(alerter.currentlyFiring.isEmpty)
+  }
+
+  test("UDP netflow → RaQL NOTIFY fires incidents end-to-end") {
+    import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+    import java.nio.{ByteBuffer, ByteOrder}
+    val udp = new UdpIngest(spark, 0).start()
+    try {
+      val c = new RaqlCompiler(spark, "/tmp")
+      c.registerTable("net/flows", udp.netflow)
+      RaqlParser.parseProgram(
+        """DEFINE alerts AS
+             FROM net/flows
+             SELECT src_port, dst_port, bytes
+             WHERE bytes > 500
+             NOTIFY "big_flow";""") match {
+        case Right(p) => c.register("main", p)
+        case Left(e) => fail(s"parse: $e")
+      }
+      val notifs = c.notifications("main/alerts")
+        .getOrElse(fail("no NOTIFY clause compiled")).as[Notification]
+      val alerter = new Notify.Alerter
+      val q = Notify.sink(notifs, alerter).start()
+      // one netflow v5 packet, 840 bytes transferred (> 500 → fires)
+      val b = ByteBuffer.allocate(72).order(ByteOrder.BIG_ENDIAN)
+      b.putShort(5).putShort(1).putInt(60000)
+      b.putInt(1700000060).putInt(0).putInt(42)
+      b.put(1.toByte).put(2.toByte).putShort(((1 << 14) | 100).toShort)
+      b.putInt(0x0A000001).putInt(0x0A000002).putInt(0)
+      b.putShort(3).putShort(4).putInt(10).putInt(840)
+      b.putInt(30000).putInt(50000).putShort(1234).putShort(80)
+      b.put(0.toByte).put(0x12.toByte).put(6.toByte).put(0.toByte)
+      b.putShort(65001.toShort).putShort(65002.toShort)
+      b.put(24.toByte).put(16.toByte).putShort(0)
+      val sock = new DatagramSocket()
+      val deadline = System.currentTimeMillis() + 20000
+      while (alerter.incidents.isEmpty && System.currentTimeMillis() < deadline) {
+        sock.send(new DatagramPacket(b.array(), b.array().length,
+          InetAddress.getLoopbackAddress, udp.boundPort))
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+      q.stop()
+      sock.close()
+      assert(alerter.incidents.headOption.contains("START big_flow"),
+        s"incidents: ${alerter.incidents}")
+      assert(alerter.currentlyFiring == Set("big_flow"))
+    } finally udp.stop()
   }
 
   test("EVERY d / YIELD maps to the rate source") {
