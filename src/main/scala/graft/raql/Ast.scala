@@ -67,6 +67,16 @@ object Ast {
   /** LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]. */
   final case class ListenFor(proto: String, port: Int) extends Operation
 
+  /** READ FROM KAFKA TOPIC "t" [PARTITIONS [p;…]] WITH OPTIONS "k"="v",…
+    * AS CSV|ROWBINARY (schema). */
+  final case class ReadKafka(
+      topic: String,
+      partitions: Seq[Int],
+      options: Map[String, String],
+      format: String,
+      fields: Seq[(String, RType)],
+      separator: String = ",") extends Operation
+
   final case class Func(name: String, op: Operation)
   final case class Param(name: String, default: Option[Expr])
   final case class Program(params: Seq[Param], funcs: Seq[Func])

@@ -715,6 +715,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case other => unsupported(s"LISTEN FOR $other")
       }
 
+    case rk: ReadKafka =>
+      val schema = StructType(rk.fields.map { case (n, t) =>
+        StructField(n, sparkType(t), nullable = t.nullable)
+      })
+      graft.sources.KafkaSource.readStream(spark,
+        graft.sources.KafkaSource.KafkaSpec(rk.topic, rk.partitions, rk.options),
+        schema, rk.format,
+        graft.sources.CsvSource.CsvSpec(separator = rk.separator, nullStr = ""))
+
     case ReadCsv(path, fields, sep) =>
       val schema = StructType(fields.map { case (n, t) =>
         StructField(n, sparkType(t), nullable = t.nullable,

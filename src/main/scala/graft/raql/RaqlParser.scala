@@ -441,7 +441,32 @@ object RaqlParser extends RegexParsers {
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
-  private def operation: Parser[Operation] = readCsvOp | listenOp | aggregateOp
+  /** `READ FROM KAFKA TOPIC "t" [PARTITIONS [0;1]] WITH OPTIONS "k"="v", …
+    * AS CSV|ROWBINARY (schema)` (RamenOperation.ml:1528-1547). */
+  private def readKafkaOp: Parser[Operation] = {
+    val kafkaOption = stringLit ~ ("=" ~> (stringLit | number | boolLit)) ^^ {
+      case Lit(k) ~ Lit(v) => (String.valueOf(k), String.valueOf(v))
+      case k ~ v => (k.toString, v.toString)
+    }
+    kw("read") ~> kw("from") ~> kw("kafka") ~> kw("topic") ~> stringLit ~
+      opt((kw("partitions") | kw("partition")) ~> "[" ~> rep1sep(number, ";") <~ "]") ~
+      (kw("with") ~> kw("options") ~> rep1sep(kafkaOption, ",")) ~
+      (kw("as") ~> (kw("csv") | kw("rowbinary"))) ~
+      opt(kw("separator") ~> stringLit) ~
+      opt(kw("no") ~ kw("quotes")) ~ opt(kw("null") ~ stringLit) ~
+      ("(" ~> rep1sep(ident ~ rtype, ",") <~ ")") ^^ {
+      case Lit(topic: String) ~ parts ~ opts ~ fmt ~ sep ~ _ ~ _ ~ fields =>
+        val sepStr = sep match { case Some(Lit(s: String)) => s; case _ => "," }
+        ReadKafka(topic,
+          parts.getOrElse(Nil).collect { case Lit(n: Long) => n.toInt },
+          opts.toMap, fmt,
+          fields.map { case n ~ t => (n, t) }, sepStr)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+
+  private def operation: Parser[Operation] =
+    readKafkaOp | readCsvOp | listenOp | aggregateOp
 
   private def define: Parser[Func] =
     kw("define") ~> opt(kw("lazy")) ~> ident ~ (kw("as") ~> operation) <~ opt(";") ^^ {
