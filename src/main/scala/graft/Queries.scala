@@ -46,6 +46,7 @@ object Queries {
       TextQueries.entries ++
       SimilarityQueries.entries ++
       NetQueries.entries ++
+      MultimodalQueries.entries ++
       RaqlQueries.entries
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns as opaque binaries with typed
+  * metadata — the training-data-pipeline surface for non-text modalities.
+  *
+  * Design for 100 TB:
+  *   - Media stays an opaque `binary` column next to typed metadata
+  *     (width/height/channels/byte size/content hash). Metadata extraction
+  *     is pure Catalyst byte-slicing (`substring`/`hex`/`conv`) — codegen'd,
+  *     no UDF, so scans stay in whole-stage codegen and column pruning
+  *     means a metadata-only query never materializes payload bytes beyond
+  *     the header slice.
+  *   - Content-hash dedup groups on a 16-byte key — the same map-only
+  *     fingerprint + tiny-shuffle shape as text exact-dedup (Dedup.scala).
+  *   - Heavy per-item decoding (pixel decode, resample, frame extraction)
+  *     runs batched per partition via [[decodeStub]]/[[featuresStub]] —
+  *     `mapPartitions` over (id, bytes), the Scala analogue of
+  *     `mapInPandas`: one JVM-side batch per partition, no per-row setup.
+  *     Real codec libraries are not in this container, so the pixel-level
+  *     step is a deterministic fake over the payload bytes; the schema,
+  *     batch shape, and partitioning are the real thing.
+  *
+  * The stub container format (tests + synthetic tables):
+  * `"GIMG" | width:u16be | height:u16be | channels:u8 | payload bytes`.
+  */
+object Multimodal {
+
+  /** Build a stub image binary from a text payload: dims derive
+    * deterministically from the payload length. Pure Catalyst. */
+  def stubImage(text: Column): Column = {
+    val len = octet_length(text)
+    val w = len % 251 + 1
+    val h = len % 127 + 1
+    val c = len % 3 + 1
+    concat(
+      lit("GIMG".getBytes("US-ASCII")),
+      unhex(lpad(hex(w), 4, "0")),
+      unhex(lpad(hex(h), 4, "0")),
+      unhex(lpad(hex(c), 2, "0")),
+      encode(text, "UTF-8"))
+  }
+
+  /** u16/u8 big-endian header field at `pos` (1-based), parsed with
+    * codegen'd byte slicing — no UDF. */
+  private def beInt(bin: Column, pos: Int, len: Int): Column =
+    conv(lower(hex(substring(bin, pos, len))), 16, 10).cast("int")
+
+  def imageWidth(bin: Column): Column = beInt(bin, 5, 2)
+  def imageHeight(bin: Column): Column = beInt(bin, 7, 2)
+  def imageChannels(bin: Column): Column = beInt(bin, 9, 1)
+  def isStubImage(bin: Column): Column =
+    substring(bin, 1, 4) === lit("GIMG".getBytes("US-ASCII"))
+
+  /** Content hash of the full binary (hex-string md5, engine-portable). */
+  def contentHash(bin: Column): Column = md5(lower(hex(bin)))
+
+  /** Typed-metadata projection over a binary column: the metadata-only
+    * path a catalog scan takes (payload untouched past the header). */
+  def imageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      imageWidth(col(binCol)).as("width"),
+      imageHeight(col(binCol)).as("height"),
+      imageChannels(col(binCol)).as("channels"),
+      octet_length(col(binCol)).as("n_bytes"),
+      contentHash(col(binCol)).as("content_hash"))
+
+  /** Exact dedup on content hash: one survivor per identical binary. */
+  def dedupByContent(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), contentHash(col(binCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** One decoded record from the batched decoder stub. */
+  final case class Decoded(id: Long, width: Int, height: Int, channels: Int,
+      meanByte: Double)
+
+  /** Batched "pixel decode" over partitions — the mapInPandas-shaped
+    * stage. The pixel step is a DETERMINISTIC FAKE (header parse + payload
+    * byte mean standing in for a real codec); batching, schema, and
+    * partitioning are real. */
+  def decodeStub(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        require(bytes.length >= 9 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'M' && bytes(3) == 'G', s"not a stub image (id=$id)")
+        val w = bb.getShort(4) & 0xffff
+        val h = bb.getShort(6) & 0xffff
+        val c = bb.get(8) & 0xff
+        var sum = 0L
+        var i = 9
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        val mean = if (bytes.length > 9) sum.toDouble / (bytes.length - 9) else 0.0
+        Decoded(id, w, h, c, mean)
+      }
+    }(Encoders.product[Decoded]).toDF()
+  }
+
+  /** Batched feature extraction: normalized 16-bin byte histogram of the
+    * payload — a deterministic stand-in for an embedding model, with the
+    * real output shape (fixed-size float vector per item). */
+  def featuresStub(df: DataFrame, idCol: String, binCol: String,
+      bins: Int = 16): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val rowEnc = Encoders.row(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false)))))
+    ds.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        val hist = new Array[Float](bins)
+        var i = 9
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) * bins / 256) += 1f
+          i += 1
+        }
+        val n = math.max(1, bytes.length - 9).toFloat
+        var b = 0
+        while (b < bins) { hist(b) /= n; b += 1 }
+        Row(id, hist.toSeq)
+      }
+    }(rowEnc).toDF()
+  }
+}
