@@ -154,6 +154,43 @@ object RaqlQueries {
             AS seen_1h,
           row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
             AS novel_user
+        FROM events ORDER BY event_id""")),
+
+    // ---- r08: scalar stragglers — trig (round 9 to absorb libm last-ulp
+    // differences), python-slice SUBSTRING with negative bounds,
+    // UUID_OF_U128, PEEK big/little endian, FORMAT_TIME token substitution
+    // + PARSE_TIME round-trip. Oracle derives everything independently.
+    QueryDef(
+      "r08_raql_scalars",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id,
+                    round(cos(value / 100), 9) AS cos9,
+                    round(sin(value / 100), 9) AS sin9,
+                    round(atan(value), 9) AS atan9,
+                    substring(event_type, 1, -1) AS etype_mid,
+                    uuid_of_u128(u128(event_id * 7919 + 13)) AS uid,
+                    peek u16 big endian (chr(event_id % 127 + 1) || chr(event_id % 126 + 1)) AS be16,
+                    peek u16 little endian (chr(event_id % 127 + 1) || chr(event_id % 126 + 1)) AS le16,
+                    format_time("%Y-%m-%d %H:%M", float(ts)) AS ft,
+                    parse_time(format_time("%Y-%m-%d %H:%M", float(ts))) AS pt;""")
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          round(cos(value / 100), 9) AS cos9,
+          round(sin(value / 100), 9) AS sin9,
+          round(atan(value), 9) AS atan9,
+          CASE WHEN length(event_type) < 2 THEN ''
+               ELSE substr(event_type, 2, length(event_type) - 2) END AS etype_mid,
+          substr(printf('%032x', event_id * 7919 + 13), 1, 8) || '-' ||
+            substr(printf('%032x', event_id * 7919 + 13), 9, 4) || '-' ||
+            substr(printf('%032x', event_id * 7919 + 13), 13, 4) || '-' ||
+            substr(printf('%032x', event_id * 7919 + 13), 17, 4) || '-' ||
+            substr(printf('%032x', event_id * 7919 + 13), 21, 12) AS uid,
+          CAST(256 * (event_id % 127 + 1) + (event_id % 126 + 1) AS BIGINT) AS be16,
+          CAST(256 * (event_id % 126 + 1) + (event_id % 127 + 1) AS BIGINT) AS le16,
+          strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS ft,
+          CAST(epoch(date_trunc('minute', ts)) AS DOUBLE) AS pt
         FROM events ORDER BY event_id"""))
   )
 }

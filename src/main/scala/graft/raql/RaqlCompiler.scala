@@ -41,7 +41,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case "u8" => ShortType
     case "u16" => IntegerType
     case "u24" | "u32" | "u40" | "u48" | "u56" | "u64" => LongType
-    case "u128" | "i128" => DecimalType(39, 0)
+    case "u128" | "i128" => DecimalType(38, 0)
     case "i8" => ByteType
     case "i16" => ShortType
     case "i24" | "i32" => IntegerType
@@ -54,7 +54,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case "u16" | "i16" => Some("int")
     case "u24" | "u32" | "i24" | "i32" => Some("bigint")
     case "u40" | "u48" | "u56" | "u64" | "i40" | "i48" | "i56" | "i64" => Some("bigint")
-    case "u128" | "i128" => Some("decimal(39,0)")
+    case "u128" | "i128" => Some("decimal(38,0)")
     case "float" => Some("double")
     case "string" => Some("string")
     case "bool" => Some("boolean")
@@ -500,15 +500,129 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("chr", Seq(x)) => chr(go(x))
       case ("index", Seq(s0, c)) => instr(go(s0), go(c).cast("string")) - 1
       case ("substring", Seq(s0, a, b)) =>
-        // python-style slice with negative indices (doc expr.ml:702)
-        (a, b) match {
-          case (Lit(start: Long), Lit(stop: Long)) if start >= 0 && stop >= 0 =>
-            substring(go(s0), start.toInt + 1, (stop - start).toInt)
-          case _ => unsupported("SUBSTRING with dynamic/negative bounds")
+        // python-style slice, negative indices relative to the end, clamped
+        // (doc expr.ml:702); works for dynamic bounds too
+        val s = go(s0)
+        val len = length(s)
+        def norm(e: Expr): Column = {
+          val c = go(e).cast("int")
+          when(c < 0, greatest(len + c, lit(0))).otherwise(least(c, len))
         }
+        val st = norm(a)
+        val sp = norm(b)
+        substring(s, st + 1, greatest(sp - st, lit(0)))
+      case ("cos", Seq(x)) => cos(go(x))
+      case ("sin", Seq(x)) => sin(go(x))
+      case ("tan", Seq(x)) => tan(go(x))
+      case ("atan", Seq(x)) => atan(go(x))
+      // null on domain error, like sqrt/log (doc/raql/expr.ml trig section)
+      case ("acos", Seq(x)) => when(abs(go(x)) <= 1, acos(go(x)))
+      case ("asin", Seq(x)) => when(abs(go(x)) <= 1, asin(go(x)))
+      case ("cosh", Seq(x)) => cosh(go(x))
+      case ("sinh", Seq(x)) => sinh(go(x))
+      case ("tanh", Seq(x)) => tanh(go(x))
+
+      // PARSE_TIME: best-effort string → epoch seconds (NULL on failure)
+      case ("parse_time", Seq(x)) =>
+        (unix_micros(go(x).try_cast("timestamp")) / 1e6)
+
+      // UUID_OF_U128: 128-bit integer → canonical 8-4-4-4-12 lowercase hex
+      // (doc/raql/expr.ml:291). Split into two u64 halves for conv().
+      case ("uuid_of_u128", Seq(x)) =>
+        val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+        val d = go(x).cast("decimal(38,0)")
+        val hi = floor(d / two64).cast("decimal(38,0)")
+        val lo = (d - hi * two64).cast("decimal(20,0)")
+        val hexFull = concat(
+          lpad(lower(conv(hi.cast("string"), 10, 16)), 16, "0"),
+          lpad(lower(conv(lo.cast("string"), 10, 16)), 16, "0"))
+        concat_ws("-",
+          substring(hexFull, 1, 8), substring(hexFull, 9, 4),
+          substring(hexFull, 13, 4), substring(hexFull, 17, 4),
+          substring(hexFull, 21, 12))
+
+      // PEEK type [LITTLE|BIG ENDIAN] str: read the string's first bytes as
+      // an integer (doc/raql/expr.ml PEEK; tests/func/peek.ramen). Pure
+      // byte-slicing via hex/conv — no UDF. NULL when too short.
+      case ("peek", Seq(Lit(spec: String), x)) =>
+        val parts = spec.split("_")
+        val tname = parts(0)
+        val little = parts.length > 1 && parts(1) == "little"
+        val width = tname.replaceAll("[ui]", "").toInt / 8
+        val bin = go(x).cast("binary")
+        val hexStr = lower(hex(substring(bin, 1, width)))
+        val ordered =
+          if (!little) hexStr
+          else concat((width - 1 to 0 by -1).map(i =>
+            substring(hexStr, i * 2 + 1, 2)): _*)
+        val value =
+          if (width <= 8) {
+            val unsignedV = conv(ordered, 16, 10).cast("decimal(20,0)")
+            if (tname.startsWith("i")) {
+              // two's complement adjust for signed widths
+              val half = java.math.BigDecimal.valueOf(2).pow(width * 8 - 1)
+              val full = java.math.BigDecimal.valueOf(2).pow(width * 8)
+              when(unsignedV >= lit(half), (unsignedV - lit(full)).cast("long"))
+                .otherwise(unsignedV.cast("long"))
+            } else unsignedV.cast("long")
+          } else { // u128 → decimal(38,0) from two u64 halves
+            val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+            val hi = conv(substring(ordered, 1, 16), 16, 10).cast("decimal(38,0)")
+            val lo = conv(substring(ordered, 17, 16), 16, 10).cast("decimal(38,0)")
+            hi * two64 + lo
+          }
+        when(octet_length(bin) >= width, value)
+
+      // best-effort typed-vector / tuple casts (char.ramen, tuples.ramen)
+      case (n, args) if n.startsWith("cast_vec_") =>
+        val t = castType(n.stripPrefix("cast_vec_")).getOrElse("string")
+        args match {
+          case Seq(Lit(null)) => lit(null)
+          case Seq(VectorLit(items)) => array(items.map(i => go(i).cast(t)): _*)
+          case Seq(single) => transform(go(single), e0 => e0.cast(t))
+          case many => array(many.map(a => go(a).cast(t)): _*)
+        }
+      case ("cast_tuple", Lit(types: String) +: args) =>
+        val ts = types.split(";")
+        struct(args.zipWithIndex.map { case (a, i) =>
+          val t = castType(ts(i).stripSuffix("?")).getOrElse("string")
+          go(a).cast(t).as(s"_${i + 1}")
+        }: _*)
+      case ("record", args) =>
+        struct(args.grouped(2).collect {
+          case Seq(Lit(n0: String), e0) => go(e0).as(n0)
+        }.toSeq: _*)
+
       case ("countrycode", Seq(x)) => lit(null).cast("string") // needs a geo table
+      // FORMAT_TIME is literal token substitution, exactly the reference's
+      // strftime (CodeGenLib.ml:687-704): %Y %m %d %H %M %j(0-based)
+      // %S(=%05.2f secs+frac) %s(epoch) %u(weekday) %n(\n) %t(\t).
       case ("format_time", Seq(Lit(fmt: String), t)) =>
-        date_format(timestamp_seconds(go(t)), fmt)
+        val tc = go(t).cast("double")
+        val ts = timestamp_seconds(tc)
+        val token = "%[YmdHMjSsunt]".r
+        val pieces = scala.collection.mutable.ArrayBuffer[Column]()
+        var last = 0
+        token.findAllMatchIn(fmt).foreach { m =>
+          if (m.start > last) pieces += lit(fmt.substring(last, m.start))
+          pieces += (m.matched match {
+            case "%Y" => date_format(ts, "yyyy")
+            case "%m" => date_format(ts, "MM")
+            case "%d" => date_format(ts, "dd")
+            case "%H" => date_format(ts, "HH")
+            case "%M" => date_format(ts, "mm")
+            case "%j" => (dayofyear(ts) - 1).cast("string") // tm_yday is 0-based
+            case "%S" => format_string("%05.2f",
+              second(ts).cast("double") + (tc - floor(tc)))
+            case "%s" => tc.cast("string")
+            case "%u" => (dayofweek(ts) - 1).cast("string") // 0 = Sunday
+            case "%n" => lit("\n")
+            case "%t" => lit("\t")
+          })
+          last = m.end
+        }
+        if (last < fmt.length) pieces += lit(fmt.substring(last))
+        if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
       case ("split", _) =>
         unsupported("split generator outside SELECT field")
       case (other, _) => unsupported(s"function $other/${args.size}")
@@ -829,9 +943,54 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           if (keyExprs.contains(e)) compileExpr(e, params, splitCols).as(n)
           else col(n) }: _*)
       } else {
-        val cols = named.map { case (e, n) =>
+        // End-of-input aggregate without grouping. Reference behaviors:
+        // (a) later fields may reference earlier OUTPUT fields
+        //     (tuples.ramen f1: `max n, max_n+1 AS max_n_p1`);
+        // (b) stateful functions may nest (`max (1 + max n)`, f2) — the
+        //     inner evaluates as running state per row and the outer
+        //     aggregates the running values.
+        var src2 = src
+        // the aggregate-of-array unification (`sum group x`) and the
+        // count-distinct idiom are NOT nested state — only rewrite when the
+        // effective operand still contains an aggregate after unwrapping
+        def effectiveOperand(a: AggCall): Expr = a match {
+          case AggCall(_, AggCall("group", inner, _, _), _, _) => inner
+          case AggCall("sum", FunCall(c, Seq(AggCall("distinct", inner, _, _))), _, _)
+            if castType(c).isDefined => inner
+          case AggCall("sum", AggCall("distinct", inner, _, _), _, _) => inner
+          case AggCall(_, op, _, _) => op
+        }
+        def rewriteNested(e: Expr): Expr = e match {
+          case a @ AggCall(fn, op, mods, extra) if hasAgg(effectiveOperand(a)) =>
+            val seqName = "_graft_seq"
+            if (!src2.columns.contains(seqName))
+              src2 = src2.withColumn(seqName, monotonically_increasing_id())
+            runCtx = Some(new RunCtx(src2, seqName))
+            val c =
+              try compileExpr(op, params, splitCols)
+              finally { src2 = runCtx.get.df; runCtx = None }
+            val name = s"_graft_n${src2.columns.length}"
+            src2 = src2.withColumn(name, c)
+            AggCall(fn, Ref(Seq(name)), mods, extra)
+          case Binop(o, l, r) => Binop(o, rewriteNested(l), rewriteNested(r))
+          case Unop(o, x) => Unop(o, rewriteNested(x))
+          case FunCall(f, as) => FunCall(f, as.map(rewriteNested))
+          case CaseExpr(br, el) =>
+            CaseExpr(br.map { case (c0, v) => (rewriteNested(c0), rewriteNested(v)) },
+              el.map(rewriteNested))
+          case IsNull(x, neg) => IsNull(rewriteNested(x), neg)
+          case other => other
+        }
+        val rewritten = named.map { case (e, n) => (rewriteNested(e), n) }
+        val aggCols = rewritten.collect { case (e, n) if hasAgg(e) =>
           compileExpr(e, params, splitCols).as(n) }
-        src.agg(cols.head, cols.tail: _*)
+        var df =
+          if (aggCols.nonEmpty) src2.agg(aggCols.head, aggCols.tail: _*)
+          else src2.agg(count(lit(1)).as("_graft_cnt"))
+        rewritten.foreach { case (e, n) =>
+          if (!hasAgg(e)) df = df.withColumn(n, compileExpr(e, params, splitCols))
+        }
+        df.select(named.map(n => col(n._2)): _*)
       }
     } else {
       // sequential withColumn so later fields can reference earlier aliases

@@ -81,7 +81,21 @@ object RaqlParser extends RegexParsers {
   // single token — split sub-parsers would skip whitespace inside the quotes
   private val stringLit: Parser[Expr] =
     """"(\\.|[^"\\])*"""".r ^^ { s =>
-      Lit(s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      val body = s.substring(1, s.length - 1)
+      // unescape \xNN (peek.ramen byte strings), \n, \t, \", \\
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        if (body.charAt(i) == '\\' && i + 1 < body.length) body.charAt(i + 1) match {
+          case 'x' if i + 3 < body.length =>
+            sb.append(Integer.parseInt(body.substring(i + 2, i + 4), 16).toChar)
+            i += 4
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case c => sb.append(c); i += 2
+        } else { sb.append(body.charAt(i)); i += 1 }
+      }
+      Lit(sb.toString)
     }
 
   private val boolLit: Parser[Expr] =
@@ -233,6 +247,38 @@ object RaqlParser extends RegexParsers {
     ps ~ (kw("percentile") ~> unaryExpr) ^^ { case p ~ e => PercentileCall(p, e) }
   }
 
+  /** Ordinal tuple accessor: `1st t`, `2nd(x)` — 0-based GET
+    * (constructed_types.ramen). Tried after percentileCall. */
+  private def ordinalGet: Parser[Expr] =
+    ("""\d+""".r <~ ("st" | "nd" | "rd" | "th")) ~ unaryExpr ^^ {
+      case n ~ e => FunCall("get", Seq(Lit(n.toLong - 1), e))
+    }
+
+  /** Record literal `{ name: e ; … }` (constructed_types.ramen). */
+  private def recordLit: Parser[Expr] =
+    "{" ~> rep1sep(ident ~ (":" ~> expr), ";") <~ "}" ^^ { fs =>
+      FunCall("record", fs.flatMap { case n ~ e => Seq(Lit(n), e) })
+    }
+
+  /** Vector/tuple cast application: `string[](x)`, `string[2](x)`,
+    * `char?[1]?(x)`, `ip?[2](a; b)`, `(string; u32?)(1; 2)`,
+    * `(u32; string)?(…)` (char.ramen, tuples.ramen). */
+  private def typeCastApply: Parser[Expr] = {
+    val vecCast =
+      ident ~ opt("?") ~ ("[" ~> opt(number) <~ "]") ~ opt("?") ~
+        ("(" ~> rep1sep(expr, ";" | ",") <~ ")") ^^ {
+        case t ~ _ ~ _ ~ _ ~ args => FunCall("cast_vec_" + t.toLowerCase, args)
+      }
+    val tupleCast =
+      ("(" ~> rep1sep(ident ~ opt("?"), ";") <~ ")") ~ opt("?") ~
+        ("(" ~> rep1sep(expr, ";") <~ ")") ^^ {
+        case ts ~ _ ~ args =>
+          val types = ts.map { case t ~ q => t.toLowerCase + q.getOrElse("") }
+          FunCall("cast_tuple", Lit(types.mkString(";")) +: args)
+      }
+    vecCast | tupleCast
+  }
+
   private def caseExpr: Parser[Expr] =
     kw("case") ~> rep1(kw("when") ~> expr ~ (kw("then") ~> expr)) ~
       opt(kw("else") ~> expr) <~ kw("end") ^^ { case br ~ el =>
@@ -260,6 +306,10 @@ object RaqlParser extends RegexParsers {
     (kw("in") | kw("out") | kw("previous") | kw("param") | kw("env") |
       kw("group")) ~ ("." ~> rep1sep(plainIdent, ".")) ^^ {
       case v ~ rest => Ref(v +: rest)
+    } |
+    // bare tuple variable (`get("f", in)`, constructed_types.ramen)
+    (kw("in") | kw("out") | kw("previous")) <~ guard(not("." | "(")) ^^ {
+      v => Ref(Seq(v))
     }
 
   private def pathRef: Parser[Expr] =
@@ -328,11 +378,13 @@ object RaqlParser extends RegexParsers {
 
   private def primary: Parser[Expr] = {
     val base =
-      percentileCall | ipLit | number | charLit | eventTimeRef | stringLit |
+      percentileCall | ordinalGet | ipLit | number | charLit | eventTimeRef |
+        stringLit |
         boolLit | nullLit | caseExpr | ifCall | castExpr | onceEvery |
-        oneOutOf | peekCall | topMembership | pastOf | listTop | aggCall |
+        oneOutOf | peekCall | topMembership | pastOf | listTop |
+        typeCastApply | aggCall |
         funCall | prefixFun | varRef | pathRef | tupleLit | vectorLit |
-        "(" ~> expr <~ ")"
+        recordLit | "(" ~> expr <~ ")"
     // postfix indexing `_ts[1]` = GET(1, _ts); units annotations ignored
     base ~ rep("[" ~> expr <~ "]") ~ opt("""\{[^}]*\}""".r) ^^ {
       case e ~ idxs ~ _ =>
@@ -348,8 +400,12 @@ object RaqlParser extends RegexParsers {
     } |
     expr ~ opt(kw("as") ~> ident) ^^ { case e ~ a => SelectField(e, a) }
 
+  /** FROM names may climb (`../prog#_/f`) and carry experiment suffixes. */
+  private val fromName: Parser[String] =
+    """(\.\./)*[A-Za-z_][A-Za-z0-9_/.#]*""".r
+
   private def fromRef: Parser[Either[String, Operation]] =
-    qualName ^^ (Left(_)) |
+    fromName ^^ (Left(_)) |
     "(" ~> operation <~ ")" ^^ (Right(_)) |
     stringLit ^^ { case Lit(s: String) => Left(s); case _ => Left("") }
 
@@ -485,8 +541,13 @@ object RaqlParser extends RegexParsers {
   private def parameters: Parser[Seq[Param]] =
     (kw("parameters") | kw("parameter")) ~> rep1sep(paramDecl, ",") <~ ";"
 
+  /** `DECLARE [WITH x SCOPE] name type;` — globals are parsed and skipped
+    * (batch compiler has no mutable global maps; see COVERAGE notes). */
+  private def declare: Parser[Unit] =
+    kw("declare") ~> """[^;]*""".r <~ ";" ^^^ ()
+
   def program: Parser[Program] =
-    rep(parameters | define) ^^ { items =>
+    rep(parameters | declare | define) ^^ { items =>
       val params = items.collect { case ps: Seq[_] => ps.asInstanceOf[Seq[Param]] }.flatten
       val funcs = items.collect { case f: Func => f }
       Program(params, funcs)
