@@ -157,6 +157,34 @@ object CoreQueries {
         ${dsumSql("COALESCE(NULLIF(value, 0.0), -1.0)")} AS sum_demo
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- q17: service read path — timeseries bucketization
+    // (RamenTimeseries.ml:1-50: n even time buckets over [since, until],
+    // per-bucket aggregates). Bounds from a 1-row agg broadcast to the
+    // scan; bucket index in exact integer arithmetic; then a plain hash
+    // aggregation — two scans, no sort, no skew sensitivity at 100 TB.
+    QueryDef(
+      "q17_timeseries",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("ts_ns"), col("value"))
+        val bounds = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi"))
+        ev.crossJoin(broadcast(bounds))
+          // integer div: ns epochs exceed 2^53, double division would lose
+          // exactness (`/` on Columns is always floating point)
+          .withColumn("bucket", expr("(ts_ns - lo) * 48 div (hi - lo + 1)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("value").as("min_v"), max("value").as("max_v"),
+            dsum(col("value")).as("sum_v"))
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT (epoch_ns(ts) - lo) * 48 // (hi - lo + 1) AS bucket,
+          COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+          ${dsumSql("value")} AS sum_v
+        FROM events, (SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi
+                      FROM events) b
+        GROUP BY 1 ORDER BY 1"""),
+      headline = true),
+
     // ---- q08: stateless scalar-function surface in one pass
     // AGE (vs fixed now), RELDIFF, TRUNCATE, LIKE-glob, INDEX, SUBSTRING,
     // FORMAT_TIME (doc/raql/expr.ml:64,511,500,310,666,702,640)
