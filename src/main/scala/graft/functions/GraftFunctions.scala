@@ -113,6 +113,40 @@ object GraftFunctions {
     fold.getField("l") + lit(phi) * fold.getField("b")
   }
 
+  /** RaQL `FIT (latest k x)` — one-dimension linear fit, exactly the
+    * reference's one_dimension (`CodeGenLib.ml:959-986`): regress over all
+    * but the LAST element (x = position, x̄ = (m-1)/2), then predict
+    * last-used + slope. One observation → that observation. */
+  def fitArr(vals: Column): Column = {
+    val m = size(vals) - 1 // observations used (last element excluded)
+    val xAvg = (m - 1).cast("double") / 2.0
+    val obs = slice(vals, lit(1), greatest(m, lit(0)))
+    val b1n = aggregate(
+      zip_with(obs, sequence(lit(0), greatest(m - 1, lit(0))),
+        (y, x) => y * (x.cast("double") - xAvg)),
+      lit(0.0), (acc, v) => acc + v)
+    // Σ(x - x̄)² for x = 0..m-1 has the closed form m(m²-1)/12
+    val b1d = (m * (m * m - 1)).cast("double") / 12.0
+    when(m <= 0, lit(null))
+      .when(m === 1, element_at(vals, 1).cast("double"))
+      .otherwise(element_at(vals, m).cast("double") + b1n / b1d)
+  }
+
+  /** Unicode sparkline of a numeric array (RaQL SPARKLINE): each value
+    * scaled min→max onto ▁▂▃▄▅▆▇█. */
+  def sparklineArr(vals: Column): Column = {
+    val bars = "▁▂▃▄▅▆▇█"
+    val mn = array_min(vals).cast("double")
+    val mx = array_max(vals).cast("double")
+    val span = mx - mn
+    concat_ws("", transform(vals, v => {
+      val idx = when(span > 0,
+        least(floor((v.cast("double") - mn) / span * 8), lit(7.0)))
+        .otherwise(lit(3.0))
+      substring(lit(bars), idx.cast("int") + 1, lit(1))
+    }))
+  }
+
   /** RaQL `HYSTERESIS x, acceptable, maximum`: true while the signal is in
     * the acceptable regime; flips false once it exceeds `maximum`, flips
     * back once it returns to ≤ `acceptable`. Scans the ordered array and

@@ -34,6 +34,23 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   def registerTable(key: String, df: DataFrame): Unit =
     compiled(key) = df
 
+  /** (begin, end, country) ranges backing COUNTRYCODE. The front-end
+    * compiles membership as a literal decision list (fine for demo-sized
+    * tables); full GeoIP scale uses the broadcast range join
+    * (graft.NetQueries n02). */
+  private var geoRanges: Option[Seq[(Long, Long, String)]] = None
+  def registerGeoRanges(ranges: Seq[(Long, Long, String)]): Unit =
+    geoRanges = Some(ranges)
+
+  /** Best-effort type lookup for operand-directed compilation (boolean
+    * COUNT, array LENGTH) in any mode. */
+  private var typerDf: Option[DataFrame] = None
+  private def dtypeOpt(c: Column): Option[DataType] =
+    runCtx.map(_.df).orElse(typerDf).flatMap { df =>
+      try Some(df.select(c).schema.head.dataType)
+      catch { case _: Throwable => None }
+    }
+
   def sparkType(t: RType): DataType = t.base match {
     case "bool" => BooleanType
     case "char" | "string" => StringType
@@ -113,7 +130,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** Same functions in their parenthesized FunCall spelling. */
   private val windowFunCalls = Set("lag", "moveavg", "sample", "hysteresis",
-    "remember", "smooth", "derive", "changed")
+    "remember", "smooth", "derive", "changed", "season_moveavg")
 
   private def hasWindowFn(e: Expr): Boolean = e match {
     case AggCall(fn, op, _, extra) =>
@@ -352,6 +369,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         moveavgOf(x, modNum(mods, "n").getOrElse(1.0).toLong)
       case FunCall("moveavg", Seq(k, x)) => moveavgOf(x, evalNum(k, params).toLong)
 
+      case FunCall("season_moveavg", Seq(p, k, x)) =>
+        // avg of the same phase in the k previous periods of length p
+        // (CodeGenLib Seasonal :808-903; season.ramen) — current excluded
+        val period = evalNum(p, params).toInt
+        val seasons = evalNum(k, params).toInt
+        val c = goM(x)
+        val lags = array((1 to seasons).map(i =>
+          lag(c, i * period).over(W)): _*)
+        val nonNull = filter(lags, v => v.isNotNull)
+        when(size(nonNull) > 0,
+          aggregate(nonNull, lit(0.0), (acc, v) => acc + v.cast("double")) /
+            size(nonNull))
+
       case AggCall("smooth", x, mods, _) =>
         smoothOf(x, modNum(mods, "n").getOrElse(0.5))
       case FunCall("smooth", Seq(a, x)) => smoothOf(x, evalNum(a, params))
@@ -426,7 +456,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           val tUs = (time * 1e6).cast("long")
           val frame = Window.orderBy(tUs)
             .rangeBetween(-((d * 1e6).toLong - 1), 0)
-          collect_list(goM(x)).over(frame)
+          modNum(mods, "sample") match {
+            // PAST d SAMPLE SIZE n OF x: bounded uniform sample of the
+            // time window instead of the full contents
+            case Some(n) => sampleOf(goM(x), n.toInt, frame)
+            case None => collect_list(goM(x)).over(frame)
+          }
         }
 
       case AggCall("largest", x, mods, _) =>
@@ -488,7 +523,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("truncate", Seq(x)) => floor(go(x))
       case ("truncate", Seq(x, s)) => floor(go(x) / go(s)) * go(s)
       case ("hash", Seq(x)) => xxhash64(go(x))
-      case ("sparkline", Seq(x)) => go(x).cast("string") // cosmetic
+      case ("sparkline", Seq(x)) =>
+        val c = go(x)
+        if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType]))
+          graft.functions.GraftFunctions.sparklineArr(c)
+        else graft.functions.GraftFunctions.sparklineArr(array(c))
+      case ("fit", Seq(x)) =>
+        val c = go(x)
+        if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType]))
+          graft.functions.GraftFunctions.fitArr(c)
+        else unsupported("FIT over a non-list operand (use FIT (latest k x))")
       case ("get", Seq(i, coll)) =>
         // RaQL GET is 0-based and NULL out of bounds; element_at is 1-based
         i match {
@@ -593,7 +637,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case Seq(Lit(n0: String), e0) => go(e0).as(n0)
         }.toSeq: _*)
 
-      case ("countrycode", Seq(x)) => lit(null).cast("string") // needs a geo table
+      case ("countrycode", Seq(x)) =>
+        // literal decision list over the registered ranges — a silent NULL
+        // stub would be a wrong answer, so unregistered throws
+        geoRanges match {
+          case Some(rs) =>
+            val ip = go(x).cast("long")
+            rs.foldRight(lit(null).cast("string")) { case ((b, e0, cc), acc) =>
+              when(ip >= b && ip <= e0, lit(cc)).otherwise(acc)
+            }
+          case None => unsupported(
+            "COUNTRYCODE needs registerGeoRanges (scale path: broadcast range join, NetQueries n02)")
+        }
       // FORMAT_TIME is literal token substitution, exactly the reference's
       // strftime (CodeGenLib.ml:687-704): %Y %m %d %H %M %j(0-based)
       // %S(=%05.2f secs+frac) %s(epoch) %u(weekday) %n(\n) %t(\t).
@@ -679,6 +734,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
   }
 
+  /** Syntactic boolean detection for operand-directed COUNT. */
+  private def boolShaped(e: Expr): Boolean = e match {
+    case Binop(op, _, _) =>
+      Set("=", "<>", "!=", "<", "<=", ">", ">=", "and", "or", "like", "in",
+        "starts_with", "ends_with").contains(op)
+    case Unop("not", _) => true
+    case IsNull(_, _) => true
+    case Lit(_: Boolean) => true
+    case CaseExpr(br, el) =>
+      br.forall { case (_, v) => boolShaped(v) } && el.forall(boolShaped)
+    case _ => false
+  }
+
   private def compileAgg(a: AggCall, go: Expr => Column): Column = {
     // aggregate-of-array unification: agg (group x) ≡ agg x
     val operand = a.operand match {
@@ -724,7 +792,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case "first" => first(c)
       case "last" => last(c)
       case "count" if a.modifiers.contains("distinct") => count_distinct(c)
-      case "count" => count(c)
+      case "count" =>
+        // COUNT of a boolean counts TRUEs (reference count.ramen: "count a
+        // predicate"); of anything else, non-nulls
+        val isBool = boolShaped(operand) ||
+          dtypeOpt(c).contains(BooleanType)
+        if (isBool) withKeepNulls(count(when(c, lit(1)))) else count(c)
       case "aggr_and" | "all" => call_function("bool_and", c)
       case "aggr_or" | "any" => call_function("bool_or", c)
       case "bitor" => call_function("bit_or", c)
@@ -919,11 +992,44 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         explode(split(strCol, sepRe)).as(s"_split_$i"))
       splitCols += fc -> col(s"_split_$i")
     }
-    val named = fields.map { f =>
+    val named0 = fields.map { f =>
       val name = f.alias.getOrElse(autoName(f.expr))
       (f.expr, name)
     }
-    if (fields.exists(f => hasAgg(f.expr))) {
+    // Substitute references to earlier NON-aggregate output fields into
+    // later expressions (count.ramen: `CO2 < 300 AS _low_emit,
+    // COUNT _low_emit`): aggregate operands must see the defining
+    // expression, not a column that only exists post-aggregation.
+    val aliasMap = scala.collection.mutable.Map.empty[String, Expr]
+    def subAlias(x: Expr): Expr = x match {
+      case Ref(Seq(nm)) if aliasMap.contains(nm) => aliasMap(nm)
+      case Binop(o, l, r) => Binop(o, subAlias(l), subAlias(r))
+      case Unop(o, y) => Unop(o, subAlias(y))
+      case FunCall(f, as) => FunCall(f, as.map(subAlias))
+      case AggCall(f, op, m, ex) => AggCall(f, subAlias(op), m, ex.map(subAlias))
+      case PercentileCall(ps, op) => PercentileCall(ps, subAlias(op))
+      case CaseExpr(br, el) =>
+        CaseExpr(br.map { case (c0, v) => (subAlias(c0), subAlias(v)) },
+          el.map(subAlias))
+      case IsNull(y, ng) => IsNull(subAlias(y), ng)
+      case VectorLit(it) => VectorLit(it.map(subAlias))
+      case other => other
+    }
+    val named = named0.map { case (e, n) =>
+      val e2 = subAlias(e)
+      if (!hasAgg(e2)) aliasMap(n) = e2
+      (e2, n)
+    }
+    typerDf = Some(src)
+    try compileNamed(src, named, agg, params, splitCols)
+    finally typerDf = None
+  }
+
+  private def compileNamed(src: DataFrame, named: Seq[(Expr, String)],
+      agg: Aggregate, params: Map[String, Expr],
+      splitCols: Map[FunCall, Column]): DataFrame = {
+    val fields = named // (expr, name) pairs, aliases pre-substituted
+    if (fields.exists(f => hasAgg(f._1))) {
       if (agg.groupBy.nonEmpty) {
         // grouping columns come back from groupBy() itself; aggregate
         // fields go through agg(); other fields take the group's last

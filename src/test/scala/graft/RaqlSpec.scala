@@ -149,6 +149,71 @@ class RaqlSpec extends AnyFunSuite {
     assert(f2 == Seq("BMW", "Toyota", "GM"))
   }
 
+  test("count/f golden: COUNT of booleans counts trues, keep-nulls nulls") {
+    val c = load("fixtures/cars", "count")
+    val rows = c.compile("count/f").collect()
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def row(m: String) = rows.find(_.getString(byName("manufacturer")) == m).get
+    val aston = row("aston martin")
+    assert(aston.getLong(byName("num_lines")) == 8L)
+    assert(aston.getLong(byName("num_models")) == 3L)
+    assert(aston.getLong(byName("num_power_cars")) == 8L)
+    assert(aston.getLong(byName("num_eco_cars")) == 1L)
+    assert(aston.get(byName("num_eco_cars_nullable")) == 1L)
+    val mitsu = row("Mitsubishi Motors Co")
+    assert(mitsu.getLong(byName("num_lines")) == 39L)
+    assert(mitsu.getLong(byName("num_models")) == 9L)
+    assert(mitsu.getLong(byName("num_power_cars")) == 0L)
+    assert(mitsu.getLong(byName("num_eco_cars")) == 32L)
+    assert(mitsu.isNullAt(byName("num_eco_cars_nullable")))
+  }
+
+  test("season/f golden: seasonal moveavg and FIT") {
+    val c = load("fixtures/earthquakes", "season")
+    val rows = c.compile("season/f").collect()
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val y2015 = rows.find(_.get(byName("year")) == 2015).get
+    def d(n: String): Double = y2015.get(byName(n)) match {
+      case x: java.lang.Double => x
+      case x: java.lang.Integer => x.toDouble
+      case x: java.lang.Long => x.toDouble
+    }
+    assert(d("a1") == 16.0)
+    assert(d("a2") == 16.5)
+    assert(math.abs(d("a5") - 14.8) < 1e-9)
+    assert(d("f1") == 12.0)
+    assert(math.abs(d("f2") - 5.0) < 1e-9)
+    assert(math.abs(d("f3") - 10.0) < 1e-9)
+  }
+
+  test("basename golden") {
+    val c = load("basename")
+    val row = c.compile("basename/basename").collect().head
+    assert(row.getString(0) == "TCP")
+    assert(row.getString(1) == "")
+    assert(row.getString(2) == "Ethernet")
+  }
+
+  test("COUNTRYCODE compiles against registered geo ranges (no silent null)") {
+    val c = new RaqlCompiler(spark, funcDir)
+    c.registerGeoRanges(Seq((0L, 100L, "AA"), (101L, 200L, "BB")))
+    RaqlParser.parseProgram(
+      """DEFINE g AS YIELD countrycode(50) AS c1, countrycode(150) AS c2,
+           countrycode(999) AS c3;""") match {
+      case Right(p) => c.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val row = c.compile("m/g").collect().head
+    assert(row.getString(0) == "AA" && row.getString(1) == "BB" && row.isNullAt(2))
+    // unregistered → loud failure, not a silent NULL
+    val c2 = new RaqlCompiler(spark, funcDir)
+    RaqlParser.parseProgram("DEFINE g AS YIELD countrycode(50) AS c1;") match {
+      case Right(p) => c2.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    intercept[UnsupportedOperationException] { c2.compile("m/g") }
+  }
+
   test("parses a healthy fraction of the full reference test corpus") {
     val all = Files.list(Paths.get(funcDir)).iterator().asScala
       .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
