@@ -225,7 +225,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         op match {
           case "+" => a + b
           case "-" => a - b
-          case "*" => a * b
+          case "*" =>
+            // string repetition: "one" * 2 = "oneone" (strings.ramen)
+            (l, r) match {
+              case (Lit(_: String), Lit(n: Long)) => repeat(a, n.toInt)
+              case (Lit(n: Long), Lit(_: String)) => repeat(b, n.toInt)
+              case _ => a * b
+            }
           case "/" => a / b
           case "//" => floor(a / b)
           case "%" => a % b

@@ -214,6 +214,19 @@ class RaqlSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { c2.compile("m/g") }
   }
 
+  test("strings/f1 golden: containment, slices, repetition") {
+    val c = load("strings")
+    val row = c.compile("strings/f1").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    def b(n: String) = row.getBoolean(byName(n))
+    def s(n: String) = row.getString(byName(n))
+    assert(b("t1") && b("t2") && b("t3"))
+    assert(s("t4") == "multi\nline")
+    assert(row.getInt(byName("t5")) == 10)
+    assert(Seq("t6", "t7", "t8", "t9", "t10").forall(s(_) == "glop"))
+    assert(b("t11") && b("t12") && b("t13"))
+  }
+
   test("parses a healthy fraction of the full reference test corpus") {
     val all = Files.list(Paths.get(funcDir)).iterator().asScala
       .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
