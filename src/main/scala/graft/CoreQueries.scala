@@ -185,6 +185,23 @@ object CoreQueries {
         GROUP BY 1 ORDER BY 1"""),
       headline = true),
 
+    // ---- q18: service read path — tail (RamenApi.ml tail endpoint): the
+    // last n committed tuples. Sort pushes down to a TakeOrderedAndProject
+    // (top-n heap per partition + merge), no full sort at scale.
+    QueryDef(
+      "q18_tail",
+      (s, d) => {
+        Tables.events(s, d)
+          // µs resolution: DuckDB truncates the parquet ns timestamps on
+          // read, so the comparable tail key is microseconds
+          .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy(desc("ts_us"), desc("event_id"))
+          .limit(100)
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        FROM events ORDER BY ts_us DESC, event_id DESC LIMIT 100""")),
+
     // ---- q08: stateless scalar-function surface in one pass
     // AGE (vs fixed now), RELDIFF, TRUNCATE, LIKE-glob, INDEX, SUBSTRING,
     // FORMAT_TIME (doc/raql/expr.ml:64,511,500,310,666,702,640)

@@ -53,6 +53,20 @@ object SimilarityQueries {
       None,
       headline = true),
 
+    // ---- a04: IVF ANN — coarse cells around literal centroids, map-only
+    // assignment, nprobe-cell probe (the second scale path next to LSH;
+    // see Similarity.ivfTopK). Probabilistic recall ⇒ tested, not oracled.
+    QueryDef(
+      "a04_ann_ivf",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      None),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

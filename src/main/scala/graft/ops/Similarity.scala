@@ -71,6 +71,58 @@ object Similarity {
     Seq.fill(bands * r)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into `nlist`
+    * cells around deterministic seed centroids, then probe only the
+    * `nprobe` best cells per query.
+    *
+    * Scale shape: centroids are a driver-side literal (nlist×dim doubles —
+    * like the LSH hyperplanes), so CELL ASSIGNMENT IS MAP-ONLY: one
+    * codegen'd VecDot per centroid per row, argmax inline, no shuffle of
+    * the corpus beyond the final per-cell candidate join. Queries (small)
+    * explode to their nprobe cells and broadcast-join the assigned corpus.
+    * Versus brute force, compared candidates drop to ~nprobe/nlist of the
+    * corpus; versus LSH, recall degrades gracefully with distance instead
+    * of banding cliffs. Seeds are hash-ordered corpus vectors — stable
+    * across runs, no kmeans iterations (a kmeans refinement would reuse
+    * exactly this assignment plan per iteration). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    // deterministic seed centroids, L2-normalized at the driver
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id"))).orderBy("h").limit(nlist)
+      .select("v").collect()
+      .map { r =>
+        val raw = r.getSeq[Any](0).map(x => x.toString.toDouble)
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        raw.map(_ / math.max(n, 1e-12)).toSeq
+      }.toSeq
+    def cellScores(v: Column): Column =
+      array(cents.map(cv => dotFlat(v, typedlit(cv), dim)): _*)
+
+    val c = withVec(corpus, idCol, vecCol, dim).repartition(par(corpus))
+      .withColumn("_scores", cellScores(col("v")))
+      .withColumn("cell",
+        array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
+      .drop("_scores")
+    import org.apache.spark.sql.expressions.Window
+    val q = withVec(queries, idCol, vecCol, dim)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+        posexplode(cellScores(col("v"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("col"), asc("pos"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnorm"), (col("pos") + 1).as("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        round(dotFlat(col("qv"), col("v"), dim) / (col("qnorm") * col("norm")), 9)
+          .as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
     * cos ≥ minCos. */

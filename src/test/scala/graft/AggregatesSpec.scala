@@ -172,6 +172,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
   }
 
+  test("holtWintersArr matches a plain-Scala fold (seasonal reference recurrence)") {
+    val series = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 21.0, 20.0)
+    val (alpha, beta, gamma, phi, period) = (0.5, 0.3, 0.2, 0.9, 4)
+    var l = series.head; var b = 0.0
+    val s = Array.fill(period)(0.0)
+    var i = 1
+    series.tail.foreach { x =>
+      val si = s(i % period)
+      val lNew = alpha * (x - si) + (1 - alpha) * (l + phi * b)
+      val bNew = beta * (lNew - l) + (1 - beta) * phi * b
+      s(i % period) = gamma * (x - lNew) + (1 - gamma) * si
+      l = lNew; b = bNew; i += 1
+    }
+    val expected = l + phi * b + s(i % period)
+    val got = Seq(series).toDF("vals")
+      .select(holtWintersArr(col("vals"), alpha, beta, gamma, phi, period))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+
   test("expSmoothArr matches a plain-Scala fold") {
     val series = Seq(1.0, 5.0, 3.0, 9.0)
     val expected = series.tail.foldLeft(series.head)((acc, x) => 0.3 * x + 0.7 * acc)

@@ -82,6 +82,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall vs brute-force top-k") {
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // synthetic embeddings are uniform random — the hardest case for IVF
+    // (no cluster structure, cosines concentrate near 0) — so the probe
+    // budget here is half the cells; clustered real data needs far fewer
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (nprobe 8/16 cells)")
+    // probing every cell must recover the exact answer
+    val full = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nprobe = nlist must equal brute force")
+  }
+
   test("exact dedup groups permuted duplicates together") {
     val df = Seq(
       (1L, "alpha beta gamma"),
