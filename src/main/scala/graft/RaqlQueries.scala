@@ -76,7 +76,8 @@ object RaqlQueries {
              WHERE event_id % 10 = 0;""")
         .orderBy("event_id"),
       Some("""SELECT event_id,
-          CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid'
+          CASE WHEN value IS NULL THEN NULL
+               WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid'
                ELSE 'high' END AS bucket,
           value IS NULL AS no_value,
           ROUND(value) AS value_round

@@ -270,8 +270,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case IsNull(x, false) => go(x).isNull
       case IsNull(x, true) => go(x).isNotNull
       case CaseExpr(branches, el) =>
-        val w = branches.tail.foldLeft(when(go(branches.head._1), go(branches.head._2))) {
-          case (acc, (c, v)) => acc.when(go(c), go(v))
+        // RaQL nullability: a NULL condition makes the CASE NULL (does NOT
+        // fall through to ELSE like SQL) — tests/func/case.ramen golden
+        // row 3: `CASE WHEN name = "one" THEN 6 ELSE 666` is NULL for a
+        // NULL name.
+        val first = branches.head
+        val c0 = go(first._1)
+        val w0 = when(c0.isNull, lit(null)).when(c0, go(first._2))
+        val w = branches.tail.foldLeft(w0) { case (acc, (c, v)) =>
+          val cc = go(c)
+          acc.when(cc.isNull, lit(null)).when(cc, go(v))
         }
         el.map(e0 => w.otherwise(go(e0))).getOrElse(w)
       case VectorLit(items) => array(items.map(go): _*)
@@ -1094,13 +1102,38 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case other => other
         }
         val rewritten = named.map { case (e, n) => (rewriteNested(e), n) }
-        val aggCols = rewritten.collect { case (e, n) if hasAgg(e) =>
-          compileExpr(e, params, splitCols).as(n) }
+        // Non-aggregate fields: if they read input columns they take the
+        // LAST row's value (reference semantics — fun_with_funcs
+        // `_co2_per_hp`); if they reference aggregate output aliases
+        // (`max_n + 1`) they compute after the aggregation.
+        def simpleRefs(e: Expr): Seq[String] = e match {
+          case Ref(Seq(n)) => Seq(n)
+          case Ref(_) => Nil
+          case Binop(_, l, r) => simpleRefs(l) ++ simpleRefs(r)
+          case Unop(_, x) => simpleRefs(x)
+          case FunCall(_, as) => as.flatMap(simpleRefs)
+          case AggCall(_, op, _, ex) => simpleRefs(op) ++ ex.flatMap(simpleRefs)
+          case PercentileCall(_, op) => simpleRefs(op)
+          case CaseExpr(br, el) =>
+            br.flatMap { case (c0, v) => simpleRefs(c0) ++ simpleRefs(v) } ++
+              el.toSeq.flatMap(simpleRefs)
+          case IsNull(x, _) => simpleRefs(x)
+          case VectorLit(it) => it.flatMap(simpleRefs)
+          case _ => Nil
+        }
+        def inputOnly(e: Expr): Boolean =
+          simpleRefs(e).forall(src2.columns.contains)
+        val aggCols = rewritten.collect {
+          case (e, n) if hasAgg(e) => compileExpr(e, params, splitCols).as(n)
+          case (e, n) if inputOnly(e) =>
+            last(compileExpr(e, params, splitCols)).as(n)
+        }
         var df =
           if (aggCols.nonEmpty) src2.agg(aggCols.head, aggCols.tail: _*)
           else src2.agg(count(lit(1)).as("_graft_cnt"))
         rewritten.foreach { case (e, n) =>
-          if (!hasAgg(e)) df = df.withColumn(n, compileExpr(e, params, splitCols))
+          if (!hasAgg(e) && !inputOnly(e))
+            df = df.withColumn(n, compileExpr(e, params, splitCols))
         }
         df.select(named.map(n => col(n._2)): _*)
       }

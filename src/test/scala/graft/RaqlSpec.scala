@@ -214,6 +214,33 @@ class RaqlSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { c2.compile("m/g") }
   }
 
+  test("case/f golden: RaQL CASE nullability (NULL condition → NULL result)") {
+    val c = load("fixtures/n123", "case")
+    val rows = c.compile("case/f").collect()
+    val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def s(r: Int, n: String) = rows(r).getString(byName(n))
+    assert(s(0, "bigness") == "lo" && s(1, "bigness") == "meh" && s(2, "bigness") == "hi")
+    assert(s(0, "literal") == "one" && s(1, "literal") == "more")
+    assert(rows(0).get(byName("some_u64")).toString == "1")
+    assert(rows(2).get(byName("some_u64")).toString == "9999999999999999999")
+    assert(rows(0).get(byName("some_nullable_thing")).toString == "6")
+    assert(rows(1).get(byName("some_nullable_thing")).toString == "666")
+    assert(rows(2).isNullAt(byName("some_nullable_thing"))) // NULL cond → NULL
+    assert(rows(0).get(byName("minus_smth")).toString == "-1")
+    assert(s(0, "real_name") == "one" && s(2, "real_name") == "three")
+  }
+
+  test("fun_with_funcs golden: nested aggregates + percentile of out-field") {
+    val c = load("fixtures/cars", "fun_with_funcs")
+    val row = c.compile("fun_with_funcs/f").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    assert(row.get(byName("first_1")) == 552)
+    assert(row.get(byName("first_2")).toString.toDouble == 552.0)
+    assert(row.get(byName("first_3")).toString.toDouble == 552.0)
+    assert(math.abs(row.getDouble(byName("co2_per_hp_90th")) - 1.77402298851) < 1e-9)
+    assert(math.abs(row.getDouble(byName("co2_per_hp_99th")) - 2.71705617978) < 1e-9)
+  }
+
   test("strings/f1 golden: containment, slices, repetition") {
     val c = load("strings")
     val row = c.compile("strings/f1").collect().head
