@@ -152,7 +152,7 @@ object CoreQueries {
           .orderBy("event_type")
       },
       Some(s"""SELECT event_type,
-        SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_big,
+        CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         COUNT(NULLIF(user_id, 0)) AS n_nonzero_user,
         ${dsumSql("COALESCE(NULLIF(value, 0.0), -1.0)")} AS sum_demo
         FROM events GROUP BY event_type ORDER BY event_type""")),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.raql.{RaqlCompiler, RaqlParser}
+import org.apache.spark.sql.functions.{concat_ws, expr}
 
 /** Queries defined in RaQL source and compiled by the front-end — the
   * end-to-end path a reference user takes (RaQL text → DataFrame plan),
@@ -57,7 +58,7 @@ object RaqlQueries {
         // stream-ordered; batch verification needs a deterministic sort).
         .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2,
-          FLOOR(l_extendedprice / 100) AS price_bucket,
+          CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_bucket,
           l_returnflag || '/' || l_linestatus AS flags
         FROM lineitem WHERE l_quantity >= 40 AND l_returnflag = 'R'
         ORDER BY l_orderkey, l_linenumber""")),
@@ -130,12 +131,17 @@ object RaqlQueries {
              SELECT event_id, moveavg (4, user_id) AS mavg4,
                     latest 3 user_id AS last3,
                     one out of 10 value AS sampled;""")
+        // The driver's pandas compare can't hash raw array cells — ship the
+        // LATEST list as a comma-joined string on both sides.
+        .withColumn("last3",
+          concat_ws(",", expr("transform(last3, x -> CAST(x AS STRING))")))
         .orderBy("event_id"),
       Some("""SELECT event_id,
           AVG(user_id) OVER (ORDER BY event_id ROWS BETWEEN 4 PRECEDING
                              AND 1 PRECEDING) AS mavg4,
-          list(user_id) OVER (ORDER BY event_id ROWS BETWEEN 2 PRECEDING
-                              AND CURRENT ROW) AS last3,
+          array_to_string(list(user_id) OVER (ORDER BY event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                          ',') AS last3,
           CASE WHEN (row_number() OVER (ORDER BY event_id) - 1) % 10 = 0
                THEN value END AS sampled
         FROM events ORDER BY event_id""")),

@@ -196,8 +196,8 @@ object WindowQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         FROM (
           SELECT event_id, user_id, ts,
             CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

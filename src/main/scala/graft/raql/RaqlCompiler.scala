@@ -822,8 +822,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
   }
 
-  /** Reference percentile: element at index floor(p/100·(n-1)) of the
-    * sorted values (`/root/reference/src/CodeGenLib.ml:158-297`). */
+  /** Reference percentile: element at index round_half_up(p/100·(n-1)) of
+    * the sorted values (`/root/reference/src/CodeGenLib.ml:287-290`,
+    * `RamenHelpersNoLog.ml:30` — `Float.round`, half away from zero; Spark
+    * `round` is HALF_UP which matches for non-negative indices). */
   private def compilePercentile(ps: Seq[Double], op: Expr, go: Expr => Column): Column = {
     val inner = op match {
       case AggCall("group", e, _, _) => e
@@ -838,7 +840,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case None => sort_array(collect_list(go(inner)))
     }
     def at(p: Double): Column =
-      element_at(sorted, (floor(lit(p) / 100.0 * (size(sorted) - 1)) + 1).cast("int"))
+      element_at(sorted, (round(lit(p) / 100.0 * (size(sorted) - 1), 0) + 1).cast("int"))
     if (ps.size == 1) at(ps.head) else array(ps.map(at): _*)
   }
 
