@@ -70,6 +70,20 @@ object Profile {
           col("a.id") < col("b.id")).count()))
       spark.stop(); return
     }
+    if (args.headOption.contains("scanfold")) {
+      // linearity of the incremental scan aggregates: time a single-group
+      // running SMOOTH at doubling sizes — linear means ~2× per doubling
+      // (the old collect_list-prefix HOF fold was ~4×)
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions.expSmoothScan
+      val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+      for (n <- Seq(25000, 50000, 100000, 200000)) {
+        val df = spark.range(n.toLong).select(col("id"),
+          (col("id") % 97).cast("double").as("v"))
+        time(s"scan_n$n")(mat(df.select(expSmoothScan(col("v"), 0.3).over(w))))
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("micro")) {
       import graft.functions.TextFunctions._
       val docs = Tables.documents(spark, d).cache()

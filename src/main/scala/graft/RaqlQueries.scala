@@ -198,6 +198,32 @@ object RaqlQueries {
           CAST(256 * (event_id % 126 + 1) + (event_id % 127 + 1) AS BIGINT) AS le16,
           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS ft,
           CAST(epoch(date_trunc('minute', ts)) AS DOUBLE) AS pt
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ---- r09: GROUP BY + commit-every-tuple — per-group running state.
+    // Every window partitions by the group key, so the plan distributes by
+    // key (one shuffle) instead of a single-partition global WindowExec.
+    QueryDef(
+      "r09_raql_grouped_running",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id, user_id,
+                    lag value AS prev_value,
+                    min value AS running_min,
+                    count value AS n_seen,
+                    moveavg (4, event_id) AS mavg4
+             GROUP BY user_id;""")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+          lag(value, 1) OVER w AS prev_value,
+          MIN(value) OVER w AS running_min,
+          CAST(COUNT(value) OVER w AS BIGINT) AS n_seen,
+          AVG(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS mavg4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }

@@ -1,0 +1,129 @@
+package graft.aggs
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Incremental sequential-scan aggregates for the RaQL running mode.
+  *
+  * The reference keeps O(1) mutable state per group and folds each incoming
+  * tuple into it (`/root/reference/src/CodeGenLib.ml`: ExpSmooth :343-347,
+  * Hysteresis :506-514, DampedHolt :348-359). Used as WINDOW functions over
+  * a rows-between(unboundedPreceding, currentRow) frame, Spark's
+  * WindowExec drives exactly that shape: the frame only ever grows, so the
+  * buffer is updated once per row and evaluated in place — O(rows) total
+  * work and O(1) state per group, versus the O(rows²) per-row re-fold of a
+  * collect_list-prefix + `aggregate` HOF formulation.
+  *
+  * Order-dependent folds have no meaningful partial-merge; merge is only
+  * defined when one side is still empty (Spark's window path never merges).
+  */
+private[graft] object ScanFolds {
+  def requireNoMerge(name: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$name is order-dependent: use it over an ordered running window, " +
+        "not as a partially-aggregated group aggregate")
+}
+
+/** Mutable fold state: `init` false until the first non-null value. */
+final class ScanState(var init: Boolean, var s: Double)
+
+/** `SMOOTH alpha, x` — exponential smoothing, seeded with the first value:
+  * s := alpha*x + (1-alpha)*s. Returns the current smoothed value. */
+case class ExpSmoothScan(
+    child: Expression,
+    alpha: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ScanState] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): ScanState = new ScanState(false, 0.0)
+
+  override def update(b: ScanState, row: InternalRow): ScanState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      if (!b.init) { b.init = true; b.s = x }
+      else b.s = alpha * x + (1.0 - alpha) * b.s
+    }
+    b
+  }
+
+  override def merge(b: ScanState, o: ScanState): ScanState =
+    if (!o.init) b
+    else if (!b.init) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: ScanState): Any = if (b.init) b.s else null
+
+  override def serialize(b: ScanState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(9)
+    buf.put(if (b.init) 1.toByte else 0.toByte).putDouble(b.s)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ScanState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    new ScanState(buf.get() == 1, buf.getDouble())
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_smooth"
+
+  override def withNewMutableAggBufferOffset(x: Int): ExpSmoothScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): ExpSmoothScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): ExpSmoothScan =
+    copy(child = c)
+}
+
+/** `HYSTERESIS x, acceptable, maximum` — true while in the acceptable
+  * regime, false once the signal exceeds `maximum`, true again once it
+  * returns to ≤ `acceptable` (reference CodeGenLib.ml:506-514). */
+case class HysteresisScan(
+    child: Expression,
+    acceptable: Double,
+    maximum: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ScanState] with UnaryLike[Expression] {
+
+  // s: 1.0 = acceptable regime, 0.0 = fired
+  override def createAggregationBuffer(): ScanState = new ScanState(true, 1.0)
+
+  override def update(b: ScanState, row: InternalRow): ScanState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      if (x > maximum) b.s = 0.0
+      else if (x <= acceptable) b.s = 1.0
+    }
+    b
+  }
+
+  override def merge(b: ScanState, o: ScanState): ScanState =
+    ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: ScanState): Any = b.s == 1.0
+
+  override def serialize(b: ScanState): Array[Byte] =
+    Array(if (b.s == 1.0) 1.toByte else 0.toByte)
+
+  override def deserialize(bytes: Array[Byte]): ScanState =
+    new ScanState(true, if (bytes(0) == 1) 1.0 else 0.0)
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hysteresis"
+
+  override def withNewMutableAggBufferOffset(x: Int): HysteresisScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): HysteresisScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): HysteresisScan =
+    copy(child = c)
+}

@@ -3,16 +3,21 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{DecayedTopK, ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DecayedTopK, ExpSmoothScan, HysteresisScan, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
-  * sequential-scan functions built from higher-order array functions.
+  * sequential-scan functions.
   *
-  * The scan functions (expSmooth / holtDamped / hysteresis) re-express the
-  * reference's per-group mutable scans (`/root/reference/src/CodeGenLib.ml`:
-  * ExpSmooth :343-347, DampedHolt :348-359, Hysteresis :506-514) as a fold
-  * (`aggregate` HOF) over the time-ordered value array — pure Catalyst
-  * expressions, codegen-friendly, no UDFs.
+  * The `*Arr` scan functions (expSmoothArr / holtDampedArr /
+  * hysteresisArr) re-express the reference's per-group mutable scans
+  * (`/root/reference/src/CodeGenLib.ml`: ExpSmooth :343-347, DampedHolt
+  * :348-359, Hysteresis :506-514) as a fold (`aggregate` HOF) over the
+  * time-ordered value array. NOTE: HOFs are interpreted (no codegen) and
+  * the fold is O(array) per call — fine for one fold per bounded group
+  * (s05/s11/w09), a scale-killer when re-evaluated per row over growing
+  * prefixes. For per-row running output use the incremental
+  * [[expSmoothScan]]/[[hysteresisScan]] window aggregates instead: O(1)
+  * state folded once per row by WindowExec.
   */
 object GraftFunctions {
 
@@ -55,6 +60,20 @@ object GraftFunctions {
   def orderedValues(ord: Column, x: Column): Column =
     transform(array_sort(collect_list(struct(ord.as("o"), x.as("v")))),
       p => p.getField("v"))
+
+  /** Incremental SMOOTH for running windows: same recurrence as
+    * [[expSmoothArr]], O(1) state updated once per row. Use with
+    * `.over(seqWindow.rowsBetween(unboundedPreceding, 0))`. */
+  def expSmoothScan(x: Column, alpha: Double): Column =
+    ExpressionUtils.column(
+      ExpSmoothScan(col2e(x.cast("double")), alpha).toAggregateExpression())
+
+  /** Incremental HYSTERESIS for running windows: same transitions as
+    * [[hysteresisArr]], O(1) state updated once per row. */
+  def hysteresisScan(x: Column, acceptable: Double, maximum: Double): Column =
+    ExpressionUtils.column(
+      HysteresisScan(col2e(x.cast("double")), acceptable, maximum)
+        .toAggregateExpression())
 
   /** RaQL `SMOOTH alpha, x` over an ordered array: s := alpha*x + (1-a)*s,
     * seeded with the first element; returns the final smoothed value. */

@@ -148,9 +148,40 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   }
 
   /** Running-mode context: the DataFrame built so far (for type lookups and
-    * eager TOP computations) and the name of the sequence column. */
-  private final class RunCtx(var df: DataFrame, val seqName: String)
+    * eager TOP computations), the name of the sequence column, and the
+    * GROUP BY partition columns (empty for globally-running state).
+    *
+    * Scale note: when `parts` is non-empty every window below partitions by
+    * the group key, so per-row stateful output distributes across the
+    * cluster (one shuffle by key) instead of funnelling the whole input
+    * through a single WindowExec partition. The single-partition global
+    * window remains only for truly ungrouped running state — the same
+    * sequential semantics the reference's single-threaded workers have. */
+  private final class RunCtx(var df: DataFrame, val seqName: String,
+      val parts: Seq[Column] = Nil) {
+    /** Memoized TOP-key scans, keyed by (key expression, n): membership,
+      * rank and list forms of the same TOP share one input pass. */
+    val topKeys = scala.collection.mutable.Map.empty[(String, Int), Seq[Any]]
+  }
   private var runCtx: Option[RunCtx] = None
+
+  /** Sequence-ordered running window, partitioned by the GROUP BY keys
+    * when the program has any. */
+  private def seqWindow(): WindowSpec = orderedWindow(col(runCtx.get.seqName))
+
+  /** Running window with an explicit ordering (e.g. event time),
+    * partitioned by the GROUP BY keys when present. */
+  private def orderedWindow(order: Column*): WindowSpec = {
+    val ctx = runCtx.get
+    if (ctx.parts.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(ctx.parts: _*).orderBy(order: _*)
+  }
+
+  /** Sequence-ordered window partitioned by the GROUP BY keys PLUS
+    * operator-specific keys (DISTINCT's value, REMEMBER's key tuple). */
+  private def partedWindow(extra: Column*): WindowSpec =
+    Window.partitionBy(runCtx.get.parts ++ extra: _*)
+      .orderBy(col(runCtx.get.seqName))
 
   /** Static evaluator for numeric arguments (window sizes, durations) that
     * must be compile-time constants; resolves parameter defaults. */
@@ -303,8 +334,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * steady-state answer for TOP membership/rank/list in batch (the
     * reference's running sketch converges to this by end of stream). */
   private def topKeysOf(keyC: Column, n: Int): Seq[Any] =
-    runCtx.get.df.groupBy(keyC.as("k")).agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), asc("k")).limit(n).collect().map(_.get(0)).toSeq
+    runCtx.get.topKeys.getOrElseUpdate((keyC.toString, n),
+      runCtx.get.df.groupBy(keyC.as("k")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("k")).limit(n).collect().map(_.get(0)).toSeq)
 
   /** Compile one stateful call in running mode. Window frames over the
     * arrival sequence re-express the reference's per-worker mutable state
@@ -320,7 +352,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       params: Map[String, Expr]): Column = {
     val ctx = runCtx.get
     val seqC = col(ctx.seqName)
-    val W = Window.orderBy(seqC)
+    val W = seqWindow()
     val prefix = W.rowsBetween(Window.unboundedPreceding, 0)
 
     /** Event time per the reference convention. */
@@ -357,9 +389,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       !(c <=> lag(c, 1).over(W))
     }
 
+    // incremental O(1)-state scan folded once per row by WindowExec (the
+    // collect_list-prefix + HOF fold re-ran the whole prefix per row)
     def smoothOf(x: Expr, alpha: Double): Column =
-      graft.functions.GraftFunctions.expSmoothArr(
-        collect_list(goM(x)).over(prefix), alpha)
+      graft.functions.GraftFunctions.expSmoothScan(goM(x), alpha).over(prefix)
 
     /** moveavg k = avg of the k values BEFORE the current one (the
       * reference's Seasonal state excludes the current value — see
@@ -419,9 +452,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           bucket =!= lag(bucket, 1).over(W), go(x))
 
       case FunCall("hysteresis", Seq(x, acceptable, maximum)) =>
-        graft.functions.GraftFunctions.hysteresisArr(
-          collect_list(goM(x)).over(prefix),
-          evalNum(acceptable, params), evalNum(maximum, params))
+        graft.functions.GraftFunctions.hysteresisScan(goM(x),
+          evalNum(acceptable, params), evalNum(maximum, params)).over(prefix)
 
       case FunCall("remember", args) if args.size >= 4 =>
         // REMEMBER (fpr, time, duration, e…): seen within `duration` of the
@@ -429,12 +461,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val t = go(args(1)).cast("double")
         val dur = evalNum(args(2), params)
         val keyCols = args.drop(3).map(go)
-        val wk = Window.partitionBy(keyCols: _*).orderBy(seqC)
+        val wk = partedWindow(keyCols: _*)
         val prevT = lag(t, 1).over(wk)
         prevT.isNotNull && (t - prevT) <= dur
 
       case AggCall("distinct", x, _, _) =>
-        row_number().over(Window.partitionBy(go(x)).orderBy(seqC)) === 1
+        row_number().over(partedWindow(go(x))) === 1
 
       case AggCall("sample", x, mods, _) =>
         if (x == Lit(null)) lit(null)
@@ -446,7 +478,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case AggCall("sample_past", x, mods, extra) =>
         val d = extra.headOption.map(evalNum(_, params)).getOrElse(1.0)
         val tUs = (time * 1e6).cast("long")
-        val frame = Window.orderBy(tUs)
+        val frame = orderedWindow(tUs)
           .rangeBetween(-((d * 1e6).toLong - 1), 0)
         sampleOf(goM(x), modNum(mods, "n").getOrElse(1.0).toInt, frame)
 
@@ -459,7 +491,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           // the first row of the next bucket, NULL otherwise
           // (CodeGenLib.ml Past.add :630-646).
           val bucket = (time / d).cast("long")
-          val bw = Window.partitionBy(bucket).orderBy(time, seqC)
+          val bw = Window.partitionBy((ctx.parts :+ bucket): _*).orderBy(time, seqC)
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
           val arr = collect_list(goM(x)).over(bw)
           when(lag(bucket, 1).over(W).isNotNull &&
@@ -468,7 +500,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           // sliding: strictly younger than d (t_cur - t' < d), current
           // row included, time-ascending order
           val tUs = (time * 1e6).cast("long")
-          val frame = Window.orderBy(tUs)
+          val frame = orderedWindow(tUs)
             .rangeBetween(-((d * 1e6).toLong - 1), 0)
           modNum(mods, "sample") match {
             // PAST d SAMPLE SIZE n OF x: bounded uniform sample of the
@@ -723,8 +755,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Running (prefix-window) version of a plain aggregate, for
     * commit-every-tuple mode. */
   private def runningAgg(a: AggCall, c: Column): Column = {
-    val prefix = Window.orderBy(col(runCtx.get.seqName))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val prefix = seqWindow().rowsBetween(Window.unboundedPreceding, 0)
     a.fn match {
       case "min" => min(c).over(prefix)
       case "max" => max(c).over(prefix)
@@ -742,8 +773,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case "bitxor" => call_function("bit_xor", c).over(prefix)
       case "group" => collect_list(c).over(prefix)
       case "distinct" => // novelty flag: first sighting of this value
-        row_number().over(Window.partitionBy(c)
-          .orderBy(col(runCtx.get.seqName))) === 1
+        row_number().over(partedWindow(c)) === 1
       case other => unsupported(s"running aggregate $other")
     }
   }
@@ -771,8 +801,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     (a.fn, operand) match {
       case ("sum", FunCall(c, Seq(AggCall("distinct", e, _, _)))) if castType(c).isDefined =>
         return if (runCtx.isDefined)
-          size(collect_set(go(e)).over(Window.orderBy(col(runCtx.get.seqName))
-            .rowsBetween(Window.unboundedPreceding, 0)))
+          size(collect_set(go(e))
+            .over(seqWindow().rowsBetween(Window.unboundedPreceding, 0)))
         else count_distinct(go(e))
       case ("sum", AggCall("distinct", e, _, _)) =>
         return count_distinct(go(e))
@@ -835,8 +865,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Some(ctx) =>
         val c = go(inner)
         if (dtypeOf(c).isInstanceOf[ArrayType]) sort_array(c)
-        else sort_array(collect_list(c).over(Window.orderBy(col(ctx.seqName))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        else sort_array(collect_list(c)
+          .over(seqWindow().rowsBetween(Window.unboundedPreceding, 0)))
       case None => sort_array(collect_list(go(inner)))
     }
     def at(p: Double): Column =
@@ -950,9 +980,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
       }
       val fields = expandStar(agg, base)
-      // commit-every-tuple mode: no GROUP BY + sequence/window stateful fns
-      val runMode = agg.groupBy.isEmpty &&
-        (fields.exists(f => hasWindowFn(f.expr)) || agg.where.exists(hasWindowFn))
+      // commit-every-tuple mode: sequence/window stateful fns in the
+      // output. With GROUP BY the state (and the windows below) partitions
+      // by the group key — the reference's per-group running state — and
+      // the plan distributes by key; without it state is global and the
+      // window is single-partition by necessity.
+      val runMode =
+        fields.exists(f => hasWindowFn(f.expr)) || agg.where.exists(hasWindowFn)
       val result =
         if (runMode) compileRunning(base, fields, agg, params)
         else compileFinal(base, fields, agg, params)
@@ -1159,7 +1193,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       agg: Aggregate, params: Map[String, Expr]): DataFrame = {
     val seqName = "_graft_seq"
     var df = base.withColumn(seqName, monotonically_increasing_id())
-    runCtx = Some(new RunCtx(df, seqName))
+    // GROUP BY keys become the partition columns of every running window
+    // (compiled against the bare input — group keys are stateless exprs)
+    val parts = {
+      runCtx = Some(new RunCtx(df, seqName))
+      try agg.groupBy.map(k => compileExpr(k, params)) finally runCtx = None
+    }
+    runCtx = Some(new RunCtx(df, seqName, parts))
     try {
       agg.where.foreach { w =>
         val c = compileExpr(w, params)

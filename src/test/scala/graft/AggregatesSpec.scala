@@ -211,6 +211,27 @@ class AggregatesSpec extends AnyFunSuite {
     assert(!run(Seq(10, 200, 40, 160)))        // re-tripped
   }
 
+  test("incremental scan aggregates match the array folds over a running window") {
+    import org.apache.spark.sql.expressions.Window
+    val series = Seq(10.0, 200.0, 40.0, 9.0, 160.0, 30.0)
+    val df = series.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("seq", "v")
+    val w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    val got = df.select(col("seq"),
+      expSmoothScan(col("v"), 0.3).over(w).as("s"),
+      hysteresisScan(col("v"), acceptable = 50, maximum = 150).over(w).as("h"))
+      .orderBy("seq").as[(Long, Double, Boolean)].collect()
+    // per-prefix expected values via the plain-Scala fold
+    series.indices.foreach { i =>
+      val prefix = series.take(i + 1)
+      val smooth = prefix.tail.foldLeft(prefix.head)((a, x) => 0.3 * x + 0.7 * a)
+      val hyst = prefix.foldLeft(true)((a, x) =>
+        if (x > 150) false else if (x <= 50) true else a)
+      assert(math.abs(got(i)._2 - smooth) < 1e-12, s"smooth at $i")
+      assert(got(i)._3 == hyst, s"hysteresis at $i")
+    }
+  }
+
   test("SlicedBloom remembers within the window, forgets after, no false negatives") {
     val bloom = new SlicedBloom(fpr = 0.001, expectedPerSlice = 1000,
       sliceDur = 10.0, nSlices = 10)

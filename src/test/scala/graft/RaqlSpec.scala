@@ -241,6 +241,36 @@ class RaqlSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(byName("co2_per_hp_99th")) - 2.71705617978) < 1e-9)
   }
 
+  test("GROUP BY running mode partitions every window by the group key") {
+    import org.apache.spark.sql.functions.{count, min, max}
+    val src = Map(
+      "fixtures/cars" -> Files.readString(Paths.get(s"$funcDir/fixtures/cars.ramen")),
+      "grouped" -> """DEFINE g AS
+          FROM fixtures/cars/csv
+          SELECT manufacturer, lag horsepower AS prev_hp,
+                 min horsepower AS run_min, count horsepower AS n_seen
+          GROUP BY manufacturer;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    val df = c.compile("grouped/g")
+    // no single-partition global window: every Window carries the group key
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    // one output row per input row; per-group final running state equals
+    // the batch aggregate of the source
+    val got = df.groupBy("manufacturer")
+      .agg(min("run_min").as("m"), max("n_seen").as("n"))
+      .collect().map(r => (r.getString(0), r.get(1).toString.toInt, r.getLong(2)))
+      .toSet
+    val want = c.compile("fixtures/cars/csv").groupBy("manufacturer")
+      .agg(min("horsepower").as("m"), count("horsepower").as("n"))
+      .collect().map(r => (r.getString(0), r.get(1).toString.toInt, r.getLong(2)))
+      .toSet
+    assert(got == want)
+  }
+
   test("strings/f1 golden: containment, slices, repetition") {
     val c = load("strings")
     val row = c.compile("strings/f1").collect().head
