@@ -29,6 +29,17 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   def register(name: String, p: Program): Unit = programs += name -> p
 
+  /** Service-layer view of the registered programs (Alert/Graphite APIs). */
+  def registeredPrograms: Map[String, Program] = programs
+
+  /** Drop a registered program and its cached plans (set-alerts with an
+    * empty list deletes the table/column's alert programs). */
+  def unregister(name: String): Unit = {
+    programs -= name
+    compiled.keys.filter(k => k == name || k.startsWith(name + "/"))
+      .foreach(compiled.remove)
+  }
+
   /** Expose an existing DataFrame as a parent (`FROM <key>`): how RaQL
     * programs read this engine's tables (parquet, Kafka, …). */
   def registerTable(key: String, df: DataFrame): Unit =

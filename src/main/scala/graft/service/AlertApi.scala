@@ -1,0 +1,359 @@
+package graft.service
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.raql.{Ast, RaqlCompiler, RaqlParser}
+import graft.raql.Ast._
+
+/** The reference's alerting API: the v1 alert description
+  * (`/root/reference/src/RamenApi.ml:295-343`), its transpilation to a RaQL
+  * program (`src/CodeGen_Alert2RaQL.ml`), and the JSON-RPC surface
+  * (`version` / `get-tables` / `get-columns` / `set-alerts`,
+  * `RamenApi.ml:715-759`) that the reference GUI drives.
+  *
+  * Spark-first shape: `set-alerts` transpiles each alert to RaQL text,
+  * registers it with the [[RaqlCompiler]], and the resulting program
+  * compiles to ordinary DataFrame plans — the alert pipeline is the same
+  * declarative plan as any user query (filter → windowed hysteresis state →
+  * transition-filtered NOTIFY), so it runs batch for replay and streaming
+  * for live with no separate engine.
+  *
+  * Differences from the reference, by design:
+  *  - thresholds are constants (the reference's v1 API likewise refuses to
+  *    express baseline thresholds);
+  *  - no time_step re-aggregation: our tables are already event-complete
+  *    parquet/stream rows; a GROUP BY per alert group is emitted instead.
+  */
+object AlertApi {
+
+  /** `{lhs, op, rhs}` simple filter (RamenApi.ml AlertInfoV1). */
+  final case class SimpleFilter(lhs: String, rhs: String, op: String = "=")
+
+  /** The v1 alert description. Field names mirror the JSON keys. */
+  final case class AlertV1(
+      enabled: Boolean = true,
+      where: Seq[SimpleFilter] = Nil,
+      having: Seq[SimpleFilter] = Nil,
+      threshold: Double,
+      recovery: Double,
+      duration: Double = 0.0,
+      ratio: Double = 1.0,
+      timeStep: Double = 0.0,
+      id: String = "",
+      descTitle: String = "",
+      descFiring: String = "",
+      descRecovery: String = "")
+
+  private val knownKeys = Set("enabled", "where", "having", "threshold",
+    "recovery", "duration", "ratio", "time-step", "id", "desc-title",
+    "desc-firing", "desc-recovery", "tops", "carry-fields", "carry-csts",
+    "group-by")
+
+  /** GROUP BY keys that are plainly forwarded output fields — the
+    * reference's `group_keys_of_operation` (CodeGen_Alert2RaQL.ml:20-50). */
+  def groupKeysOf(op: Operation): Seq[String] = op match {
+    case a: Aggregate =>
+      val simple = a.groupBy.collect {
+        case Ref(Seq(n)) if n != "start" && n != "stop" => n
+      }.toSet
+      a.fields.collect {
+        case SelectField(Ref(Seq(n)), alias) if simple(n) => alias.getOrElse(n)
+      }
+    case _ => Nil
+  }
+
+  private def quoteRhs(rhs: String): String =
+    if (rhs.matches("""-?\d+(\.\d+)?""") || rhs == "true" || rhs == "false") rhs
+    else "\"" + rhs.replace("\"", "\\\"") + "\""
+
+  private def filterRaql(fs: Seq[SimpleFilter]): String =
+    if (fs.isEmpty) "true"
+    else fs.map(f => s"${f.lhs} ${f.op} ${quoteRhs(f.rhs)}").mkString(" AND ")
+
+  private def fmt(d: Double): String =
+    if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
+
+  /** Transpile one alert into a RaQL program over `table` (mirrors
+    * CodeGen_Alert2RaQL.generate's filtered → ok → alert chain; the commit
+    * condition becomes a stateful WHERE on a final `notif` function since
+    * batch mode commits end-of-input). Returns RaQL source text accepted by
+    * [[graft.raql.RaqlParser]]. */
+  def toRaql(table: String, column: String, a: AlertV1,
+      tableCols: Seq[String], groupKeys: Seq[String]): String = {
+    // one alert context per group not pinned by an equality filter
+    val groupBy = groupKeys.filterNot(k =>
+      a.where.exists(w => w.op == "=" && w.lhs == k))
+    val carried = ((Seq(column) ++ groupBy ++ a.having.map(_.lhs)).distinct ++
+      Seq("start", "stop").filter(tableCols.contains)).filterNot(_ == "value")
+    val sb = new StringBuilder
+    sb ++= s"-- Alert ${a.id} on $table/$column (graft transpiler)\n\n"
+    sb ++= "DEFINE filtered AS\n"
+    sb ++= s"  FROM $table\n"
+    sb ++= s"  WHERE ${filterRaql(a.where)}\n"
+    sb ++= "  SELECT " + (carried :+ s"$column AS value").mkString(", ") + ";\n\n"
+
+    sb ++= "DEFINE ok AS\n"
+    sb ++= "  FROM filtered\n"
+    sb ++= "  SELECT *,\n"
+    val havingGate =
+      if (a.having.isEmpty) "value AS filtered_value"
+      else s"IF ${filterRaql(a.having)} THEN value AS filtered_value"
+    sb ++= s"    $havingGate,\n"
+    // healthy (true) while filtered_value is NULL; hysteresis state holds
+    sb ++= "    COALESCE(IF filtered_value IS NOT NULL THEN " +
+      s"hysteresis(filtered_value, ${fmt(a.recovery)}, ${fmt(a.threshold)}), true) AS ok\n"
+    if (groupBy.nonEmpty) sb ++= s"  GROUP BY ${groupBy.mkString(", ")}\n"
+    sb.setLength(sb.length - 1); sb ++= ";\n\n"
+
+    val firing =
+      if (a.duration > 0)
+        s"COALESCE(avg (past ${fmt(a.duration)}s of (float (not ok))) >= ${fmt(a.ratio)}, false)"
+      else "not ok"
+    val descFiring =
+      if (a.descFiring.nonEmpty) a.descFiring
+      else s"$column went above the configured threshold (${fmt(a.threshold)})."
+    val descRecovery =
+      if (a.descRecovery.nonEmpty) a.descRecovery
+      else s"The value of $column recovered."
+    sb ++= "DEFINE alert AS\n"
+    sb ++= "  FROM ok\n"
+    sb ++= "  SELECT *,\n"
+    sb ++= s"    $firing AS firing,\n"
+    sb ++= s"""    "${a.id}" AS id,\n"""
+    sb ++= "    1 AS certainty,\n"
+    sb ++= s"""    "$column" AS alert_column,\n"""
+    sb ++= s"    ${fmt(a.threshold)} AS thresholds,\n"
+    sb ++= s"    ${fmt(a.duration)} AS duration,\n"
+    sb ++= s"""    (IF firing THEN "$descFiring" ELSE "$descRecovery") AS desc\n"""
+    // GROUP BY only when firing itself is stateful (PAST ratio): a grouped
+    // SELECT without running state batch-compiles to one row per group
+    if (groupBy.nonEmpty && a.duration > 0)
+      sb ++= s"  GROUP BY ${groupBy.mkString(", ")}\n"
+    sb.setLength(sb.length - 1); sb ++= ";\n\n"
+
+    val title =
+      if (a.id.nonEmpty) a.id
+      else if (a.descTitle.nonEmpty) a.descTitle
+      else column
+    val baseName = s""""$title on $column ($table) triggered""""
+    val notifyName =
+      if (groupBy.isEmpty) baseName
+      else baseName + " || \" for \" || " +
+        groupBy.map(f => s""""$f:" || string($f)""").mkString(" || \", \" || ")
+    // the reference commits on AFTER CHANGED firing |? firing; batch mode
+    // commits end-of-input, so the transition test runs as a stateful WHERE
+    sb ++= "DEFINE notif AS\n"
+    sb ++= "  FROM alert\n"
+    sb ++= "  WHERE (changed firing) |? firing\n"
+    sb ++= "  SELECT *\n"
+    if (groupBy.nonEmpty) sb ++= s"  GROUP BY ${groupBy.mkString(", ")}\n"
+    sb ++= s"  NOTIFY $notifyName;\n"
+    sb.toString
+  }
+
+  // --- JSON-RPC ---------------------------------------------------------
+
+  private val M = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+
+  final class BadRequest(msg: String) extends Exception(msg)
+
+  private def parseAlert(n: JsonNode): AlertV1 = {
+    n.fieldNames().asScala.foreach { k =>
+      if (!knownKeys(k)) throw new BadRequest(s"unknown alert field '$k'")
+    }
+    def d(key: String, default: Double): Double =
+      Option(n.get(key)).map(_.asDouble).getOrElse(default)
+    def s(key: String): String = Option(n.get(key)).map(_.asText).getOrElse("")
+    def filters(key: String): Seq[SimpleFilter] =
+      Option(n.get(key)).toSeq.flatMap(_.elements().asScala).map { f =>
+        SimpleFilter(
+          Option(f.get("lhs")).map(_.asText).getOrElse(
+            throw new BadRequest(s"filter in '$key' missing lhs")),
+          Option(f.get("rhs")).map(_.asText).getOrElse(""),
+          Option(f.get("op")).map(_.asText).getOrElse("="))
+      }
+    if (n.get("threshold") == null) throw new BadRequest("missing threshold")
+    AlertV1(
+      enabled = Option(n.get("enabled")).forall(_.asBoolean),
+      where = filters("where"),
+      having = filters("having"),
+      threshold = d("threshold", 0),
+      recovery = d("recovery", d("threshold", 0)),
+      duration = d("duration", 0),
+      ratio = d("ratio", 1),
+      timeStep = d("time-step", 0),
+      id = s("id"),
+      descTitle = s("desc-title"),
+      descFiring = s("desc-firing"),
+      descRecovery = s("desc-recovery"))
+  }
+
+  /** The API version string (reference: ramen's release tag). */
+  val version = "graft-1.0"
+}
+
+/** Stateful API service bound to one compiler (= one "running instance"):
+  * holds the registered alerts like the reference's confserver source tree
+  * (`sources/api/alerts/...`). */
+final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
+  import AlertApi._
+
+  /** (table, column) -> alerts, plus the program key each transpiled to. */
+  private val alerts =
+    mutable.Map.empty[(String, String), Seq[(String, AlertV1)]]
+
+  private def funcOf(table: String): Option[(String, Ast.Func)] = {
+    // `prog#_/func` selects any program implementing `prog` (RamenApi.ml
+    // func_of_table); we chop the suffix and match the base name
+    val (progName, funcName) = table.lastIndexOf('/') match {
+      case -1 => ("", table)
+      case i => (table.substring(0, i), table.substring(i + 1))
+    }
+    val base = progName.stripSuffix("#_")
+    compiler.registeredPrograms.collectFirst {
+      case (pn, prog) if pn == base || pn.stripSuffix("#_") == base =>
+        prog.funcs.find(_.name == funcName).map(f => (pn, f))
+    }.flatten
+  }
+
+  def getTables(prefix: String): Map[String, String] =
+    compiler.registeredPrograms.flatMap { case (pn, prog) =>
+      prog.funcs
+        // never compile LISTEN/Kafka funcs here (compiling one opens its
+        // socket); tables are SELECTs and file reads
+        .filter(f => f.op match {
+          case _: Aggregate | _: ReadCsv => true
+          case _ => false
+        })
+        .map(f => s"$pn/${f.name}")
+        .filter(_.startsWith(prefix))
+        // the reference lists only functions with an event time; ours is
+        // the start/stop/ts column convention
+        .filter { fq =>
+          scala.util.Try(compiler.compile(fq).columns.toSet).toOption
+            .exists(cols => cols("start") || cols("stop") || cols("ts"))
+        }
+        .map(_ -> "")
+    }
+
+  /** column -> (type, factor?, group-key?, alerts) for each table. */
+  def getColumns(tables: Seq[String]): Map[String, Map[String, ObjectNode]] =
+    tables.flatMap { t =>
+      funcOf(t).map { case (pn, func) =>
+        val keys = groupKeysOf(func.op).toSet
+        val df = compiler.compile(s"$pn/${func.name}")
+        t -> df.schema.fields.filterNot(_.name.startsWith("_")).map { f =>
+          val o = F.objectNode()
+          o.put("type", f.dataType.simpleString)
+          o.put("factor", false)
+          o.put("group-key", keys(f.name))
+          val arr = o.putArray("alerts")
+          alerts.getOrElse((t, f.name), Nil).foreach { case (_, a) =>
+            val an = arr.addObject()
+            an.put("enabled", a.enabled)
+            an.put("threshold", a.threshold)
+            an.put("recovery", a.recovery)
+            an.put("id", a.id)
+          }
+          f.name -> o
+        }.toMap
+      }
+    }.toMap
+
+  /** Register the given alerts, dropping any previous ones for the same
+    * (table, column); empty list = delete. Returns the program keys. */
+  def setAlerts(table: String, column: String, as: Seq[AlertV1]): Seq[String] = {
+    val (pn, func) = funcOf(table).getOrElse(
+      throw new BadRequest(s"Program for table $table does not exist"))
+    val fq = s"$pn/${func.name}"
+    val cols = compiler.compile(fq).columns.toSeq
+    if (!cols.contains(column))
+      throw new BadRequest(s"No column $column in table $table")
+    val bad = as.flatMap(a => a.where ++ a.having).map(_.lhs)
+      .find(l => !cols.contains(l))
+    bad.foreach(l => throw new BadRequest(s"No column $l in table $table"))
+    // drop previous programs for this (table, column)
+    alerts.getOrElse((table, column), Nil).foreach { case (key, _) =>
+      compiler.unregister(key)
+    }
+    val keys = groupKeysOf(func.op)
+    val registered = as.zipWithIndex.map { case (a, i) =>
+      val progName = s"api/alerts/${if (a.id.nonEmpty) a.id else s"$fq/$column/$i"}"
+      val src = toRaql(fq, column, a, cols, keys)
+      RaqlParser.parseProgram(src) match {
+        case Right(p) => compiler.register(progName, p)
+        case Left(e) => throw new BadRequest(
+          s"generated alert program does not parse: $e\n$src")
+      }
+      (progName, a)
+    }
+    alerts((table, column)) = registered
+    registered.map(_._1)
+  }
+
+  /** The NOTIFY stream of a registered alert: compile + run its `notif`. */
+  def notifications(progName: String): Option[DataFrame] =
+    compiler.notifications(s"$progName/notif")
+
+  // --- JSON-RPC dispatch ------------------------------------------------
+
+  /** Handle one JSON-RPC request body; always returns a JSON response
+    * (result or error) echoing the request id verbatim. */
+  def handle(body: String): String = {
+    var id: JsonNode = F.nullNode()
+    try {
+      val req = M.readTree(body)
+      id = Option(req.get("id")).getOrElse(F.nullNode())
+      val params = req.get("params")
+      val result: JsonNode = req.get("method").asText() match {
+        case "version" => F.textNode(AlertApi.version)
+        case "get-tables" =>
+          val prefix = Option(params).flatMap(p => Option(p.get("prefix")))
+            .map(_.asText).getOrElse("")
+          val o = F.objectNode()
+          getTables(prefix).foreach { case (k, v) => o.put(k, v) }
+          o
+        case "get-columns" =>
+          val names = Option(params).toSeq
+            .flatMap(_.elements().asScala).map(_.asText)
+          val o = F.objectNode()
+          getColumns(names).foreach { case (t, colsMap) =>
+            val to = o.putObject(t)
+            colsMap.foreach { case (c, spec) => to.set[JsonNode](c, spec) }
+          }
+          o
+        case "set-alerts" =>
+          Option(params).foreach { p =>
+            p.properties().asScala.foreach { e =>
+              val table = e.getKey
+              e.getValue.properties().asScala.foreach { ce =>
+                val column = ce.getKey
+                val as = ce.getValue.asInstanceOf[ArrayNode]
+                  .elements().asScala.map(parseAlert).toSeq
+                setAlerts(table, column, as)
+              }
+            }
+          }
+          F.nullNode()
+        case m => throw new BadRequest(s"unknown method $m")
+      }
+      val resp = F.objectNode()
+      resp.set[JsonNode]("result", result)
+      resp.set[JsonNode]("id", id)
+      M.writeValueAsString(resp)
+    } catch {
+      case e: Exception =>
+        val resp = F.objectNode()
+        resp.put("error", Option(e.getMessage).getOrElse(e.toString))
+        resp.set[JsonNode]("id", id)
+        M.writeValueAsString(resp)
+    }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.DataFrame
+
+/** Thin HTTP binding for the service layer — the reference's `ramen httpd`
+  * (`/root/reference/src/RamenHttpd.ml`, `RamenGraphite.ml`): the JSON-RPC
+  * alert API at `/` and `/v1`, graphite `/metrics/find` and `/render`, and
+  * a `/tail/<table>?n=` peek. JDK built-in httpserver: no extra deps, the
+  * server only drives the DataFrame transforms.
+  *
+  * This is a control/read-plane endpoint (GUI traffic), not a data plane —
+  * single-threaded handling is deliberate; the heavy lifting stays in
+  * Spark jobs.
+  */
+final class GraftHttpd(
+    api: AlertApi,
+    metrics: () => Option[DataFrame] = () => None,
+    pathCol: String = "path",
+    timeCol: String = "time",
+    valueCol: String = "value",
+    tables: String => Option[DataFrame] = _ => None) {
+
+  private val M = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+  private var server: HttpServer = _
+
+  /** Max API version, as the reference's current_api_version. */
+  private val apiVersion = 1
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 16)
+    server.createContext("/", handler)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  /** Rows → JSON array of objects (small result sets only: find/render
+    * trees and tail peeks — never a data-plane path). */
+  private def rowsToJson(df: DataFrame, limit: Int = 10000): String = {
+    val arr = F.arrayNode()
+    val names = df.columns
+    df.limit(limit).collect().foreach { r =>
+      val o = arr.addObject()
+      names.zipWithIndex.foreach { case (n, i) =>
+        r.get(i) match {
+          case null => o.putNull(n)
+          case b: Boolean => o.put(n, b)
+          case x: Int => o.put(n, x)
+          case x: Long => o.put(n, x)
+          case x: Double => o.put(n, x)
+          case x: Float => o.put(n, x.toDouble)
+          case x => o.put(n, x.toString)
+        }
+      }
+    }
+    M.writeValueAsString(arr)
+  }
+
+  private val handler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = try {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      path match {
+        case "" | "/v1" | "/api" | "/api/v1" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          respond(ex, 200, api.handle(body))
+        case v if v.matches("/v\\d+") =>
+          val n = v.drop(2).toInt
+          if (n >= 1 && n <= apiVersion) {
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            respond(ex, 200, api.handle(body))
+          } else respond(ex, 400,
+            s"""{"error":"Bad HTTP API version: \\"$n\\" (must be between 1 and $apiVersion)"}""")
+        case "/metrics/find" =>
+          val q = query(ex).getOrElse("query", "*")
+          metrics() match {
+            case Some(df) =>
+              respond(ex, 200, rowsToJson(GraphiteApi.find(df, pathCol, q)))
+            case None => respond(ex, 404, """{"error":"no metrics source"}""")
+          }
+        case "/render" =>
+          val p = query(ex)
+          val target = p.getOrElse("target", "*")
+          val since = p.get("from").map(_.toDouble).getOrElse(0.0)
+          val until = p.get("until").map(_.toDouble).getOrElse(since + 3600)
+          val n = p.get("maxDataPoints").map(_.toInt).getOrElse(100)
+          metrics() match {
+            case Some(df) => respond(ex, 200, rowsToJson(
+              GraphiteApi.render(df, pathCol, timeCol, valueCol, target,
+                since, until, n)))
+            case None => respond(ex, 404, """{"error":"no metrics source"}""")
+          }
+        case t if t.startsWith("/tail/") =>
+          val name = t.stripPrefix("/tail/")
+          val n = query(ex).get("n").map(_.toInt).getOrElse(10)
+          tables(name) match {
+            case Some(df) => respond(ex, 200, rowsToJson(df, n))
+            case None => respond(ex, 404, s"""{"error":"no table $name"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, M.writeValueAsString(
+          F.objectNode().put("error", Option(e.getMessage).getOrElse(e.toString))))
+    }
+  }
+}

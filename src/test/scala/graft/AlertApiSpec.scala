@@ -1,0 +1,148 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raql.{RaqlCompiler, RaqlParser}
+import graft.service.{AlertApi, GraftHttpd}
+
+/** Mirrors the reference's `tests/features/api.feature.in` flows: version,
+  * get-tables, get-columns (group-key flag), set-alerts → transpiled RaQL
+  * program → NOTIFY stream, unknown-field error, and the HTTP binding. */
+class AlertApiSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def mkApi(): (RaqlCompiler, AlertApi) = {
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/events", Tables.events(spark, sfDir))
+    val src = """
+      DEFINE events AS
+        FROM tables/events
+        SELECT user_id, event_type, value, float(ts) AS start;
+      DEFINE per_user AS
+        FROM tables/events
+        SELECT user_id, min value AS low, float(min ts) AS start
+        GROUP BY user_id;
+    """
+    RaqlParser.parseProgram(src) match {
+      case Right(p) => c.register("test", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    (c, new AlertApi(spark, c))
+  }
+
+  test("version and get-tables over JSON-RPC") {
+    val (_, api) = mkApi()
+    val v = api.handle("""{"method":"version","id":"123"}""")
+    assert(v.contains(s""""result":"${AlertApi.version}""""))
+    assert(v.contains(""""id":"123""""))
+    // integer and float ids echo verbatim
+    assert(api.handle("""{"method":"version","id":123}""").contains(""""id":123"""))
+    assert(api.handle("""{"method":"version","id":12.3}""").contains(""""id":12.3"""))
+    val t = api.handle("""{"method":"get-tables","id":1,"params":{"prefix":"test/ev"}}""")
+    assert(t.contains("test/events"))
+    // per_user has an event time too, but the prefix excludes it
+    assert(!t.contains("per_user"))
+  }
+
+  test("get-columns marks group keys and carries alerts") {
+    val (_, api) = mkApi()
+    val r = api.handle("""{"id":1,"method":"get-columns","params":["test/per_user"]}""")
+    assert(r.contains(""""user_id":{"""))
+    assert(r.contains(""""group-key":true"""))
+    val r2 = api.handle("""{"id":1,"method":"get-columns","params":["test/events"]}""")
+    assert(r2.contains(""""value":{"""))
+    assert(!r2.contains(""""group-key":true"""))
+  }
+
+  test("set-alerts transpiles, compiles, and notifies on threshold crossings") {
+    val (c, api) = mkApi()
+    val r = api.handle("""{"method":"set-alerts","id":1,"params":{
+      "test/events":{"value":[{"threshold":180,"recovery":50,"id":"hi_value","desc-firing":"boum!"}]}}}""")
+    assert(r.contains(""""result":null"""), r)
+    // the generated program is registered and compiles to a NOTIFY stream
+    val notifs = c.notifications("api/alerts/hi_value/notif")
+      .getOrElse(fail("no notif function"))
+      .collect()
+    assert(notifs.nonEmpty)
+    val name = notifs.head.getAs[String]("name")
+    assert(name.contains("hi_value") && name.contains("test/events"))
+    // transitions alternate: firing rows carry firing=true in the params
+    val params = notifs.map(_.getAs[Map[String, String]]("params"))
+    assert(params.exists(_.get("firing").contains("true")))
+    // the sequence of firing params alternates (each NOTIFY is a transition)
+    val seq = params.map(_("firing")).toSeq
+    seq.sliding(2).foreach {
+      case Seq(a, b) => assert(a != b, s"consecutive $a")
+      case _ => ()
+    }
+    // deleting alerts unregisters the program
+    val del = api.handle(
+      """{"method":"set-alerts","id":1,"params":{"test/events":{"value":[]}}}""")
+    assert(del.contains(""""result":null"""))
+    assert(c.notifications("api/alerts/hi_value/notif").isEmpty)
+    // empty params is valid
+    assert(api.handle("""{"method":"set-alerts","id":1,"params":{}}""")
+      .contains(""""result":null"""))
+  }
+
+  test("grouped alert: one hysteresis context per group key") {
+    val (c, api) = mkApi()
+    val r = api.handle("""{"method":"set-alerts","id":1,"params":{
+      "test/per_user":{"low":[{"threshold":150,"recovery":50,"id":"low_per_user"}]}}}""")
+    assert(r.contains(""""result":null"""), r)
+    val alert = c.compile("api/alerts/low_per_user/alert")
+    assert(alert.columns.contains("firing"))
+    assert(alert.count() > 0)
+  }
+
+  test("misspelled alert field is mentioned in the error") {
+    val (_, api) = mkApi()
+    val r = api.handle("""{"id":1,"method":"set-alerts","params":{
+      "test/events":{"value":[{"enapled":true,"threshold":200,"recovery":100}]}}}""")
+    assert(r.contains("'enapled'"), r)
+  }
+
+  test("HTTP binding: JSON-RPC, version paths, graphite find/render") {
+    val (_, api) = mkApi()
+    import spark.implicits._
+    val metrics = Seq(
+      ("servers.web1.cpu", 10.0, 1.0), ("servers.web1.cpu", 20.0, 3.0),
+      ("servers.web2.mem", 15.0, 7.0))
+      .toDF("path", "time", "value")
+    val httpd = new GraftHttpd(api, metrics = () => Some(metrics))
+    val port = httpd.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): String =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      def get(path: String): String =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+
+      assert(post("/", """{"method":"version","id":"123"}""")
+        .contains(s""""result":"${AlertApi.version}""""))
+      assert(post("/v1", """{"method":"version","id":"123"}""")
+        .contains(""""id":"123""""))
+      assert(post("/v99", """{"method":"version","id":"123"}""")
+        .contains("Bad HTTP API version"))
+      val find = get("/metrics/find?query=servers.*")
+      assert(find.contains("servers.web1") && find.contains("servers.web2"))
+      assert(find.contains(""""expandable":true"""))
+      val render = get("/render?target=servers.*.cpu&from=0&until=30&maxDataPoints=3")
+      assert(render.contains("servers.web1.cpu"))
+      // times 10 and 20 land in buckets [10,20) and [20,30)
+      assert(render.contains(""""bucket_start":10.0,"value":1.0"""))
+      assert(render.contains(""""bucket_start":20.0,"value":3.0"""))
+      assert(!render.contains("web2")) // target glob filtered
+    } finally httpd.stop()
+  }
+}
