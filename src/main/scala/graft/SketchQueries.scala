@@ -98,9 +98,10 @@ object SketchQueries {
           FROM lineitem GROUP BY l_returnflag) a) b
         ORDER BY l_returnflag""")),
 
-    // ---- s05: DAMPED HOLT a,b,phi,x — fold over the ordered series
-    // (no SQL oracle: the 2-component state doesn't fit list_reduce; the
-    // ScalaTest suite checks against a plain-Scala reference fold)
+    // ---- s05: DAMPED HOLT a,b,phi,x — fold over the ordered series.
+    // Oracle: the same recurrence as a DuckDB recursive CTE, identical
+    // operation order (constants as float literals so DuckDB stays in
+    // doubles); round(6) absorbs FMA-contraction last-ulp noise.
     QueryDef(
       "s05_holt_damped",
       (s, d) => {
@@ -108,10 +109,26 @@ object SketchQueries {
           .groupBy("user_id")
           .agg(orderedValues(col("ts"), col("value")).as("vals"))
           .select(col("user_id"),
-            holtDampedArr(col("vals"), 0.5, 0.3, 0.9).as("holt_forecast"))
+            round(holtDampedArr(col("vals"), 0.5, 0.3, 0.9), 6)
+              .as("holt_forecast"))
           .orderBy("user_id")
       },
-      None),
+      Some("""WITH RECURSIVE ser AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        ), fold AS (
+          SELECT user_id, 1 AS rk, n, value AS l, 0.0e0 AS b FROM ser WHERE rk = 1
+          UNION ALL
+          SELECT f.user_id, s.rk, f.n,
+                 0.5e0 * s.value + 0.5e0 * (f.l + 0.9e0 * f.b),
+                 0.3e0 * ((0.5e0 * s.value + 0.5e0 * (f.l + 0.9e0 * f.b)) - f.l)
+                   + (0.7e0 * 0.9e0) * f.b
+          FROM fold f JOIN ser s ON s.user_id = f.user_id AND s.rk = f.rk + 1
+        )
+        SELECT user_id, round(l + 0.9e0 * b, 6) AS holt_forecast
+        FROM fold WHERE rk = n ORDER BY user_id""")),
 
     // ---- s06: HYSTERESIS x, acceptable, maximum — scan encoded as a
     // 0.0/1.0 fold so DuckDB's list_reduce (acc type = element type) can
@@ -227,8 +244,8 @@ object SketchQueries {
         ORDER BY event_id""")),
 
     // ---- s11: DAMPED HOLT WINTER — seasonal exponential smoothing scan
-    // over each series (hash-function-free but fold-order sensitive ⇒ no
-    // SQL oracle; rows-only check like the other scans)
+    // over each series. Oracle: recursive CTE carrying the 4 seasonal
+    // components as columns, same operation order as holtWintersArr.
     QueryDef(
       "s11_holt_winters",
       (s, d) => {
@@ -241,7 +258,39 @@ object SketchQueries {
               .as("hw_forecast"))
           .orderBy("user_id")
       },
-      None),
+      Some("""WITH RECURSIVE ser AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        ), fold AS (
+          SELECT user_id, 1 AS rk, n, value AS l, 0.0e0 AS b,
+                 0.0e0 AS s0, 0.0e0 AS s1, 0.0e0 AS s2, 0.0e0 AS s3
+          FROM ser WHERE rk = 1
+          UNION ALL
+          SELECT user_id, rk, n, lnew,
+                 0.3e0 * (lnew - l) + (0.7e0 * 0.9e0) * b,
+                 CASE WHEN idx = 0 THEN 0.2e0 * (x - lnew) + 0.8e0 * si ELSE s0 END,
+                 CASE WHEN idx = 1 THEN 0.2e0 * (x - lnew) + 0.8e0 * si ELSE s1 END,
+                 CASE WHEN idx = 2 THEN 0.2e0 * (x - lnew) + 0.8e0 * si ELSE s2 END,
+                 CASE WHEN idx = 3 THEN 0.2e0 * (x - lnew) + 0.8e0 * si ELSE s3 END
+          FROM (
+            SELECT *, 0.5e0 * (x - si) + 0.5e0 * (l + 0.9e0 * b) AS lnew
+            FROM (
+              SELECT f.user_id, s.rk, f.n, f.l AS l, f.b AS b,
+                     f.s0, f.s1, f.s2, f.s3, f.rk % 4 AS idx,
+                     CASE f.rk % 4 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+                                   WHEN 2 THEN f.s2 ELSE f.s3 END AS si,
+                     s.value AS x
+              FROM fold f JOIN ser s ON s.user_id = f.user_id AND s.rk = f.rk + 1
+            ) q1
+          ) q2
+        )
+        SELECT user_id,
+          round(l + 0.9e0 * b + CASE n % 4 WHEN 0 THEN s0 WHEN 1 THEN s1
+                                           WHEN 2 THEN s2 ELSE s3 END, 6)
+            AS hw_forecast
+        FROM fold WHERE rk = n AND n > 1 ORDER BY user_id""")),
 
     // ---- s12: TOP with time decay (RaQL `TOP 5 user BY value AT TIME ts
     // FOR 1d`, HeavyHitters.ml decay/inflation). One constant-size sketch
@@ -259,6 +308,28 @@ object SketchQueries {
           .select(explode(col("top")).as("e"))
           .select(col("e.key").as("user"), round(col("e.w"), 6).as("weight"))
       },
-      None)
+      None),
+
+    // ---- s13: TOP with decay = 0 — the sketch degenerates to exact
+    // weighted heavy hitters (capacity 256 ≥ 150 distinct users), so the
+    // decayed-TOP machinery gets a plain SQL oracle: sum weights, top 10.
+    // round(4) absorbs double-summation association differences.
+    QueryDef(
+      "s13_top_weighted",
+      (s, d) => {
+        Tables.events(s, d)
+          .agg(topKDecayed(col("user_id"), col("value"),
+            unix_micros(col("ts")).cast("double") / 1e6,
+            capacity = 256, k = 10, decay = 0.0).as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.key").as("user"), round(col("e.w"), 4).as("weight"))
+          .orderBy(desc("weight"), asc("user"))
+      },
+      Some("""SELECT user, weight FROM (
+          SELECT CAST(user_id AS VARCHAR) AS user,
+                 round(SUM(CAST(value AS DOUBLE)), 4) AS weight
+          FROM events GROUP BY user_id
+          ORDER BY SUM(CAST(value AS DOUBLE)) DESC, user LIMIT 10)
+        ORDER BY weight DESC, user"""))
   )
 }
