@@ -58,7 +58,9 @@ object Ast {
       commitBefore: Boolean = false,
       commitCond: Option[Expr] = None,
       every: Option[Expr] = None,
-      notifyName: Option[Expr] = None) extends Operation
+      notifyName: Option[Expr] = None,
+      /** `SORT LAST n BY k…` bounded reorder buffer (RamenSortBuf.ml). */
+      sortLast: Option[(Int, Seq[Expr])] = None) extends Operation
 
   /** READ FROM FILE "path" AS CSV (schema). */
   final case class ReadCsv(path: String, fields: Seq[(String, RType)],
@@ -79,5 +81,7 @@ object Ast {
 
   final case class Func(name: String, op: Operation)
   final case class Param(name: String, default: Option[Expr])
-  final case class Program(params: Seq[Param], funcs: Seq[Func])
+  final case class Program(params: Seq[Param], funcs: Seq[Func],
+      /** DECLAREd global variable names (RamenProgram.ml:74-77). */
+      globals: Seq[String] = Nil)
 }

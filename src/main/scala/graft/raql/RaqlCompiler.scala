@@ -53,6 +53,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   def registerGeoRanges(ranges: Seq[(Long, Long, String)]): Unit =
     geoRanges = Some(ranges)
 
+  /** DECLAREd global variables (`RamenProgram.ml:74-77`; backed by LMDB in
+    * the reference, `CodeGenLib_Globals.ml`). Minimal batch semantics:
+    * MAPADD over a batch source applies its writes eagerly at compile time
+    * (insertion order, last-write-wins — the end state the reference's map
+    * converges to), and `var[key]` reads compile to a literal-map lookup of
+    * the state at read-compile time. Streaming sources skip the write (the
+    * map stays as previously populated). Scale note: reads ship as a
+    * broadcast-sized literal; a production-sized global map would become a
+    * broadcast join instead. */
+  private val globalMaps =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+  private var activeGlobals: Map[String, String] = Map.empty
+
   /** Best-effort type lookup for operand-directed compilation (boolean
     * COUNT, array LENGTH) in any mode. */
   private var typerDf: Option[DataFrame] = None
@@ -255,6 +268,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Ref(Seq("param", p)) if params.contains(p) =>
         go(params(p))
       case Ref(Seq(name)) if params.contains(name) => go(params(name))
+      // niladic builtins usable without parens (RANDOM, NOW, PI) — only
+      // when no input column shadows the name
+      case Ref(Seq(name)) if Set("random", "now", "pi").contains(name) &&
+          !runCtx.map(_.df).orElse(typerDf).exists(_.columns.contains(name)) =>
+        compileFun(name, Nil, go)
       case Ref(Seq(name)) => col(name)
       case Ref(path) if path.head == "previous" || path.head == "out" =>
         unsupported(s"feedback variable ${path.mkString(".")} (streaming harness)")
@@ -329,6 +347,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         compileStateful(e0, go, params)
       case e0 @ FunCall(fn, _) if runCtx.isDefined && windowFunCalls(fn) =>
         compileStateful(e0, go, params)
+      // MAPADD into a DECLAREd global: apply the writes eagerly when the
+      // source is a batch frame, pass the value through as the result
+      case FunCall("mapadd", Seq(Ref(Seq(g)), k, v)) if activeGlobals.contains(g) =>
+        val m = globalMaps.getOrElseUpdate(activeGlobals(g),
+          scala.collection.mutable.LinkedHashMap.empty)
+        typerDf.orElse(runCtx.map(_.df)).foreach { df =>
+          if (!df.isStreaming)
+            df.select(go(k).cast("string"), go(v).cast("string")).collect()
+              .foreach(r => if (!r.isNullAt(0)) m.update(r.getString(0), r.getString(1)))
+        }
+        go(v)
+      // `var[key]` on a DECLAREd global: literal-map lookup of the current
+      // state (NULL when absent, like the reference's MapGet)
+      case FunCall("get", Seq(k, Ref(Seq(g)))) if activeGlobals.contains(g) =>
+        val m = globalMaps.getOrElse(activeGlobals(g),
+          scala.collection.mutable.LinkedHashMap.empty)
+        if (m.isEmpty) lit(null).cast("string")
+        else element_at(
+          map(m.toSeq.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*),
+          go(k).cast("string"))
       case FunCall(name, args) => compileFun(name, args, go)
       case agg: AggCall => compileAgg(agg, go)
       case PercentileCall(ps, op) => compilePercentile(ps, op, go)
@@ -560,6 +598,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("log", Seq(x)) => when(go(x) > 0, log(go(x)))
       case ("log10", Seq(x)) => when(go(x) > 0, log10(go(x)))
       case ("random", Seq()) => rand()
+      case ("pi", Seq()) => lit(math.Pi)
       case ("now", Seq()) => unix_timestamp().cast("double")
       case ("age", Seq(x)) => unix_timestamp().cast("double") - go(x)
       case ("length", Seq(x)) =>
@@ -897,7 +936,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       throw new NoSuchElementException(s"function $key"))
     val params: Map[String, Expr] =
       prog.params.flatMap(p => p.default.map(p.name -> _)).toMap
-    compileOp(func.op, progName, params)
+    val prevGlobals = activeGlobals
+    activeGlobals = prog.globals.map(g => g -> s"$progName#$g").toMap
+    try compileOp(func.op, progName, params)
+    finally activeGlobals = prevGlobals
   })
 
   private def resolveFrom(ref: String, progName: String): DataFrame = {
@@ -986,9 +1028,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       val parents =
         agg.from.map(resolveFrom(_, progName)) ++
           agg.fromSub.map(compileOp(_, progName, params))
-      val base: DataFrame = parents match {
+      val base0: DataFrame = parents match {
         case Nil => spark.range(1).toDF("_unit") // YIELD / EVERY source
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+      // SORT LAST n BY k…: bounded reorder buffer ahead of the operation
+      val base = agg.sortLast match {
+        case Some((n, by)) =>
+          typerDf = Some(base0)
+          val keys = try by.map(e => compileExpr(e, params))
+            finally typerDf = None
+          graft.ops.SortBuffer(base0, n, keys)
+        case None => base0
       }
       val fields = expandStar(agg, base)
       // commit-every-tuple mode: sequence/window stateful fns in the

@@ -428,6 +428,7 @@ object RaqlParser extends RegexParsers {
   private case class CCommit(before: Boolean, cond: Expr) extends Clause
   private case class CEvery(e: Expr) extends Clause
   private case class CNotify(e: Expr) extends Clause
+  private case class CSort(n: Int, by: Seq[Expr]) extends Clause
   private case object CIgnored extends Clause
 
   def aggregateOp: Parser[Operation] = {
@@ -446,9 +447,13 @@ object RaqlParser extends RegexParsers {
       kw("every") ~> expr ^^ CEvery.apply |
       eventClause ^^^ CIgnored |
       kw("factors") ~> rep1sep(ident, ",") ^^^ CIgnored |
-      // SORT LAST n [UNTIL cond] BY e…: input reorder buffer — no-op in batch
-      kw("sort") ~ kw("last") ~ number ~ opt(kw("until") ~ expr) ~
-        opt(kw("by") ~ rep1sep(expr, ",")) ^^^ CIgnored |
+      // SORT LAST n [UNTIL cond] BY e…: bounded input reorder buffer
+      // (UNTIL early-release is parsed but not applied)
+      (kw("sort") ~> kw("last") ~> number) ~ (opt(kw("until") ~ expr) ~>
+        opt(kw("by") ~> rep1sep(expr, ","))) ^^ {
+          case Lit(n: Long) ~ by => CSort(n.toInt, by.getOrElse(Nil))
+          case _ ~ by => CSort(0, by.getOrElse(Nil))
+        } |
       kw("notify") ~> expr ^^ CNotify.apply |
       (kw("keep") ~ opt(kw("all")) | kw("flush")) ^^^ CIgnored
 
@@ -465,7 +470,8 @@ object RaqlParser extends RegexParsers {
         commitBefore = cs.collectFirst { case CCommit(b, _) => b }.getOrElse(false),
         commitCond = cs.collectFirst { case CCommit(_, c) => c },
         every = cs.collectFirst { case CEvery(e) => e },
-        notifyName = cs.collectFirst { case CNotify(e) => e })
+        notifyName = cs.collectFirst { case CNotify(e) => e },
+        sortLast = cs.collectFirst { case CSort(n, by) if by.nonEmpty => (n, by) })
     }
   }
 
@@ -541,16 +547,18 @@ object RaqlParser extends RegexParsers {
   private def parameters: Parser[Seq[Param]] =
     (kw("parameters") | kw("parameter")) ~> rep1sep(paramDecl, ",") <~ ";"
 
-  /** `DECLARE [WITH x SCOPE] name type;` — globals are parsed and skipped
-    * (batch compiler has no mutable global maps; see COVERAGE notes). */
-  private def declare: Parser[Unit] =
-    kw("declare") ~> """[^;]*""".r <~ ";" ^^^ ()
+  /** `DECLARE [WITH x SCOPE] name type;` — registers a global variable name
+    * (the map type is implied; the compiler backs it with a KV map). */
+  private def declare: Parser[String] =
+    kw("declare") ~> opt(kw("with") ~ ident ~ kw("scope")) ~> plainIdent <~
+      """[^;]*""".r <~ ";"
 
   def program: Parser[Program] =
     rep(parameters | declare | define) ^^ { items =>
       val params = items.collect { case ps: Seq[_] => ps.asInstanceOf[Seq[Param]] }.flatten
       val funcs = items.collect { case f: Func => f }
-      Program(params, funcs)
+      val globals = items.collect { case g: String => g }
+      Program(params, funcs, globals)
     }
 
   def parseProgram(src: String): Either[String, Program] =

@@ -241,6 +241,33 @@ class RaqlSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(byName("co2_per_hp_99th")) - 2.71705617978) < 1e-9)
   }
 
+  test("globals_program golden: DECLARE + MAPADD + map read across functions") {
+    val c = load("fixtures/cars", "globals_program")
+    // compiling the writer applies its MAPADD stream to the global map
+    // (last write per key wins), then the reader sees the converged state
+    c.compile("globals_program/update_latest_models").collect()
+    val row = c.compile("globals_program/latest_models").collect().head
+    assert(row.getString(0) == "Vanquish") // globals_program.test golden
+  }
+
+  test("globals_function compiles: MAPADD + read in one function") {
+    val c = load("globals_function")
+    val row = c.compile("globals_function/f").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    // check1: the map value round-trips to one of the two possible strings
+    assert(row.getBoolean(byName("check1")))
+  }
+
+  test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
+    val c = load("fixtures/earthquakes", "sort")
+    val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
+    // reference sort.test: buffer of 96 over the 100-row fixture, keyed
+    // by (-n, year) — heaviest years drain first
+    assert(years.take(5).toSeq == Seq(2010, 1968, 1938, 1957, 1971))
+    assert(years.length == 100)
+    assert(years.toSet.size == 100) // a reorder, not a filter
+  }
+
   test("GROUP BY running mode partitions every window by the group key") {
     import org.apache.spark.sql.functions.{count, min, max}
     val src = Map(
