@@ -83,5 +83,9 @@ object Ast {
   final case class Param(name: String, default: Option[Expr])
   final case class Program(params: Seq[Param], funcs: Seq[Func],
       /** DECLAREd global variable names (RamenProgram.ml:74-77). */
-      globals: Seq[String] = Nil)
+      globals: Seq[String] = Nil,
+      /** `RUN IF cond;` deploy-time condition (RamenProgram.ml:116);
+        * functions of a program whose condition is not true compile to
+        * empty frames. */
+      runIf: Option[Expr] = None)
 }

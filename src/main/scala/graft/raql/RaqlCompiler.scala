@@ -66,6 +66,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
   private var activeGlobals: Map[String, String] = Map.empty
 
+  /** Experiments (`RamenExperiments.ml`): name → selected variant, as the
+    * reference's RAMEN_VARIANTS forcing. `variant("x")` compiles to the
+    * selected name, NULL when the experiment is undefined (matching the
+    * `variant(...) = "v" |? false` idiom in experiments.feature). */
+  private val experiments = scala.collection.mutable.Map.empty[String, String]
+  def registerExperiment(name: String, variant: String): Unit =
+    experiments(name) = variant
+
   /** Best-effort type lookup for operand-directed compilation (boolean
     * COUNT, array LENGTH) in any mode. */
   private var typerDf: Option[DataFrame] = None
@@ -599,6 +607,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("log10", Seq(x)) => when(go(x) > 0, log10(go(x)))
       case ("random", Seq()) => rand()
       case ("pi", Seq()) => lit(math.Pi)
+      case ("variant", Seq(Lit(n: String))) =>
+        experiments.get(n).map(lit).getOrElse(lit(null).cast("string"))
       case ("now", Seq()) => unix_timestamp().cast("double")
       case ("age", Seq(x)) => unix_timestamp().cast("double") - go(x)
       case ("length", Seq(x)) =>
@@ -938,8 +948,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       prog.params.flatMap(p => p.default.map(p.name -> _)).toMap
     val prevGlobals = activeGlobals
     activeGlobals = prog.globals.map(g => g -> s"$progName#$g").toMap
-    try compileOp(func.op, progName, params)
-    finally activeGlobals = prevGlobals
+    try {
+      val df = compileOp(func.op, progName, params)
+      // RUN IF: deploy-time condition — a non-true condition means the
+      // program's workers never run, so its frames are empty
+      prog.runIf match {
+        case Some(cond) =>
+          val r = spark.range(1)
+            .select(compileExpr(cond, params).cast("boolean")).collect().head
+          if (!r.isNullAt(0) && r.getBoolean(0)) df else df.limit(0)
+        case None => df
+      }
+    } finally activeGlobals = prevGlobals
   })
 
   private def resolveFrom(ref: String, progName: String): DataFrame = {

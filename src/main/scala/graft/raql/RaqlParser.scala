@@ -553,12 +553,18 @@ object RaqlParser extends RegexParsers {
     kw("declare") ~> opt(kw("with") ~ ident ~ kw("scope")) ~> plainIdent <~
       """[^;]*""".r <~ ";"
 
+  /** `RUN IF cond;` — deploy-time condition (experiments.feature). */
+  private case class PRunIf(cond: Expr)
+  private def runIf: Parser[PRunIf] =
+    kw("run") ~> kw("if") ~> expr <~ ";" ^^ PRunIf.apply
+
   def program: Parser[Program] =
-    rep(parameters | declare | define) ^^ { items =>
+    rep(parameters | declare | runIf | define) ^^ { items =>
       val params = items.collect { case ps: Seq[_] => ps.asInstanceOf[Seq[Param]] }.flatten
       val funcs = items.collect { case f: Func => f }
       val globals = items.collect { case g: String => g }
-      Program(params, funcs, globals)
+      val cond = items.collectFirst { case PRunIf(c) => c }
+      Program(params, funcs, globals, cond)
     }
 
   def parseProgram(src: String): Either[String, Program] =

@@ -241,6 +241,27 @@ class RaqlSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(byName("co2_per_hp_99th")) - 2.71705617978) < 1e-9)
   }
 
+  test("RUN IF + variant(): experiment selection gates a program") {
+    // mirrors tests/features/experiments.feature: the program runs only
+    // when the test_external experiment resolves to var1
+    val src = Map("test_prog" -> """
+      RUN IF (variant("test_external") = "var1") |? false;
+      DEFINE f AS YIELD "running" AS glop EVERY 500ms;
+    """)
+    def mk(): RaqlCompiler =
+      RaqlCompiler.fromSources(spark, "/tmp", src)
+        .fold(e => fail(s"parse: $e"), identity)
+    val c1 = mk()
+    c1.registerExperiment("test_external", "var1")
+    assert(c1.compile("test_prog/f").collect().map(_.getString(0)).toSeq ==
+      Seq("running"))
+    val c2 = mk()
+    c2.registerExperiment("test_external", "var2")
+    assert(c2.compile("test_prog/f").isEmpty)
+    // undefined experiment: variant() is NULL, |? false gates the program
+    assert(mk().compile("test_prog/f").isEmpty)
+  }
+
   test("globals_program golden: DECLARE + MAPADD + map read across functions") {
     val c = load("fixtures/cars", "globals_program")
     // compiling the writer applies its MAPADD stream to the global map
