@@ -20,17 +20,13 @@ object TextFunctions {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
-    * (Guarded: Spark's sequence(1, 0) counts DOWN, so short docs need an
-    * explicit empty-array branch. Per-shingle cost matters: `slice()` per
-    * element copies the array each time (~3 ms/doc measured); n O(1)
-    * `element_at` lookups are ~50× cheaper in the interpreted HOF path.) */
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup —
+    * a native codegen'd expression ([[WordShingles]]); the earlier HOF form
+    * was interpreted per token and the dominant, high-variance cost of
+    * t01/d02/d03. */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.GraftShims.column(
+      WordShingles(org.apache.spark.sql.GraftShims.expression(toks), n))
 
   /** Order-insensitive content fingerprint: md5 of the sorted token
     * MULTISET (true bag semantics — multiplicity counts, so "the the cat"
