@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -82,5 +82,147 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** SimHash-64 of a token array in one pass: per-token xxhash64 (seed 42,
+  * identical to Spark's `xxhash64(tok)`), ±1 vote per bit, bit set when
+  * votes > 0. Replaces both the interpreted HOF fold and d04's
+  * explode + 64-vote-column aggregation — the fingerprint becomes a
+  * map-only projection with NO shuffle, which is the shape that matters at
+  * corpus scale. Empty array → 0L (the HOF fold's value). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < len) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $len = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((( $h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** MinHash signature in one pass: k minimums over the shingles of the
+  * seeded hash family `hashInt(i, hashUTF8String(shingle, 42))` — exactly
+  * `xxhash64(shingle, i)`'s composition, so signatures match the previous
+  * flat-column formulation bit-for-bit. Map-only: replaces
+  * explode + k-column min aggregation (and its per-doc shuffle). NULL for
+  * an empty array (the doc has no shingles and drops out of LSH, like the
+  * explode formulation). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "signature size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < len) {
+      val h1 = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var s = 0
+      while (s < k) {
+        val h = XXH64.hashInt(s, h1)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1")
+      val h = ctx.freshName("h")
+      s"""
+         |int $len = $a.numElements();
+         |if ($len == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    long $h1 = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |    for (int $s = 0; $s < $k; $s++) {
+         |      long $h = $xxh.hashInt($s, $h1);
+         |      if ($h < $mins[$s]) $mins[$s] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = new $gad($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }

@@ -35,11 +35,12 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))).cast("binary"))
 
-  /** MinHash signature: k minimums of per-seed 64-bit hashes over shingles.
-    * (k × |shingles| xxhash64 calls, all codegen'd.) */
+  /** MinHash signature: k minimums of the `xxhash64(shingle, i)` hash
+    * family over the shingles — native one-pass expression
+    * ([[MinHashSig]]); NULL when the doc has no shingles. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, t => xxhash64(t, i))))
+    org.apache.spark.sql.GraftShims.column(
+      MinHashSig(org.apache.spark.sql.GraftShims.expression(shingles), k))
 
   /** LSH bucket keys: one hash per band of `r` consecutive signature slots. */
   def lshBuckets(sig: Column, bands: Int, r: Int): Column =
@@ -77,23 +78,11 @@ object TextFunctions {
   }
 
   /** SimHash64 over tokens: per-token 64-bit hash, bitwise majority vote.
-    * Near-identical texts differ in few bits (Hamming distance). */
-  def simhash64(toks: Column): Column = {
-    // fold: acc = 64-int array of bit votes; expressed as a single pass via
-    // aggregate over tokens with an array accumulator
-    val votes = aggregate(
-      toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (v, b) => v + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Near-identical texts differ in few bits (Hamming distance). Native
+    * codegen'd single pass ([[SimHash64]]) — map-only, no shuffle. */
+  def simhash64(toks: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      SimHash64(org.apache.spark.sql.GraftShims.expression(toks)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

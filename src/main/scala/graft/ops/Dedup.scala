@@ -42,24 +42,17 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
     val r = k / bands
-    // Codegen-friendly minhash: explode shingles once, compute the k seeded
-    // hashes as flat columns (whole-stage codegen'd xxhash64 — the nested
-    // transform/array_min HOF form is interpreted and ~50× slower), and
-    // min-aggregate. The partial (map-side) min reduces each doc to k longs
-    // before the shuffle, so at corpus scale the exchange carries
-    // k×8 bytes/doc regardless of document size.
+    // Map-only minhash: the native one-pass MinHashSig expression computes
+    // the k-slot signature per doc inside whole-stage codegen — same hash
+    // family as the earlier explode + k-column-min formulation, but with NO
+    // per-doc aggregation shuffle at all. The first exchange in the plan is
+    // the narrow (id, band, bucket) bucket partitioning.
     val sigs = docs
       .repartition(par(docs)) // single-file local input ⇒ force map parallelism
-      // project the token array BEFORE the shingle HOF: a composite child
-      // referenced from inside a higher-order-function lambda is re-evaluated
-      // per element (the regex split would run ~3×|shingles| times per doc)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("shingle"))
-      .select(col("id") +: (0 until k).map(i =>
-        xxhash64(col("shingle"), lit(i)).as(s"h$i")): _*)
-      .groupBy("id")
-      .agg(min(s"h0").as("m0"), (1 until k).map(i => min(s"h$i").as(s"m$i")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("id"),
+        minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
+      .filter(col("sig").isNotNull) // shingle-less docs have no LSH presence
     val buckets = sigs
       .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
@@ -108,23 +101,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
-    // Codegen-friendly simhash: explode tokens, one xxhash64 per token, 64
-    // per-bit vote sums as flat agg columns (map-side partial ⇒ the shuffle
-    // carries 64 ints per doc), then assemble the fingerprint. Semantics
-    // identical to TextFunctions.simhash64 (same hash, same majority vote).
+    // Map-only simhash: the native one-pass SimHash64 expression (same
+    // per-token hash and majority vote as the earlier explode + 64-vote-
+    // column aggregation) computes the fingerprint inside whole-stage
+    // codegen with NO per-doc shuffle; the only exchange is the narrow
+    // (chunk, chunk_val) bucket partitioning.
     val fps = docs
       .repartition(par(docs))
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-      .groupBy("id")
-      .agg(
-        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
-        (1 until 64).map(b =>
-          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")): _*)
-      .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
     val chunks = fps.select(col("id"), col("fp"), posexplode(
       expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
