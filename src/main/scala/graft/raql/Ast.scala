@@ -60,7 +60,12 @@ object Ast {
       every: Option[Expr] = None,
       notifyName: Option[Expr] = None,
       /** `SORT LAST n BY k…` bounded reorder buffer (RamenSortBuf.ml). */
-      sortLast: Option[(Int, Seq[Expr])] = None) extends Operation
+      sortLast: Option[(Int, Seq[Expr])] = None,
+      /** `EVENT STARTS AT e` — the designated event-time expression. */
+      eventStart: Option[Expr] = None,
+      /** `FACTORS f…` — low-cardinality dimension columns (RamenApi
+        * get-columns `factor` flag; timeseries grouping hints). */
+      factors: Seq[String] = Nil) extends Operation
 
   /** READ FROM FILE "path" AS CSV (schema). */
   final case class ReadCsv(path: String, fields: Seq[(String, RType)],

@@ -190,7 +190,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * window remains only for truly ungrouped running state — the same
     * sequential semantics the reference's single-threaded workers have. */
   private final class RunCtx(var df: DataFrame, val seqName: String,
-      val parts: Seq[Column] = Nil) {
+      val parts: Seq[Column] = Nil,
+      /** `EVENT STARTS AT e` — overrides the start/ts column convention. */
+      val eventTime: Option[Column] = None) {
     /** Memoized TOP-key scans, keyed by (key expression, n): membership,
       * rank and list forms of the same TOP share one input pass. */
     val topKeys = scala.collection.mutable.Map.empty[(String, Int), Seq[Any]]
@@ -412,11 +414,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     val W = seqWindow()
     val prefix = W.rowsBetween(Window.unboundedPreceding, 0)
 
-    /** Event time per the reference convention. */
-    def time: Column =
+    /** Event time: the EVENT STARTS AT designation when present, else the
+      * start/ts column convention. */
+    def time: Column = ctx.eventTime.getOrElse {
       if (ctx.df.columns.contains("start")) col("start").cast("double")
       else if (ctx.df.columns.contains("ts")) unix_micros(col("ts")) / 1e6
       else seqC.cast("double")
+    }
 
     /** Operand compile that materializes nested stateful results first —
       * their window expression cannot nest inside this one's. */
@@ -1277,11 +1281,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     var df = base.withColumn(seqName, monotonically_increasing_id())
     // GROUP BY keys become the partition columns of every running window
     // (compiled against the bare input — group keys are stateless exprs)
-    val parts = {
+    val (parts, evTime) = {
       runCtx = Some(new RunCtx(df, seqName))
-      try agg.groupBy.map(k => compileExpr(k, params)) finally runCtx = None
+      try (
+        agg.groupBy.map(k => compileExpr(k, params)),
+        // EVENT STARTS AT over input columns; out-field designations (the
+        // reference allows them) fall back to the column convention
+        agg.eventStart.flatMap(e =>
+          scala.util.Try(compileExpr(e, params).cast("double")).toOption
+            .filter(c => scala.util.Try(df.select(c)).isSuccess))
+      ) finally runCtx = None
     }
-    runCtx = Some(new RunCtx(df, seqName, parts))
+    runCtx = Some(new RunCtx(df, seqName, parts, evTime))
     try {
       agg.where.foreach { w =>
         val c = compileExpr(w, params)

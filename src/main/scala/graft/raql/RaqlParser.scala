@@ -412,12 +412,13 @@ object RaqlParser extends RegexParsers {
   private def fromClause: Parser[Seq[Either[String, Operation]]] =
     kw("from") ~> rep1sep(fromRef, ",")
 
-  /** `EVENT STARTS AT e [WITH DURATION d | AND STOPS AT e]` — parsed and
-    * carried as metadata only in the batch compiler. */
-  private def eventClause: Parser[Unit] =
-    kw("event") ~ (kw("starts") | kw("starting")) ~ kw("at") ~ expr ~
+  /** `EVENT STARTS AT e [WITH DURATION d | AND STOPS AT e]` — designates
+    * the event-time expression; time-window operators use it instead of
+    * the start/ts column convention. */
+  private def eventClause: Parser[Expr] =
+    kw("event") ~> (kw("starts") | kw("starting")) ~> kw("at") ~> expr <~
       opt((kw("with") ~ kw("duration") ~ expr) |
-          (kw("and") ~ (kw("stops") | kw("stopping")) ~ kw("at") ~ expr)) ^^^ ()
+          (kw("and") ~ (kw("stops") | kw("stopping")) ~ kw("at") ~ expr))
 
   // clause soup: the reference accepts its Aggregate clauses in any order
   private sealed trait Clause
@@ -429,6 +430,8 @@ object RaqlParser extends RegexParsers {
   private case class CEvery(e: Expr) extends Clause
   private case class CNotify(e: Expr) extends Clause
   private case class CSort(n: Int, by: Seq[Expr]) extends Clause
+  private case class CEvent(start: Expr) extends Clause
+  private case class CFactors(fs: Seq[String]) extends Clause
   private case object CIgnored extends Clause
 
   def aggregateOp: Parser[Operation] = {
@@ -445,8 +448,8 @@ object RaqlParser extends RegexParsers {
         } |
       kw("commit") ~ kw("when") ~> expr ^^ (CCommit(false, _)) |
       kw("every") ~> expr ^^ CEvery.apply |
-      eventClause ^^^ CIgnored |
-      kw("factors") ~> rep1sep(ident, ",") ^^^ CIgnored |
+      eventClause ^^ CEvent.apply |
+      (kw("factors") | kw("factor")) ~> rep1sep(ident, ",") ^^ CFactors.apply |
       // SORT LAST n [UNTIL cond] BY e…: bounded input reorder buffer
       // (UNTIL early-release is parsed but not applied)
       (kw("sort") ~> kw("last") ~> number) ~ (opt(kw("until") ~ expr) ~>
@@ -471,7 +474,9 @@ object RaqlParser extends RegexParsers {
         commitCond = cs.collectFirst { case CCommit(_, c) => c },
         every = cs.collectFirst { case CEvery(e) => e },
         notifyName = cs.collectFirst { case CNotify(e) => e },
-        sortLast = cs.collectFirst { case CSort(n, by) if by.nonEmpty => (n, by) })
+        sortLast = cs.collectFirst { case CSort(n, by) if by.nonEmpty => (n, by) },
+        eventStart = cs.collectFirst { case CEvent(e) => e },
+        factors = cs.collect { case CFactors(fs) => fs }.flatten)
     }
   }
 

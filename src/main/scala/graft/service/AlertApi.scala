@@ -248,11 +248,15 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
     tables.flatMap { t =>
       funcOf(t).map { case (pn, func) =>
         val keys = groupKeysOf(func.op).toSet
+        val factors = func.op match {
+          case a: Aggregate => a.factors.toSet
+          case _ => Set.empty[String]
+        }
         val df = compiler.compile(s"$pn/${func.name}")
         t -> df.schema.fields.filterNot(_.name.startsWith("_")).map { f =>
           val o = F.objectNode()
           o.put("type", f.dataType.simpleString)
-          o.put("factor", false)
+          o.put("factor", factors(f.name))
           o.put("group-key", keys(f.name))
           val arr = o.putArray("alerts")
           alerts.getOrElse((t, f.name), Nil).foreach { case (_, a) =>

@@ -24,7 +24,8 @@ class AlertApiSpec extends AnyFunSuite {
     val src = """
       DEFINE events AS
         FROM tables/events
-        SELECT user_id, event_type, value, float(ts) AS start;
+        SELECT user_id, event_type, value, float(ts) AS start
+        FACTORS event_type;
       DEFINE per_user AS
         FROM tables/events
         SELECT user_id, min value AS low, float(min ts) AS start
@@ -59,6 +60,9 @@ class AlertApiSpec extends AnyFunSuite {
     val r2 = api.handle("""{"id":1,"method":"get-columns","params":["test/events"]}""")
     assert(r2.contains(""""value":{"""))
     assert(!r2.contains(""""group-key":true"""))
+    // FACTORS marks event_type; nothing else is a factor
+    assert(r2.contains(""""event_type":{"type":"string","factor":true"""))
+    assert(!r2.contains(""""value":{"type":"double","factor":true"""))
   }
 
   test("set-alerts transpiles, compiles, and notifies on threshold crossings") {

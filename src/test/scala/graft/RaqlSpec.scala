@@ -241,6 +241,26 @@ class RaqlSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(byName("co2_per_hp_99th")) - 2.71705617978) < 1e-9)
   }
 
+  test("EVENT STARTS AT overrides the start/ts time-column convention") {
+    val src = Map(
+      "fixtures/earthquakes" ->
+        Files.readString(Paths.get(s"$funcDir/fixtures/earthquakes.ramen")),
+      "evt" -> """DEFINE f AS
+          FROM fixtures/earthquakes/csv
+          SELECT year, n, past 2 of n AS recent
+          EVENT STARTING AT (2020 - year);""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    val byYear = c.compile("evt/f").collect()
+      .map(r => (r.get(0).toString.toInt,
+        r.getSeq[Any](2).map(_.toString.toInt).toList)).toMap
+    // reversed event time 2020 - year: the strictly-younger-than-2 window
+    // at year y covers years y+1 and y, time-ascending ⇒ [n(y+1), n(y)] —
+    // the opposite of what the arrival-sequence fallback would give
+    assert(byYear(1950) == List(11, 13)) // n(1951), n(1950)
+    assert(byYear(1951) == List(7, 11))  // n(1952), n(1951)
+  }
+
   test("RUN IF + variant(): experiment selection gates a program") {
     // mirrors tests/features/experiments.feature: the program runs only
     // when the test_external experiment resolves to var1
