@@ -52,11 +52,16 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
-      .filter(col("sig").isNotNull) // shingle-less docs have no LSH presence
+    // shingle-less docs have a NULL sig → NULL bucket array → posexplode
+    // drops them (an explicit isNotNull filter would be PUSHED into the
+    // scan and evaluate the whole minhash twice per row)
     val buckets = sigs
       .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .repartition(par(docs), col("band"), col("bucket"))
+      // self-join must stay co-partitioned: a broadcast build side would
+      // recompute the full signature pipeline in one task
+      .hint("shuffle_hash")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -69,9 +74,15 @@ object Dedup {
     * stage after [[minhashCandidates]]. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
+    // parallelize the shingle computation (single-row-group local input)
+    // and keep the BIG shingle side streamed: its parquet-stats size
+    // estimate ignores the array blow-up, so the planner would otherwise
+    // broadcast it — computing every doc's shingles in one task, twice.
     val sh = docs
+      .repartition(par(docs))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+      .hint("shuffle_hash")
     pairs
       .repartition(par(docs)) // spread the per-pair set intersections
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
