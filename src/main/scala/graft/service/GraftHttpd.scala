@@ -87,8 +87,12 @@ final class GraftHttpd(
 
   private val handler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = try {
-      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      // tolerate duplicate/trailing slashes like the reference httpd
+      val path = ex.getRequestURI.getPath.replaceAll("/+", "/").stripSuffix("/")
       path match {
+        case "/version" =>
+          // graphite impersonator version (RamenGraphite.ml:571)
+          respond(ex, 200, "1.1.3", "text/plain")
         case "" | "/v1" | "/api" | "/api/v1" =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           respond(ex, 200, api.handle(body))
@@ -113,9 +117,24 @@ final class GraftHttpd(
           val until = p.get("until").map(_.toDouble).getOrElse(since + 3600)
           val n = p.get("maxDataPoints").map(_.toInt).getOrElse(100)
           metrics() match {
-            case Some(df) => respond(ex, 200, rowsToJson(
-              GraphiteApi.render(df, pathCol, timeCol, valueCol, target,
-                since, until, n)))
+            case Some(df) =>
+              // graphite render shape: [{target, datapoints: [[v, t], …]}]
+              // (RamenGraphite.ml:337-338)
+              val rows = GraphiteApi.render(df, pathCol, timeCol, valueCol,
+                target, since, until, n).collect()
+              val arr = F.arrayNode()
+              rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach {
+                case (tgt, pts) =>
+                  val o = arr.addObject()
+                  o.put("target", tgt)
+                  val dp = o.putArray("datapoints")
+                  pts.sortBy(_.getDouble(1)).foreach { r =>
+                    val p = dp.addArray()
+                    p.add(r.getDouble(2))
+                    p.add(r.getDouble(1).toLong)
+                  }
+              }
+              respond(ex, 200, M.writeValueAsString(arr))
             case None => respond(ex, 404, """{"error":"no metrics source"}""")
           }
         case t if t.startsWith("/tail/") =>

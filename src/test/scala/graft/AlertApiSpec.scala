@@ -141,11 +141,14 @@ class AlertApiSpec extends AnyFunSuite {
       val find = get("/metrics/find?query=servers.*")
       assert(find.contains("servers.web1") && find.contains("servers.web2"))
       assert(find.contains(""""expandable":true"""))
+      // graphite impersonator version (trailing slashes tolerated; the JDK
+      // server itself rejects doubled slashes before our handler runs)
+      assert(get("/version") == "1.1.3")
+      assert(get("/version/") == "1.1.3")
       val render = get("/render?target=servers.*.cpu&from=0&until=30&maxDataPoints=3")
-      assert(render.contains("servers.web1.cpu"))
-      // times 10 and 20 land in buckets [10,20) and [20,30)
-      assert(render.contains(""""bucket_start":10.0,"value":1.0"""))
-      assert(render.contains(""""bucket_start":20.0,"value":3.0"""))
+      // graphite shape: times 10 and 20 land in buckets [10,20) and [20,30)
+      assert(render.contains(""""target":"servers.web1.cpu""""))
+      assert(render.contains(""""datapoints":[[1.0,10],[3.0,20]]"""))
       assert(!render.contains("web2")) // target glob filtered
     } finally httpd.stop()
   }
