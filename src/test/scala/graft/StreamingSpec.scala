@@ -225,4 +225,32 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("SORT LAST reorder buffer applies per micro-batch on a stream") {
+    // the bounded reorder is per stream shard: within one micro-batch the
+    // streaming output equals the batch SortBuffer result (cross-batch
+    // disorder is the watermark's job, not the sort buffer's)
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sortbuf")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("event_id"), col("user_id"))
+    val sorted = graft.ops.SortBuffer(stream, 50, Seq(col("user_id")))
+    val q = sorted.writeStream.format("memory").queryName("sortbufout")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // one micro-batch, one partition: the memory sink preserves emit order
+    val streamed = spark.table("sortbufout")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val batch = graft.ops.SortBuffer(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id")).coalesce(1),
+      50, Seq(col("user_id")))
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
