@@ -359,7 +359,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         compileStateful(e0, go, params)
       // MAPADD into a DECLAREd global: apply the writes eagerly when the
       // source is a batch frame, pass the value through as the result
-      case FunCall("mapadd", Seq(Ref(Seq(g)), k, v)) if activeGlobals.contains(g) =>
+      case FunCall("mapadd" | "mapset", Seq(Ref(Seq(g)), k, v)) if activeGlobals.contains(g) =>
         val m = globalMaps.getOrElseUpdate(activeGlobals(g),
           scala.collection.mutable.LinkedHashMap.empty)
         typerDf.orElse(runCtx.map(_.df)).foreach { df =>
