@@ -164,6 +164,15 @@ object AlertApi {
 
   final class BadRequest(msg: String) extends Exception(msg)
 
+  private def parseFilters(n: JsonNode): Seq[SimpleFilter] =
+    Option(n).toSeq.flatMap(_.elements().asScala).map { f =>
+      SimpleFilter(
+        Option(f.get("lhs")).map(_.asText).getOrElse(
+          throw new BadRequest("filter missing lhs")),
+        Option(f.get("rhs")).map(_.asText).getOrElse(""),
+        Option(f.get("op")).map(_.asText).getOrElse("="))
+    }
+
   private def parseAlert(n: JsonNode): AlertV1 = {
     n.fieldNames().asScala.foreach { k =>
       if (!knownKeys(k)) throw new BadRequest(s"unknown alert field '$k'")
@@ -171,14 +180,7 @@ object AlertApi {
     def d(key: String, default: Double): Double =
       Option(n.get(key)).map(_.asDouble).getOrElse(default)
     def s(key: String): String = Option(n.get(key)).map(_.asText).getOrElse("")
-    def filters(key: String): Seq[SimpleFilter] =
-      Option(n.get(key)).toSeq.flatMap(_.elements().asScala).map { f =>
-        SimpleFilter(
-          Option(f.get("lhs")).map(_.asText).getOrElse(
-            throw new BadRequest(s"filter in '$key' missing lhs")),
-          Option(f.get("rhs")).map(_.asText).getOrElse(""),
-          Option(f.get("op")).map(_.asText).getOrElse("="))
-      }
+    def filters(key: String): Seq[SimpleFilter] = parseFilters(n.get(key))
     if (n.get("threshold") == null) throw new BadRequest("missing threshold")
     AlertV1(
       enabled = Option(n.get("enabled")).forall(_.asBoolean),
@@ -306,6 +308,91 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
   def notifications(progName: String): Option[DataFrame] =
     compiler.notifications(s"$progName/notif")
 
+  /** `get-timeseries` (RamenApi.ml:436-533): per table, the selected
+    * fields bucketized over [since, until) with optional simple filters
+    * and factor grouping. One hash aggregation per table — the q17
+    * timeseries shape. Returns (times, per-table labels + values). */
+  def getTimeseries(since: Double, until: Double, numPoints0: Int,
+      timeStep: Double, bucketTime: String,
+      data: Seq[(String, (Seq[String], Seq[SimpleFilter], Seq[String]))]):
+      (Seq[Double], Seq[(String, (Seq[Seq[String]], Seq[Seq[Seq[Option[Double]]]]))]) = {
+    if (since > until) throw new BadRequest("since must come before until")
+    if (numPoints0 <= 0 && timeStep <= 0)
+      throw new BadRequest("must set either num-points or time-step")
+    if (numPoints0 > 0 && timeStep > 0)
+      throw new BadRequest("must set only one of num-points or time-step")
+    // compute_num_points (RamenTimeseries.ml:215-227): time-step aligns
+    // the bucket grid; num-points uses the raw range
+    val (num, s0, u0) =
+      if (numPoints0 > 0) (numPoints0, since, until)
+      else {
+        val s = math.floor(since / timeStep) * timeStep
+        val u = math.ceil(until / timeStep) * timeStep
+        (math.max(1, math.round((u - s) / timeStep).toInt), s, u)
+      }
+    val step = (u0 - s0) / num
+    val off = bucketTime.toLowerCase match {
+      case "begin" => 0.0
+      case "middle" => 0.5
+      case "end" | "" => 1.0
+      case other => throw new BadRequest(
+        s"The only possible values for bucket_time are begin, middle and end (got $other)")
+    }
+    val times = (0 until num).map(i => s0 + (i + off) * step)
+    import org.apache.spark.sql.functions._
+    val values = data.map { case (table, (sel, where, factors)) =>
+      val (pn, func) = funcOf(table).getOrElse(
+        throw new BadRequest(s"Program for table $table does not exist"))
+      val df = compiler.compile(s"$pn/${func.name}")
+      val cols = df.columns.toSeq
+      (sel ++ where.map(_.lhs) ++ factors).find(c => !cols.contains(c))
+        .foreach(c => throw new BadRequest(
+          s"No column $c in table $table (columns: ${cols.mkString(", ")})"))
+      val t =
+        if (cols.contains("start")) col("start").cast("double")
+        else if (cols.contains("ts")) unix_micros(col("ts")) / 1e6
+        else throw new BadRequest(s"table $table has no event time")
+      val filtered = where.foldLeft(df.filter(t >= s0 && t < u0)) { (d, w) =>
+        val c = col(w.lhs)
+        w.op match {
+          case "=" | "" => d.filter(c.cast("string") === w.rhs)
+          case "!=" | "<>" => d.filter(c.cast("string") =!= w.rhs)
+          case ">" => d.filter(c > w.rhs.toDouble)
+          case ">=" => d.filter(c >= w.rhs.toDouble)
+          case "<" => d.filter(c < w.rhs.toDouble)
+          case "<=" => d.filter(c <= w.rhs.toDouble)
+          case other => throw new BadRequest(s"unsupported filter op $other")
+        }
+      }
+      val bucket = floor((t - lit(s0)) / step).cast("int").as("_bucket")
+      val keys = bucket +: factors.map(col)
+      val rows = filtered.groupBy(keys: _*)
+        .agg(avg(col(sel.head)).as(sel.head),
+          sel.tail.map(f => avg(col(f)).as(f)): _*)
+        .collect()
+      val labels: Seq[Seq[String]] = {
+        val ls = rows.map(r => factors.map(f => String.valueOf(r.getAs[Any](f))).toList)
+          .distinct.sortBy(_.mkString(" ")).map(_.toSeq).toSeq
+        if (ls.isEmpty && factors.isEmpty) Seq(Seq.empty) else ls
+      }
+      val labelIdx = labels.zipWithIndex.toMap
+      val grid = Array.fill(num, labels.size, sel.size)(Option.empty[Double])
+      rows.foreach { r =>
+        val b = r.getInt(0)
+        if (b >= 0 && b < num) {
+          val li = labelIdx(factors.map(f => String.valueOf(r.getAs[Any](f))).toSeq)
+          sel.indices.foreach { fi =>
+            val v = r.getAs[Any](sel(fi))
+            grid(b)(li)(fi) =
+              Option(v).map(_.asInstanceOf[Number].doubleValue())
+          }
+        }
+      }
+      table -> (labels, grid.map(_.map(_.toSeq).toSeq).toSeq)
+    }
+    (times, values)
+  }
+
   // --- JSON-RPC dispatch ------------------------------------------------
 
   /** Handle one JSON-RPC request body; always returns a JSON response
@@ -331,6 +418,47 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
           getColumns(names).foreach { case (t, colsMap) =>
             val to = o.putObject(t)
             colsMap.foreach { case (c, spec) => to.set[JsonNode](c, spec) }
+          }
+          o
+        case "get-timeseries" =>
+          val p = Option(params).getOrElse(throw new BadRequest("missing params"))
+          def pd(k: String): Double =
+            Option(p.get(k)).map(_.asDouble).getOrElse(0.0)
+          val numPts = Option(p.get("num-points"))
+            .orElse(Option(p.get("num_points"))).map(_.asInt).getOrElse(0)
+          val data = Option(p.get("data")).toSeq
+            .flatMap(_.properties().asScala).map { e =>
+              val spec = e.getValue
+              def strs(k: String): Seq[String] =
+                Option(spec.get(k)).toSeq.flatMap(_.elements().asScala)
+                  .map(_.asText).toSeq
+              e.getKey -> ((strs("select"),
+                parseFilters(spec.get("where")), strs("factors")))
+            }
+          val (times, values) = getTimeseries(pd("since"), pd("until"),
+            numPts, pd("time-step"),
+            Option(p.get("bucket-time")).map(_.asText).getOrElse("end"), data)
+          val o = F.objectNode()
+          val ta = o.putArray("times")
+          times.foreach { t =>
+            if (t == t.floor && t.abs < 1e15) ta.add(t.toLong) else ta.add(t)
+          }
+          val vo = o.putObject("values")
+          values.foreach { case (tbl, (labels, grid)) =>
+            val to = vo.putObject(tbl)
+            val cl = to.putArray("column_labels")
+            labels.foreach { l => val la = cl.addArray(); l.foreach(la.add) }
+            val cv = to.putArray("column_values")
+            grid.foreach { perLabel =>
+              val ba = cv.addArray()
+              perLabel.foreach { perField =>
+                val fa = ba.addArray()
+                perField.foreach {
+                  case Some(v) => fa.add(v)
+                  case None => fa.addNull()
+                }
+              }
+            }
           }
           o
         case "set-alerts" =>

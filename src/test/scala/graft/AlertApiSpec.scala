@@ -106,6 +106,29 @@ class AlertApiSpec extends AnyFunSuite {
     assert(alert.count() > 0)
   }
 
+  test("get-timeseries: time-step buckets, end times, filters, bad fields") {
+    val (_, api) = mkApi()
+    // events span 2024; take a 2-hour window bucketized by 3600s steps
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z
+    val r = api.handle(s"""{"method":"get-timeseries","id":1,"params":{
+      "since":$t0,"until":${t0 + 7200},"time-step":3600,
+      "data":{"test/events":{"select":["value"],
+        "where":[{"lhs":"user_id","op":">=","rhs":"0"}]}}}}""")
+    // bucket-time defaults to end: two buckets ending at t0+3600, t0+7200
+    assert(r.contains(s""""times":[${t0 + 3600},${t0 + 7200}]"""), r)
+    assert(r.contains(""""test/events":{"column_labels":[[]],"column_values":"""), r)
+    // api.feature: time-step can replace num-points — one bucket, end time
+    val one = api.handle("""{"method":"get-timeseries","id":1,"params":{
+      "since":0,"until":9,"time-step":60,
+      "data":{}}}""")
+    assert(one.contains(""""times":[60]"""), one)
+    // a misspelled select field names the candidates
+    val bad = api.handle(s"""{"method":"get-timeseries","id":1,"params":{
+      "since":$t0,"until":${t0 + 7200},"num-points":5,
+      "data":{"test/events":{"select":["x"]}}}}""")
+    assert(bad.contains("No column x") && bad.contains("value"), bad)
+  }
+
   test("misspelled alert field is mentioned in the error") {
     val (_, api) = mkApi()
     val r = api.handle("""{"id":1,"method":"set-alerts","params":{
