@@ -48,6 +48,15 @@ object GraftFunctions {
     ExpressionUtils.column(
       ReservoirSample(col2e(x.cast("double")), n, seed).toAggregateExpression())
 
+  /** (version, numeric address) → canonical ip text ([[FormatIp]]). */
+  def formatIp(version: Column, num: Column): Column =
+    ExpressionUtils.column(FormatIp(col2e(version), col2e(num)))
+
+  /** `ip IN cidr` membership over canonical text ([[IpInCidr]]). */
+  def ipInCidr(ip: Column, cidr: Column): Column =
+    ExpressionUtils.column(IpInCidr(col2e(ip.cast("string")),
+      col2e(cidr.cast("string"))))
+
   /** Dot product of two float/double array columns (codegen'd loop — see
     * [[VecDot]]); the workhorse of the similarity operators. */
   def vecDot(a: Column, b: Column): Column =

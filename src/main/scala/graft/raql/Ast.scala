@@ -63,6 +63,8 @@ object Ast {
       sortLast: Option[(Int, Seq[Expr])] = None,
       /** `EVENT STARTS AT e` — the designated event-time expression. */
       eventStart: Option[Expr] = None,
+      /** The event end: `AND STOPS AT e` or start + `WITH DURATION d`. */
+      eventStop: Option[Expr] = None,
       /** `FACTORS f…` — low-cardinality dimension columns (RamenApi
         * get-columns `factor` flag; timeseries grouping hints). */
       factors: Seq[String] = Nil) extends Operation

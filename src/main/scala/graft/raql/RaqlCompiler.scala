@@ -134,6 +134,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Does this expression contain an aggregate call (after unification)? */
   private def hasAgg(e: Expr): Boolean = e match {
     case AggCall(_, _, _, _) | PercentileCall(_, _) => true
+    case FunCall("histogram", _) => true
     case Binop(_, l, r) => hasAgg(l) || hasAgg(r)
     case Unop(_, x) => hasAgg(x)
     case FunCall(_, args) => args.exists(hasAgg)
@@ -167,6 +168,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def hasWindowFn(e: Expr): Boolean = e match {
     case AggCall(fn, op, _, extra) =>
       windowFns(fn) || hasWindowFn(op) || extra.exists(hasWindowFn)
+    // previous.x feedback reads the prior row's output: running mode
+    case Ref(Seq("previous", _)) => true
     case FunCall(fn, args) => windowFunCalls(fn) || args.exists(hasWindowFn)
     case Binop(_, l, r) => hasWindowFn(l) || hasWindowFn(r)
     case Unop(_, x) => hasWindowFn(x)
@@ -239,6 +242,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def dtypeOf(c: Column): DataType =
     runCtx.get.df.select(c).schema.head.dataType
 
+  /** The raqlType metadata tag (ip / cidr) of a column, if any. */
+  private def raqlTypeOf(c: Column): Option[String] =
+    runCtx.map(_.df).orElse(typerDf).flatMap { df =>
+      scala.util.Try(df.select(c).schema.head.metadata).toOption
+        .filter(_.contains("raqlType")).map(_.getString("raqlType"))
+    }
+
   /** Materialize a (window) column as a private intermediate column so it
     * can feed another window function — Spark rejects nested window
     * expressions in a single projection (`lag latest 1 n`). */
@@ -280,10 +290,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Ref(Seq(name)) if params.contains(name) => go(params(name))
       // niladic builtins usable without parens (RANDOM, NOW, PI) — only
       // when no input column shadows the name
-      case Ref(Seq(name)) if Set("random", "now", "pi").contains(name) &&
+      case Ref(Seq(name)) if Set("random", "now", "pi").contains(name.toLowerCase) &&
           !runCtx.map(_.df).orElse(typerDf).exists(_.columns.contains(name)) =>
-        compileFun(name, Nil, go)
+        compileFun(name.toLowerCase, Nil, go)
       case Ref(Seq(name)) => col(name)
+      // previous.x (the group's last committed output) in commit-every-tuple
+      // mode is the previous row's value of the output field — a lag over
+      // the running window. Self-referential recurrences (previous.x inside
+      // x's own definition) remain unsupported.
+      case Ref(Seq("previous", n))
+          if runCtx.exists(_.df.columns.contains(n)) =>
+        lag(col(n), 1).over(seqWindow())
+      case Ref(Seq("out", n)) if runCtx.exists(_.df.columns.contains(n)) =>
+        col(n)
       case Ref(path) if path.head == "previous" || path.head == "out" =>
         unsupported(s"feedback variable ${path.mkString(".")} (streaming harness)")
       case Ref(path) => col(path.mkString("."))
@@ -320,12 +339,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             case _ => unsupported("LIKE with non-literal pattern")
           }
           case "in" =>
-            // item-in-vector, substring-in-string (reference doc expr.ml:626);
-            // a NULL needle is NULL (SQL semantics)
+            // item-in-vector, substring-in-string, ip-in-cidr (reference
+            // doc expr.ml:626); a NULL needle is NULL (SQL semantics)
+            def cidrShaped(s: String): Boolean = s.contains("/") &&
+              (s.matches("""[\d./]+""") || s.contains(":"))
             if (l == Lit(null)) lit(null).cast("boolean")
             else r match {
               case VectorLit(_) => array_contains(b, a)
+              case Lit(s: String) if cidrShaped(s) =>
+                graft.functions.GraftFunctions.ipInCidr(a, lit(s))
               case Lit(_: String) => b.contains(a)
+              case _ if raqlTypeOf(b).contains("cidr") =>
+                graft.functions.GraftFunctions.ipInCidr(a, b)
               case _ => array_contains(b, a)
             }
           case "starts_with" => a.startsWith(b)
@@ -380,6 +405,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case FunCall(name, args) => compileFun(name, args, go)
       case agg: AggCall => compileAgg(agg, go)
       case PercentileCall(ps, op) => compilePercentile(ps, op, go)
+    }
+    go(e)
+  }
+
+  /** Substitute `#start`/`#stop` event-time refs with the EVENT clause's
+    * expressions (event_time.ramen; RamenEventTime.ml). */
+  private def substEvent(e: Expr, start: Expr, stop: Expr): Expr = {
+    def go(x: Expr): Expr = x match {
+      case Ref(Seq("#start")) => start
+      case Ref(Seq("#stop")) => stop
+      case Binop(o, l, r) => Binop(o, go(l), go(r))
+      case Unop(o, y) => Unop(o, go(y))
+      case FunCall(n, as) => FunCall(n, as.map(go))
+      case AggCall(n, op, m, ex) => AggCall(n, go(op), m, ex.map(go))
+      case PercentileCall(ps, op) => PercentileCall(ps, go(op))
+      case CaseExpr(br, el) =>
+        CaseExpr(br.map { case (c, v) => (go(c), go(v)) }, el.map(go))
+      case IsNull(y, ng) => IsNull(go(y), ng)
+      case VectorLit(it) => VectorLit(it.map(go))
+      case other => other
     }
     go(e)
   }
@@ -516,6 +561,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         graft.functions.GraftFunctions.hysteresisScan(goM(x),
           evalNum(acceptable, params), evalNum(maximum, params)).over(prefix)
 
+      // argument-tuple spelling `REMEMBER [GLOBALLY] (fpr, t, d, keys…)`:
+      // batch-exact seen-before over the non-constant key columns
+      // (local_state_in_where_slow.ramen)
+      case AggCall("remember", op, _, extra) if extra.nonEmpty =>
+        val keyCols = (extra.filterNot {
+          case Lit(_: Long) | Lit(_: Double) | Lit(_: BigDecimal) => true
+          case _ => false
+        } :+ op).map(goM)
+        row_number().over(partedWindow(keyCols: _*)) > 1
+
       case FunCall("remember", args) if args.size >= 4 =>
         // REMEMBER (fpr, time, duration, e…): seen within `duration` of the
         // last sighting. Batch is exact — no bloom false positives.
@@ -597,6 +652,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def compileFun(name: String, args: Seq[Expr], go: Expr => Column): Column =
     (name, args) match {
       case (n, Seq(x)) if castType(n).isDefined => go(x).cast(castType(n).get)
+      case (n, Seq(x)) if n.startsWith("array_") &&
+          castType(n.stripPrefix("array_")).isDefined =>
+        // tuple operands cast to vectors elementwise (tuples.ramen converts)
+        val c = go(x)
+        val arr = dtypeOpt(c) match {
+          case Some(st: StructType) =>
+            array(st.fields.map(f => c.getField(f.name)).toSeq: _*)
+          case _ => c
+        }
+        arr.cast(s"array<${castType(n.stripPrefix("array_")).get}>")
+      case ("eth" | "eth?", Seq(x)) =>
+        // 48-bit MAC formatted aa:bb:cc:dd:ee:ff (RamenEthAddr.ml)
+        format_string("%02x:%02x:%02x:%02x:%02x:%02x",
+          (0 to 5).map(i => shiftright(go(x).cast("long"), (5 - i) * 8)
+            .bitwiseAND(255)): _*)
       case (n, Seq(x)) if n.endsWith("?") && castType(n.dropRight(1)).isDefined =>
         go(x).try_cast(castType(n.dropRight(1)).get) // nullable cast: NULL on failure
       case ("coalesce", as) => coalesce(as.map(go): _*)
@@ -644,14 +714,42 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           graft.functions.GraftFunctions.fitArr(c)
         else unsupported("FIT over a non-list operand (use FIT (latest k x))")
       case ("get", Seq(i, coll)) =>
-        // RaQL GET is 0-based and NULL out of bounds; element_at is 1-based
-        i match {
-          case Lit(n: Long) => element_at(go(coll), n.toInt + 1)
-          case _ => element_at(go(coll), (go(i) + 1).cast("int"))
+        // RaQL GET is 0-based and NULL out of bounds; element_at is 1-based.
+        // Over a tuple (struct), GET selects the i-th field by position.
+        val c = go(coll)
+        (i, dtypeOpt(c)) match {
+          case (Lit(n: Long), Some(st: StructType)) =>
+            c.getField(st.fields(n.toInt).name)
+          case (Lit(n: Long), _) => element_at(c, n.toInt + 1)
+          case _ => element_at(c, (go(i) + 1).cast("int"))
         }
       case ("tuple", items) =>
         struct(items.zipWithIndex.map { case (e, i) => go(e).as(s"_${i + 1}") }: _*)
       case ("chr", Seq(x)) => chr(go(x))
+      case ("char" | "char?", Seq(x)) => substring(go(x).cast("string"), 1, 1)
+      // ip casts: a numeric operand formats to canonical ip text
+      case ("ip" | "ip?" | "ip4" | "ip4?" | "ip6" | "ip6?", Seq(x)) =>
+        val v6 = name.startsWith("ip6")
+        graft.functions.GraftFunctions.formatIp(
+          lit(if (v6) 6 else 4), go(x).cast("decimal(38,0)"))
+      case ("ipfamily", Seq(x)) =>
+        when(go(x).cast("string").contains(":"), 6).otherwise(4)
+      // HISTOGRAM x, lo, hi, n — n+2 bucket counts with under/overflow
+      // (CodeGenLib.ml:515-540); an aggregate despite the FunCall spelling
+      case ("histogram", Seq(x, loE, hiE, nE)) =>
+        val lo = evalNum(loE, Map.empty); val hi = evalNum(hiE, Map.empty)
+        val n = evalNum(nE, Map.empty).toInt
+        val w = (hi - lo) / n
+        val v = go(x).cast("double")
+        def cnt(cond: Column): Column = {
+          val s = sum(when(cond, 1L).otherwise(0L))
+          if (runCtx.isDefined)
+            s.over(seqWindow().rowsBetween(Window.unboundedPreceding, 0))
+          else s
+        }
+        array((cnt(v < lo) +:
+          (0 until n).map(i => cnt(v >= lo + i * w && v < lo + (i + 1) * w)) :+
+          cnt(v >= hi)): _*)
       case ("index", Seq(s0, c)) => instr(go(s0), go(c).cast("string")) - 1
       case ("substring", Seq(s0, a, b)) =>
         // python-style slice, negative indices relative to the end, clamped
@@ -798,14 +896,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * tests/func/basic_aggr.ramen and past.ramen's `min recent_n`). */
   private def arrayAgg(fn: String, c: Column): Column = {
     def nonNull = filter(c, x => x.isNotNull)
+    // Kahan-compensated sum, like the reference's float sums over vectors
+    // (tests/func/kahan_sum.ramen: 1 + 1e100 + 1 - 1e100 = 2, not 0)
+    def ksum = aggregate(nonNull,
+      struct(lit(0.0).as("s"), lit(0.0).as("c")),
+      (acc, x) => {
+        val y = x.cast("double") - acc.getField("c")
+        val t = acc.getField("s") + y
+        struct(t.as("s"), ((t - acc.getField("s")) - y).as("c"))
+      },
+      acc => acc.getField("s"))
     fn match {
       case "min" => array_min(c)
       case "max" => array_max(c)
-      case "sum" =>
-        aggregate(nonNull, lit(0.0), (acc, x) => acc + x.cast("double"))
-      case "avg" =>
-        aggregate(nonNull, lit(0.0), (acc, x) => acc + x.cast("double")) /
-          size(nonNull)
+      case "sum" => ksum
+      case "avg" => ksum / size(nonNull)
       case "first" => element_at(c, 1)
       case "last" => element_at(c, -1)
       case "count" => size(nonNull)
@@ -888,6 +993,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       if (dtypeOf(c).isInstanceOf[ArrayType]) return arrayAgg(a.fn, c)
       return runningAgg(a, if (hasWindowFn(operand)) matCol(c) else c)
     }
+    // batch mode: aggregates of an array-typed operand apply immediately
+    // per row (the reference's every-aggregate-accepts-lists rule); the
+    // end-of-input commit then keeps the group's last value
+    if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType]) && a.fn != "group")
+      return last(arrayAgg(a.fn, c))
     val keepNulls = a.modifiers.contains("keep_nulls")
     def withKeepNulls(agg: Column): Column =
       if (!keepNulls) agg
@@ -949,7 +1059,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     val func = prog.funcs.find(_.name == funcName).getOrElse(
       throw new NoSuchElementException(s"function $key"))
     val params: Map[String, Expr] =
-      prog.params.flatMap(p => p.default.map(p.name -> _)).toMap
+      prog.params.map(p => p.name -> p.default.getOrElse(Lit(null))).toMap
     val prevGlobals = activeGlobals
     activeGlobals = prog.globals.map(g => g -> s"$progName#$g").toMap
     try {
@@ -968,6 +1078,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   private def resolveFrom(ref: String, progName: String): DataFrame = {
     if (compiled.contains(ref)) return compiled(ref) // registered tables
+    // `prog#_/func` selects any program implementing `prog` (chop the
+    // suffix); `../` climbs out of the referencing program's directory
+    val norm = ref.replace("#_", "")
+      .split('/').filterNot(_ == "..").mkString("/")
     val candidates = Seq(
       ref,                                   // fully qualified prog/func
       s"$progName/$ref",                     // sibling function
@@ -975,7 +1089,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case parts if parts.length > 1 =>
           (progName.split('/').dropRight(1) ++ parts).mkString("/")
         case _ => ref
-      })
+      },
+      norm, s"$progName/$norm")
     candidates.collectFirst {
       case c if lookupable(c) => compile(c)
     }.getOrElse(throw new NoSuchElementException(s"FROM $ref (from $progName)"))
@@ -1035,18 +1150,39 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         graft.sources.CsvSource.CsvSpec(separator = rk.separator, nullStr = ""))
 
     case ReadCsv(path, fields, sep) =>
-      val schema = StructType(fields.map { case (n, t) =>
-        StructField(n, sparkType(t), nullable = t.nullable,
+      // ip / cidr columns use the reference CSV encoding — (version, u128)
+      // pair and (version, u128, mask) triple — and surface as canonical
+      // text (graft.functions.NetExpressions), tagged with raqlType
+      // metadata so IN picks CIDR membership over substring semantics
+      val raw = StructType(fields.flatMap {
+        case (n, t) if t.base == "ip" => Seq(
+          StructField(s"_${n}_v", IntegerType, t.nullable),
+          StructField(s"_${n}_a", DecimalType(38, 0), t.nullable))
+        case (n, t) if t.base == "cidr" => Seq(
+          StructField(s"_${n}_v", IntegerType, t.nullable),
+          StructField(s"_${n}_a", DecimalType(38, 0), t.nullable),
+          StructField(s"_${n}_m", IntegerType, t.nullable))
+        case (n, t) => Seq(StructField(n, sparkType(t), nullable = t.nullable,
           metadata = t.units.map(u =>
             new MetadataBuilder().putString("units", u).build())
-            .getOrElse(Metadata.empty))
+            .getOrElse(Metadata.empty)))
       })
       // CSV paths are relative to the declaring program's directory
       val full = new java.io.File(new java.io.File(baseDir,
         progName).getParentFile, path).getPath
       // single partition: RaQL first/last/lag depend on file arrival order
-      graft.sources.CsvSource.read(spark, full, schema,
+      val df0 = graft.sources.CsvSource.read(spark, full, raw,
         graft.sources.CsvSource.CsvSpec(separator = sep, nullStr = "")).coalesce(1)
+      def fmtIp(n: String) = graft.functions.GraftFunctions.formatIp(
+        col(s"_${n}_v"), col(s"_${n}_a"))
+      def tagged(t: String) =
+        new MetadataBuilder().putString("raqlType", t).build()
+      df0.select(fields.map {
+        case (n, t) if t.base == "ip" => fmtIp(n).as(n, tagged("ip"))
+        case (n, t) if t.base == "cidr" =>
+          concat(fmtIp(n), lit("/"), col(s"_${n}_m")).as(n, tagged("cidr"))
+        case (n, _) => col(n)
+      }: _*)
 
     case agg: Aggregate =>
       val parents =
@@ -1065,7 +1201,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           graft.ops.SortBuffer(base0, n, keys)
         case None => base0
       }
-      val fields = expandStar(agg, base)
+      // `#start` / `#stop` refs resolve to the EVENT clause's expressions
+      val fields = agg.eventStart match {
+        case Some(st) =>
+          val stop = agg.eventStop.getOrElse(st)
+          expandStar(agg, base).map(f =>
+            f.copy(expr = substEvent(f.expr, st, stop)))
+        case None => expandStar(agg, base)
+      }
       // commit-every-tuple mode: sequence/window stateful fns in the
       // output. With GROUP BY the state (and the windows below) partitions
       // by the group key — the reference's per-group running state — and
@@ -1106,7 +1249,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       agg: Aggregate, params: Map[String, Expr]): DataFrame = {
     val filtered = agg.where match {
       case Some(w) if !hasAgg(w) && !hasWindowFn(w) =>
-        base.filter(compileExpr(w, params))
+        typerDf = Some(base) // operand-directed compile (ip IN cidr, bool COUNT)
+        try base.filter(compileExpr(w, params)) finally typerDf = None
       case Some(w) => unsupported(s"stateful WHERE with GROUP BY: $w")
       case None => base
     }
@@ -1157,7 +1301,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       (e2, n)
     }
     typerDf = Some(src)
-    try compileNamed(src, named, agg, params, splitCols)
+    // GROUP BY may key on OUT aliases (`lower word AS word … GROUP BY
+    // word`, word_count.ramen) — substitute the defining expressions
+    val agg2 = agg.copy(groupBy = agg.groupBy.map(subAlias))
+    try compileNamed(src, named, agg2, params, splitCols)
     finally typerDf = None
   }
 
@@ -1171,19 +1318,25 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // fields go through agg(); other fields take the group's last
         // value (reference semantics for bare input refs under GROUP BY —
         // deterministic here because RaQL CSV sources are single-partition)
-        val keyExprs = agg.groupBy.toSet
-        val keys = agg.groupBy.map(k => compileExpr(k, params, splitCols))
+        val keyIdx = agg.groupBy.zipWithIndex.toMap
+        // keys get stable aliases: a computed key (GROUP BY lower(word) via
+        // an out-alias) is otherwise unaddressable on the aggregated frame
+        val keys = agg.groupBy.zipWithIndex.map { case (k, i) =>
+          compileExpr(k, params, splitCols).as(s"_gk$i")
+        }
         val aggCols = named.collect {
           case (e, n) if hasAgg(e) => compileExpr(e, params, splitCols).as(n)
-          case (e, n) if !keyExprs.contains(e) =>
+          case (e, n) if !keyIdx.contains(e) =>
             last(compileExpr(e, params, splitCols)).as(n)
         }
         val aggDf =
           if (aggCols.nonEmpty) src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
           else src.groupBy(keys: _*).agg(count(lit(1)).as("_graft_cnt"))
         aggDf.select(named.map { case (e, n) =>
-          if (keyExprs.contains(e)) compileExpr(e, params, splitCols).as(n)
-          else col(n) }: _*)
+          keyIdx.get(e) match {
+            case Some(i) => col(s"_gk$i").as(n)
+            case None => col(n)
+          } }: _*)
       } else {
         // End-of-input aggregate without grouping. Reference behaviors:
         // (a) later fields may reference earlier OUTPUT fields
@@ -1302,7 +1455,36 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       }
       val outNames = fields.map(f => f.alias.getOrElse(autoName(f.expr)))
       fields.zip(outNames).foreach { case (f, n) =>
-        val c = compileExpr(f.expr, params) // may grow ctx.df (materialized)
+        // self-referential previous.x counters are prefix sums:
+        //   d + (previous.x |? c)  ⇒  c + running_sum(d)        (x1 = c+d1)
+        //   (previous.x + d) |? c  ⇒  c + running_sum(d) - d1   (x1 = c)
+        // (tests/func/previous.ramen, tumbling.ramen, min_max.ramen…)
+        val prefix = seqWindow().rowsBetween(Window.unboundedPreceding, 0)
+        def prevSelf(x: Expr): Boolean = x == Ref(Seq("previous", n))
+        val c = f.expr match {
+          case FunCall("coalesce", Seq(p, init)) if prevSelf(p) =>
+            // previous.x |? c alone: c on row one, then unchanged — constant
+            compileExpr(init, params)
+          case Binop("+", d, FunCall("coalesce", Seq(p, init)))
+              if prevSelf(p) && !hasWindowFn(d) =>
+            compileExpr(init, params) +
+              sum(matCol(compileExpr(d, params))).over(prefix)
+          case Binop("+", FunCall("coalesce", Seq(p, init)), d)
+              if prevSelf(p) && !hasWindowFn(d) =>
+            compileExpr(init, params) +
+              sum(matCol(compileExpr(d, params))).over(prefix)
+          case FunCall("coalesce", Seq(Binop("+", p, d), init))
+              if prevSelf(p) && !hasWindowFn(d) =>
+            val dc = matCol(compileExpr(d, params))
+            compileExpr(init, params) +
+              (sum(dc).over(prefix) - first(dc).over(prefix))
+          case FunCall("coalesce", Seq(Binop("+", d, p), init))
+              if prevSelf(p) && !hasWindowFn(d) =>
+            val dc = matCol(compileExpr(d, params))
+            compileExpr(init, params) +
+              (sum(dc).over(prefix) - first(dc).over(prefix))
+          case e => compileExpr(e, params) // may grow ctx.df (materialized)
+        }
         df = runCtx.get.df.withColumn(n, c)
         runCtx.get.df = df
       }

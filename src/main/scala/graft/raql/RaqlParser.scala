@@ -199,7 +199,8 @@ object RaqlParser extends RegexParsers {
     // argument-tuple form: `sample (10, x)`, `remember globally (fpr, d, k, x)`
     val argsForm =
       aggName ~ rep1(modifier) ~ ("(" ~> rep1sep(expr, ",") <~ ")") ^^ {
-        case fn ~ mods ~ args => AggCall(fn, args.last, mods.toSet)
+        case fn ~ mods ~ args =>
+          AggCall(fn, args.last, mods.toSet, args.dropRight(1))
       }
     // the count form must be a full alternative: opt() would not be
     // re-tried when the operand after a consumed count fails to parse
@@ -325,14 +326,20 @@ object RaqlParser extends RegexParsers {
     }
 
   /** IPv4/IPv6/CIDR literals (`192.168.1.1`, `2001:db8::1`, `10.0.0.0/8`). */
+  // ip/cidr literals normalize to canonical text at parse time so plain
+  // string equality against formatted ip columns holds (v6 especially)
   private val ipLit: Parser[Expr] =
-    """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r ^^ (Lit(_)) |
+    """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r ^^
+      (s => Lit(graft.functions.NetExpressions.canonicalIp(s))) |
     """[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""".r
-      .filter(_.contains(":")) ^^ (Lit(_))
+      .filter(_.contains(":")) ^^
+      (s => Lit(graft.functions.NetExpressions.canonicalIp(s)))
 
   private def castExpr: Parser[Expr] =
-    kw("cast") ~> "(" ~> expr ~ (kw("as") ~> ident <~ opt("[" ~ "]")) <~
-      opt("?") <~ ")" ^^ { case e ~ t => FunCall(t.toLowerCase, Seq(e)) }
+    kw("cast") ~> "(" ~> expr ~ (kw("as") ~> ident) ~ opt("[" ~ "]") <~
+      opt("?") <~ ")" ^^ { case e ~ t ~ arr =>
+      FunCall((if (arr.isDefined) "array_" else "") + t.toLowerCase, Seq(e))
+    }
 
   /** `ONCE EVERY d [TUMBLING] x` time-sampling aggregate. */
   private def onceEvery: Parser[Expr] =
@@ -415,10 +422,16 @@ object RaqlParser extends RegexParsers {
   /** `EVENT STARTS AT e [WITH DURATION d | AND STOPS AT e]` — designates
     * the event-time expression; time-window operators use it instead of
     * the start/ts column convention. */
-  private def eventClause: Parser[Expr] =
-    kw("event") ~> (kw("starts") | kw("starting")) ~> kw("at") ~> expr <~
-      opt((kw("with") ~ kw("duration") ~ expr) |
-          (kw("and") ~ (kw("stops") | kw("stopping")) ~ kw("at") ~ expr))
+  private def eventClause: Parser[(Expr, Option[Expr])] =
+    kw("event") ~> (kw("starts") | kw("starting")) ~> kw("at") ~> expr ~
+      opt((kw("with") ~> kw("duration") ~> expr) ^^ (Left(_): Either[Expr, Expr]) |
+          (kw("and") ~> (kw("stops") | kw("stopping")) ~> kw("at") ~> expr)
+            ^^ (Right(_): Either[Expr, Expr])) ^^ {
+      case start ~ tail => (start, tail.map {
+        case Left(dur) => Binop("+", start, dur) // stop = start + duration
+        case Right(stop) => stop
+      })
+    }
 
   // clause soup: the reference accepts its Aggregate clauses in any order
   private sealed trait Clause
@@ -430,7 +443,7 @@ object RaqlParser extends RegexParsers {
   private case class CEvery(e: Expr) extends Clause
   private case class CNotify(e: Expr) extends Clause
   private case class CSort(n: Int, by: Seq[Expr]) extends Clause
-  private case class CEvent(start: Expr) extends Clause
+  private case class CEvent(start: Expr, stop: Option[Expr]) extends Clause
   private case class CFactors(fs: Seq[String]) extends Clause
   private case object CIgnored extends Clause
 
@@ -448,7 +461,7 @@ object RaqlParser extends RegexParsers {
         } |
       kw("commit") ~ kw("when") ~> expr ^^ (CCommit(false, _)) |
       kw("every") ~> expr ^^ CEvery.apply |
-      eventClause ^^ CEvent.apply |
+      eventClause ^^ { case (s, e) => CEvent(s, e) } |
       (kw("factors") | kw("factor")) ~> rep1sep(ident, ",") ^^ CFactors.apply |
       // SORT LAST n [UNTIL cond] BY e…: bounded input reorder buffer
       // (UNTIL early-release is parsed but not applied)
@@ -475,7 +488,8 @@ object RaqlParser extends RegexParsers {
         every = cs.collectFirst { case CEvery(e) => e },
         notifyName = cs.collectFirst { case CNotify(e) => e },
         sortLast = cs.collectFirst { case CSort(n, by) if by.nonEmpty => (n, by) },
-        eventStart = cs.collectFirst { case CEvent(e) => e },
+        eventStart = cs.collectFirst { case CEvent(e, _) => e },
+        eventStop = cs.collectFirst { case CEvent(_, Some(e)) => e },
         factors = cs.collect { case CFactors(fs) => fs }.flatten)
     }
   }

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.raql.{RaqlCompiler, RaqlParser}
+import graft.raql.Ast.{ListenFor, ReadKafka}
 
 /** RaQL front-end: parse + batch-compile the reference's own test programs
   * and check the golden values from the matching .test specs
@@ -364,5 +365,56 @@ class RaqlSpec extends AnyFunSuite {
       results.filterNot(_._2).map(_._1).mkString("failing: ", ", ", ""))
     assert(good >= results.size / 2,
       s"only $good of ${results.size} reference programs parsed")
+  }
+
+  test("batch-compiles a healthy fraction of the full reference corpus") {
+    // beyond parsing: every function of every program should also COMPILE
+    // to a DataFrame plan (socket/broker sources and YIELD-loop programs
+    // excluded — they need live endpoints or streaming sinks)
+    val all = Files.list(Paths.get(funcDir)).iterator().asScala
+      .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
+    val sources = all.flatMap { p =>
+      val name = p.getFileName.toString.stripSuffix(".ramen")
+      val key = if (Files.exists(Paths.get(s"$funcDir/fixtures/$name.csv")))
+        s"fixtures/$name" else name
+      Some(key -> Files.readString(p))
+        .filter(_ => RaqlParser.parseProgram(Files.readString(p)).isRight)
+    }.toMap
+    // fixtures must register under their directory name
+    val fixtures = Files.list(Paths.get(s"$funcDir/fixtures")).iterator().asScala
+      .filter(_.toString.endsWith(".ramen")).map { p =>
+        s"fixtures/${p.getFileName.toString.stripSuffix(".ramen")}" ->
+          Files.readString(p)
+      }.filter { case (_, src) => RaqlParser.parseProgram(src).isRight }.toMap
+    val c = RaqlCompiler.fromSources(spark, funcDir, sources ++ fixtures)
+      .fold(e => fail(s"parse: $e"), identity)
+    val skip = Set("net_csv", "sniffer", "kafka") // LISTEN/Kafka sources
+    var ok = 0; var tried = 0
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    (sources ++ fixtures).keys.toSeq.sorted.foreach { prog =>
+      if (!skip.exists(prog.contains)) {
+        val src = (sources ++ fixtures)(prog)
+        RaqlParser.parseProgram(src).foreach { p =>
+          p.funcs.foreach { f =>
+            val usesLive = f.op match {
+              case _: ListenFor | _: ReadKafka => true
+              case _ => false
+            }
+            if (!usesLive) {
+              tried += 1
+              try { c.compile(s"$prog/${f.name}"); ok += 1 }
+              catch { case e: Exception =>
+                failures += s"$prog/${f.name}: ${e.getMessage.take(200)}" }
+            }
+          }
+        }
+      }
+    }
+    info(s"compiled $ok/$tried functions")
+    failures.take(40).foreach(f => info(s"  FAIL $f"))
+    // round-3 floor: 110/128 compile; the rest are live-endpoint sources,
+    // global_last_out feedback, and typed-exercise programs (documented)
+    assert(ok >= tried * 4 / 5, s"only $ok of $tried functions compiled:\n" +
+      failures.mkString("\n"))
   }
 }
