@@ -71,7 +71,12 @@ object Ast {
 
   /** READ FROM FILE "path" AS CSV (schema). */
   final case class ReadCsv(path: String, fields: Seq[(String, RType)],
-      separator: String = ",") extends Operation
+      separator: String = ",", nullStr: String = "",
+      quotes: Boolean = true) extends Operation
+
+  /** READ FROM FILE "path" AS ROWBINARY (clickhouse schema). */
+  final case class ReadRowBinary(path: String,
+      fields: Seq[(String, RType)]) extends Operation
 
   /** LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]. */
   final case class ListenFor(proto: String, port: Int) extends Operation

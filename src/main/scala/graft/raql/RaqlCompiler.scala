@@ -84,6 +84,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
 
   def sparkType(t: RType): DataType = t.base match {
+    case b if b.endsWith("[]") =>
+      ArrayType(sparkType(RType(b.dropRight(2), t.nullable, None)))
     case "bool" => BooleanType
     case "char" | "string" => StringType
     case "float" => DoubleType
@@ -1149,7 +1151,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         schema, rk.format,
         graft.sources.CsvSource.CsvSpec(separator = rk.separator, nullStr = ""))
 
-    case ReadCsv(path, fields, sep) =>
+    case ReadRowBinary(path, fields) =>
+      // fixture-scale ClickHouse RowBinary dump: decode on the driver and
+      // parallelize (live RowBinary ingestion is the Kafka source's job)
+      val schema = StructType(fields.map { case (n, t) =>
+        StructField(n, sparkType(t), nullable = t.nullable)
+      })
+      val full = new java.io.File(new java.io.File(baseDir,
+        progName).getParentFile, path).getPath
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(full))
+      val rows = graft.sources.RowBinary.decode(bytes, schema).toSeq
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema).coalesce(1)
+
+    case ReadCsv(path, fields, sep, nullStr, quotes) =>
       // ip / cidr columns use the reference CSV encoding — (version, u128)
       // pair and (version, u128, mask) triple — and surface as canonical
       // text (graft.functions.NetExpressions), tagged with raqlType
@@ -1162,6 +1178,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           StructField(s"_${n}_v", IntegerType, t.nullable),
           StructField(s"_${n}_a", DecimalType(38, 0), t.nullable),
           StructField(s"_${n}_m", IntegerType, t.nullable))
+        case (n, t) if t.base == "ip4" =>
+          Seq(StructField(n, LongType, t.nullable))
+        case (n, t) if t.base.endsWith("[]") =>
+          // clickhouse array cells ['a', 'b'] read raw, parsed below
+          Seq(StructField(n, StringType, t.nullable))
         case (n, t) => Seq(StructField(n, sparkType(t), nullable = t.nullable,
           metadata = t.units.map(u =>
             new MetadataBuilder().putString("units", u).build())
@@ -1172,7 +1193,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         progName).getParentFile, path).getPath
       // single partition: RaQL first/last/lag depend on file arrival order
       val df0 = graft.sources.CsvSource.read(spark, full, raw,
-        graft.sources.CsvSource.CsvSpec(separator = sep, nullStr = "")).coalesce(1)
+        graft.sources.CsvSource.CsvSpec(separator = sep, nullStr = nullStr,
+          quote = if (quotes) "\"" else " ")).coalesce(1)
       def fmtIp(n: String) = graft.functions.GraftFunctions.formatIp(
         col(s"_${n}_v"), col(s"_${n}_a"))
       def tagged(t: String) =
@@ -1181,6 +1203,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case (n, t) if t.base == "ip" => fmtIp(n).as(n, tagged("ip"))
         case (n, t) if t.base == "cidr" =>
           concat(fmtIp(n), lit("/"), col(s"_${n}_m")).as(n, tagged("cidr"))
+        case (n, t) if t.base == "ip4" =>
+          graft.functions.GraftFunctions.formatIp(lit(4),
+            col(n).cast("decimal(38,0)")).as(n, tagged("ip"))
+        case (n, t) if t.base.endsWith("[]") =>
+          // ['x', 'y'] / [] clickhouse array cell → array<string>
+          val inner = regexp_replace(trim(col(n)), "^\\[|\\]$", "")
+          when(length(inner) === 0, array().cast("array<string>"))
+            .otherwise(transform(split(inner, "',\\s*'"),
+              x => regexp_replace(x, "^'|'$", ""))).as(n)
         case (n, _) => col(n)
       }: _*)
 

@@ -422,10 +422,23 @@ object RaqlParser extends RegexParsers {
   /** `EVENT STARTS AT e [WITH DURATION d | AND STOPS AT e]` — designates
     * the event-time expression; time-window operators use it instead of
     * the start/ts column convention. */
+  /** Arithmetic-only expressions for EVENT clauses: a bare column named
+    * `first`/`last` followed by AND must not parse as an aggregate of an
+    * AND-aggregate (port_scan.ramen `EVENT STARTS AT first AND STOPS AT
+    * last`). */
+  private def eventExpr: Parser[Expr] = {
+    val atom: Parser[Expr] = number | funCall | varRef | pathRef |
+      "(" ~> expr <~ ")"
+    val mul = atom ~ rep(("*" | "//" | "/" | "%") ~ atom) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) } }
+    mul ~ rep(("+" | "-") ~ mul) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) } }
+  }
+
   private def eventClause: Parser[(Expr, Option[Expr])] =
-    kw("event") ~> (kw("starts") | kw("starting")) ~> kw("at") ~> expr ~
-      opt((kw("with") ~> kw("duration") ~> expr) ^^ (Left(_): Either[Expr, Expr]) |
-          (kw("and") ~> (kw("stops") | kw("stopping")) ~> kw("at") ~> expr)
+    kw("event") ~> (kw("starts") | kw("starting")) ~> kw("at") ~> eventExpr ~
+      opt((kw("with") ~> kw("duration") ~> eventExpr) ^^ (Left(_): Either[Expr, Expr]) |
+          (kw("and") ~> (kw("stops") | kw("stopping")) ~> kw("at") ~> eventExpr)
             ^^ (Right(_): Either[Expr, Expr])) ^^ {
       case start ~ tail => (start, tail.map {
         case Left(dur) => Binop("+", start, dur) // stop = start + duration
@@ -508,17 +521,60 @@ object RaqlParser extends RegexParsers {
       RType(t.toLowerCase, n.isDefined, u)
     }
 
+  /** ClickHouse-syntax schema block: `columns format version: 1 / N
+    * columns: / \`name\` Type …` (email.ramen, udp.ramen). */
+  private def chSchema: Parser[Seq[(String, Ast.RType)]] = {
+    def rtypeOfCh(t: String): Ast.RType = {
+      def base(s: String): String = s match {
+        case "String" => "string"
+        case "Float32" | "Float64" => "float"
+        case "DateTime" => "u32"
+        case "Date" => "u16"
+        case fs if fs.startsWith("FixedString") => "string"
+        case u if u.startsWith("UInt") => "u" + u.drop(4)
+        case i if i.startsWith("Int") => "i" + i.drop(3)
+        case other => other.toLowerCase
+      }
+      if (t.startsWith("Nullable(") && t.endsWith(")"))
+        rtypeOfCh(t.drop(9).dropRight(1)).copy(nullable = true)
+      else if (t.startsWith("Array(") && t.endsWith(")"))
+        Ast.RType(base(t.drop(6).dropRight(1)) + "[]", nullable = false, None)
+      else Ast.RType(base(t), nullable = false, None)
+    }
+    val chField = "`[^`]*`".r ~ """[A-Za-z0-9()]+""".r ^^ {
+      case n ~ t => (n.stripPrefix("`").stripSuffix("`"), rtypeOfCh(t))
+    }
+    kw("columns") ~ kw("format") ~ kw("version") ~ ":" ~ number ~
+      number ~ kw("columns") ~ ":" ~> rep1(chField)
+  }
+
   private def readCsvOp: Parser[Operation] =
     kw("read") ~> kw("from") ~> kw("file") ~> stringLit ~
       opt(kw("preprocess") ~ kw("with") ~ stringLit) ~
       opt((kw("then") ~ kw("delete") ~ opt(kw("if") ~ expr)) |
           (kw("delete") ~ kw("if") ~ expr)) ~
-      (kw("as") ~> kw("csv")) ~ opt(kw("separator") ~> stringLit) ~
-      opt(kw("no") ~ kw("quotes")) ~ opt(kw("null") ~ stringLit) ~
-      ("(" ~> rep1sep(ident ~ rtype, ",") <~ ")") ^^ {
-      case Lit(path: String) ~ _ ~ _ ~ _ ~ sep ~ _ ~ _ ~ fields =>
-        val sepStr = sep match { case Some(Lit(s: String)) => s; case _ => "," }
-        ReadCsv(path, fields.map { case n ~ t => (n, t) }, sepStr)
+      (kw("as") ~> kw("csv")) ~
+      rep(kw("separator") ~> stringLit ^^ (("sep", _)) |
+          (kw("no") ~ kw("quotes")) ^^^ (("noq", Lit(null))) |
+          kw("null") ~> stringLit ^^ (("null", _)) |
+          (kw("escape") ~> kw("with") ~> stringLit) ^^ (("esc", _)) |
+          (kw("clickhouse") ~ kw("syntax")) ^^^ (("ch", Lit(null)))) ~
+      ("(" ~> (chSchema | rep1sep(ident ~ rtype, ",") ^^
+          (_.map { case n ~ t => (n, t) })) <~ ")") <~
+      opt(eventClause) ^^ {
+      case Lit(path: String) ~ _ ~ _ ~ _ ~ opts ~ fields =>
+        def optS(k: String, d: String): String =
+          opts.collectFirst { case (`k`, Lit(s: String)) => s }.getOrElse(d)
+        ReadCsv(path, fields, optS("sep", ","), optS("null", ""),
+          quotes = !opts.exists(_._1 == "noq"))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  private def readRowBinaryOp: Parser[Operation] =
+    kw("read") ~> kw("from") ~> kw("file") ~> stringLit ~
+      (kw("as") ~> kw("rowbinary")) ~ ("(" ~> chSchema <~ ")") <~
+      opt(eventClause) ^^ {
+      case Lit(path: String) ~ _ ~ fields => Ast.ReadRowBinary(path, fields)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 
@@ -547,7 +603,7 @@ object RaqlParser extends RegexParsers {
   }
 
   private def operation: Parser[Operation] =
-    readKafkaOp | readCsvOp | listenOp | aggregateOp
+    readKafkaOp | readRowBinaryOp | readCsvOp | listenOp | aggregateOp
 
   private def define: Parser[Func] =
     kw("define") ~> opt(kw("lazy")) ~> ident ~ (kw("as") ~> operation) <~ opt(";") ^^ {

@@ -375,9 +375,7 @@ class RaqlSpec extends AnyFunSuite {
       .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
     val sources = all.flatMap { p =>
       val name = p.getFileName.toString.stripSuffix(".ramen")
-      val key = if (Files.exists(Paths.get(s"$funcDir/fixtures/$name.csv")))
-        s"fixtures/$name" else name
-      Some(key -> Files.readString(p))
+      Some(name -> Files.readString(p))
         .filter(_ => RaqlParser.parseProgram(Files.readString(p)).isRight)
     }.toMap
     // fixtures must register under their directory name
