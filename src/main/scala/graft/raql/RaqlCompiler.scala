@@ -717,12 +717,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         else unsupported("FIT over a non-list operand (use FIT (latest k x))")
       case ("get", Seq(i, coll)) =>
         // RaQL GET is 0-based and NULL out of bounds; element_at is 1-based.
-        // Over a tuple (struct), GET selects the i-th field by position.
+        // Over a tuple (struct), GET selects the i-th field by position —
+        // via the planner type when available, else the AST shape (tuples
+        // holding aggregates can't be typed against the bare input).
         val c = go(coll)
-        (i, dtypeOpt(c)) match {
-          case (Lit(n: Long), Some(st: StructType)) =>
+        (i, dtypeOpt(c), coll) match {
+          case (Lit(n: Long), Some(st: StructType), _) =>
             c.getField(st.fields(n.toInt).name)
-          case (Lit(n: Long), _) => element_at(c, n.toInt + 1)
+          case (Lit(n: Long), None, FunCall("tuple", _)) =>
+            c.getField(s"_${n + 1}")
+          case (Lit(n: Long), _, _) => element_at(c, n.toInt + 1)
           case _ => element_at(c, (go(i) + 1).cast("int"))
         }
       case ("tuple", items) =>
@@ -1245,8 +1249,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // by the group key — the reference's per-group running state — and
       // the plan distributes by key; without it state is global and the
       // window is single-partition by necessity.
+      // Without a COMMIT clause or GROUP BY, the reference's default commit
+      // condition is `true` — every tuple commits, so plain aggregates are
+      // RUNNING prefix aggregates (constructed_types.ramen mixes `sum tick`
+      // with per-row fields in one tuple; final mode can't express that).
       val runMode =
-        fields.exists(f => hasWindowFn(f.expr)) || agg.where.exists(hasWindowFn)
+        fields.exists(f => hasWindowFn(f.expr)) ||
+          agg.where.exists(hasWindowFn) ||
+          (agg.commitCond.isEmpty && agg.groupBy.isEmpty &&
+            fields.exists(f => hasAgg(f.expr)))
       val result =
         if (runMode) compileRunning(base, fields, agg, params)
         else compileFinal(base, fields, agg, params)
