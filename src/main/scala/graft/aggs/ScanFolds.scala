@@ -127,3 +127,67 @@ case class HysteresisScan(
   override protected def withNewChildInternal(c: Expression): HysteresisScan =
     copy(child = c)
 }
+
+/** Mutable RECALL fold state: the current registration time, if any, and
+  * the boolean emitted for the last row folded in. */
+final class RecallState(var hasReg: Boolean, var regTime: Double, var out: Boolean)
+
+/** `RECALL (fpr, dur, key, tim)` — REMEMBER with refresh=false (reference
+  * `RamenExpr.ml:1469-1471`, `CodeGenLib.ml:386-423`): a key sighting is
+  * "remembered" while within `dur` of its current REGISTRATION; sightings
+  * that are remembered do NOT refresh the registration (unlike REMEMBER),
+  * so a key goes novel again `dur` after it was first registered. Batch is
+  * exact where the reference's sliced bloom filter has false positives.
+  * Use over a key-partitioned running window ordered by arrival. */
+case class RecallScan(
+    child: Expression,
+    duration: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RecallState] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): RecallState =
+    new RecallState(false, 0.0, false)
+
+  override def update(b: RecallState, row: InternalRow): RecallState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val t = v.asInstanceOf[Number].doubleValue()
+      if (!b.hasReg || t - b.regTime > duration) {
+        b.hasReg = true; b.regTime = t; b.out = false
+      } else b.out = true
+    }
+    b
+  }
+
+  override def merge(b: RecallState, o: RecallState): RecallState =
+    if (!o.hasReg) b
+    else if (!b.hasReg) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: RecallState): Any = b.out
+
+  override def serialize(b: RecallState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(10)
+    buf.put(if (b.hasReg) 1.toByte else 0.toByte)
+      .putDouble(b.regTime)
+      .put(if (b.out) 1.toByte else 0.toByte)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): RecallState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    new RecallState(buf.get() == 1, buf.getDouble(), buf.get() == 1)
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_recall"
+
+  override def withNewMutableAggBufferOffset(x: Int): RecallScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): RecallScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): RecallScan =
+    copy(child = c)
+}

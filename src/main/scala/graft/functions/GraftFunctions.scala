@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{DecayedTopK, ExpSmoothScan, HysteresisScan, ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DecayedTopK, ExpSmoothScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
   * sequential-scan functions.
@@ -76,6 +76,13 @@ object GraftFunctions {
   def expSmoothScan(x: Column, alpha: Double): Column =
     ExpressionUtils.column(
       ExpSmoothScan(col2e(x.cast("double")), alpha).toAggregateExpression())
+
+  /** RECALL (= REMEMBER refresh=false) for running windows: true while the
+    * key's time is within `dur` of its current registration, O(1) state.
+    * Use over a key-partitioned running window. */
+  def recallScan(t: Column, dur: Double): Column =
+    ExpressionUtils.column(
+      RecallScan(col2e(t.cast("double")), dur).toAggregateExpression())
 
   /** Incremental HYSTERESIS for running windows: same transitions as
     * [[hysteresisArr]], O(1) state updated once per row. */

@@ -165,7 +165,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** Same functions in their parenthesized FunCall spelling. */
   private val windowFunCalls = Set("lag", "moveavg", "sample", "hysteresis",
-    "remember", "smooth", "derive", "changed", "season_moveavg")
+    "remember", "recall", "smooth", "derive", "changed", "season_moveavg",
+    "fit_multi")
 
   private def hasWindowFn(e: Expr): Boolean = e match {
     case AggCall(fn, op, _, extra) =>
@@ -524,6 +525,22 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         moveavgOf(x, modNum(mods, "n").getOrElse(1.0).toLong)
       case FunCall("moveavg", Seq(k, x)) => moveavgOf(x, evalNum(k, params).toLong)
 
+      case FunCall("fit_multi", n +: y +: preds) if preds.nonEmpty =>
+        // Seasonal.multi_linreg (CodeGenLib.ml:867-903): through-origin
+        // least squares of the n observations before the current row,
+        // predicting at the current predictors. The window's shorter early
+        // prefixes mirror the reference's zero-initialised ring slots
+        // (all-zero rows contribute nothing to the normal equations).
+        val k = evalNum(n, params).toLong
+        val fields = (goM(y).cast("double").as("_y")) +:
+          preds.zipWithIndex.map { case (p, i) =>
+            goM(p).cast("double").as(s"_x${i + 1}") }
+        val windowed = collect_list(struct(fields: _*)).over(W.rowsBetween(-k, 0))
+        org.apache.spark.sql.GraftShims.column(
+          graft.functions.LinRegPredict(
+            org.apache.spark.sql.GraftShims.expression(windowed),
+            anchorOrigin = false))
+
       case FunCall("season_moveavg", Seq(p, k, x)) =>
         // avg of the same phase in the k previous periods of length p
         // (CodeGenLib Seasonal :808-903; season.ramen) — current excluded
@@ -582,6 +599,17 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val wk = partedWindow(keyCols: _*)
         val prevT = lag(t, 1).over(wk)
         prevT.isNotNull && (t - prevT) <= dur
+
+      case FunCall("recall", args) if args.size >= 3 =>
+        // RECALL (fpr, dur, key[, tim]) — REMEMBER with refresh=false
+        // (RamenExpr.ml:1469-1471, port_scan.ramen:7): remembered while
+        // within dur of the key's registration; remembered sightings do
+        // not refresh it. O(1)-state scan per key partition.
+        val dur = evalNum(args(1), params)
+        val keyC = goM(args(2))
+        val t = if (args.size >= 4) goM(args(3)).cast("double") else time
+        graft.functions.GraftFunctions.recallScan(t, dur)
+          .over(partedWindow(keyC).rowsBetween(Window.unboundedPreceding, 0))
 
       case AggCall("distinct", x, _, _) =>
         row_number().over(partedWindow(go(x))) === 1
@@ -712,9 +740,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         else graft.functions.GraftFunctions.sparklineArr(array(c))
       case ("fit", Seq(x)) =>
         val c = go(x)
-        if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType]))
-          graft.functions.GraftFunctions.fitArr(c)
-        else unsupported("FIT over a non-list operand (use FIT (latest k x))")
+        dtypeOpt(c) match {
+          case Some(ArrayType(_: StructType, _)) =>
+            // FIT over LATEST k (y; x1; …): origin-anchored multi-predictor
+            // least squares (reference LinReg.fit, CodeGenLib.ml:988-1075)
+            org.apache.spark.sql.GraftShims.column(
+              graft.functions.LinRegPredict(
+                org.apache.spark.sql.GraftShims.expression(c),
+                anchorOrigin = true))
+          case Some(_: ArrayType) => graft.functions.GraftFunctions.fitArr(c)
+          case _ =>
+            unsupported("FIT over a non-list operand (use FIT (latest k x))")
+        }
       case ("get", Seq(i, coll)) =>
         // RaQL GET is 0-based and NULL out of bounds; element_at is 1-based.
         // Over a tuple (struct), GET selects the i-th field by position —
@@ -1224,7 +1261,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         agg.from.map(resolveFrom(_, progName)) ++
           agg.fromSub.map(compileOp(_, progName, params))
       val base0: DataFrame = parents match {
-        case Nil => spark.range(1).toDF("_unit") // YIELD / EVERY source
+        case Nil =>
+          // YIELD / EVERY generator: unbounded in the reference, bounded in
+          // batch by graft.raql.everyRows (default one evaluation)
+          val n = spark.conf.getOption("graft.raql.everyRows")
+            .map(_.toLong).getOrElse(1L)
+          spark.range(n).coalesce(1).toDF("_unit")
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
       }
       // SORT LAST n BY k…: bounded reorder buffer ahead of the operation

@@ -300,6 +300,57 @@ class RaqlSpec extends AnyFunSuite {
     assert(row.getBoolean(byName("check1")))
   }
 
+  test("fit/f1+f2 golden: FIT over LATEST windows tracks the blurred line") {
+    // reference fit.test: at start=30 ok must be true, ok=false must never
+    // appear (null ok on degenerate early windows is fine, as in the
+    // reference where gels on an empty system yields NULL)
+    spark.conf.set("graft.raql.everyRows", "40")
+    try {
+      val c = load("fit")
+      for (fn <- Seq("fit/f1", "fit/f2")) {
+        val rows = c.compile(fn).collect()
+        assert(rows.length == 40, s"$fn rows")
+        val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+        def startOf(r: org.apache.spark.sql.Row): Double =
+          r.get(byName("start")).toString.toDouble
+        val at30 = rows.find(startOf(_) == 30.0).get
+        assert(!at30.isNullAt(byName("ok")) && at30.getBoolean(byName("ok")),
+          s"$fn ok at start=30")
+        assert(!rows.exists(r => !r.isNullAt(byName("ok")) &&
+          !r.getBoolean(byName("ok"))), s"$fn has ok=false rows")
+        // and the fit is genuinely close once the window fills
+        val err = rows.filter(startOf(_) >= 15)
+          .map(r => r.getDouble(byName("error"))).max
+        assert(err < 0.2, s"$fn max error $err")
+      }
+    } finally spark.conf.unset("graft.raql.everyRows")
+  }
+
+  test("fit_multi/f golden: through-origin multi-regression on cars") {
+    // reference fit_multi.test: h_pred 281.898168902 present in the output
+    val c = load("fixtures/cars", "fit_multi")
+    val preds = c.compile("fit_multi/f").collect().map(_.getDouble(0))
+    assert(preds.length > 100)
+    assert(preds.exists(p => math.abs(p - 281.898168902) < 1e-4),
+      s"expected 281.898168902 among predictions; closest: " +
+        preds.minBy(p => math.abs(p - 281.898168902)))
+  }
+
+  test("port_scan golden: RECALL novelty + TOP membership flag the scanner") {
+    val c = load("fixtures/port_scan", "port_scan")
+    // new_cnxs: one row per connection the bloom has NOT remembered —
+    // i.e. per (src,dst,port,proto) registration epoch
+    val novel = c.compile("port_scan/new_cnxs").collect()
+    assert(novel.nonEmpty && novel.length < 107) // a filter, not a pass-through
+    // detect: reference port_scan.test expects the scanner pair present
+    val det = c.compile("port_scan/detect").collect()
+    val pairs = det.map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    assert(pairs.exists { case (s, d) =>
+      (s == "10.100.25.14" || s == "174332174") &&
+        (d == "10.100.18.12" || d == "174330380")
+    }, s"scanner pair missing from $pairs")
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
