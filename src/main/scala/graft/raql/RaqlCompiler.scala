@@ -171,8 +171,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def hasWindowFn(e: Expr): Boolean = e match {
     case AggCall(fn, op, _, extra) =>
       windowFns(fn) || hasWindowFn(op) || extra.exists(hasWindowFn)
-    // previous.x feedback reads the prior row's output: running mode
-    case Ref(Seq("previous", _)) => true
+    // previous.x / *_last_out.x feedback reads prior output: running mode
+    case Ref(Seq("previous" | "local_last_out" | "global_last_out", _)) => true
     case FunCall(fn, args) => windowFunCalls(fn) || args.exists(hasWindowFn)
     case Binop(_, l, r) => hasWindowFn(l) || hasWindowFn(r)
     case Unop(_, x) => hasWindowFn(x)
@@ -301,12 +301,20 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // mode is the previous row's value of the output field — a lag over
       // the running window. Self-referential recurrences (previous.x inside
       // x's own definition) remain unsupported.
-      case Ref(Seq("previous", n))
+      case Ref(Seq("previous" | "local_last_out", n))
           if runCtx.exists(_.df.columns.contains(n)) =>
         lag(col(n), 1).over(seqWindow())
+      // global_last_out.x: the last output row across ALL groups — a lag
+      // over the global arrival order (previous.ramen f2). Scale note: in a
+      // grouped query this adds one single-partition window stage, the
+      // documented mirror of the reference's single-threaded worker.
+      case Ref(Seq("global_last_out", n))
+          if runCtx.exists(_.df.columns.contains(n)) =>
+        lag(col(n), 1).over(Window.orderBy(col(runCtx.get.seqName)))
       case Ref(Seq("out", n)) if runCtx.exists(_.df.columns.contains(n)) =>
         col(n)
-      case Ref(path) if path.head == "previous" || path.head == "out" =>
+      case Ref(path) if Set("previous", "out", "local_last_out",
+          "global_last_out").contains(path.head) =>
         unsupported(s"feedback variable ${path.mkString(".")} (streaming harness)")
       case Ref(path) => col(path.mkString("."))
       case Unop("not", x) => !go(x)
@@ -1549,6 +1557,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case FunCall("coalesce", Seq(p, init)) if prevSelf(p) =>
             // previous.x |? c alone: c on row one, then unchanged — constant
             compileExpr(init, params)
+          case Unop("not", FunCall("coalesce", Seq(p, init))) if prevSelf(p) =>
+            // NOT (previous.x |? c): a toggle — row one is NOT c, then it
+            // alternates (flappy.ramen's flapping generator)
+            val initC = compileExpr(init, params).cast("boolean")
+            val odd = row_number().over(seqWindow()) % 2 === 1
+            when(odd, !initC).otherwise(initC)
           case Binop("+", d, FunCall("coalesce", Seq(p, init)))
               if prevSelf(p) && !hasWindowFn(d) =>
             compileExpr(init, params) +

@@ -351,6 +351,36 @@ class RaqlSpec extends AnyFunSuite {
     }, s"scanner pair missing from $pairs")
   }
 
+  test("flappy golden: previous.ok toggle alternates and alert fires both ways") {
+    spark.conf.set("graft.raql.everyRows", "20")
+    try {
+      val c = load("flappy")
+      val oks = c.compile("flappy/flapping").collect().map(_.getBoolean(0))
+      assert(oks.length == 20)
+      // NOT (previous.ok |? true): false first, then strict alternation
+      assert(oks.head == false)
+      assert(oks.sliding(2).forall(p => p(0) != p(1)))
+      // flappy.test: firing=true AND firing=false both present
+      val firing = c.compile("flappy/alert").collect().map(_.getBoolean(0)).toSet
+      assert(firing == Set(true, false))
+    } finally spark.conf.unset("graft.raql.everyRows")
+  }
+
+  test("previous/f2 golden: global_last_out and local_last_out invariants hold") {
+    spark.conf.set("graft.raql.everyRows", "200")
+    try {
+      val c = load("previous")
+      val rows = c.compile("previous/f2").collect()
+      assert(rows.length == 200)
+      val byName = rows.head.schema.fieldNames.zipWithIndex.toMap
+      for (okCol <- Seq("global_ok", "local_ok_1", "local_ok_2", "local_ok_3")) {
+        val bad = rows.count(r => !r.isNullAt(byName(okCol)) &&
+          !r.getBoolean(byName(okCol)))
+        assert(bad == 0, s"$okCol false on $bad rows")
+      }
+    } finally spark.conf.unset("graft.raql.everyRows")
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
