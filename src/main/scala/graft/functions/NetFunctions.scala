@@ -25,13 +25,15 @@ object NetFunctions {
       shiftright(ip, 8).bitwiseAND(255).cast("string"),
       ip.bitwiseAND(255).cast("string"))
 
-  /** dotted quad → u32 (null-safe via split). */
+  /** dotted quad → u32; malformed text → NULL (total under ANSI mode). */
   def ip4FromString(s: Column): Column = {
     val p = split(s, "\\.")
-    element_at(p, 1).cast("long") * 16777216L +
-      element_at(p, 2).cast("long") * 65536L +
-      element_at(p, 3).cast("long") * 256L +
-      element_at(p, 4).cast("long")
+    def part(i: Int): Column = {
+      val v = try_element_at(p, lit(i)).try_cast("long")
+      when(v >= 0 && v <= 255, v)
+    }
+    when(size(p) === 4,
+      part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
   }
 
   /** Network mask of a /len prefix, as u32. */

@@ -97,6 +97,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case "i16" => ShortType
     case "i24" | "i32" => IntegerType
     case "i40" | "i48" | "i56" | "i64" => LongType
+    case "uuid" => StringType // canonical 8-4-4-4-12 text
+    case fs if fs.matches("fs\\d+") => BinaryType // ClickHouse FixedString(n)
     case other => throw new UnsupportedOperationException(s"type $other")
   }
 
@@ -117,6 +119,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   def autoName(e: Expr): String = e match {
     case Ref(path) => path.last
     case AggCall("group", op, _, _) => autoName(op)
+    // HISTOGRAM names operand-first: horsepower_histogram (histogram.ramen)
+    case AggCall("histogram", op, _, _) => s"${autoName(op)}_histogram"
+    case FunCall("histogram", args) if args.nonEmpty =>
+      s"${autoName(args.head)}_histogram"
     case AggCall(fn, op, _, _) =>
       val f = fn.stripPrefix("aggr_")
       s"${f}_${autoName(op)}"
@@ -238,6 +244,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case Binop("+", l, r) => evalNum(l, params) + evalNum(r, params)
     case Binop("-", l, r) => evalNum(l, params) - evalNum(r, params)
     case Unop("neg", x) => -evalNum(x, params)
+    // width-tagged literals parse as casts (3u8 → u8(3)): unwrap
+    case FunCall(t, Seq(inner))
+        if castType(t.stripSuffix("?")).isDefined => evalNum(inner, params)
     case other => unsupported(s"non-constant window argument $other")
   }
 
@@ -426,6 +435,25 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     def go(x: Expr): Expr = x match {
       case Ref(Seq("#start")) => start
       case Ref(Seq("#stop")) => stop
+      case Binop(o, l, r) => Binop(o, go(l), go(r))
+      case Unop(o, y) => Unop(o, go(y))
+      case FunCall(n, as) => FunCall(n, as.map(go))
+      case AggCall(n, op, m, ex) => AggCall(n, go(op), m, ex.map(go))
+      case PercentileCall(ps, op) => PercentileCall(ps, go(op))
+      case CaseExpr(br, el) =>
+        CaseExpr(br.map { case (c, v) => (go(c), go(v)) }, el.map(go))
+      case IsNull(y, ng) => IsNull(go(y), ng)
+      case VectorLit(it) => VectorLit(it.map(go))
+      case other => other
+    }
+    go(e)
+  }
+
+  /** Substitute bare field refs per `env` (record-literal sibling fields). */
+  private def substRefs(e: Expr, env: Map[String, Expr]): Expr = {
+    if (env.isEmpty) return e
+    def go(x: Expr): Expr = x match {
+      case Ref(Seq(n)) if env.contains(n) => env(n)
       case Binop(o, l, r) => Binop(o, go(l), go(r))
       case Unop(o, y) => Unop(o, go(y))
       case FunCall(n, as) => FunCall(n, as.map(go))
@@ -771,6 +799,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             c.getField(st.fields(n.toInt).name)
           case (Lit(n: Long), None, FunCall("tuple", _)) =>
             c.getField(s"_${n + 1}")
+          // GET by field NAME on a record (constructed_types record_exercice)
+          case (Lit(s: String), Some(_: StructType), _) => c.getField(s)
+          // GET "f" from the whole input tuple: the input column itself
+          case (Lit(s: String), _, Ref(Seq("in"))) => col(s)
+          case (Lit(s: String), None, FunCall("record", _)) => c.getField(s)
+          case (Lit(s: String), Some(_: MapType), _) => element_at(c, s)
           case (Lit(n: Long), _, _) => element_at(c, n.toInt + 1)
           case _ => element_at(c, (go(i) + 1).cast("int"))
         }
@@ -847,12 +881,50 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // PEEK type [LITTLE|BIG ENDIAN] str: read the string's first bytes as
       // an integer (doc/raql/expr.ml PEEK; tests/func/peek.ramen). Pure
       // byte-slicing via hex/conv — no UDF. NULL when too short.
-      case ("peek", Seq(Lit(spec: String), x)) =>
+      case ("peek", Seq(Lit(spec0: String), x)) =>
+        val spec = spec0.toLowerCase
         val parts = spec.split("_")
         val tname = parts(0)
+        val resBits = tname.replaceAll("[ui]", "").toInt
+        val width = resBits / 8
+
+        // PEEK over an INT VECTOR reassembles a wider integer from the
+        // elements' declared widths (CodeGenLib.ml IntOfArray :1144-1178):
+        // big = fold-left shift-or until res_width bits read; little = the
+        // same over the first res_width/width elements, reversed.
+        val elemBits: Option[Int] = x match {
+          case VectorLit(items) =>
+            val tags = items.collect {
+              case FunCall(t, _) if t.matches("[ui]\\d+\\??") =>
+                t.replaceAll("[ui?]", "").toInt
+            }
+            tags.headOption.filter(_ => tags.size == items.size)
+          case _ => None
+        }
+        val c0 = go(x)
+        if (dtypeOpt(c0).exists(_.isInstanceOf[ArrayType]) || elemBits.isDefined) {
+          val w = elemBits.getOrElse(dtypeOpt(c0) match {
+            case Some(ArrayType(ByteType, _)) => 8
+            case Some(ArrayType(ShortType, _)) => 16
+            case Some(ArrayType(IntegerType, _)) => 32
+            case _ => 64
+          })
+          val little = !(parts.length > 1 && parts(1) == "big")
+          val maxVals = math.max(resBits / w, 1)
+          val taken =
+            if (little) reverse(slice(c0, 1, maxVals))
+            else slice(c0, 1, maxVals)
+          val shift = lit(new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(2).pow(w)))
+          val acc = aggregate(taken, lit(0).cast("decimal(38,0)"),
+            (a, e0) => a * shift + e0.cast("decimal(38,0)"))
+          if (resBits <= 32) acc.cast("long")
+          else if (resBits <= 64 && !tname.startsWith("u")) acc.cast("long")
+          else if (resBits <= 64) acc.cast("decimal(20,0)").cast("long")
+          else acc
+        } else {
         val little = parts.length > 1 && parts(1) == "little"
-        val width = tname.replaceAll("[ui]", "").toInt / 8
-        val bin = go(x).cast("binary")
+        val bin = c0.cast("binary")
         val hexStr = lower(hex(substring(bin, 1, width)))
         val ordered =
           if (!little) hexStr
@@ -875,26 +947,70 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             hi * two64 + lo
           }
         when(octet_length(bin) >= width, value)
+        }
 
       // best-effort typed-vector / tuple casts (char.ramen, tuples.ramen)
       case (n, args) if n.startsWith("cast_vec_") =>
-        val t = castType(n.stripPrefix("cast_vec_")).getOrElse("string")
-        args match {
-          case Seq(Lit(null)) => lit(null)
-          case Seq(VectorLit(items)) => array(items.map(i => go(i).cast(t)): _*)
-          case Seq(single) => transform(go(single), e0 => e0.cast(t))
-          case many => array(many.map(a => go(a).cast(t)): _*)
+        val spec = n.stripPrefix("cast_vec_")
+        val vecNullable = spec.endsWith("_vn")
+        val base = spec.stripSuffix("_vn").stripSuffix("?")
+        def castElem(c: Column): Column = base match {
+          case "ip" | "ip4" =>
+            // parse-and-canonicalize; non-ip text → NULL (tuples.ramen t7)
+            val asIp = graft.functions.NetFunctions.ip4FromString(c.cast("string"))
+            when(asIp.isNotNull,
+              graft.functions.NetFunctions.ip4ToString(asIp))
+          case _ => c.cast(castType(base).getOrElse("string"))
+        }
+        val arr: Option[Column] = args match {
+          case Seq(Lit(null)) => None
+          case Seq(VectorLit(items)) =>
+            Some(array(items.map(i => castElem(go(i))): _*))
+          case Seq(single) =>
+            val c = go(single)
+            Some(dtypeOpt(c) match {
+              // tuple → vector cast (string[](t1), tuples.ramen t5/t6)
+              case Some(st: StructType) =>
+                when(c.isNotNull,
+                  array(st.fields.map(f => castElem(c.getField(f.name))): _*))
+              case _ => transform(c, castElem(_))
+            })
+          case many => Some(array(many.map(a => castElem(go(a))): _*))
+        }
+        arr match {
+          case None => lit(null)
+          // `t[2]?`: non-nullable elements + nullable vector — one failed
+          // element cast nulls the whole vector (tuples.ramen t8)
+          case Some(a) if vecNullable && !spec.stripSuffix("_vn").endsWith("?") =>
+            when(size(filter(a, _.isNull)) === 0, a)
+          case Some(a) => a
         }
       case ("cast_tuple", Lit(types: String) +: args) =>
         val ts = types.split(";")
-        struct(args.zipWithIndex.map { case (a, i) =>
-          val t = castType(ts(i).stripSuffix("?")).getOrElse("string")
-          go(a).cast(t).as(s"_${i + 1}")
-        }: _*)
+        args match {
+          // (u32; string)?(NULL) — nullable tuple cast of NULL is NULL
+          case Seq(Lit(null)) => lit(null).cast(
+            s"struct<${ts.zipWithIndex.map { case (t, i) =>
+              s"_${i + 1}:${castType(t.stripSuffix("?")).getOrElse("string")}"
+            }.mkString(",")}>")
+          case _ =>
+            struct(args.zipWithIndex.map { case (a, i) =>
+              val t = castType(ts(i).stripSuffix("?")).getOrElse("string")
+              go(a).cast(t).as(s"_${i + 1}")
+            }: _*)
+        }
       case ("record", args) =>
-        struct(args.grouped(2).collect {
-          case Seq(Lit(n0: String), e0) => go(e0).as(n0)
-        }.toSeq: _*)
+        // record literal fields may reference earlier sibling fields
+        // ({ seventeen: …; eighteen: seventeen + 1 } — the reference's
+        // "locally opened record", raql_variable.type Record)
+        val (cols, _) = args.grouped(2).collect {
+          case Seq(Lit(n0: String), e0) => (n0, e0)
+        }.foldLeft((Vector.empty[Column], Map.empty[String, Expr])) {
+          case ((acc, env), (n0, e0)) =>
+            val bound = substRefs(e0, env)
+            (acc :+ go(bound).as(n0), env + (n0 -> bound))
+        }
+        struct(cols: _*)
 
       case ("countrycode", Seq(x)) =>
         // literal decision list over the registered ranges — a silent NULL
@@ -1204,7 +1320,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // fixture-scale ClickHouse RowBinary dump: decode on the driver and
       // parallelize (live RowBinary ingestion is the Kafka source's job)
       val schema = StructType(fields.map { case (n, t) =>
-        StructField(n, sparkType(t), nullable = t.nullable)
+        StructField(n, sparkType(t), nullable = t.nullable,
+          new MetadataBuilder().putString("rtype", t.base).build())
       })
       val full = new java.io.File(new java.io.File(baseDir,
         progName).getParentFile, path).getPath

@@ -58,14 +58,21 @@ object RaqlParser extends RegexParsers {
         case _ => 1.0
       }
       val m = mult * wordMult
-      if (num.startsWith("0x") || num.startsWith("-0x"))
-        Lit(java.lang.Long.parseLong(num.replace("0x", ""), 16) * m.toLong)
-      else if (m != 1.0 || unit.isDefined || num.contains('.') ||
-          num.contains('e') || num.contains('E'))
-        Lit(num.stripSuffix(".").toDouble * m)
-      else num.toLongOption match {
-        case Some(l) => Lit(l)
-        case None => Lit(BigDecimal(num)) // beyond-i64 literals (u128 tests)
+      val bare: Expr =
+        if (num.startsWith("0x") || num.startsWith("-0x"))
+          Lit(java.lang.Long.parseLong(num.replace("0x", ""), 16) * m.toLong)
+        else if (m != 1.0 || unit.isDefined || num.contains('.') ||
+            num.contains('e') || num.contains('E'))
+          Lit(num.stripSuffix(".").toDouble * m)
+        else num.toLongOption match {
+          case Some(l) => Lit(l)
+          case None => Lit(BigDecimal(num)) // beyond-i64 literals (u128 tests)
+        }
+      // keep the width tag (3u8 → u8(3)): PEEK over int vectors needs the
+      // declared element width, and the cast itself is semantic
+      """[ui]\d+\??$""".r.findFirstIn(s0) match {
+        case Some(tag) => FunCall(tag, Seq(bare))
+        case None => bare
       }
     }
   }
@@ -105,12 +112,7 @@ object RaqlParser extends RegexParsers {
 
   // --- expressions ------------------------------------------------------
 
-  def expr: Parser[Expr] = coalesce
-
-  private def coalesce: Parser[Expr] =
-    orExpr ~ rep("|?" ~> orExpr) ^^ { case h ~ t =>
-      t.foldLeft(h)((a, b) => FunCall("coalesce", Seq(a, b)))
-    }
+  def expr: Parser[Expr] = orExpr
 
   private def orExpr: Parser[Expr] =
     andExpr ~ rep(kw("or") ~> andExpr) ^^ { case h ~ t =>
@@ -150,9 +152,15 @@ object RaqlParser extends RegexParsers {
       case h ~ t => t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) }
     }
 
+  // `|?` coalesce sits WITH + - || (reference mid_prec_left_assoc,
+  // RamenExpr.ml:1119-1127): tighter than comparisons and AND/OR, so
+  // `year = p |? 0 OR …` reads `(year = (p |? 0)) OR …` (params.ramen)
   private def addExpr: Parser[Expr] =
-    mulExpr ~ rep(("+" | "-" | "||") ~ mulExpr) ^^ { case h ~ t =>
-      t.foldLeft(h) { case (a, op ~ b) => Binop(op, a, b) }
+    mulExpr ~ rep(("+" | "-" | "||" | "|?") ~ mulExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) {
+        case (a, "|?" ~ b) => FunCall("coalesce", Seq(a, b))
+        case (a, op ~ b) => Binop(op, a, b)
+      }
     }
 
   private def mulExpr: Parser[Expr] =
@@ -268,7 +276,11 @@ object RaqlParser extends RegexParsers {
     val vecCast =
       ident ~ opt("?") ~ ("[" ~> opt(number) <~ "]") ~ opt("?") ~
         ("(" ~> rep1sep(expr, ";" | ",") <~ ")") ^^ {
-        case t ~ _ ~ _ ~ _ ~ args => FunCall("cast_vec_" + t.toLowerCase, args)
+        case t ~ eq ~ _ ~ vq ~ args =>
+          // ip?[2] = nullable ELEMENTS; ip[2]? = nullable VECTOR (a failed
+          // element cast nulls the whole vector) — tuples.ramen t7/t8
+          FunCall("cast_vec_" + t.toLowerCase + eq.getOrElse("") +
+            vq.map(_ => "_vn").getOrElse(""), args)
       }
     val tupleCast =
       ("(" ~> rep1sep(ident ~ opt("?"), ";") <~ ")") ~ opt("?") ~
@@ -530,7 +542,9 @@ object RaqlParser extends RegexParsers {
         case "Float32" | "Float64" => "float"
         case "DateTime" => "u32"
         case "Date" => "u16"
-        case fs if fs.startsWith("FixedString") => "string"
+        case fs if fs.startsWith("FixedString(") =>
+          "fs" + fs.drop(12).takeWhile(_.isDigit) // fixed n raw bytes
+        case "UUID" => "uuid"
         case u if u.startsWith("UInt") => "u" + u.drop(4)
         case i if i.startsWith("Int") => "i" + i.drop(3)
         case other => other.toLowerCase

@@ -42,18 +42,46 @@ object RowBinary {
     }
   }
 
-  /** Decode one value of the given Spark type. */
-  def readValue(c: Cursor, dt: DataType): Any = dt match {
-    case ByteType => c.buf.get()
-    case ShortType => c.buf.getShort()
-    case IntegerType => c.buf.getInt()
-    case LongType => c.buf.getLong()
-    case FloatType => c.buf.getFloat()
-    case DoubleType => c.buf.getDouble()
-    case BooleanType => c.buf.get() != 0
-    case StringType => c.readString()
-    case other => throw new IllegalArgumentException(s"RowBinary: unsupported $other")
-  }
+  /** Decode one value of the given Spark type. `rtype` carries the source
+    * RaQL/ClickHouse base type for the cases a Spark type can't encode:
+    * "uuid" (16 bytes, two little-endian u64 words → canonical text) and
+    * "fsN" (FixedString(N): N raw bytes, no length prefix). */
+  def readValue(c: Cursor, dt: DataType, rtype: String = ""): Any =
+    if (rtype == "uuid") {
+      val hi = c.buf.getLong(); val lo = c.buf.getLong()
+      new java.util.UUID(hi, lo).toString
+    } else if (rtype.matches("fs\\d+")) {
+      val arr = new Array[Byte](rtype.drop(2).toInt)
+      c.buf.get(arr)
+      arr
+    } else if (rtype.matches("[ui]\\d+")) {
+      // the SOURCE width drives the read; the value widens into the Spark
+      // type (u8 is ONE byte on the wire even though it surfaces as Short)
+      val unsigned = rtype.startsWith("u")
+      (rtype.drop(1).toInt, unsigned) match {
+        case (8, true) => (c.buf.get() & 0xff).toShort
+        case (8, false) => c.buf.get()
+        case (16, true) => c.buf.getShort() & 0xffff
+        case (16, false) => c.buf.getShort()
+        case (32, true) => c.buf.getInt() & 0xffffffffL
+        case (32, false) => c.buf.getInt()
+        case (64, _) => c.buf.getLong() // u64 > Long.Max wraps; test-scale ok
+        case (w, _) => throw new IllegalArgumentException(s"RowBinary width $w")
+      }
+    } else dt match {
+      case ByteType => c.buf.get()
+      case ShortType => c.buf.getShort()
+      case IntegerType => c.buf.getInt()
+      case LongType => c.buf.getLong()
+      case FloatType => c.buf.getFloat()
+      case DoubleType => c.buf.getDouble()
+      case BooleanType => c.buf.get() != 0
+      case StringType => c.readString()
+      case other => throw new IllegalArgumentException(s"RowBinary: unsupported $other")
+    }
+
+  private def rtypeOf(f: StructField): String =
+    if (f.metadata.contains("rtype")) f.metadata.getString("rtype") else ""
 
   /** Decode a whole blob of concatenated rows for `schema` (nullable fields
     * carry ClickHouse's 1-byte null marker). */
@@ -64,8 +92,8 @@ object RowBinary {
       def next(): Row = Row.fromSeq(schema.fields.toSeq.map { f =>
         if (f.nullable) {
           val isNull = c.buf.get() != 0
-          if (isNull) null else readValue(c, f.dataType)
-        } else readValue(c, f.dataType)
+          if (isNull) null else readValue(c, f.dataType, rtypeOf(f))
+        } else readValue(c, f.dataType, rtypeOf(f))
       })
     }
   }
