@@ -1088,11 +1088,92 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
   }
 
+  /** Two-pass distributed prefix aggregate for UNGROUPED running mode.
+    *
+    * The naive plan (`agg OVER (ORDER BY seq)`) funnels the whole input
+    * through ONE WindowExec task — the round-3 verdict's number-one scale
+    * killer. Decomposable aggregates instead run as:
+    *   pass 1: within-chunk prefix window, partitioned by the chunk id
+    *           already embedded in monotonically_increasing_id's high bits
+    *           (one task per input partition, no extra shuffle);
+    *   pass 2: per-chunk totals (a ~numPartitions-row frame) get a running
+    *           carry over chunk order and broadcast-join back.
+    * Total order (chunk-major, seq-minor) is exactly the seq order, so the
+    * values are bit-identical to the single-window plan. Disable with
+    * spark.conf graft.raql.chunkedRunning=false.
+    */
+  private def chunkedPrefix(c: Column,
+      build: Column => Column,
+      carryBuild: Column => Column,
+      combine: (Column, Column) => Column): Column = {
+    val ctx = runCtx.get
+    val ckName = "_graft_chunk"
+    if (!ctx.df.columns.contains(ckName))
+      ctx.df = ctx.df.withColumn(ckName, shiftright(col(ctx.seqName), 33))
+    val vName = s"_graft_cv${ctx.df.columns.length}"
+    ctx.df = ctx.df.withColumn(vName, c)
+    val within = build(col(vName)).over(
+      Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val carryName = s"_graft_cc${ctx.df.columns.length}"
+    val totals = ctx.df.select(col(ckName), col(vName))
+      .groupBy(col(ckName).as("_gck"))
+      .agg(build(col(vName)).as("_gtot"))
+      .select(col("_gck"), carryBuild(col("_gtot")).over(
+        Window.orderBy(col("_gck"))
+          .rowsBetween(Window.unboundedPreceding, -1)).as(carryName))
+    ctx.df = ctx.df.join(broadcast(totals),
+      ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+    combine(col(carryName), within)
+  }
+
   /** Running (prefix-window) version of a plain aggregate, for
-    * commit-every-tuple mode. */
+    * commit-every-tuple mode. In ungrouped mode decomposable aggregates
+    * distribute via [[chunkedPrefix]]; grouped mode already distributes by
+    * the group key. */
   private def runningAgg(a: AggCall, c: Column): Column = {
     val prefix = seqWindow().rowsBetween(Window.unboundedPreceding, 0)
+    val chunked = runCtx.exists(_.parts.isEmpty) &&
+      !spark.conf.getOption("graft.raql.chunkedRunning").contains("false")
+    // null-safe combines: a null carry (chunk 0 / all-null prefix) or null
+    // within-part must not poison the other side
+    def comb2(op: (Column, Column) => Column)(cr: Column, w: Column): Column =
+      coalesce(op(cr, w), cr, w)
+    def seqStruct(v: Column, newest: Boolean): Column =
+      when(v.isNotNull, struct((if (newest) -col(runCtx.get.seqName)
+        else col(runCtx.get.seqName)).as("s"), v.as("v")))
     a.fn match {
+      case "min" if chunked => chunkedPrefix(c, min, min, comb2((a, b) => least(a, b)))
+      case "max" if chunked => chunkedPrefix(c, max, max, comb2((a, b) => greatest(a, b)))
+      case "sum" if chunked => chunkedPrefix(c, sum, sum, comb2(_ + _))
+      case "avg" if chunked =>
+        val s = chunkedPrefix(c, sum, sum, comb2(_ + _))
+        val n = chunkedPrefix(c, count, sum, (cr, w) => coalesce(cr, lit(0L)) + w)
+        s / n
+      case "count" if chunked && !a.modifiers.contains("distinct") =>
+        chunkedPrefix(c, count, sum, (cr, w) => coalesce(cr, lit(0L)) + w)
+      // FIRST = value at the smallest seq among non-nulls (min of (seq, v)
+      // structs — deterministic under groupBy, unlike first()); LAST
+      // mirrors it on negated seq
+      case "first" if chunked =>
+        chunkedPrefix(seqStruct(c, newest = false), min, min,
+          (cr, w) => coalesce(least(cr, w), cr, w)).getField("v")
+      case "last" if chunked =>
+        chunkedPrefix(seqStruct(c, newest = true), min, min,
+          (cr, w) => coalesce(least(cr, w), cr, w)).getField("v")
+      case "aggr_and" | "all" if chunked =>
+        chunkedPrefix(c.cast("boolean"), min, min, comb2((a, b) => least(a, b)))
+      case "aggr_or" | "any" if chunked =>
+        chunkedPrefix(c.cast("boolean"), max, max, comb2((a, b) => greatest(a, b)))
+      case "bitor" if chunked =>
+        chunkedPrefix(c, call_function("bit_or", _), call_function("bit_or", _),
+          comb2(_.bitwiseOR(_)))
+      case "bitand" if chunked =>
+        chunkedPrefix(c, call_function("bit_and", _), call_function("bit_and", _),
+          comb2(_.bitwiseAND(_)))
+      case "bitxor" if chunked =>
+        chunkedPrefix(c, call_function("bit_xor", _), call_function("bit_xor", _),
+          comb2(_.bitwiseXOR(_)))
       case "min" => min(c).over(prefix)
       case "max" => max(c).over(prefix)
       case "sum" => sum(c).over(prefix)

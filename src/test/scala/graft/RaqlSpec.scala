@@ -439,6 +439,40 @@ class RaqlSpec extends AnyFunSuite {
         r.getLong(byName("traffic_bytes_server")) == 113L))
   }
 
+  test("ungrouped running aggregates distribute via chunked prefix scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, sum n AS rsum, count n AS rcnt, min n AS rmin,
+               max n AS rmax, avg n AS ravg, first n AS rfirst,
+               last n AS rlast
+        FROM tbl;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    // a genuinely multi-partition input: 8 chunks of 1..100000
+    val base = spark.range(1, 100001).toDF("n").repartition(8)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    // every full-input window is chunk-partitioned; partition-less windows
+    // exist only over the per-chunk totals frame (an Aggregate subtree)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    // values bit-identical to the single-window plan
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 100000)
+    assert(got.sameElements(want))
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
