@@ -27,9 +27,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // ≥2 reps per query, report the min — one environmental stall (page
-    // cache, CPU contention) must not be recorded as the query's cost
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // min-of-3 per query — one environmental stall (page cache, CPU
+    // contention, JIT) must not be recorded as the query's cost, and the
+    // round-3 ±30% jitter on sub-second queries needs the third sample
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = selected.map { q =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -39,7 +39,75 @@ object SortBuffer {
     case _ => 0
   }
 
-  def apply(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
+  /** Row-level evaluation of a `SORT … OR UNTIL` condition. The condition
+    * runs inside the buffer loop against buffered Rows (it references the
+    * buffer's own state — sort.first/sort.smallest/sort.#count — which no
+    * Column expression can see), so it is interpreted: a tiny AST walk per
+    * admitted row over O(1) state, not a per-row plan. */
+  private def evalUntil(e: graft.raql.Ast.Expr, idx: Map[String, Int],
+      count: Int, cur: Row, first: Row, smallest: Row): Any = {
+    import graft.raql.Ast._
+    def go(x: Expr): Any = x match {
+      case Lit(v) => v
+      case Ref(Seq("sort", "#count")) => count.toLong
+      case Ref(Seq("sort", "smallest", f)) => smallest.get(idx(f))
+      case Ref(Seq("sort", "first", f)) => first.get(idx(f))
+      case Ref(Seq("sort", "greatest", _)) =>
+        throw new UnsupportedOperationException(
+          "sort.greatest in UNTIL (track a max-heap if a program needs it)")
+      case Ref(Seq("in", f)) => cur.get(idx(f))
+      case Ref(Seq(f)) if idx.contains(f) => cur.get(idx(f))
+      case FunCall("coalesce", args) =>
+        args.iterator.map(go).find(_ != null).orNull
+      // width-tagged literals parse as casts (5u8 → u8(5)): unwrap
+      case FunCall(t, Seq(inner)) if t.matches("[ui]\\d+\\??|float\\??") =>
+        go(inner)
+      case Unop("not", y) => go(y) match {
+        case b: java.lang.Boolean => !b
+        case null => null
+        case o => o
+      }
+      case Unop("neg", y) => go(y) match {
+        case n0: Number => -n0.doubleValue()
+        case o => o
+      }
+      case Binop(op, l, r) =>
+        val (a, b) = (go(l), go(r))
+        op match {
+          case "and" => (a, b) match {
+            case (x: java.lang.Boolean, y: java.lang.Boolean) => x && y
+            case _ => null
+          }
+          case "or" => (a, b) match {
+            case (x: java.lang.Boolean, y: java.lang.Boolean) => x || y
+            case _ => null
+          }
+          case _ if a == null || b == null => null
+          case "+" => a.asInstanceOf[Number].doubleValue() +
+            b.asInstanceOf[Number].doubleValue()
+          case "-" => a.asInstanceOf[Number].doubleValue() -
+            b.asInstanceOf[Number].doubleValue()
+          case "*" => a.asInstanceOf[Number].doubleValue() *
+            b.asInstanceOf[Number].doubleValue()
+          case "/" => a.asInstanceOf[Number].doubleValue() /
+            b.asInstanceOf[Number].doubleValue()
+          case "=" => cmpAny(a, b) == 0
+          case "<>" | "!=" => cmpAny(a, b) != 0
+          case "<" => cmpAny(a, b) < 0
+          case "<=" => cmpAny(a, b) <= 0
+          case ">" => cmpAny(a, b) > 0
+          case ">=" => cmpAny(a, b) >= 0
+          case other => throw new UnsupportedOperationException(
+            s"SORT UNTIL operator $other")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"SORT UNTIL expression $other")
+    }
+    go(e)
+  }
+
+  def apply(df: DataFrame, n: Int, keys: Seq[Column],
+      until: Option[graft.raql.Ast.Expr] = None): DataFrame = {
     if (keys.isEmpty || n <= 0) return df
     val keyNames = keys.indices.map(i => s"_sortbuf_k$i")
     val withKeys = keys.zip(keyNames).foldLeft(df) {
@@ -47,6 +115,7 @@ object SortBuffer {
     }
     val schema = withKeys.schema
     val keyIdx = keyNames.map(schema.fieldIndex).toArray
+    val nameIdx = schema.fieldNames.zipWithIndex.toMap
     // (key cells, arrival seq) ordering: min-first, FIFO on ties
     implicit val ord: Ordering[(Array[Any], Long, Row)] =
       new Ordering[(Array[Any], Long, Row)] {
@@ -63,17 +132,33 @@ object SortBuffer {
     val out = withKeys.mapPartitions { it =>
       // PriorityQueue is max-first: reverse for min-first emission
       val pq = mutable.PriorityQueue.empty[(Array[Any], Long, Row)](ord.reverse)
+      // FIFO view of the live buffer for sort.first (removals by seq)
+      val live = new java.util.LinkedHashMap[Long, Row]()
       var arrival = 0L
+      def untilFires(cur: Row): Boolean = until.exists { e =>
+        evalUntil(e, nameIdx, pq.size, cur,
+          live.entrySet().iterator().next().getValue, pq.head._3) match {
+          case b: java.lang.Boolean => b
+          case _ => false
+        }
+      }
       new Iterator[Row] {
         def hasNext: Boolean = it.hasNext || pq.nonEmpty
         def next(): Row = {
-          // admit rows until the buffer overflows n, then release the min
-          while (it.hasNext && pq.size <= n) {
+          // admit rows until the buffer overflows n — or the UNTIL
+          // condition releases early (one emission per firing, like the
+          // reference's skeleton loop, CodeGenLib_Skeletons.ml:895-921)
+          var fired = false
+          while (it.hasNext && pq.size <= n && !fired) {
             val r = it.next()
             arrival += 1
             pq.enqueue((keyIdx.map(r.get), arrival, r))
+            live.put(arrival, r)
+            fired = untilFires(r)
           }
-          pq.dequeue()._3
+          val (_, seq, row) = pq.dequeue()
+          live.remove(seq)
+          row
         }
       }
     }(Encoders.row(schema))

@@ -61,6 +61,10 @@ object Ast {
       notifyName: Option[Expr] = None,
       /** `SORT LAST n BY k…` bounded reorder buffer (RamenSortBuf.ml). */
       sortLast: Option[(Int, Seq[Expr])] = None,
+      /** `… OR UNTIL cond` early release: emit the buffer min as soon as
+        * cond holds (refs: in.*, sort.first.*, sort.smallest.*,
+        * sort.#count — CodeGenLib_Skeletons.ml:304-310). */
+      sortUntil: Option[Expr] = None,
       /** `EVENT STARTS AT e` — the designated event-time expression. */
       eventStart: Option[Expr] = None,
       /** The event end: `AND STOPS AT e` or start + `WITH DURATION d`. */

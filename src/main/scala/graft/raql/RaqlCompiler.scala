@@ -1481,7 +1481,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           typerDf = Some(base0)
           val keys = try by.map(e => compileExpr(e, params))
             finally typerDf = None
-          graft.ops.SortBuffer(base0, n, keys)
+          graft.ops.SortBuffer(base0, n, keys, agg.sortUntil)
         case None => base0
       }
       // `#start` / `#stop` refs resolve to the EVENT clause's expressions

@@ -320,6 +320,11 @@ object RaqlParser extends RegexParsers {
       kw("group")) ~ ("." ~> rep1sep(plainIdent, ".")) ^^ {
       case v ~ rest => Ref(v +: rest)
     } |
+    // sort-buffer variables: sort.first.x, sort.smallest.x, sort.#count
+    kw("sort") ~ "." ~ "#" ~ kw("count") ^^^ Ref(Seq("sort", "#count")) |
+    kw("sort") ~ ("." ~> rep1sep(plainIdent, ".")) ^^ {
+      case v ~ rest => Ref(v +: rest)
+    } |
     // bare tuple variable (`get("f", in)`, constructed_types.ramen)
     (kw("in") | kw("out") | kw("previous")) <~ guard(not("." | "(")) ^^ {
       v => Ref(Seq(v))
@@ -467,7 +472,8 @@ object RaqlParser extends RegexParsers {
   private case class CCommit(before: Boolean, cond: Expr) extends Clause
   private case class CEvery(e: Expr) extends Clause
   private case class CNotify(e: Expr) extends Clause
-  private case class CSort(n: Int, by: Seq[Expr]) extends Clause
+  private case class CSort(n: Int, until: Option[Expr], by: Seq[Expr])
+      extends Clause
   private case class CEvent(start: Expr, stop: Option[Expr]) extends Clause
   private case class CFactors(fs: Seq[String]) extends Clause
   private case object CIgnored extends Clause
@@ -488,12 +494,14 @@ object RaqlParser extends RegexParsers {
       kw("every") ~> expr ^^ CEvery.apply |
       eventClause ^^ { case (s, e) => CEvent(s, e) } |
       (kw("factors") | kw("factor")) ~> rep1sep(ident, ",") ^^ CFactors.apply |
-      // SORT LAST n [UNTIL cond] BY e…: bounded input reorder buffer
-      // (UNTIL early-release is parsed but not applied)
-      (kw("sort") ~> kw("last") ~> number) ~ (opt(kw("until") ~ expr) ~>
-        opt(kw("by") ~> rep1sep(expr, ","))) ^^ {
-          case Lit(n: Long) ~ by => CSort(n.toInt, by.getOrElse(Nil))
-          case _ ~ by => CSort(0, by.getOrElse(Nil))
+      // SORT LAST n [OR UNTIL cond] BY e…: bounded input reorder buffer
+      // with optional early release (RamenOperation.ml:1280-1292)
+      (kw("sort") ~> kw("last") ~> number) ~
+        opt((opt(kw("or")) ~ kw("until")) ~> expr) ~
+        opt(kw("by") ~> rep1sep(expr, ",")) ^^ {
+          case Lit(n: Long) ~ until ~ by =>
+            CSort(n.toInt, until, by.getOrElse(Nil))
+          case _ ~ until ~ by => CSort(0, until, by.getOrElse(Nil))
         } |
       kw("notify") ~> expr ^^ CNotify.apply |
       (kw("keep") ~ opt(kw("all")) | kw("flush")) ^^^ CIgnored
@@ -512,7 +520,9 @@ object RaqlParser extends RegexParsers {
         commitCond = cs.collectFirst { case CCommit(_, c) => c },
         every = cs.collectFirst { case CEvery(e) => e },
         notifyName = cs.collectFirst { case CNotify(e) => e },
-        sortLast = cs.collectFirst { case CSort(n, by) if by.nonEmpty => (n, by) },
+        sortLast = cs.collectFirst { case CSort(n, _, by) if by.nonEmpty => (n, by) },
+        sortUntil = cs.collectFirst {
+          case CSort(_, Some(u), by) if by.nonEmpty => u },
         eventStart = cs.collectFirst { case CEvent(e, _) => e },
         eventStop = cs.collectFirst { case CEvent(_, Some(e)) => e },
         factors = cs.collect { case CFactors(fs) => fs }.flatten)

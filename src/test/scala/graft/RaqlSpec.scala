@@ -513,6 +513,21 @@ class RaqlSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SORT LAST OR UNTIL releases the buffer min early") {
+    val src = Map("s" -> """DEFINE f AS
+        FROM tbl
+        SELECT y
+        SORT LAST 100 OR UNTIL in.y >= sort.smallest.y + 5 BY y;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    import spark.implicits._
+    c.registerTable("tbl", Seq(3, 1, 2, 10, 0).toDF("y").coalesce(1))
+    val got = c.compile("s/f").collect().map(_.getInt(0)).toSeq
+    // 10 >= 1+5 fires mid-stream and releases min=1 BEFORE 0 arrives;
+    // the end-of-stream drain then orders the remainder
+    assert(got == Seq(1, 0, 2, 3, 10), s"got $got")
+  }
+
   test("strings/f1 golden: containment, slices, repetition") {
     val c = load("strings")
     val row = c.compile("strings/f1").collect().head
