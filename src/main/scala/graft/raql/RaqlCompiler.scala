@@ -1378,6 +1378,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   private def compileOp(op: Operation, progName: String,
       params: Map[String, Expr]): DataFrame = op match {
+    case ListenFor("instrumentation", _) =>
+      // queryable per-query runtime stats (runtime_stats.type schema)
+      graft.streaming.Instrumentation(spark).df
+
     case ListenFor(proto, port) =>
       // one socket per compiled LISTEN (cached by the compile() key map)
       val ingest = new graft.sources.UdpIngest(spark, port).start()

@@ -532,7 +532,8 @@ object RaqlParser extends RegexParsers {
   /** `LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]`. */
   private def listenOp: Parser[Operation] =
     kw("listen") ~> kw("for") ~> ident ~
-      opt(opt(kw("on")) ~> kw("port") ~> number) ^^ {
+      opt(opt(kw("on")) ~> kw("port") ~> number) <~
+      opt(kw("from") ~ ("*" | ident)) ^^ {
       case proto ~ port =>
         val p = port match { case Some(Lit(n: Long)) => n.toInt; case _ => 0 }
         ListenFor(proto.toLowerCase, p)

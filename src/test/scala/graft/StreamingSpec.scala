@@ -253,4 +253,47 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id").collect().map(_.getLong(0)).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
+    // a RaQL program reading the stats feed, like comms.ramen's metamon
+    val src = Map("mon" -> """DEFINE metamon AS
+        LISTEN FOR INSTRUMENTATION FROM *;
+      DEFINE f AS
+        SELECT worker, tot_in_tuples, tot_cpu, last_startup
+        FROM metamon;""")
+    val c = RaqlCompiler.fromSources(spark, "/tmp", src)
+      .fold(e => fail(s"parse: $e"), identity)
+    val stats = c.compile("mon/f")
+    assert(stats.isStreaming)
+    assert(stats.columns.toSeq ==
+      Seq("worker", "tot_in_tuples", "tot_cpu", "last_startup"))
+    val statsQ = stats.writeStream.format("memory").queryName("instr_out")
+      .outputMode("append").start()
+
+    // a monitored workload: a named rate query over a few micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val work = mem.toDS().groupBy($"user").count()
+      .writeStream.format("memory").queryName("instr_workload")
+      .outputMode("complete").start()
+    mem.addData(Ev("a", 1, 1.0), Ev("b", 2, 2.0))
+    work.processAllAvailable()
+    mem.addData(Ev("a", 3, 3.0))
+    work.processAllAvailable()
+    work.stop()
+
+    // listener events are async: poll until the stats stream caught one
+    val deadline = System.currentTimeMillis() + 20000
+    var seen = Seq.empty[org.apache.spark.sql.Row]
+    while (seen.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      statsQ.processAllAvailable()
+      seen = spark.table("instr_out")
+        .filter($"worker" === "instr_workload" && $"tot_in_tuples" >= 3)
+        .collect().toSeq
+    }
+    statsQ.stop()
+    assert(seen.nonEmpty, "no runtime stats row for the monitored query")
+    assert(seen.head.getDouble(seen.head.fieldIndex("tot_cpu")) > 0.0)
+  }
 }
