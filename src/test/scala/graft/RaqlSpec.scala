@@ -528,6 +528,46 @@ class RaqlSpec extends AnyFunSuite {
     assert(got == Seq(1, 0, 2, 3, 10), s"got $got")
   }
 
+  test("TOP membership/rank/list compile without eager driver jobs") {
+    val src = Map("t" -> """DEFINE f AS
+        FROM fixtures/cars/csv
+        SELECT manufacturer,
+               IS manufacturer IN TOP 3 AS hot,
+               RANK OF manufacturer IN TOP 3 AS rnk,
+               LIST TOP 3 manufacturer AS tops;""")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val c = RaqlCompiler.fromSources(spark, funcDir, Map(
+      "fixtures/cars" -> Files.readString(
+        Paths.get(s"$funcDir/fixtures/cars.ramen"))) ++ src)
+      .fold(e => fail(s"parse: $e"), identity)
+    spark.sparkContext.addSparkListener(listener)
+    val df = try {
+      val df0 = c.compile("t/f") // plan construction only
+      Thread.sleep(500)
+      assert(jobs.get == 0, s"${jobs.get} eager driver jobs during compile")
+      df0
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the values are the batch steady state: top-3 manufacturers
+    val rows = df.collect()
+    val byCount = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val expect = byCount.toSeq.sortBy { case (k, n) => (-n, k) }.take(3)
+    val tops = rows.head.getSeq[String](rows.head.fieldIndex("tops"))
+    assert(tops == expect.map(_._1))
+    rows.foreach { r =>
+      val m = r.getString(0)
+      val want = expect.indexWhere(_._1 == m)
+      assert(r.getBoolean(1) == (want >= 0))
+      if (want >= 0) assert(r.getInt(2) == want + 1)
+      else assert(r.isNullAt(2))
+    }
+  }
+
   test("strings/f1 golden: containment, slices, repetition") {
     val c = load("strings")
     val row = c.compile("strings/f1").collect().head
