@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Archivist-lite: time-bucketed Parquet archives with a retention policy
+  * and `BEST AFTER` replay semantics.
+  *
+  * The reference's archivist allocates a global disk budget across workers
+  * and deletes the oldest archive files first (`src/RamenArchivist.ml:31-50`,
+  * the SMT allocation replaced here by the per-function budget the caller
+  * passes); `PERSIST FOR d` bounds a function's history age and
+  * `BEST AFTER e` declares when an output tuple stops changing
+  * (`src/RamenProgram.ml:80-89`).
+  *
+  * Spark shape: the archive is a directory partitioned by an event-time
+  * bucket column, so retention = dropping whole partition directories
+  * (O(#buckets) driver work, no data rewrite) and replay reads are
+  * partition-pruned parquet scans — at 100 TB both stay metadata-cheap.
+  */
+object Archive {
+
+  private val BucketCol = "_arch_bucket"
+
+  /** Append `df` to the archive, bucketing `timeCol` (epoch seconds) into
+    * `bucketSecs`-wide partitions. */
+  def write(df: DataFrame, dir: String, timeCol: String,
+      bucketSecs: Long = 3600L): Unit =
+    df.withColumn(BucketCol,
+        (col(timeCol).cast("double") / bucketSecs).cast("long") * bucketSecs)
+      .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(dir)
+
+  /** Partition-pruned replay of `[from, until)` by event time bucket.
+    * `bestAfter`: rows younger than `asOf - bestAfter` are still mutable in
+    * the reference's model, so a replay "as of" a time excludes them. */
+  def read(spark: SparkSession, dir: String,
+      from: Option[Double] = None, until: Option[Double] = None,
+      asOf: Option[Double] = None, bestAfter: Double = 0.0,
+      timeCol: String = "start", bucketSecs: Long = 3600L): DataFrame = {
+    var df = spark.read.parquet(dir)
+    // bucket-level pruning (partition column) + row-level bounds
+    from.foreach { f =>
+      val b = math.floorDiv(f.toLong, bucketSecs) * bucketSecs
+      df = df.filter(col(BucketCol) >= b && col(timeCol) >= f)
+    }
+    until.foreach { u =>
+      df = df.filter(col(BucketCol) <= u.toLong && col(timeCol) < u)
+    }
+    asOf.foreach(a => df = df.filter(col(timeCol) <= a - bestAfter))
+    df.drop(BucketCol)
+  }
+
+  /** The retention policy of one archived function. */
+  final case class Retention(
+      /** PERSIST FOR: drop buckets older than this (seconds) relative to
+        * the newest archived bucket. */
+      maxAgeSecs: Option[Double] = None,
+      /** Disk budget: drop oldest buckets while the archive exceeds it. */
+      sizeLimitBytes: Option[Long] = None)
+
+  /** Enforce retention by deleting whole bucket partitions, oldest first
+    * (the reference deletes oldest files first too). Returns the dropped
+    * bucket values. */
+  def enforceRetention(dir: String, policy: Retention): Seq[Long] = {
+    val root = new File(dir)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
+      .map(f => (f.getName.stripPrefix(s"$BucketCol=").toLong, f))
+      .sortBy(_._1)
+    if (parts.isEmpty) return Nil
+    val newest = parts.last._1
+    def sizeOf(f: File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+    val dropped = scala.collection.mutable.ListBuffer.empty[Long]
+    var live = parts.toVector
+    // age bound first
+    policy.maxAgeSecs.foreach { age =>
+      val (old, keep) = live.partition { case (b, _) => newest - b > age }
+      old.foreach { case (b, f) => deleteRec(f); dropped += b }
+      live = keep
+    }
+    // then the size budget, oldest first, never dropping the newest bucket
+    policy.sizeLimitBytes.foreach { limit =>
+      var total = live.map(p => sizeOf(p._2)).sum
+      while (total > limit && live.size > 1) {
+        val (b, f) = live.head
+        total -= sizeOf(f)
+        deleteRec(f)
+        dropped += b
+        live = live.tail
+      }
+    }
+    dropped.toSeq
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}

@@ -95,7 +95,11 @@ object Ast {
       fields: Seq[(String, RType)],
       separator: String = ",") extends Operation
 
-  final case class Func(name: String, op: Operation)
+  /** A named function. `persistFor` = archive retention duration
+    * (`PERSIST FOR 1d`, RamenProgram.ml:80-84); `bestAfter` = event-time
+    * delay after which output is final (`BEST AFTER e`, :86-89). */
+  final case class Func(name: String, op: Operation,
+      persistFor: Option[Expr] = None, bestAfter: Option[Expr] = None)
   final case class Param(name: String, default: Option[Expr])
   final case class Program(params: Seq[Param], funcs: Seq[Func],
       /** DECLAREd global variable names (RamenProgram.ml:74-77). */

@@ -32,6 +32,20 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Service-layer view of the registered programs (Alert/Graphite APIs). */
   def registeredPrograms: Map[String, Program] = programs
 
+  /** Declared archive policy of `prog/func`: (PERSIST FOR seconds,
+    * BEST AFTER seconds) — drives graft.ops.Archive retention and replay. */
+  def persistence(key: String): (Option[Double], Option[Double]) = {
+    val i = key.lastIndexOf('/')
+    val fn = programs.get(key.substring(0, math.max(i, 0)))
+      .flatMap(_.funcs.find(_.name == key.substring(i + 1)))
+    val params: Map[String, Expr] = fn.flatMap(_ =>
+      programs.get(key.substring(0, i)).map(
+        _.params.map(p => p.name -> p.default.getOrElse(Lit(null))).toMap))
+      .getOrElse(Map.empty)
+    (fn.flatMap(_.persistFor).map(evalNum(_, params)),
+      fn.flatMap(_.bestAfter).map(evalNum(_, params)))
+  }
+
   /** Drop a registered program and its cached plans (set-alerts with an
     * empty list deletes the table/column's alert programs). */
   def unregister(name: String): Unit = {

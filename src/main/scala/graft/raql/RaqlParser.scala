@@ -631,8 +631,12 @@ object RaqlParser extends RegexParsers {
     readKafkaOp | readRowBinaryOp | readCsvOp | listenOp | aggregateOp
 
   private def define: Parser[Func] =
-    kw("define") ~> opt(kw("lazy")) ~> ident ~ (kw("as") ~> operation) <~ opt(";") ^^ {
-      case n ~ op => Func(n, op)
+    kw("define") ~> opt(kw("lazy")) ~> ident ~
+      opt(kw("persist") ~> kw("for") ~> expr <~
+        opt(kw("while") ~ kw("querying") ~ kw("every") ~ expr)) ~
+      opt(kw("best") ~> kw("after") ~> expr) ~
+      (kw("as") ~> operation) <~ opt(";") ^^ {
+      case n ~ persist ~ best ~ op => Func(n, op, persist, best)
     }
 
   private def paramDecl: Parser[Param] =

