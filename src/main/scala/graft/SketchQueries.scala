@@ -330,6 +330,107 @@ object SketchQueries {
                  round(SUM(CAST(value AS DOUBLE)), 4) AS weight
           FROM events GROUP BY user_id
           ORDER BY SUM(CAST(value AS DOUBLE)) DESC, user LIMIT 10)
-        ORDER BY weight DESC, user"""))
+        ORDER BY weight DESC, user""")),
+
+    // ---- s14: FIT_MULTI (Seasonal.multi_linreg) — through-origin least
+    // squares of the 20 observations before each row, predicting at the
+    // current predictors. y is constructed exactly linear in integer-valued
+    // predictors, so the prediction is integral and round(0) is immune to
+    // double last-ulp noise; the oracle solves the 2×2 normal equations in
+    // closed form over the same window sums. Both sides drop singular
+    // windows by the same integer-exact determinant.
+    QueryDef(
+      "s14_fit_multi",
+      (s, d) => {
+        val ord = Window.partitionBy("l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val wPrev = ord.rowsBetween(-20, -1)
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("double").as("x1"),
+          (round(col("l_discount") * 100, 0) + 1).cast("double").as("x2"))
+          .withColumn("y", col("x1") * 2 + col("x2") * 3)
+        val obs = collect_list(struct(col("y"), col("x1"), col("x2")))
+          .over(ord.rowsBetween(-20, 0))
+        base
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("det",
+            sum(col("x1") * col("x1")).over(wPrev) *
+              sum(col("x2") * col("x2")).over(wPrev) -
+              sum(col("x1") * col("x2")).over(wPrev) *
+              sum(col("x1") * col("x2")).over(wPrev))
+          .withColumn("pred", fitMultiPredict(obs))
+          .filter(col("rn") > 20 && col("det") > 0)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), round(col("pred"), 0).as("pred"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey")
+      },
+      Some("""WITH base AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 l_partkey, l_suppkey,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 round(CAST(l_discount AS DOUBLE) * 100, 0) + 1 AS x2,
+                 CAST(l_quantity AS DOUBLE) * 2 +
+                   (round(CAST(l_discount AS DOUBLE) * 100, 0) + 1) * 3 AS y
+          FROM lineitem
+        ), sums AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+            l_partkey, l_suppkey, x1, x2,
+            row_number() OVER w AS rn,
+            SUM(x1 * x1) OVER wp AS s11,
+            SUM(x2 * x2) OVER wp AS s22,
+            SUM(x1 * x2) OVER wp AS s12,
+            SUM(x1 * y) OVER wp AS s1y,
+            SUM(x2 * y) OVER wp AS s2y
+          FROM base
+          WINDOW w AS (PARTITION BY l_returnflag
+                       ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
+                 wp AS (PARTITION BY l_returnflag
+                        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          l_partkey, l_suppkey,
+          round((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * x1 +
+                (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * x2,
+                0) AS pred
+        FROM sums
+        WHERE rn > 20 AND s11 * s22 - s12 * s12 > 0
+        ORDER BY l_returnflag, l_orderkey, l_linenumber,
+                 l_partkey, l_suppkey""")),
+
+    // ---- r10 (registered here with the stateful sketches): RECALL —
+    // REMEMBER with refresh=false. A key sighting is remembered while
+    // within 1h of its current REGISTRATION; remembered sightings do not
+    // refresh it. Oracle: the same epoch chain as a recursive CTE.
+    QueryDef(
+      "s15_recall",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val t = unix_micros(col("ts")).cast("double") / 1e6
+        ev.select(col("event_id"), col("user_id"),
+            recallScan(t, 3600.0).over(
+              Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+                .rowsBetween(Window.unboundedPreceding, 0)).as("remembered"))
+          .orderBy("event_id")
+      },
+      Some("""WITH RECURSIVE ser AS (
+          SELECT event_id, user_id,
+                 CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rk
+          FROM events
+        ), fold AS (
+          SELECT event_id, user_id, rk, t, t AS reg, false AS remembered
+          FROM ser WHERE rk = 1
+          UNION ALL
+          SELECT s.event_id, s.user_id, s.rk, s.t,
+                 CASE WHEN s.t - f.reg > 3600.0 THEN s.t ELSE f.reg END,
+                 CASE WHEN s.t - f.reg > 3600.0 THEN false ELSE true END
+          FROM fold f JOIN ser s ON s.user_id = f.user_id AND s.rk = f.rk + 1
+        )
+        SELECT event_id, user_id, remembered FROM fold ORDER BY event_id"""))
   )
 }

@@ -77,6 +77,12 @@ object GraftFunctions {
     ExpressionUtils.column(
       ExpSmoothScan(col2e(x.cast("double")), alpha).toAggregateExpression())
 
+  /** FIT_MULTI prediction over a window-collected array of (y, x1…xp)
+    * structs: through-origin least squares of all but the last observation,
+    * predicting at the last (Seasonal.multi_linreg semantics). */
+  def fitMultiPredict(obs: Column): Column =
+    ExpressionUtils.column(LinRegPredict(col2e(obs), anchorOrigin = false))
+
   /** RECALL (= REMEMBER refresh=false) for running windows: true while the
     * key's time is within `dur` of its current registration, O(1) state.
     * Use over a key-partitioned running window. */

@@ -638,9 +638,9 @@ class RaqlSpec extends AnyFunSuite {
     }
     info(s"compiled $ok/$tried functions")
     failures.take(40).foreach(f => info(s"  FAIL $f"))
-    // round-3 floor: 110/128 compile; the rest are live-endpoint sources,
-    // global_last_out feedback, and typed-exercise programs (documented)
-    assert(ok >= tried * 4 / 5, s"only $ok of $tried functions compiled:\n" +
+    // round-4 floor: the WHOLE corpus compiles (131/131); any regression
+    // from here is a bug
+    assert(ok == tried, s"only $ok of $tried functions compiled:\n" +
       failures.mkString("\n"))
   }
 }
