@@ -668,9 +668,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         graft.functions.GraftFunctions.hysteresisScan(goM(x),
           evalNum(acceptable, params), evalNum(maximum, params)).over(prefix)
 
-      // argument-tuple spelling `REMEMBER [GLOBALLY] (fpr, t, d, keys…)`:
-      // batch-exact seen-before over the non-constant key columns
+      // argument-tuple spelling `REMEMBER [GLOBALLY] (fpr, dur, key…, tim)`
+      // (reference afun4_sf order, RamenExpr.ml:1463-1468): remembered while
+      // within dur of the LAST sighting — refresh=true, so a plain keyed
+      // lag of the time expression. Batch-exact, no bloom false positives.
       // (local_state_in_where_slow.ramen)
+      case AggCall("remember", op, _, extra) if extra.size >= 3 =>
+        val dur = evalNum(extra(1), params)
+        val keyCols = extra.drop(2).map(goM)
+        val t = goM(op).cast("double")
+        val prevT = lag(t, 1).over(partedWindow(keyCols: _*))
+        prevT.isNotNull && (t - prevT) <= dur
+      // degenerate spelling without a time argument: seen-before-ever
       case AggCall("remember", op, _, extra) if extra.nonEmpty =>
         val keyCols = (extra.filterNot {
           case Lit(_: Long) | Lit(_: Double) | Lit(_: BigDecimal) => true

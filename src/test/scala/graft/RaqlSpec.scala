@@ -568,6 +568,15 @@ class RaqlSpec extends AnyFunSuite {
     }
   }
 
+  test("local_state_in_where_slow golden: REMEMBER + TOP in WHERE") {
+    val c = load("fixtures/cars", "local_state_in_where_slow")
+    val rows = c.compile("local_state_in_where_slow/f1").collect()
+    // reference test: BMW rows pass the remember-within-1-year + TOP filter
+    val makers = rows.map(_.getAs[String]("manufacturer")).toSet
+    assert(makers.contains("BMW"), s"got $makers")
+    assert(rows.length < 4539) // genuinely filtering
+  }
+
   test("strings/f1 golden: containment, slices, repetition") {
     val c = load("strings")
     val row = c.compile("strings/f1").collect().head
