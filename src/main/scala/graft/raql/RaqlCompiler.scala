@@ -186,7 +186,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Same functions in their parenthesized FunCall spelling. */
   private val windowFunCalls = Set("lag", "moveavg", "sample", "hysteresis",
     "remember", "recall", "smooth", "derive", "changed", "season_moveavg",
-    "fit_multi")
+    "fit_multi", "season_fit_multi")
 
   private def hasWindowFn(e: Expr): Boolean = e match {
     case AggCall(fn, op, _, extra) =>
@@ -519,6 +519,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def topRankCol(keyC: Column, n: Int): Column =
     col(topJoinNames(keyC, n)._1)
 
+  /** FIT_MULTI / SEASON_FIT_MULTI: collect (y, x…) over the last n periods
+    * of length p, keep the current row's phase (offset ≡ 0 mod p — exactly
+    * the reference ring-buffer fold's slots, Seasonal.fold
+    * CodeGenLib.ml:825-843), predict through-origin at the current row. */
+  private def seasonFitMulti(p: Long, n: Long, y: Expr, preds: Seq[Expr],
+      goM: Expr => Column, W: WindowSpec): Column = {
+    val fields = (goM(y).cast("double").as("_y")) +:
+      preds.zipWithIndex.map { case (x, i) =>
+        goM(x).cast("double").as(s"_x${i + 1}") }
+    val windowed =
+      collect_list(struct(fields: _*)).over(W.rowsBetween(-(n * p), 0))
+    val strided =
+      if (p == 1) windowed
+      else filter(windowed, (_, j) => (size(windowed) - 1 - j) % lit(p) === 0)
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.LinRegPredict(
+        org.apache.spark.sql.GraftShims.expression(strided),
+        anchorOrigin = false))
+  }
+
   /** The whole top-n list on every row: rank-ordered array built from the
     * joined (key, rank) pairs — one extra tiny shuffle, no collect. */
   private def topListJoined(keyC: Column, n: Int): Column = {
@@ -619,15 +639,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // predicting at the current predictors. The window's shorter early
         // prefixes mirror the reference's zero-initialised ring slots
         // (all-zero rows contribute nothing to the normal equations).
-        val k = evalNum(n, params).toLong
-        val fields = (goM(y).cast("double").as("_y")) +:
-          preds.zipWithIndex.map { case (p, i) =>
-            goM(p).cast("double").as(s"_x${i + 1}") }
-        val windowed = collect_list(struct(fields: _*)).over(W.rowsBetween(-k, 0))
-        org.apache.spark.sql.GraftShims.column(
-          graft.functions.LinRegPredict(
-            org.apache.spark.sql.GraftShims.expression(windowed),
-            anchorOrigin = false))
+        seasonFitMulti(1, evalNum(n, params).toLong, y, preds, goM, W)
+
+      case FunCall("season_fit_multi", p +: n +: y +: preds) if preds.nonEmpty =>
+        // seasonal spelling: regression over the same phase in the n
+        // previous periods of length p (Seasonal.fold stride p)
+        seasonFitMulti(evalNum(p, params).toLong, evalNum(n, params).toLong,
+          y, preds, goM, W)
 
       case FunCall("season_moveavg", Seq(p, k, x)) =>
         // avg of the same phase in the k previous periods of length p

@@ -577,6 +577,26 @@ class RaqlSpec extends AnyFunSuite {
     assert(rows.length < 4539) // genuinely filtering
   }
 
+  test("season_fit_multi regresses over the same phase only") {
+    // alternating series 10,20,10,20,… with a constant predictor:
+    // through-origin fit over the same phase in the 3 previous periods of
+    // length 2 predicts that phase's value exactly
+    val src = Map("sfm" -> """DEFINE f AS
+        SELECT y, season_fit_multi(2, 3, y, one) AS pred
+        FROM tbl;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    import spark.implicits._
+    val data = (0 until 12).map(i => (if (i % 2 == 0) 10.0 else 20.0, 1.0))
+    c.registerTable("tbl", data.toDF("y", "one").coalesce(1))
+    val rows = c.compile("sfm/f").collect()
+    // past the warmup (3 periods of 2), pred equals the current phase value
+    rows.drop(6).foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(0)) < 1e-9,
+        s"pred ${r.getDouble(1)} for y ${r.getDouble(0)}")
+    }
+  }
+
   test("strings/f1 golden: containment, slices, repetition") {
     val c = load("strings")
     val row = c.compile("strings/f1").collect().head
