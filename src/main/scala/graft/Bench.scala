@@ -32,6 +32,7 @@ object Bench {
     // round-3 ±30% jitter on sub-second queries needs the third sample
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = selected.map { q =>
+      System.gc() // don't bill query N for query N-1's garbage
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1521,7 +1521,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // single partition: RaQL first/last/lag depend on file arrival order
       val df0 = graft.sources.CsvSource.read(spark, full, raw,
         graft.sources.CsvSource.CsvSpec(separator = sep, nullStr = nullStr,
-          quote = if (quotes) "\"" else " ")).coalesce(1)
+          quote = if (quotes) "\"" else "\u0000")).coalesce(1)
       def fmtIp(n: String) = graft.functions.GraftFunctions.formatIp(
         col(s"_${n}_v"), col(s"_${n}_a"))
       def tagged(t: String) =
