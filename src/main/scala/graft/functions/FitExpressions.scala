@@ -210,6 +210,10 @@ object FitOps {
         while (j <= p) { d(j) = o(j) - origin(j); j += 1 }
         d
       }.toSeq
+    // under- or exactly-determined systems have no honest fit — an exact
+    // solve through noisy predictors is unbounded overfit (fit.ramen f2's
+    // warmup); NULL, like every other degenerate case here
+    if (rows.size <= p) return null
     val beta = leastSquares(rows, p)
     if (beta == null) return null
     var y = origin(0)

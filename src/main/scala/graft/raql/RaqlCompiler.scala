@@ -154,6 +154,33 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     throw new UnsupportedOperationException(what)
 
   /** Does this expression contain an aggregate call (after unification)? */
+  /** Aggregates whose state RESETS on commit-flush (plain aggregates, not
+    * the window/scan functions like LAG or CHANGED whose one-deep state
+    * effectively spans a flush boundary). */
+  private def hasPlainAgg(e: Expr): Boolean = e match {
+    case AggCall(fn, op, _, ex) =>
+      !windowFns(fn) || hasPlainAgg(op) || ex.exists(hasPlainAgg)
+    case PercentileCall(_, _) => true
+    case FunCall("histogram", _) => true
+    case Binop(_, l, r) => hasPlainAgg(l) || hasPlainAgg(r)
+    case Unop(_, x) => hasPlainAgg(x)
+    case FunCall(_, args) => args.exists(hasPlainAgg)
+    case CaseExpr(br, el) =>
+      br.exists { case (c, v) => hasPlainAgg(c) || hasPlainAgg(v) } ||
+        el.exists(hasPlainAgg)
+    case IsNull(x, _) => hasPlainAgg(x)
+    case VectorLit(items) => items.exists(hasPlainAgg)
+    case _ => false
+  }
+
+  /** `COMMIT AFTER sum 1 = k` — the reference's count-window idiom: the
+    * group commits-and-flushes every k rows. */
+  private def countCommitK(e: Expr): Option[Long] = e match {
+    case Binop("=" | ">=", AggCall("sum", Lit(1L), _, _), Lit(k: Long)) => Some(k)
+    case Binop("=" | ">=", Lit(k: Long), AggCall("sum", Lit(1L), _, _)) => Some(k)
+    case _ => None
+  }
+
   private def hasAgg(e: Expr): Boolean = e match {
     case AggCall(_, _, _, _) | PercentileCall(_, _) => true
     case FunCall("histogram", _) => true
@@ -216,7 +243,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * window remains only for truly ungrouped running state — the same
     * sequential semantics the reference's single-threaded workers have. */
   private final class RunCtx(var df: DataFrame, val seqName: String,
-      val parts: Seq[Column] = Nil,
+      var parts: Seq[Column] = Nil,
       /** `EVENT STARTS AT e` — overrides the start/ts column convention. */
       val eventTime: Option[Column] = None) {
     /** Memoized TOP broadcast joins, keyed by (key expression, n) → the
@@ -356,9 +383,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
               case (Lit(n: Long), Lit(_: String)) => repeat(b, n.toInt)
               case _ => a * b
             }
-          case "/" => a / b
-          case "//" => floor(a / b)
-          case "%" => a % b
+          // div-or-null (reference Div): zero divisor and float NaN
+          // results surface as NULL (nan_vs_null.ramen v4)
+          case "/" =>
+            val q = try_divide(a, b)
+            when(!isnan(q.cast("double")), q)
+          case "//" =>
+            val q = floor(try_divide(a, b))
+            when(!isnan(q.cast("double")), q)
+          case "%" => when(b =!= 0, a % b)
           case "^" => pow(a, b)
           case "=" => a === b
           case "<>" | "!=" => a =!= b
@@ -803,9 +836,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         }
         arr.cast(s"array<${castType(n.stripPrefix("array_")).get}>")
       case ("eth" | "eth?", Seq(x)) =>
-        // 48-bit MAC formatted aa:bb:cc:dd:ee:ff (RamenEthAddr.ml)
-        format_string("%02x:%02x:%02x:%02x:%02x:%02x",
-          (0 to 5).map(i => shiftright(go(x).cast("long"), (5 - i) * 8)
+        // 48-bit MAC formatted aa:bb:cc:dd:ee:ff (RamenEthAddr.ml);
+        // string operands are already MAC text (stress.ramen)
+        val c = go(x)
+        if (dtypeOpt(c).contains(StringType)) c
+        else format_string("%02x:%02x:%02x:%02x:%02x:%02x",
+          (0 to 5).map(i => shiftright(c.cast("long"), (5 - i) * 8)
             .bitwiseAND(255)): _*)
       case (n, Seq(x)) if n.endsWith("?") && castType(n.dropRight(1)).isDefined =>
         go(x).try_cast(castType(n.dropRight(1)).get) // nullable cast: NULL on failure
@@ -879,8 +915,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case (Lit(s: String), _, Ref(Seq("in"))) => col(s)
           case (Lit(s: String), None, FunCall("record", _)) => c.getField(s)
           case (Lit(s: String), Some(_: MapType), _) => element_at(c, s)
-          case (Lit(n: Long), _, _) => element_at(c, n.toInt + 1)
-          case _ => element_at(c, (go(i) + 1).cast("int"))
+          // out-of-bounds GET is NULL in RaQL (gets.ramen), never an error
+          case (Lit(n: Long), _, _) => try_element_at(c, lit(n.toInt + 1))
+          case _ => try_element_at(c, (go(i) + 1).cast("int"))
         }
       case ("tuple", items) =>
         struct(items.zipWithIndex.map { case (e, i) => go(e).as(s"_${i + 1}") }: _*)
@@ -889,8 +926,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // ip casts: a numeric operand formats to canonical ip text
       case ("ip" | "ip?" | "ip4" | "ip4?" | "ip6" | "ip6?", Seq(x)) =>
         val v6 = name.startsWith("ip6")
-        graft.functions.GraftFunctions.formatIp(
-          lit(if (v6) 6 else 4), go(x).cast("decimal(38,0)"))
+        val c = go(x)
+        // string operands are already ip TEXT (stress.ramen prod1): keep
+        // the canonical text; numerics format from the integer value
+        if (dtypeOpt(c).contains(StringType)) c
+        else graft.functions.GraftFunctions.formatIp(
+          lit(if (v6) 6 else 4), c.cast("decimal(38,0)"))
       case ("ipfamily", Seq(x)) =>
         when(go(x).cast("string").contains(":"), 6).otherwise(4)
       // HISTOGRAM x, lo, hi, n — n+2 bucket counts with under/overflow
@@ -1135,19 +1176,24 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Immediate aggregation over an array-typed operand (the reference's
     * "every aggregation function must also accept lists" rule — see
     * tests/func/basic_aggr.ramen and past.ramen's `min recent_n`). */
-  private def arrayAgg(fn: String, c: Column): Column = {
+  private def arrayAgg(fn: String, c: Column,
+      keepNulls: Boolean = false): Column = {
     def nonNull = filter(c, x => x.isNotNull)
-    // Kahan-compensated sum, like the reference's float sums over vectors
-    // (tests/func/kahan_sum.ramen: 1 + 1e100 + 1 - 1e100 = 2, not 0)
+    // Neumaier-compensated sum, exactly the reference's Kahan module
+    // (RamenHelpersNoLog.ml:1569-1589; tests/func/kahan_sum.ramen:
+    // 1 + 1e100 + 1 - 1e100 = 2, not 0 — plain Kahan loses the lost-low
+    // bits when |x| > |sum|, Neumaier flips the compensation)
     def ksum = aggregate(nonNull,
       struct(lit(0.0).as("s"), lit(0.0).as("c")),
       (acc, x) => {
-        val y = x.cast("double") - acc.getField("c")
-        val t = acc.getField("s") + y
-        struct(t.as("s"), ((t - acc.getField("s")) - y).as("c"))
+        val xd = x.cast("double")
+        val s = acc.getField("s"); val comp = acc.getField("c")
+        val t = s + xd
+        val d = when(abs(s) >= abs(xd), (s - t) + xd).otherwise((xd - t) + s)
+        struct(t.as("s"), (comp + d).as("c"))
       },
-      acc => acc.getField("s"))
-    fn match {
+      acc => acc.getField("s") + acc.getField("c"))
+    val v = fn match {
       case "min" => array_min(c)
       case "max" => array_max(c)
       case "sum" => ksum
@@ -1160,6 +1206,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case "group" => c
       case other => unsupported(s"aggregate $other over an array")
     }
+    // KEEP NULLS: a null element nullifies the aggregate (list_aggr.ramen)
+    if (keepNulls) when(size(filter(c, x => x.isNull)) === 0, v) else v
   }
 
   /** Two-pass distributed prefix aggregate for UNGROUPED running mode.
@@ -1314,14 +1362,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // commit-every-tuple mode: array operands aggregate immediately,
       // scalar operands become running prefix aggregates (a stateful
       // operand is materialized first — no nested windows)
-      if (dtypeOf(c).isInstanceOf[ArrayType]) return arrayAgg(a.fn, c)
+      if (dtypeOf(c).isInstanceOf[ArrayType])
+        return arrayAgg(a.fn, c, a.modifiers.contains("keep_nulls"))
       return runningAgg(a, if (hasWindowFn(operand)) matCol(c) else c)
     }
     // batch mode: aggregates of an array-typed operand apply immediately
     // per row (the reference's every-aggregate-accepts-lists rule); the
     // end-of-input commit then keeps the group's last value
     if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType]) && a.fn != "group")
-      return last(arrayAgg(a.fn, c))
+      return last(arrayAgg(a.fn, c, a.modifiers.contains("keep_nulls")))
     val keepNulls = a.modifiers.contains("keep_nulls")
     def withKeepNulls(agg: Column): Column =
       if (!keepNulls) agg
@@ -1584,6 +1633,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       val runMode =
         fields.exists(f => hasWindowFn(f.expr)) ||
           agg.where.exists(hasWindowFn) ||
+          // a stateful commit condition (COMMIT AFTER CHANGED x) is
+          // per-row state: running mode with a commit post-filter
+          agg.commitCond.exists(hasWindowFn) ||
           (agg.commitCond.isEmpty && agg.groupBy.isEmpty &&
             fields.exists(f => hasAgg(f.expr)))
       val result =
@@ -1615,7 +1667,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** End-of-input commit semantics (explicit COMMIT clauses, GROUP BY):
     * the original batch translation. */
-  private def compileFinal(base: DataFrame, fields: Seq[SelectField],
+  private def compileFinal(base: DataFrame, fields0: Seq[SelectField],
       agg: Aggregate, params: Map[String, Expr]): DataFrame = {
     val filtered = agg.where match {
       case Some(w) if !hasAgg(w) && !hasWindowFn(w) =>
@@ -1624,13 +1676,34 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Some(w) => unsupported(s"stateful WHERE with GROUP BY: $w")
       case None => base
     }
+    // every split OCCURRENCE is its own generator (the reference expands
+    // the cartesian product even when two fields split the same string —
+    // word_split.ramen f3): tag each with a unique ordinal so identical
+    // calls get separate explodes
+    var splitTag = -1
+    def tagSplits(e: Expr): Expr = e match {
+      case FunCall("split", Seq(a, b)) =>
+        splitTag += 1; FunCall("split", Seq(a, b, Lit(splitTag.toLong)))
+      case Binop(o, l, r) => Binop(o, tagSplits(l), tagSplits(r))
+      case Unop(o, y) => Unop(o, tagSplits(y))
+      case FunCall(n, as) => FunCall(n, as.map(tagSplits))
+      case AggCall(n, op, m, ex) => AggCall(n, tagSplits(op), m, ex.map(tagSplits))
+      case PercentileCall(ps, op) => PercentileCall(ps, tagSplits(op))
+      case CaseExpr(br, el) =>
+        CaseExpr(br.map { case (c0, v) => (tagSplits(c0), tagSplits(v)) },
+          el.map(tagSplits))
+      case IsNull(y, ng) => IsNull(tagSplits(y), ng)
+      case VectorLit(it) => VectorLit(it.map(tagSplits))
+      case other => other
+    }
+    val fields = fields0.map(f => f.copy(expr = tagSplits(f.expr)))
     // SPLIT generators: explode each occurrence, cartesian when several
     val splitBuf = scala.collection.mutable.ListBuffer.empty[FunCall]
     fields.foreach(f => collectSplits(f.expr, splitBuf))
     var src = filtered
     var splitCols = Map.empty[FunCall, Column]
     splitBuf.toList.distinct.zipWithIndex.foreach { case (fc, i) =>
-      val FunCall(_, Seq(sepE, strE)) = fc: @unchecked
+      val FunCall(_, sepE +: strE +: _) = fc: @unchecked
       val sepLit = sepE match {
         case Lit(s: String) => s
         case other => throw new UnsupportedOperationException(s"split sep $other")
@@ -1670,11 +1743,44 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       if (!hasAgg(e2)) aliasMap(n) = e2
       (e2, n)
     }
-    typerDf = Some(src)
+    // COMMIT AFTER sum 1 = k (ungrouped): tumbling COUNT windows — the
+    // flush resets every aggregate, so window i covers rows [i*k, (i+1)*k)
+    // and each window emits its own values (basic_aggr a1/a2/o1/o2). The
+    // end-of-input partial window also emits (the reference leaves it
+    // pending forever; batch has an end).
+    // … but only for field sets the plain grouped path can express: no
+    // nested aggregates and no references to aggregate aliases (those need
+    // the two-phase ungrouped machinery below, tuples.ramen f1/f2 — where
+    // k equals the whole input anyway, so end-of-input commit is the same)
+    val aggAliases = named.collect { case (e, n) if hasAgg(e) => n }.toSet
+    def countWindowable(e: Expr): Boolean = e match {
+      case Ref(Seq(n)) => !aggAliases(n)
+      case AggCall(_, op, _, ex) => !hasAgg(op) && !ex.exists(hasAgg)
+      case PercentileCall(_, op) => !hasAgg(op)
+      case Binop(_, l, r) => countWindowable(l) && countWindowable(r)
+      case Unop(_, y) => countWindowable(y)
+      case FunCall(_, as) => as.forall(countWindowable)
+      case CaseExpr(br, el) =>
+        br.forall { case (c0, v) => countWindowable(c0) && countWindowable(v) } &&
+          el.forall(countWindowable)
+      case IsNull(y, _) => countWindowable(y)
+      case VectorLit(it) => it.forall(countWindowable)
+      case _ => true
+    }
+    val (srcW, aggW) = agg.commitCond.flatMap(countCommitK) match {
+      case Some(k) if agg.groupBy.isEmpty && k > 0 &&
+          named.forall(f => countWindowable(f._1)) =>
+        (src.withColumn("_graft_cwin",
+          floor((row_number().over(
+            Window.orderBy(monotonically_increasing_id())) - 1) / k.toDouble)),
+          agg.copy(groupBy = Seq(Ref(Seq("_graft_cwin")))))
+      case _ => (src, agg)
+    }
+    typerDf = Some(srcW)
     // GROUP BY may key on OUT aliases (`lower word AS word … GROUP BY
     // word`, word_count.ramen) — substitute the defining expressions
-    val agg2 = agg.copy(groupBy = agg.groupBy.map(subAlias))
-    try compileNamed(src, named, agg2, params, splitCols)
+    val agg2 = aggW.copy(groupBy = aggW.groupBy.map(subAlias))
+    try compileNamed(srcW, named, agg2, params, splitCols)
     finally typerDf = None
   }
 
@@ -1826,6 +1932,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         runCtx.get.df = df
       }
       val outNames = fields.map(f => f.alias.getOrElse(autoName(f.expr)))
+      // COMMIT-with-FLUSH segmentation: when the commit condition does not
+      // depend on flush-reset aggregates (count_cars: a LAG comparison),
+      // commits split the stream into SEGMENTS and every window/aggregate
+      // below must restart per segment — the reference resets the group
+      // state at each commit. The condition itself evaluates over the
+      // continuous stream (one-deep LAG state spans the boundary the same
+      // way the reference's refilled state does).
+      val outDefs = fields.zip(outNames).map { case (f, n) => n -> f.expr }.toMap
       fields.zip(outNames).foreach { case (f, n) =>
         // self-referential previous.x counters are prefix sums:
         //   d + (previous.x |? c)  ⇒  c + running_sum(d)        (x1 = c+d1)
@@ -1864,6 +1978,64 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case e => compileExpr(e, params) // may grow ctx.df (materialized)
         }
         df = runCtx.get.df.withColumn(n, c)
+        runCtx.get.df = df
+      }
+      // COMMIT emission over the computed out fields. When the condition
+      // is independent of flush-reset aggregates (count_cars: a LAG
+      // comparison; changed.ramen: CHANGED x), each firing also FLUSHES
+      // the group — so the plain aggregates are recompiled partitioned by
+      // the commit SEGMENT, while the condition itself (and the window/
+      // scan fields, whose one-deep state spans the boundary like the
+      // reference's refill) keeps the continuous stream. Conditions that
+      // read reset aggregates fall back to the KEEP post-filter (their
+      // exact FLUSH lives in the streaming CommitHarness).
+      agg.commitCond.foreach { cc =>
+        def refsPlainAgg(e: Expr): Boolean = e match {
+          case Ref(Seq("out", n)) => outDefs.get(n).exists(hasPlainAgg)
+          case Ref(Seq(n)) => outDefs.get(n).exists(hasPlainAgg)
+          case Binop(_, l, r) => refsPlainAgg(l) || refsPlainAgg(r)
+          case Unop(_, y) => refsPlainAgg(y)
+          case FunCall(_, as) => as.exists(refsPlainAgg)
+          case AggCall(_, op, _, ex) => refsPlainAgg(op) || ex.exists(refsPlainAgg)
+          case CaseExpr(br, el) =>
+            br.exists { case (c0, v) => refsPlainAgg(c0) || refsPlainAgg(v) } ||
+              el.exists(refsPlainAgg)
+          case IsNull(y, _) => refsPlainAgg(y)
+          case VectorLit(it) => it.exists(refsPlainAgg)
+          case _ => false
+        }
+        val origWindow = seqWindow()
+        val c = compileExpr(cc, params).cast("boolean")
+        var d = runCtx.get.df
+          .withColumn("_graft_cflag", coalesce(c, lit(false)))
+        runCtx.get.df = d
+        if (!hasPlainAgg(cc) && !refsPlainAgg(cc) &&
+            fields.exists(f => hasPlainAgg(f.expr))) {
+          // segment id: BEFORE — the firing row starts a new segment;
+          // AFTER — the next row does
+          val segFrame = seqWindow().rowsBetween(Window.unboundedPreceding,
+            if (agg.commitBefore) 0 else -1)
+          d = d.withColumn("_graft_seg",
+            coalesce(sum(when(col("_graft_cflag"), 1L).otherwise(0L))
+              .over(segFrame), lit(0L)))
+          runCtx.get.df = d
+          val origParts = runCtx.get.parts
+          runCtx.get.parts = origParts :+ col("_graft_seg")
+          try fields.zip(outNames).foreach { case (f, n) =>
+            if (hasPlainAgg(f.expr)) {
+              val rc = compileExpr(f.expr, params)
+              d = runCtx.get.df.withColumn(n, rc)
+              runCtx.get.df = d
+            }
+          } finally runCtx.get.parts = origParts
+        }
+        val emit =
+          if (agg.commitBefore)
+            coalesce(lead(col("_graft_cflag"), 1).over(origWindow), lit(true))
+          else col("_graft_cflag")
+        d = runCtx.get.df.withColumn("_graft_emit", emit)
+          .filter(col("_graft_emit"))
+        df = d
         runCtx.get.df = df
       }
       df.select(outNames.map(col): _*)

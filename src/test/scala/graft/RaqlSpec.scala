@@ -65,8 +65,13 @@ class RaqlSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     // two independent splits ⇒ cartesian product
     assert(f2 == Set(("foo", "pas"), ("foo", "glop"), ("bar", "pas"), ("bar", "glop")))
-    val f3 = c.compile("word_split/f3").collect().map(r => (r.getString(0), r.getString(1)))
-    assert(f3.toSeq == Seq(("pas glop", "pas pas"), ("glop glop", "pas glop")))
+    // every split OCCURRENCE is an independent generator: f3's two splits
+    // of the SAME string still produce the 2×2 cartesian (word_split.test
+    // expects the cross terms "glop glop"/"pas pas" and "pas glop"/"pas glop")
+    val f3 = c.compile("word_split/f3").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(f3 == Set(("pas glop", "pas pas"), ("pas glop", "pas glop"),
+      ("glop glop", "pas pas"), ("glop glop", "pas glop")))
     val f4 = c.compile("word_split/f4").collect().map(_.getString(0))
     assert(f4.toSeq == Seq("pas glop", "pas glop"))
   }
