@@ -57,6 +57,8 @@ object Ast {
       groupBy: Seq[Expr] = Nil,
       commitBefore: Boolean = false,
       commitCond: Option[Expr] = None,
+      /** `COMMIT AND KEEP [ALL]`: no state flush on commit. */
+      commitKeep: Boolean = false,
       every: Option[Expr] = None,
       notifyName: Option[Expr] = None,
       /** `SORT LAST n BY k…` bounded reorder buffer (RamenSortBuf.ml). */

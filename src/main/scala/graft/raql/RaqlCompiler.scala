@@ -244,6 +244,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * sequential semantics the reference's single-threaded workers have. */
   private final class RunCtx(var df: DataFrame, val seqName: String,
       var parts: Seq[Column] = Nil,
+      /** the GROUP BY keys alone — commit segmentation extends `parts`
+        * but feedback variables (previous.x = the group's last committed
+        * out) stay keyed by the group (tumbling.ramen's check_1). */
+      var baseParts: Seq[Column] = Nil,
       /** `EVENT STARTS AT e` — overrides the start/ts column convention. */
       val eventTime: Option[Column] = None) {
     /** Memoized TOP broadcast joins, keyed by (key expression, n) → the
@@ -354,7 +358,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // x's own definition) remain unsupported.
       case Ref(Seq("previous" | "local_last_out", n))
           if runCtx.exists(_.df.columns.contains(n)) =>
-        lag(col(n), 1).over(seqWindow())
+        val ctx = runCtx.get
+        val w =
+          if (ctx.baseParts.isEmpty) Window.orderBy(col(ctx.seqName))
+          else Window.partitionBy(ctx.baseParts: _*).orderBy(col(ctx.seqName))
+        lag(col(n), 1).over(w)
       // global_last_out.x: the last output row across ALL groups — a lag
       // over the global arrival order (previous.ramen f2). Scale note: in a
       // grouped query this adds one single-partition window stage, the
@@ -402,7 +410,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case "and" => a && b
           case "or" => a || b
           case "||" => concat(a, b)
+          // RaQL LIKE is case-INSENSITIVE unless CASE SENSITIVE is said
+          // (patterns.ramen: "b%%%w" matches "BMW")
           case "like" => r match {
+            case Lit(pat: String) => a.ilike(pat)
+            case _ => unsupported("LIKE with non-literal pattern")
+          }
+          case "cs_like" => r match {
             case Lit(pat: String) => a.like(pat)
             case _ => unsupported("LIKE with non-literal pattern")
           }
@@ -620,10 +634,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       * with a per-row hash, keep the k smallest — deterministic stand-in
       * for the reference's seeded reservoir (RamenSampling.ml). */
     def sampleOf(v: Column, k: Int, frame: WindowSpec): Column =
+      // winners chosen by hash order (deterministic pseudo-random), then
+      // re-sorted by ARRIVAL — the reference's reservoir keeps insertion
+      // order while under capacity (baseline.ramen's recent_values)
       transform(
-        slice(array_sort(collect_list(
-          when(v.isNotNull, struct(xxhash64(seqC).as("h"), v.as("v"))))
-          .over(frame)), 1, k),
+        array_sort(transform(
+          slice(array_sort(collect_list(
+            when(v.isNotNull, struct(xxhash64(seqC).as("h"), seqC.as("s"),
+              v.as("v")))).over(frame)), 1, k),
+          e => struct(e.getField("s").as("s"), e.getField("v").as("v")))),
         s => s.getField("v"))
 
     def lagOver(x: Expr, k: Int): Column = lag(goM(x), k).over(W)
@@ -656,8 +675,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case FunCall("lag", Seq(k, x)) => lagOver(x, evalNum(k, params).toInt)
 
       case AggCall("latest", x, mods, _) =>
-        val k = modNum(mods, "n").getOrElse(1.0).toLong
-        collect_list(goM(x)).over(W.rowsBetween(-(k - 1), 0))
+        val k = modNum(mods, "n").getOrElse(1.0).toInt
+        val c = goM(x)
+        if (mods.contains("keep_nulls")) {
+          // positional window: null slots preserved via a struct wrapper
+          // (collect_list silently drops bare nulls) — last.ramen win2
+          transform(collect_list(struct(c.as("v")))
+            .over(W.rowsBetween(-(k - 1), 0)), s => s.getField("v"))
+        } else {
+          // skip nulls (the default): the last k NON-NULL values, however
+          // many rows back they are — a prefix collect + tail slice
+          val arr = collect_list(c).over(prefix)
+          slice(arr, greatest(size(arr) - k + 1, lit(1)), lit(k))
+        }
       case AggCall("oldest", x, mods, _) =>
         slice(collect_list(goM(x)).over(prefix), 1,
           modNum(mods, "n").getOrElse(1.0).toInt)
@@ -859,7 +889,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("pi", Seq()) => lit(math.Pi)
       case ("variant", Seq(Lit(n: String))) =>
         experiments.get(n).map(lit).getOrElse(lit(null).cast("string"))
-      case ("now", Seq()) => unix_timestamp().cast("double")
+      case ("now", Seq()) =>
+        if (runCtx.map(_.df).orElse(typerDf)
+            .exists(_.columns.contains("_graft_gen_time")))
+          col("_graft_gen_time")
+        else unix_timestamp().cast("double")
       case ("age", Seq(x)) => unix_timestamp().cast("double") - go(x)
       case ("length", Seq(x)) =>
         val c = go(x)
@@ -976,7 +1010,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
       // PARSE_TIME: best-effort string → epoch seconds (NULL on failure)
       case ("parse_time", Seq(x)) =>
-        (unix_micros(go(x).try_cast("timestamp")) / 1e6)
+        // the reference's Strptime tries several formats (dotted European
+        // dates included) and ROUNDS sub-second fractions to the nearest
+        // second (time.ramen: "…00.9" = "…01")
+        val s = go(x).cast("string")
+        val t = coalesce(
+          unix_micros(s.try_cast("timestamp")),
+          unix_micros(try_to_timestamp(s, lit("dd.MM.yyyy"))),
+          unix_micros(try_to_timestamp(s, lit("MM/dd/yyyy"))))
+        round((t / 1e6).cast("double"), 0)
 
       // UUID_OF_U128: 128-bit integer → canonical 8-4-4-4-12 lowercase hex
       // (doc/raql/expr.ml:291). Split into two u64 halves for conv().
@@ -1320,8 +1362,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Syntactic boolean detection for operand-directed COUNT. */
   private def boolShaped(e: Expr): Boolean = e match {
     case Binop(op, _, _) =>
-      Set("=", "<>", "!=", "<", "<=", ">", ">=", "and", "or", "like", "in",
-        "starts_with", "ends_with").contains(op)
+      Set("=", "<>", "!=", "<", "<=", ">", ">=", "and", "or", "like",
+        "cs_like", "in", "starts_with", "ends_with").contains(op)
     case Unop("not", _) => true
     case IsNull(_, _) => true
     case Lit(_: Boolean) => true
@@ -1598,10 +1640,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       val base0: DataFrame = parents match {
         case Nil =>
           // YIELD / EVERY generator: unbounded in the reference, bounded in
-          // batch by graft.raql.everyRows (default one evaluation)
+          // batch by graft.raql.everyRows (default one evaluation). NOW
+          // inside the generator sees the time each tuple WOULD have been
+          // produced (t0 + i·EVERY — once_every.ramen measures intervals)
           val n = spark.conf.getOption("graft.raql.everyRows")
             .map(_.toLong).getOrElse(1L)
-          spark.range(n).coalesce(1).toDF("_unit")
+          val d = agg.every.map(e => evalNum(e, params)).getOrElse(0.0)
+          val t0 = System.currentTimeMillis() / 1000.0
+          spark.range(n).coalesce(1).select(col("id").as("_unit"),
+            (lit(t0) + col("id") * d).as("_graft_gen_time"))
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
       }
       // SORT LAST n BY k…: bounded reorder buffer ahead of the operation
@@ -1636,6 +1683,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           // a stateful commit condition (COMMIT AFTER CHANGED x) is
           // per-row state: running mode with a commit post-filter
           agg.commitCond.exists(hasWindowFn) ||
+          // COMMIT [AND KEEP ALL] AFTER true: every tuple commits — the
+          // running-snapshot stream (word_count counter1)
+          agg.commitCond.contains(Lit(true)) ||
           (agg.commitCond.isEmpty && agg.groupBy.isEmpty &&
             fields.exists(f => hasAgg(f.expr)))
       val result =
@@ -1921,7 +1971,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             .filter(c => scala.util.Try(df.select(c)).isSuccess))
       ) finally runCtx = None
     }
-    runCtx = Some(new RunCtx(df, seqName, parts, evTime))
+    runCtx = Some(new RunCtx(df, seqName, parts, parts, evTime))
     try {
       agg.where.foreach { w =>
         val c = compileExpr(w, params)
@@ -1940,6 +1990,39 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // continuous stream (one-deep LAG state spans the boundary the same
       // way the reference's refilled state does).
       val outDefs = fields.zip(outNames).map { case (f, n) => n -> f.expr }.toMap
+      // the reference's tumbling-window idiom (tumbling.ramen): GROUP BY k
+      // COMMIT BEFORE in.t >= out.stop, stop = start + d, start = MIN(t//d)
+      // — each commit flushes, so the windows ARE the (k, t//d) groups.
+      // Segment by the bucket UP FRONT (from the input t, before any out
+      // field shadows it) so every stateful field compiles per window.
+      def timeWindowBucket(cc: Expr): Option[Expr] = cc match {
+        case Binop(">=", Ref(Seq("in", t)), stopRef) =>
+          val stopName = stopRef match {
+            case Ref(Seq("out", n)) => Some(n)
+            case Ref(Seq(n)) => Some(n)
+            case _ => None
+          }
+          stopName.flatMap(outDefs.get).flatMap {
+            case Binop("+", Ref(Seq(sName)), dE) =>
+              outDefs.get(sName).collect {
+                case AggCall("min",
+                    b @ Binop("//", Ref(Seq(`t`) | Seq("in", `t`)), dE2), _, _)
+                  if dE2 == dE => b
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+      val timeBucket =
+        if (agg.commitBefore && !agg.commitKeep)
+          agg.commitCond.flatMap(timeWindowBucket)
+        else None
+      timeBucket.foreach { b =>
+        val d0 = runCtx.get.df.withColumn("_graft_twin", compileExpr(b, params))
+        runCtx.get.df = d0
+        df = d0
+        runCtx.get.parts = runCtx.get.parts :+ col("_graft_twin")
+      }
       fields.zip(outNames).foreach { case (f, n) =>
         // self-referential previous.x counters are prefix sums:
         //   d + (previous.x |? c)  ⇒  c + running_sum(d)        (x1 = c+d1)
@@ -1989,7 +2072,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // reference's refill) keeps the continuous stream. Conditions that
       // read reset aggregates fall back to the KEEP post-filter (their
       // exact FLUSH lives in the streaming CommitHarness).
-      agg.commitCond.foreach { cc =>
+      if (timeBucket.isDefined) {
+        // every (group, window) emits its final row — the reference emits
+        // window w when a later tuple passes its stop; batch also emits
+        // the end-of-input pending window
+        val w = Window.partitionBy(runCtx.get.parts: _*)
+          .orderBy(col(runCtx.get.seqName))
+        df = runCtx.get.df
+          .withColumn("_graft_emit", lead(lit(1), 1).over(w).isNull)
+          .filter(col("_graft_emit"))
+        runCtx.get.df = df
+      }
+      else agg.commitCond.foreach { cc =>
         def refsPlainAgg(e: Expr): Boolean = e match {
           case Ref(Seq("out", n)) => outDefs.get(n).exists(hasPlainAgg)
           case Ref(Seq(n)) => outDefs.get(n).exists(hasPlainAgg)
@@ -2009,7 +2103,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         var d = runCtx.get.df
           .withColumn("_graft_cflag", coalesce(c, lit(false)))
         runCtx.get.df = d
-        if (!hasPlainAgg(cc) && !refsPlainAgg(cc) &&
+        if (!agg.commitKeep && !hasPlainAgg(cc) && !refsPlainAgg(cc) &&
             fields.exists(f => hasPlainAgg(f.expr))) {
           // segment id: BEFORE — the firing row starts a new segment;
           // AFTER — the next row does
@@ -2021,8 +2115,35 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           runCtx.get.df = d
           val origParts = runCtx.get.parts
           runCtx.get.parts = origParts :+ col("_graft_seg")
+          // recompile the reset aggregates AND everything downstream of
+          // them (a field reading a recompiled alias must see the
+          // segmented value, not the stale continuous column)
+          def refsOf(e: Expr): Set[String] = e match {
+            case Ref(Seq(n0)) => Set(n0)
+            case Ref(Seq("out", n0)) => Set(n0)
+            case Binop(_, l, r) => refsOf(l) ++ refsOf(r)
+            case Unop(_, y) => refsOf(y)
+            case FunCall(_, as) => as.flatMap(refsOf).toSet
+            case AggCall(_, op, _, ex) => refsOf(op) ++ ex.flatMap(refsOf)
+            case PercentileCall(_, op) => refsOf(op)
+            case CaseExpr(br, el) =>
+              br.flatMap { case (c0, v) => refsOf(c0) ++ refsOf(v) }.toSet ++
+                el.toSeq.flatMap(refsOf)
+            case IsNull(y, _) => refsOf(y)
+            case VectorLit(it) => it.flatMap(refsOf).toSet
+            case _ => Set.empty
+          }
+          var toRedo = fields.zip(outNames)
+            .collect { case (f, n) if hasPlainAgg(f.expr) => n }.toSet
+          var grow = true
+          while (grow) {
+            val d2 = toRedo ++ fields.zip(outNames).collect {
+              case (f, n) if (refsOf(f.expr) & toRedo).nonEmpty => n }
+            grow = d2 != toRedo
+            toRedo = d2
+          }
           try fields.zip(outNames).foreach { case (f, n) =>
-            if (hasPlainAgg(f.expr)) {
+            if (toRedo(n)) {
               val rc = compileExpr(f.expr, params)
               d = runCtx.get.df.withColumn(n, rc)
               runCtx.get.df = d

@@ -133,7 +133,7 @@ object RaqlParser extends RegexParsers {
     val cmpTail: Parser[Either[Boolean, (String, Expr)]] =
       ("<=" | ">=" | "<>" | "!=" | "=" | kw("like") | kw("in") |
         (kw("not") ~ kw("in")) ^^^ "not_in" |
-        (kw("case") ~ kw("sensitive") ~ kw("like")) ^^^ "like" |
+        (kw("case") ~ kw("sensitive") ~ kw("like")) ^^^ "cs_like" |
         ((kw("starts") | kw("ends")) <~ kw("with")) ^^ (_ + "_with") |
         """<(?!<)""".r | """>(?!>)""".r) ~ bitExpr ^^ {
         case op ~ r => Right((op, r))
@@ -469,7 +469,8 @@ object RaqlParser extends RegexParsers {
   private case class CFrom(refs: Seq[Either[String, Operation]]) extends Clause
   private case class CWhere(e: Expr) extends Clause
   private case class CGroup(ks: Seq[Expr]) extends Clause
-  private case class CCommit(before: Boolean, cond: Expr) extends Clause
+  private case class CCommit(before: Boolean, cond: Expr,
+      keep: Boolean = false) extends Clause
   private case class CEvery(e: Expr) extends Clause
   private case class CNotify(e: Expr) extends Clause
   private case class CSort(n: Int, until: Option[Expr], by: Seq[Expr])
@@ -486,9 +487,10 @@ object RaqlParser extends RegexParsers {
       kw("group") ~> kw("by") ~> rep1sep(expr, ",") ^^ CGroup.apply |
       // [COMMIT] [AND] [KEEP ALL | FLUSH] (AFTER|BEFORE|WHEN) cond
       opt(kw("commit")) ~ opt(kw("and")) ~
-        opt((kw("keep") ~ opt(kw("all"))) | (kw("flush") ^^^ null)) ~
+        opt((kw("keep") ~ opt(kw("all")) ^^^ true) | (kw("flush") ^^^ false)) ~
         ((kw("after") ^^^ false) | (kw("before") ^^^ true)) ~ expr ^^ {
-          case _ ~ _ ~ _ ~ before ~ cond => CCommit(before, cond)
+          case _ ~ _ ~ keep ~ before ~ cond =>
+            CCommit(before, cond, keep.getOrElse(false))
         } |
       kw("commit") ~ kw("when") ~> expr ^^ (CCommit(false, _)) |
       kw("every") ~> expr ^^ CEvery.apply |
@@ -516,8 +518,9 @@ object RaqlParser extends RegexParsers {
         fromSub = from.collect { case Right(op) => op },
         where = wheres.reduceOption(Binop("and", _, _)),
         groupBy = cs.collect { case CGroup(ks) => ks }.flatten,
-        commitBefore = cs.collectFirst { case CCommit(b, _) => b }.getOrElse(false),
-        commitCond = cs.collectFirst { case CCommit(_, c) => c },
+        commitBefore = cs.collectFirst { case CCommit(b, _, _) => b }.getOrElse(false),
+        commitCond = cs.collectFirst { case CCommit(_, c, _) => c },
+        commitKeep = cs.collectFirst { case CCommit(_, _, k) => k }.getOrElse(false),
         every = cs.collectFirst { case CEvery(e) => e },
         notifyName = cs.collectFirst { case CNotify(e) => e },
         sortLast = cs.collectFirst { case CSort(n, _, by) if by.nonEmpty => (n, by) },

@@ -102,9 +102,21 @@ class ReferenceTestsSpec extends AnyFunSuite {
           CList(es.toSeq)
         case '"' => CStr(str())
         case _ =>
+          // unquoted value: read to the next top-level ; } ] — values like
+          // `VU8 1` and `VVec [| VU16 1976 |]` contain spaces and brackets
           val st = i
-          while (i < s.length && !";}]".contains(s(i)) && !s(i).isWhitespace) i += 1
-          CStr(s.substring(st, i))
+          var depth = 0
+          var done = false
+          while (i < s.length && !done) {
+            val ch = s(i)
+            if (depth == 0 && (ch == ';' || ch == '}' || ch == ']')) done = true
+            else {
+              if (ch == '[' || ch == '(' || ch == '{') depth += 1
+              if (ch == ']' || ch == ')' || ch == '}') depth -= 1
+              i += 1
+            }
+          }
+          CStr(s.substring(st, i).trim)
       }
     }
     value()
@@ -212,11 +224,27 @@ class ReferenceTestsSpec extends AnyFunSuite {
   private case class Expectation(fn: String, present: Seq[Map[String, String]],
       absent: Seq[Map[String, String]])
 
-  private def expectationsOf(cfg: CV): (Seq[String], Seq[Expectation]) = {
+  private def expectationsOf(cfg: CV)
+      : (Seq[(String, Map[String, graft.raql.Ast.Expr])], Seq[Expectation]) = {
+    import graft.raql.Ast.{Expr, Lit, VectorLit}
     val top = cfg.asInstanceOf[CMap].entries.toMap
+    def exprOfV(v: String): Expr = {
+      // "VU8 1" / "VFloat 1.5" / "VVec [| VU16 1976 |]" → literal(s)
+      val nums = """-?\d+(\.\d+)?""".r.findAllIn(v.replaceAll("^V\\w+", ""))
+        .toSeq.map { n =>
+          if (n.contains('.')) Lit(n.toDouble) else Lit(n.toLong)
+        }
+      if (v.startsWith("VVec") || nums.size > 1) VectorLit(nums)
+      else nums.headOption.getOrElse(Lit(v))
+    }
     val progs = top.get("programs").collect { case CList(items) =>
       items.collect { case CMap(es) =>
-        es.collectFirst { case ("src", CStr(p)) => p }.get }
+        val src = es.collectFirst { case ("src", CStr(p)) => p }.get
+        val overrides = es.collectFirst { case ("params", CMap(ps)) =>
+          ps.collect { case (k, CStr(v)) => k -> exprOfV(v) }.toMap
+        }.getOrElse(Map.empty[String, Expr])
+        (src, overrides)
+      }
     }.getOrElse(Nil)
     val outs = top.get("outputs").collect { case CMap(es) =>
       es.map { case (fn, CMap(spec)) =>
@@ -245,12 +273,28 @@ class ReferenceTestsSpec extends AnyFunSuite {
       if (!skip.exists(tname.contains)) {
         val cfg = parseConfig(Files.readString(tf))
         val (progs, outs) = expectationsOf(cfg)
-        if (progs.forall(p => Files.exists(Paths.get(s"$funcDir/$p")))) {
-          val sources = progs.map { p =>
+        // multi-instance program runs (same src, different params) need
+        // parameterized FROM resolution — out of the harness's scope
+        val multiInstance = progs.map(_._1).distinct.size != progs.size
+        if (!multiInstance &&
+            progs.forall(p => Files.exists(Paths.get(s"$funcDir/${p._1}")))) {
+          val compiler = new RaqlCompiler(spark, funcDir)
+          val parseOk = progs.forall { case (p, overrides) =>
             val name = p.stripSuffix(".ramen")
-            name -> Files.readString(Paths.get(s"$funcDir/$p"))
-          }.toMap
-          RaqlCompiler.fromSources(spark, funcDir, sources).foreach { c =>
+            graft.raql.RaqlParser.parseProgram(
+              Files.readString(Paths.get(s"$funcDir/$p"))) match {
+              case Right(prog) =>
+                // apply the .test's parameter bindings as new defaults
+                val patched = prog.copy(params = prog.params.map { par =>
+                  overrides.get(par.name)
+                    .map(v => par.copy(default = Some(v))).getOrElse(par)
+                })
+                compiler.register(name, patched)
+                true
+              case Left(_) => false
+            }
+          }
+          Some(compiler).filter(_ => parseOk).foreach { c =>
             // the reference RUNS every function of every loaded program;
             // compile them all first so cross-function effects (global
             // MAPADD writers, parents of tested children) are in place
