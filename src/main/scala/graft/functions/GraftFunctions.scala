@@ -57,6 +57,10 @@ object GraftFunctions {
     ExpressionUtils.column(IpInCidr(col2e(ip.cast("string")),
       col2e(cidr.cast("string"))))
 
+  /** RaQL byte-string → binary, one byte per char ([[Latin1Bytes]]). */
+  def latin1Bytes(s: Column): Column =
+    ExpressionUtils.column(Latin1Bytes(col2e(s.cast("string"))))
+
   /** Dot product of two float/double array columns (codegen'd loop — see
     * [[VecDot]]); the workhorse of the similarity operators. */
   def vecDot(a: Column, b: Column): Column =

@@ -852,8 +852,42 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
   }
 
+  /** Operand shapes that denote a vector of CHARs — char literals (parsed
+    * as 1-char Lits), char casts, or a char-vector cast (char.ramen). */
+  private def charVecShaped(e: Expr): Boolean = e match {
+    case VectorLit(items) => items.nonEmpty && items.forall {
+      case Lit(null) => true
+      case Lit(s: String) => s.length == 1
+      case FunCall("char" | "char?", _) => true
+      case _ => false
+    }
+    case FunCall(n, _) => n.startsWith("cast_vec_char")
+    case _ => false
+  }
+
   private def compileFun(name: String, args: Seq[Expr], go: Expr => Column): Column =
     (name, args) match {
+      // string(vec of char) joins the chars into one string, '?' for NULL
+      // elements (char.ramen foo/foo_null1; RamenTypes.ml value printing)
+      case ("string" | "string?", Seq(x)) if charVecShaped(x) =>
+        val arr = go(x)
+        if (!dtypeOpt(arr).exists(_.isInstanceOf[ArrayType]))
+          lit(null).cast("string") // string(char[n]?(NULL))
+        else when(arr.isNotNull,
+          concat_ws("", transform(arr, e => coalesce(e.cast("string"), lit("?")))))
+      // u128/i128 carrier is Decimal(38,0) (SURVEY §1.2), which covers
+      // |x| < 1e38; beyond that the cast SATURATES at the carrier bound
+      // instead of raising (stress.ramen ip5 drives random·3.4e38 through
+      // u128). Documented deviation: the true type range is ±1.7e38/3.4e38.
+      case (n @ ("u128" | "i128" | "u128?" | "i128?"), Seq(x)) =>
+        val c = go(x)
+        val maxD = lit(new java.math.BigDecimal("9".repeat(38)))
+        val minD =
+          if (n.startsWith("u")) lit(java.math.BigDecimal.ZERO)
+          else lit(new java.math.BigDecimal("-" + "9".repeat(38)))
+        val asD = c.try_cast("double")
+        when(c.isNotNull, coalesce(c.try_cast("decimal(38,0)"),
+          when(asD >= 0, maxD).when(asD < 0, minD)))
       case (n, Seq(x)) if castType(n).isDefined => go(x).cast(castType(n).get)
       case (n, Seq(x)) if n.startsWith("array_") &&
           castType(n.stripPrefix("array_")).isDefined =>
@@ -1081,7 +1115,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           else acc
         } else {
         val little = parts.length > 1 && parts(1) == "little"
-        val bin = c0.cast("binary")
+        // RaQL strings are byte strings: decode one byte per char, NOT
+        // cast(binary) (UTF-8 re-encode doubles bytes ≥ 0x80 — peek.test)
+        val bin =
+          if (dtypeOpt(c0).contains(BinaryType)) c0
+          else graft.functions.GraftFunctions.latin1Bytes(c0)
         val hexStr = lower(hex(substring(bin, 1, width)))
         val ordered =
           if (!little) hexStr
@@ -1646,7 +1684,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           val n = spark.conf.getOption("graft.raql.everyRows")
             .map(_.toLong).getOrElse(1L)
           val d = agg.every.map(e => evalNum(e, params)).getOrElse(0.0)
-          val t0 = System.currentTimeMillis() / 1000.0
+          // whole-second origin: ONCE-EVERY bucket boundaries then align
+          // with tick instants, so measured intervals are exact
+          // (once_every.ramen asserts |interval − 1s| ≤ 0.1)
+          val t0 = math.floor(System.currentTimeMillis() / 1000.0)
           spark.range(n).coalesce(1).select(col("id").as("_unit"),
             (lit(t0) + col("id") * d).as("_graft_gen_time"))
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
