@@ -177,7 +177,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * group commits-and-flushes every k rows. */
   private def countCommitK(e: Expr): Option[Long] = e match {
     case Binop("=" | ">=", AggCall("sum", Lit(1L), _, _), Lit(k: Long)) => Some(k)
-    case Binop("=" | ">=", Lit(k: Long), AggCall("sum", Lit(1L), _, _)) => Some(k)
+    // NOTE: only `=` commutes — `k >= sum 1` holds from row 1 (commit
+    // every row), not every k rows
+    case Binop("=", Lit(k: Long), AggCall("sum", Lit(1L), _, _)) => Some(k)
     case _ => None
   }
 
@@ -684,9 +686,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             .over(W.rowsBetween(-(k - 1), 0)), s => s.getField("v"))
         } else {
           // skip nulls (the default): the last k NON-NULL values, however
-          // many rows back they are — a prefix collect + tail slice
-          val arr = collect_list(c).over(prefix)
-          slice(arr, greatest(size(arr) - k + 1, lit(1)), lit(k))
+          // many rows back — O(k)-state ring buffer folded once per row
+          // (a collect_list prefix would re-materialize O(n) per row)
+          import org.apache.spark.sql.{GraftShims => GS}
+          GS.column(graft.aggs.LatestScan(GS.expression(c), k)
+            .toAggregateExpression()).over(prefix)
         }
       case AggCall("oldest", x, mods, _) =>
         slice(collect_list(goM(x)).over(prefix), 1,
@@ -1531,8 +1535,27 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   private def resolveFrom(ref: String, progName: String): DataFrame = {
     if (compiled.contains(ref)) return compiled(ref) // registered tables
-    // `prog#_/func` selects any program implementing `prog` (chop the
-    // suffix); `../` climbs out of the referencing program's directory
+    // `prog#_/func` unions every registered INSTANCE of `prog` — the
+    // reference runs one program several times under `name#ext` with
+    // different parameter bindings (`src/RamenProgram.ml:35-42`,
+    // tests/func/any_ext.test) and `#_` is the any-instance wildcard
+    if (ref.contains("#_")) ref.lastIndexOf('/') match {
+      case -1 => ()
+      case slash =>
+        val fName = ref.substring(slash + 1)
+        val base0 = ref.substring(0, slash).replace("#_", "")
+        val bases = Seq(base0,
+          (progName.split('/').dropRight(1).toSeq ++
+            base0.split('/').filterNot(_ == "..")).mkString("/"),
+          base0.split('/').filterNot(_ == "..").mkString("/")).distinct
+        val instances = bases.flatMap(b =>
+          programs.keys.filter(k => k == b || k.startsWith(b + "#"))).distinct
+          .filter(k => programs(k).funcs.exists(_.name == fName)).sorted
+        if (instances.nonEmpty)
+          return instances.map(k => compile(s"$k/$fName"))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    // `../` climbs out of the referencing program's directory
     val norm = ref.replace("#_", "")
       .split('/').filterNot(_ == "..").mkString("/")
     val candidates = Seq(
@@ -1858,8 +1881,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case VectorLit(it) => it.forall(countWindowable)
       case _ => true
     }
+    // the k-row tumbling rewrite only models plain COMMIT-AFTER-and-flush:
+    // BEFORE shrinks the window (condition precedes the tuple) and KEEP
+    // accumulates (no flush) — both take the general commit path instead
     val (srcW, aggW) = agg.commitCond.flatMap(countCommitK) match {
       case Some(k) if agg.groupBy.isEmpty && k > 0 &&
+          !agg.commitBefore && !agg.commitKeep &&
           named.forall(f => countWindowable(f._1)) =>
         (src.withColumn("_graft_cwin",
           floor((row_number().over(

@@ -220,7 +220,8 @@ class ReferenceTestsSpec extends AnyFunSuite {
       absent: Seq[Map[String, String]])
 
   private def expectationsOf(cfg: CV)
-      : (Seq[(String, Map[String, graft.raql.Ast.Expr])], Seq[Expectation]) = {
+      : (Seq[(String, Option[String], Map[String, graft.raql.Ast.Expr])],
+         Seq[Expectation]) = {
     import graft.raql.Ast.{Expr, Lit, VectorLit}
     val top = cfg.asInstanceOf[CMap].entries.toMap
     def exprOfV(v: String): Expr = {
@@ -235,10 +236,13 @@ class ReferenceTestsSpec extends AnyFunSuite {
     val progs = top.get("programs").collect { case CList(items) =>
       items.collect { case CMap(es) =>
         val src = es.collectFirst { case ("src", CStr(p)) => p }.get
+        // `ext` names a program INSTANCE: the same src run again under
+        // `name#ext` with different parameter bindings (any_ext.test)
+        val ext = es.collectFirst { case ("ext", CStr(x)) => x }
         val overrides = es.collectFirst { case ("params", CMap(ps)) =>
           ps.collect { case (k, CStr(v)) => k -> exprOfV(v) }.toMap
         }.getOrElse(Map.empty[String, Expr])
-        (src, overrides)
+        (src, ext, overrides)
       }
     }.getOrElse(Nil)
     val outs = top.get("outputs").collect { case CMap(es) =>
@@ -272,14 +276,11 @@ class ReferenceTestsSpec extends AnyFunSuite {
         spark.conf.set("graft.raql.everyRows", genRows(tname))
         val cfg = parseConfig(Files.readString(tf))
         val (progs, outs) = expectationsOf(cfg)
-        // multi-instance program runs (same src, different params) need
-        // parameterized FROM resolution — out of the harness's scope
-        val multiInstance = progs.map(_._1).distinct.size != progs.size
-        if (!multiInstance &&
-            progs.forall(p => Files.exists(Paths.get(s"$funcDir/${p._1}")))) {
+        if (progs.forall(p => Files.exists(Paths.get(s"$funcDir/${p._1}")))) {
           val compiler = new RaqlCompiler(spark, funcDir)
-          val parseOk = progs.forall { case (p, overrides) =>
-            val name = p.stripSuffix(".ramen")
+          val parseOk = progs.forall { case (p, ext, overrides) =>
+            // instances of the same src register as `name#ext`
+            val name = p.stripSuffix(".ramen") + ext.map("#" + _).getOrElse("")
             graft.raql.RaqlParser.parseProgram(
               Files.readString(Paths.get(s"$funcDir/$p"))) match {
               case Right(prog) =>
