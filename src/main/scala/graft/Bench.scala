@@ -28,21 +28,25 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     // min-of-3 per query — one environmental stall (page cache, CPU
-    // contention, JIT) must not be recorded as the query's cost, and the
-    // round-3 ±30% jitter on sub-second queries needs the third sample
+    // contention, JIT) must not be recorded as the query's cost. Reps run
+    // ROUND-ROBIN (rep 1 of every query, then rep 2, …) so a contention
+    // window mid-suite cannot hit all of one query's reps at once — the
+    // round-4 d01/d02 "regressions" were exactly that artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = selected.map { q =>
-      System.gc() // don't bill query N for query N-1's garbage
-      val times = (1 to reps).map { _ =>
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      selected.foreach { q =>
+        System.gc() // don't bill query N for query N-1's garbage
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        times(q.name) = ((System.nanoTime() - t0) / 1e9) :: times(q.name)
       }
-      q.name -> times.min
     }
+    val results = selected.map(q => q.name -> times(q.name).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

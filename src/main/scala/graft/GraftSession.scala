@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // the default 100-entry generated-class cache thrashes when many
+      // distinct queries run interleaved (Bench round-robins ~20 queries ×
+      // several codegen units each); evictions force recompile + re-JIT
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -128,6 +128,68 @@ case class HysteresisScan(
     copy(child = c)
 }
 
+/** `LATEST k x` (skip-nulls) — the last k NON-NULL values however far
+  * back they are (reference CodeGenLib.ml `Last`). A bounded ring buffer
+  * folded once per row by WindowExec: O(k) state, O(n·k) total — versus
+  * the O(n²) per-row prefix re-collect of a collect_list formulation. */
+case class LatestScan(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayDeque[Any]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayDeque[Any] =
+    scala.collection.mutable.ArrayDeque.empty[Any]
+
+  override def update(b: scala.collection.mutable.ArrayDeque[Any],
+      row: InternalRow): scala.collection.mutable.ArrayDeque[Any] = {
+    val v = child.eval(row)
+    if (v != null) {
+      // values may point into the current row's buffer — copy to retain
+      b.append(InternalRow.copyValue(v))
+      if (b.size > k) b.removeHead()
+    }
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.ArrayDeque[Any],
+      o: scala.collection.mutable.ArrayDeque[Any]): scala.collection.mutable.ArrayDeque[Any] =
+    if (o.isEmpty) b
+    else if (b.isEmpty) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: scala.collection.mutable.ArrayDeque[Any]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+
+  // the window path folds on-heap buffers and never serializes; these are
+  // only reached if the aggregate is (mis)used under partial aggregation
+  override def serialize(b: scala.collection.mutable.ArrayDeque[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.toList); oos.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayDeque[Any] = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    val xs = ois.readObject().asInstanceOf[List[Any]]
+    scala.collection.mutable.ArrayDeque.from(xs)
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_latest"
+
+  override def withNewMutableAggBufferOffset(x: Int): LatestScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): LatestScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): LatestScan =
+    copy(child = c)
+}
+
 /** Mutable RECALL fold state: the current registration time, if any, and
   * the boolean emitted for the last row folded in. */
 final class RecallState(var hasReg: Boolean, var regTime: Double, var out: Boolean)

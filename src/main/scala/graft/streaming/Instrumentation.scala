@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, MemoryStream}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** `LISTEN FOR INSTRUMENTATION FROM *` as a QUERYABLE STREAM.
@@ -75,9 +75,19 @@ final class Instrumentation(spark: SparkSession) extends StreamingQueryListener 
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   private val stream = MemoryStream[RuntimeStats]
+  // one stats row per progress event accumulates on the driver — bound it
+  // (reference workers also keep only the latest stats, RamenWorkerStats)
+  private val maxRetained = 10000L
+  private var added = 0L
 
   /** The queryable stats stream (schema = runtime_stats.type). */
   def df: DataFrame = stream.toDF()
+
+  /** Deregister from the session and drop the cached instance. */
+  def close(): Unit = {
+    spark.streams.removeListener(this)
+    Instrumentation.drop(spark)
+  }
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
     val t = perQuery.computeIfAbsent(nameOf(e.name, e.id.toString), _ => new Totals)
@@ -142,19 +152,32 @@ final class Instrumentation(spark: SparkSession) extends StreamingQueryListener 
         tot_cpu = t.cpu,
         cur_ram = ram,
         max_ram = t.maxRam))
+      added += 1
+      // each addData is one batch = one offset unit: discard batches older
+      // than the retention window so long-lived sessions stay bounded
+      if (added % 256 == 0 && added > maxRetained)
+        stream.commit(LongOffset(added - maxRetained))
     }
   }
 
 }
 
 object Instrumentation {
-  private val shared = new ConcurrentHashMap[SparkSession, Instrumentation]()
+  // weak keys: a stopped session must not be retained by this registry
+  // (the listener itself is reachable only FROM the session's bus)
+  private val shared =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[Instrumentation]]()
 
   /** One listener per session, registered on first use. */
-  def apply(spark: SparkSession): Instrumentation =
-    shared.computeIfAbsent(spark, { s =>
-      val i = new Instrumentation(s)
-      s.streams.addListener(i)
+  def apply(spark: SparkSession): Instrumentation = shared.synchronized {
+    Option(shared.get(spark)).flatMap(r => Option(r.get())).getOrElse {
+      val i = new Instrumentation(spark)
+      spark.streams.addListener(i)
+      shared.put(spark, new java.lang.ref.WeakReference(i))
       i
-    })
+    }
+  }
+
+  private[streaming] def drop(spark: SparkSession): Unit =
+    shared.synchronized { shared.remove(spark); () }
 }
