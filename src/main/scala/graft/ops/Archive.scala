@@ -1,6 +1,7 @@
 package graft.ops
 
-import java.io.File
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,6 +20,8 @@ import org.apache.spark.sql.functions._
   * bucket column, so retention = dropping whole partition directories
   * (O(#buckets) driver work, no data rewrite) and replay reads are
   * partition-pruned parquet scans — at 100 TB both stay metadata-cheap.
+  * All filesystem access goes through the Hadoop FileSystem API, so the
+  * archive can live on HDFS/S3/local (`file:`) alike.
   */
 object Archive {
 
@@ -62,42 +65,40 @@ object Archive {
 
   /** Enforce retention by deleting whole bucket partitions, oldest first
     * (the reference deletes oldest files first too). Returns the dropped
-    * bucket values. */
-  def enforceRetention(dir: String, policy: Retention): Seq[Long] = {
-    val root = new File(dir)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$BucketCol="))
-      .map(f => (f.getName.stripPrefix(s"$BucketCol=").toLong, f))
+    * bucket values. `conf` carries the credentials/scheme bindings of the
+    * archive's filesystem; defaults to the ambient Hadoop configuration. */
+  def enforceRetention(dir: String, policy: Retention,
+      conf: Configuration = new Configuration()): Seq[Long] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+      .map(s => (s.getPath.getName.stripPrefix(s"$BucketCol=").toLong, s.getPath))
       .sortBy(_._1)
     if (parts.isEmpty) return Nil
     val newest = parts.last._1
-    def sizeOf(f: File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+    // one recursive summary RPC per bucket (S3/HDFS-friendly; no tree walk)
+    def sizeOf(p: Path): Long = fs.getContentSummary(p).getLength
     val dropped = scala.collection.mutable.ListBuffer.empty[Long]
     var live = parts.toVector
     // age bound first
     policy.maxAgeSecs.foreach { age =>
       val (old, keep) = live.partition { case (b, _) => newest - b > age }
-      old.foreach { case (b, f) => deleteRec(f); dropped += b }
+      old.foreach { case (b, p) => fs.delete(p, true); dropped += b }
       live = keep
     }
     // then the size budget, oldest first, never dropping the newest bucket
     policy.sizeLimitBytes.foreach { limit =>
       var total = live.map(p => sizeOf(p._2)).sum
       while (total > limit && live.size > 1) {
-        val (b, f) = live.head
-        total -= sizeOf(f)
-        deleteRec(f)
+        val (b, p) = live.head
+        total -= sizeOf(p)
+        fs.delete(p, true)
         dropped += b
         live = live.tail
       }
     }
     dropped.toSeq
-  }
-
-  private def deleteRec(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
   }
 }

@@ -45,16 +45,15 @@ object SortBuffer {
     * Column expression can see), so it is interpreted: a tiny AST walk per
     * admitted row over O(1) state, not a per-row plan. */
   private def evalUntil(e: graft.raql.Ast.Expr, idx: Map[String, Int],
-      count: Int, cur: Row, first: Row, smallest: Row): Any = {
+      count: Int, cur: Row, first: Row, smallest: Row, greatest: Row): Any = {
     import graft.raql.Ast._
     def go(x: Expr): Any = x match {
       case Lit(v) => v
       case Ref(Seq("sort", "#count")) => count.toLong
       case Ref(Seq("sort", "smallest", f)) => smallest.get(idx(f))
       case Ref(Seq("sort", "first", f)) => first.get(idx(f))
-      case Ref(Seq("sort", "greatest", _)) =>
-        throw new UnsupportedOperationException(
-          "sort.greatest in UNTIL (track a max-heap if a program needs it)")
+      case Ref(Seq("sort", "greatest", f)) =>
+        if (greatest == null) null else greatest.get(idx(f))
       case Ref(Seq("in", f)) => cur.get(idx(f))
       case Ref(Seq(f)) if idx.contains(f) => cur.get(idx(f))
       case FunCall("coalesce", args) =>
@@ -129,15 +128,41 @@ object SortBuffer {
           java.lang.Long.compare(a._2, b._2)
         }
       }
+    // `sort.greatest` only matters when the UNTIL condition names it —
+    // keep the mirror max-heap off the common path otherwise
+    val trackGreatest = until.exists { e =>
+      def refs(x: graft.raql.Ast.Expr): Boolean = {
+        import graft.raql.Ast._
+        x match {
+          case Ref(Seq("sort", "greatest", _)) => true
+          case Binop(_, l, r) => refs(l) || refs(r)
+          case Unop(_, y) => refs(y)
+          case FunCall(_, as) => as.exists(refs)
+          case _ => false
+        }
+      }
+      refs(e)
+    }
     val out = withKeys.mapPartitions { it =>
       // PriorityQueue is max-first: reverse for min-first emission
       val pq = mutable.PriorityQueue.empty[(Array[Any], Long, Row)](ord.reverse)
+      // mirror max-heap for sort.greatest, kept current by lazy deletion
+      // (emitted seqs are tombstoned and skimmed off the top on peek)
+      val maxPq = mutable.PriorityQueue.empty[(Array[Any], Long, Row)](ord)
+      val emitted = mutable.HashSet.empty[Long]
+      def greatestRow: Row = {
+        while (maxPq.nonEmpty && emitted.contains(maxPq.head._2)) {
+          emitted.remove(maxPq.head._2); maxPq.dequeue()
+        }
+        if (maxPq.isEmpty) null else maxPq.head._3
+      }
       // FIFO view of the live buffer for sort.first (removals by seq)
       val live = new java.util.LinkedHashMap[Long, Row]()
       var arrival = 0L
       def untilFires(cur: Row): Boolean = until.exists { e =>
         evalUntil(e, nameIdx, pq.size, cur,
-          live.entrySet().iterator().next().getValue, pq.head._3) match {
+          live.entrySet().iterator().next().getValue, pq.head._3,
+          if (trackGreatest) greatestRow else null) match {
           case b: java.lang.Boolean => b
           case _ => false
         }
@@ -152,11 +177,14 @@ object SortBuffer {
           while (it.hasNext && pq.size <= n && !fired) {
             val r = it.next()
             arrival += 1
-            pq.enqueue((keyIdx.map(r.get), arrival, r))
+            val entry = (keyIdx.map(r.get), arrival, r)
+            pq.enqueue(entry)
+            if (trackGreatest) maxPq.enqueue(entry)
             live.put(arrival, r)
             fired = untilFires(r)
           }
           val (_, seq, row) = pq.dequeue()
+          if (trackGreatest) emitted.add(seq)
           live.remove(seq)
           row
         }

@@ -19,7 +19,9 @@ class ArchiveSpec extends AnyFunSuite {
   private def freshDir(): String = {
     val d = Files.createTempDirectory("graft_arch").toFile
     d.deleteOnExit()
-    d.getPath
+    // explicit scheme: retention/replay must work through the Hadoop
+    // FileSystem API (HDFS/S3 in production), not java.io.File
+    "file:" + d.getPath
   }
 
   test("retention drops oldest buckets; replay stays exact inside the window") {

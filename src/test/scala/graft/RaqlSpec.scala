@@ -478,6 +478,49 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("running count-distinct = novelty prefix sum: distributed and exact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, SUM u32(DISTINCT x) AS cd FROM tbl;""")
+    // exact per-row values on a known single-partition order; a NULL is
+    // not a distinct value (collect_set/DuckDB semantics)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", Seq((1L, "a"), (2L, "b"), (3L, "a"),
+      (4L, null), (5L, "c"), (6L, "b")).toDF("n", "x").coalesce(1))
+    val got = c.compile("run/f").orderBy("n").collect()
+      .map(_.get(1).toString.toLong).toSeq
+    assert(got == Seq(1L, 2L, 2L, 2L, 3L, 3L), s"got $got")
+
+    // multi-partition input: no single-task full-input window, and the
+    // chunked carry agrees with the plain prefix-sum plan bit-for-bit
+    val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    val base = spark.range(1, 100001)
+      .select(col("id").as("n"), (col("id") % 9973).cast("string").as("x"))
+      .repartition(8)
+    c2.registerTable("tbl", base)
+    val df = c2.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    val chunkedRows = df.orderBy("n").collect().map(_.get(1).toString.toLong)
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val plain = try {
+      val c3 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c3.registerTable("tbl", base)
+      c3.compile("run/f").orderBy("n").collect().map(_.get(1).toString.toLong)
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(chunkedRows.max == 9973L)
+    assert(chunkedRows.sameElements(plain))
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
@@ -530,6 +573,21 @@ class RaqlSpec extends AnyFunSuite {
     val got = c.compile("s/f").collect().map(_.getInt(0)).toSeq
     // 10 >= 1+5 fires mid-stream and releases min=1 BEFORE 0 arrives;
     // the end-of-stream drain then orders the remainder
+    assert(got == Seq(1, 0, 2, 3, 10), s"got $got")
+  }
+
+  test("SORT LAST OR UNTIL can reference sort.greatest") {
+    val src = Map("s" -> """DEFINE f AS
+        FROM tbl
+        SELECT y
+        SORT LAST 100 OR UNTIL sort.greatest.y - in.y >= 5 BY y;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    import spark.implicits._
+    c.registerTable("tbl", Seq(3, 1, 10, 2, 0).toDF("y").coalesce(1))
+    val got = c.compile("s/f").collect().map(_.getInt(0)).toSeq
+    // 2 arrives with 10 buffered (10-2 >= 5): releases min=1 early; 0
+    // then fires again (10-0 >= 5) and leaves next; drain orders the rest
     assert(got == Seq(1, 0, 2, 3, 10), s"got $got")
   }
 
