@@ -68,17 +68,37 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     geoRanges = Some(ranges)
 
   /** DECLAREd global variables (`RamenProgram.ml:74-77`; backed by LMDB in
-    * the reference, `CodeGenLib_Globals.ml`). Minimal batch semantics:
-    * MAPADD over a batch source applies its writes eagerly at compile time
-    * (insertion order, last-write-wins — the end state the reference's map
-    * converges to), and `var[key]` reads compile to a literal-map lookup of
-    * the state at read-compile time. Streaming sources skip the write (the
-    * map stays as previously populated). Scale note: reads ship as a
-    * broadcast-sized literal; a production-sized global map would become a
-    * broadcast join instead. */
-  private val globalMaps =
-    scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+    * the reference, `CodeGenLib_Globals.ml`). The map state is a lazy
+    * DataFrame of (key, value, write-seq): MAPADD over a batch source
+    * UNIONS its writes in (no driver-side collect), last-write-wins is a
+    * distributed `max_by` over (epoch, arrival) at read time, and `var[k]`
+    * reads on the SELECT path join the resolved state into the source
+    * frame (AQE broadcasts small maps; big maps shuffle-join) — so MAPADD
+    * state is never driver-bound. Reads in contexts with no frame to join
+    * (WHERE, stateful operands) fall back to a literal map capped at
+    * [[RaqlCompiler.GlobalMapLiteralCap]] entries. Streaming sources skip
+    * the write (the map stays as previously populated). */
+  private val globalMapFrames =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+  private val globalEpochs = scala.collection.mutable.Map.empty[String, Int]
   private var activeGlobals: Map[String, String] = Map.empty
+
+  /** Union `df`'s (k, v) writes into global `name`'s state frame; later
+    * epochs and later arrivals win at resolution. */
+  private def applyMapAdd(name: String, k: Column, v: Column, df: DataFrame): Unit = {
+    if (df.isStreaming) return
+    val epoch = globalEpochs.updateWith(name)(e => Some(e.getOrElse(0) + 1)).get
+    val writes = df.select(k.cast("string").as("_gk"), v.cast("string").as("_gv"),
+        struct(lit(epoch).as("e"), monotonically_increasing_id().as("s")).as("_gseq"))
+      .where(col("_gk").isNotNull)
+    globalMapFrames(name) = globalMapFrames.get(name)
+      .map(_.unionByName(writes)).getOrElse(writes)
+  }
+
+  /** Last-write-wins view of a global map's state frame. */
+  private def resolvedMap(name: String): Option[DataFrame] =
+    globalMapFrames.get(name).map(_.groupBy(col("_gk"))
+      .agg(max_by(col("_gv"), col("_gseq")).as("_gv")))
 
   /** Experiments (`RamenExperiments.ml`): name → selected variant, as the
     * reference's RAMEN_VARIANTS forcing. `variant("x")` compiles to the
@@ -338,8 +358,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   def compileExpr(e: Expr, params: Map[String, Expr],
       splits: Map[FunCall, Column] = Map.empty): Column = {
     def go(e: Expr): Column = e match {
-      case f @ FunCall("split", _) if splits.contains(f.asInstanceOf[FunCall]) =>
-        splits(f.asInstanceOf[FunCall])
+      // pre-joined/pre-exploded substitutions from the operation compiler:
+      // SPLIT generators, global-map reads, pre-applied MAPADDs
+      case f: FunCall if splits.contains(f) => splits(f)
       case Lit(null) => lit(null)
       case Lit(v: BigDecimal) => lit(v.bigDecimal)
       case Lit(v) => lit(v)
@@ -466,26 +487,32 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         compileStateful(e0, go, params)
       case e0 @ FunCall(fn, _) if runCtx.isDefined && windowFunCalls(fn) =>
         compileStateful(e0, go, params)
-      // MAPADD into a DECLAREd global: apply the writes eagerly when the
-      // source is a batch frame, pass the value through as the result
+      // MAPADD into a DECLAREd global: union the writes frame in (lazy,
+      // distributed), pass the value through as the result. The SELECT
+      // path pre-applies writes and lands here only via other contexts.
       case FunCall("mapadd" | "mapset", Seq(Ref(Seq(g)), k, v)) if activeGlobals.contains(g) =>
-        val m = globalMaps.getOrElseUpdate(activeGlobals(g),
-          scala.collection.mutable.LinkedHashMap.empty)
         typerDf.orElse(runCtx.map(_.df)).foreach { df =>
-          if (!df.isStreaming)
-            df.select(go(k).cast("string"), go(v).cast("string")).collect()
-              .foreach(r => if (!r.isNullAt(0)) m.update(r.getString(0), r.getString(1)))
+          applyMapAdd(activeGlobals(g), go(k), go(v), df)
         }
         go(v)
-      // `var[key]` on a DECLAREd global: literal-map lookup of the current
-      // state (NULL when absent, like the reference's MapGet)
+      // `var[key]` on a DECLAREd global OUTSIDE the select path (WHERE,
+      // stateful operands — no frame to join): capped literal fallback
+      // (NULL when absent, like the reference's MapGet)
       case FunCall("get", Seq(k, Ref(Seq(g)))) if activeGlobals.contains(g) =>
-        val m = globalMaps.getOrElse(activeGlobals(g),
-          scala.collection.mutable.LinkedHashMap.empty)
-        if (m.isEmpty) lit(null).cast("string")
-        else element_at(
-          map(m.toSeq.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*),
-          go(k).cast("string"))
+        resolvedMap(activeGlobals(g)) match {
+          case None => lit(null).cast("string")
+          case Some(s) =>
+            val rows = s.limit(RaqlCompiler.GlobalMapLiteralCap + 1).collect()
+            if (rows.length > RaqlCompiler.GlobalMapLiteralCap)
+              unsupported(s"global map $g exceeds the " +
+                s"${RaqlCompiler.GlobalMapLiteralCap}-entry literal cap in a " +
+                "non-SELECT context; read it in SELECT (join path) instead")
+            if (rows.isEmpty) lit(null).cast("string")
+            else element_at(
+              map(rows.toSeq.flatMap(r =>
+                Seq(lit(r.getString(0)), lit(r.getString(1)))): _*),
+              go(k).cast("string"))
+        }
       case FunCall(name, args) => compileFun(name, args, go)
       case agg: AggCall => compileAgg(agg, go)
       case PercentileCall(ps, op) => compilePercentile(ps, op, go)
@@ -1891,11 +1918,64 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case VectorLit(it) => VectorLit(it.map(subAlias))
       case other => other
     }
-    val named = named0.map { case (e, n) =>
+    val named1 = named0.map { case (e, n) =>
       val e2 = subAlias(e)
       if (!hasAgg(e2)) aliasMap(n) = e2
       (e2, n)
     }
+    // Global-map access on the SELECT path (post alias substitution, so a
+    // MAPADD value may reference an earlier output field). MAPADDs apply
+    // first in field order — globals_function reads its own function's
+    // writes — then each distinct `var[key]` read becomes a LEFT JOIN of
+    // the resolved state frame into the source (AQE broadcasts small maps,
+    // shuffles big ones) — the scale path that keeps map state off the
+    // driver.
+    val mapAdds = scala.collection.mutable.ListBuffer.empty[FunCall]
+    val mapReads = scala.collection.mutable.ListBuffer.empty[FunCall]
+    def scanGlobals(x: Expr): Unit = x match {
+      case f @ FunCall("mapadd" | "mapset", Seq(Ref(Seq(g)), k, v))
+          if activeGlobals.contains(g) =>
+        scanGlobals(k); scanGlobals(v); mapAdds += f
+      case f @ FunCall("get", Seq(kE, Ref(Seq(g)))) if activeGlobals.contains(g) =>
+        scanGlobals(kE); mapReads += f
+      case Binop(_, l, r) => scanGlobals(l); scanGlobals(r)
+      case Unop(_, y) => scanGlobals(y)
+      case FunCall(_, as) => as.foreach(scanGlobals)
+      case AggCall(_, op, _, ex) => scanGlobals(op); ex.foreach(scanGlobals)
+      case PercentileCall(_, op) => scanGlobals(op)
+      case CaseExpr(br, el) =>
+        br.foreach { case (c0, v) => scanGlobals(c0); scanGlobals(v) }
+        el.foreach(scanGlobals)
+      case IsNull(y, _) => scanGlobals(y)
+      case VectorLit(it) => it.foreach(scanGlobals)
+      case _ => ()
+    }
+    named1.foreach { case (e, _) => scanGlobals(e) }
+    mapAdds.toList.distinct.foreach { fc =>
+      val FunCall(_, Seq(Ref(Seq(g)), kE, vE)) = fc: @unchecked
+      typerDf = Some(src)
+      val (kCol, vCol) =
+        try (compileExpr(kE, params, splitCols), compileExpr(vE, params, splitCols))
+        finally typerDf = None
+      applyMapAdd(activeGlobals(g), kCol, vCol, src)
+      splitCols += fc -> vCol // mapadd evaluates to its value
+    }
+    mapReads.toList.distinct.zipWithIndex.foreach { case (fc, i) =>
+      val FunCall(_, Seq(kE, Ref(Seq(g)))) = fc: @unchecked
+      resolvedMap(activeGlobals(g)) match {
+        case None => splitCols += fc -> lit(null).cast("string")
+        case Some(state) =>
+          val kN = s"_gmk$i"; val vN = s"_gmv$i"
+          val renamed = state.select(col("_gk").as(kN), col("_gv").as(vN))
+          typerDf = Some(src)
+          val keyCol =
+            try compileExpr(kE, params, splitCols).cast("string")
+            finally typerDf = None
+          src = src.join(renamed, keyCol === col(kN), "left").drop(kN)
+          splitCols += fc -> col(vN)
+      }
+    }
+    val named = named1
     // COMMIT AFTER sum 1 = k (ungrouped): tumbling COUNT windows — the
     // flush resets every aggregate, so window i covers rows [i*k, (i+1)*k)
     // and each window emits its own values (basic_aggr a1/a2/o1/o2). The
@@ -2272,6 +2352,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 }
 
 object RaqlCompiler {
+  /** Largest global-map state shipped as a literal expression in non-SELECT
+    * read contexts; the SELECT path joins and has no cap. */
+  val GlobalMapLiteralCap = 100000
+
   /** Parse + register a set of .ramen sources rooted at `baseDir`; keys are
     * paths without the .ramen suffix (`fixtures/cars`). */
   def fromSources(spark: SparkSession, baseDir: String,

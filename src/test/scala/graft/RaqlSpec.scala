@@ -297,6 +297,30 @@ class RaqlSpec extends AnyFunSuite {
     assert(row.getString(0) == "Vanquish") // globals_program.test golden
   }
 
+  test("global maps scale: 1M-entry MAPADD state reads via a join, not a literal") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val src = Map("bigmap" -> """
+      DECLARE WITH PROGRAM SCOPE big string[string];
+      DEFINE writer AS FROM wtbl SELECT 1 AS one, mapadd(big, k, v) AS _w;
+      DEFINE reader AS FROM probe SELECT pk, big[pk] AS pv;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("wtbl", spark.range(1000000).select(
+      col("id").cast("string").as("k"), concat(lit("v"), col("id")).as("v")))
+    c.registerTable("probe",
+      Seq("5", "999999", "nope").toDF("pk").coalesce(1))
+    c.compile("bigmap/writer") // lazy: the 1M writes never hit the driver
+    val reader = c.compile("bigmap/reader")
+    // the read is a JOIN against the state frame, not a literal expression
+    val joins = reader.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "global map read should compile to a join")
+    val got = reader.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("5" -> "v5", "999999" -> "v999999", "nope" -> null))
+  }
+
   test("globals_function compiles: MAPADD + read in one function") {
     val c = load("globals_function")
     val row = c.compile("globals_function/f").collect().head
