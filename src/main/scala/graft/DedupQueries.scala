@@ -87,6 +87,41 @@ object DedupQueries {
                   p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
                 (acc, x) -> acc + x) / (a.norm * b.norm), 6) AS cosine
           FROM v a JOIN v b ON a.vec_id < b.vec_id) t
-        WHERE cosine >= 0.4 ORDER BY id_a, id_b"""))
+        WHERE cosine >= 0.4 ORDER BY id_a, id_b""")),
+
+    // ---- d06: near-dup CLUSTERS — connected components over the pair
+    // graph, min-id canonical doc per component. The clustering stage
+    // every near-dedup pipeline needs after pair generation; at scale the
+    // edges come from d02's verified LSH candidates, here the exact d03
+    // pairs so the DuckDB transitive-closure oracle is deterministic.
+    QueryDef(
+      "d06_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text",
+          threshold = 0.5).select("id_a", "id_b")
+        Dedup.connectedComponents(
+            docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            (col("id") === col("label")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(s, d) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        SELECT s AS doc_id, MIN(d) AS cluster_id,
+          (s = MIN(d)) AS is_canonical
+        FROM reach GROUP BY s ORDER BY doc_id"""))
   )
 }

@@ -45,6 +45,34 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("stages")) {
+      for (q <- args.drop(1)) {
+        stages.clear()
+        time(q)(mat(Queries.byName(q).run(spark, d))) // cold
+        stages.clear()
+        time(s"$q warm")(mat(Queries.byName(q).run(spark, d)))
+        Thread.sleep(300)
+        stages.forEach(println)
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("q01x")) {
+      import graft.Det.{dsum, davg}
+      val q = Queries.byName("q01_agg")
+      for (i <- 1 to 4) time(s"q01 asis rep$i")(mat(q.run(spark, d)))
+      def repart = Tables.lineitem(spark, d).repartition(32)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+      for (i <- 1 to 4) time(s"q01 repart rep$i")(mat(repart))
+      stages.forEach(println)
+      spark.stop(); return
+    }
     if (args.headOption.contains("a02raw")) {
       // raw bucket-join pair count for the LSH parameterization
       import graft.ops.Similarity

@@ -92,6 +92,43 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every vertex takes the minimum label among
+    * itself and its neighbors until a fixpoint.
+    *
+    * This is the clustering stage of a near-dup pipeline — candidate pairs
+    * (from [[minhashCandidates]]+[[verifyJaccard]] at scale, exact pairs
+    * for verification) become duplicate CLUSTERS, and `min(id)` per
+    * component is the canonical document.
+    *
+    * Scale shape: each iteration is one join of the (2·|E|)-row symmetric
+    * edge list with the label frame plus a groupBy — both shuffle on id,
+    * co-partitioned after the first iteration. Convergence needs
+    * O(component diameter) rounds; near-dup clusters are near-cliques, so
+    * 2–4 in practice. The per-round `count` action is the convergence
+    * check (inherent to iterative fixpoints), and each round's labels are
+    * persisted so lineage doesn't stack. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("label")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("label").as("label")).persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** All-pairs exact Jaccard ≥ threshold. O(n²) — verification/oracle path
     * only; use [[minhashCandidates]] + [[verifyJaccard]] at scale. */
   def jaccardPairsBruteForce(docs: DataFrame, idCol: String, textCol: String,

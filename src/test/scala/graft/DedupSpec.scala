@@ -102,6 +102,15 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal brute force")
   }
 
+  test("connected components merge pair chains transitively") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 (no direct 1-3 edge), pair 4-5, isolated 6
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("exact dedup groups permuted duplicates together") {
     val df = Seq(
       (1L, "alpha beta gamma"),
