@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the 100 TB scale properties the operators are
+  * designed around, asserted as regression tests over the FINAL (post-AQE)
+  * plans at sf0.001. A query that silently degenerates to a cartesian
+  * product, loses its filter pushdown, or swaps a pinned co-partitioned
+  * join for a broadcast of the big side fails here before it ever reaches
+  * a benchmark. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("8").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute through the noop sink and render the final adaptive plan. */
+  private def finalPlan(name: String): String = {
+    val df = Queries.byName(name).run(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val headlinePlans: Map[String, String] =
+    Queries.all.filter(_.headline).map(q => q.name -> finalPlan(q.name)).toMap
+
+  test("no headline query plans a cartesian product") {
+    for ((name, p) <- headlinePlans)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+  }
+
+  test("nested-loop joins appear only where intended") {
+    // q17: 1-row bounds frame broadcast-crossed into the scan (by design);
+    // a01: brute-force baseline broadcasting the small query side
+    val got = headlinePlans.filter(_._2.contains("BroadcastNestedLoopJoin")).keySet
+    assert(got == Set("q17_timeseries", "a01_ann_bruteforce"), s"unexpected: $got")
+  }
+
+  test("no headline join falls back to sort-merge") {
+    // every headline join is either a broadcast (small build side) or the
+    // pinned co-partitioned shuffle-hash self-join — a sort-merge means a
+    // hint or a size estimate regressed
+    for ((name, p) <- headlinePlans)
+      assert(!p.contains("SortMergeJoin"), s"$name plans a sort-merge join")
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = headlinePlans("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "q02's filter is not pushed into the scan")
+    // column pruning: the scan must not read all 16 lineitem columns
+    val cols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1).split(",").length).getOrElse(99)
+    assert(cols <= 8, s"q02 scan reads $cols columns")
+  }
+
+  test("d02's bucket self-join stays co-partitioned (shuffle-hash)") {
+    assert(headlinePlans("d02_minhash_lsh").contains("ShuffledHashJoin"),
+      "the LSH bucket self-join lost its shuffle_hash pin")
+  }
+
+  test("q04's dimension joins broadcast the small side") {
+    assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q18 tail compiles to a top-n heap, not a full sort") {
+    val df = Queries.byName("q18_tail").run(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "tail should be a bounded top-n")
+  }
+}
