@@ -28,12 +28,15 @@ object Archive {
   private val BucketCol = "_arch_bucket"
 
   /** Append `df` to the archive, bucketing `timeCol` (epoch seconds) into
-    * `bucketSecs`-wide partitions. */
+    * `bucketSecs`-wide partitions. `format`: parquet (default) or orc —
+    * the reference archives to ORC too (`tests/orc`, `CodeGen_Dessser`'s
+    * C++ ORC writer). */
   def write(df: DataFrame, dir: String, timeCol: String,
-      bucketSecs: Long = 3600L): Unit =
+      bucketSecs: Long = 3600L, format: String = "parquet"): Unit =
     df.withColumn(BucketCol,
         (col(timeCol).cast("double") / bucketSecs).cast("long") * bucketSecs)
-      .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(dir)
+      .write.mode(SaveMode.Append).partitionBy(BucketCol)
+      .format(format).save(dir)
 
   /** Partition-pruned replay of `[from, until)` by event time bucket.
     * `bestAfter`: rows younger than `asOf - bestAfter` are still mutable in
@@ -41,8 +44,9 @@ object Archive {
   def read(spark: SparkSession, dir: String,
       from: Option[Double] = None, until: Option[Double] = None,
       asOf: Option[Double] = None, bestAfter: Double = 0.0,
-      timeCol: String = "start", bucketSecs: Long = 3600L): DataFrame = {
-    var df = spark.read.parquet(dir)
+      timeCol: String = "start", bucketSecs: Long = 3600L,
+      format: String = "parquet"): DataFrame = {
+    var df = spark.read.format(format).load(dir)
     // bucket-level pruning (partition column) + row-level bounds
     from.foreach { f =>
       val b = math.floorDiv(f.toLong, bucketSecs) * bucketSecs

@@ -1335,14 +1335,28 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * values are bit-identical to the single-window plan. Disable with
     * spark.conf graft.raql.chunkedRunning=false.
     */
+  /** Add the chunk-id column and FREEZE the (row, seq, chunk) assignment by
+    * persisting: every chunked aggregate evaluates its per-chunk totals in
+    * a SECOND subtree (broadcast build side), and anything downstream of
+    * monotonically_increasing_id may legitimately reorder between two
+    * executions — order-dependent carries (first/last by seq, novelty
+    * flags) would then disagree with the main branch. One materialization
+    * of the running-mode input (MEMORY_AND_DISK, spilled not recomputed) is
+    * the price — the reference materializes its stream in ringbufs too. */
+  private def withChunkCol(ctx: RunCtx): String = {
+    val ckName = "_graft_chunk"
+    if (!ctx.df.columns.contains(ckName))
+      ctx.df = ctx.df.withColumn(ckName, shiftright(col(ctx.seqName), 33))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ckName
+  }
+
   private def chunkedPrefix(c: Column,
       build: Column => Column,
       carryBuild: Column => Column,
       combine: (Column, Column) => Column): Column = {
     val ctx = runCtx.get
-    val ckName = "_graft_chunk"
-    if (!ctx.df.columns.contains(ckName))
-      ctx.df = ctx.df.withColumn(ckName, shiftright(col(ctx.seqName), 33))
+    val ckName = withChunkCol(ctx)
     val vName = s"_graft_cv${ctx.df.columns.length}"
     ctx.df = ctx.df.withColumn(vName, c)
     val within = build(col(vName)).over(
@@ -1422,25 +1436,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           (row_number().over(partedWindow(c)) === 1).cast("long"))
           .otherwise(lit(0L))
         if (chunked) {
-          // the per-chunk totals run as a SECOND evaluation of the subtree
-          // (broadcast build side), and the flag assignment is downstream
-          // of monotonically_increasing_id — a nondeterministic seq whose
-          // row→partition/row→order assignment may legitimately differ
-          // between the two executions, double-counting boundary values.
-          // Freeze ONE assignment by persisting the frame that carries the
-          // flags: both branches then read the same materialized blocks.
-          // (Scale note: this caches the running-mode input once —
-          // MEMORY_AND_DISK, spilled not recomputed — which is the price
-          // of exact distinct counting over a nondeterministically-ordered
-          // distributed stream; the order-independent aggregates in
-          // chunkedPrefix don't need it.)
+          // novelty flags are order-dependent, so the chunk carry rides on
+          // the FROZEN chunked base (see withChunkCol): the totals branch
+          // and the main branch read the same materialized seq assignment
           val ctx = runCtx.get
-          val ckName = "_graft_chunk"
-          if (!ctx.df.columns.contains(ckName))
-            ctx.df = ctx.df.withColumn(ckName, shiftright(col(ctx.seqName), 33))
+          val ckName = withChunkCol(ctx)
           val vName = s"_graft_cv${ctx.df.columns.length}"
           ctx.df = ctx.df.withColumn(vName, novel)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val within = sum(col(vName)).over(
             Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
               .rowsBetween(Window.unboundedPreceding, 0))

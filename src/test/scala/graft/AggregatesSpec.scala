@@ -200,6 +200,16 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("sparklineArr renders min→max onto the 8-bar ramp") {
+    def run(series: Seq[Double]): String =
+      Seq(series).toDF("vals")
+        .select(sparklineArr(col("vals"))).as[String].head()
+    // endpoints land on the extreme bars; interior values scale linearly
+    assert(run(Seq(0.0, 7.0)) == "▁█")
+    assert(run(Seq(0, 1, 2, 3, 4, 5, 6, 7).map(_.toDouble)) == "▁▂▃▄▅▆▇█")
+    assert(run(Seq(3.0, 3.0, 3.0)) == "▄▄▄") // flat series: mid bar
+  }
+
   test("hysteresisArr flips at maximum and recovers at acceptable") {
     def run(series: Seq[Double]): Boolean =
       Seq(series).toDF("vals")

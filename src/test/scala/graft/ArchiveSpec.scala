@@ -78,6 +78,22 @@ class ArchiveSpec extends AnyFunSuite {
     assert(n == 80)
   }
 
+  test("ORC archives round-trip with retention and pruned replay") {
+    val dir = freshDir()
+    val df = spark.range(300).select(
+      (col("id") / 100).cast("long") * 3600 + col("id") % 100 as "start",
+      col("id").as("v"))
+    Archive.write(df, dir, "start", bucketSecs = 3600, format = "orc")
+    val dropped = Archive.enforceRetention(dir,
+      Archive.Retention(maxAgeSecs = Some(3600.0)))
+    assert(dropped == Seq(0L))
+    val left = Archive.read(spark, dir, format = "orc")
+    assert(left.count() == 200)
+    val window = Archive.read(spark, dir,
+      from = Some(7200.0), until = Some(7250.0), format = "orc")
+    assert(window.count() == 50)
+  }
+
   test("PERSIST FOR / BEST AFTER parse and surface through the compiler") {
     val src = Map("arch" -> """DEFINE f PERSIST FOR 3h BEST AFTER 10 AS
         SELECT 1 AS one;""")
