@@ -2138,6 +2138,45 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
   }
 
+  /** Max bounded lookback (rows) across all stateful calls, when EVERY
+    * stateful call is bounded-lookback (lag/changed/derive/moveavg/
+    * latest-keep-nulls) — the shapes a chunk-partitioned window plus ghost
+    * tail rows can distribute exactly. None when anything needs an
+    * unbounded prefix (running aggregates, scans, TOP, previous feedback,
+    * row_number-based samplers) or when there is no stateful call at all. */
+  private def boundedLookback(es: Seq[Expr], params: Map[String, Expr]): Option[Int] = {
+    var maxK = 0; var any = false; var ok = true
+    def bump(k: Int): Unit = { any = true; maxK = math.max(maxK, k) }
+    def walk(e: Expr): Unit = e match {
+      case AggCall("lag", x, mods, _) =>
+        bump(modNum(mods, "n").getOrElse(1.0).toInt); walk(x)
+      case FunCall("lag", Seq(kE, x)) =>
+        bump(evalNum(kE, params).toInt); walk(x)
+      case AggCall("changed" | "derive", x, _, _) => bump(1); walk(x)
+      case FunCall("changed" | "derive", Seq(x)) => bump(1); walk(x)
+      case AggCall("moveavg", x, mods, _) =>
+        bump(modNum(mods, "n").getOrElse(1.0).toInt); walk(x)
+      case FunCall("moveavg", Seq(kE, x)) =>
+        bump(evalNum(kE, params).toInt); walk(x)
+      case AggCall("latest", x, mods, _) if mods.contains("keep_nulls") =>
+        bump(math.max(modNum(mods, "n").getOrElse(1.0).toInt - 1, 0)); walk(x)
+      case Ref(Seq("previous" | "local_last_out" | "global_last_out", _*)) =>
+        ok = false
+      case AggCall(_, _, _, _) | PercentileCall(_, _) => ok = false
+      case FunCall(f, _) if windowFunCalls(f) || f == "histogram" => ok = false
+      case FunCall(_, as) => as.foreach(walk)
+      case Binop(_, l, r) => walk(l); walk(r)
+      case Unop(_, y) => walk(y)
+      case CaseExpr(br, el) =>
+        br.foreach { case (c0, v) => walk(c0); walk(v) }; el.foreach(walk)
+      case IsNull(y, _) => walk(y)
+      case VectorLit(it) => it.foreach(walk)
+      case _ => ()
+    }
+    es.foreach(walk)
+    if (ok && any) Some(maxK) else None
+  }
+
   /** Commit-every-tuple (running) compilation: one output row per input
     * row, stateful functions as window expressions over the arrival
     * sequence. WHERE runs against the unfiltered stream first (its own
@@ -2169,6 +2208,34 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         df = runCtx.get.df.withColumn("_graft_where", c)
           .filter(col("_graft_where")).drop("_graft_where")
         runCtx.get.df = df
+      }
+      // Bounded-lookback chains (lag/changed/derive/moveavg chains — the
+      // common monitoring shape) DISTRIBUTE: every window partitions by
+      // the chunk id, and each chunk's last K rows are replayed into the
+      // next chunk as GHOST context rows (dropped from the output), so no
+      // single-task WindowExec remains. Exact because ghost seqs sort
+      // before the chunk's own rows and supply precisely the frames'
+      // cross-chunk lookback (assuming chunks ≥ K rows — partitions of a
+      // big input dwarf any lag/moveavg horizon).
+      val ghostK: Option[Int] =
+        if (runCtx.get.parts.nonEmpty || agg.commitCond.nonEmpty ||
+            agg.every.nonEmpty || agg.where.exists(hasAgg) ||
+            spark.conf.getOption("graft.raql.chunkedRunning").contains("false"))
+          None
+        else boundedLookback(fields.map(_.expr), params)
+      ghostK.foreach { k =>
+        val ctx = runCtx.get
+        val ckName = withChunkCol(ctx)
+        val tail = ctx.df
+          .withColumn("_graft_tpos", row_number().over(
+            Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName).desc)))
+          .filter(col("_graft_tpos") <= k).drop("_graft_tpos")
+          .withColumn(ckName, col(ckName) + 1)
+          .withColumn("_graft_ghost", lit(true))
+        ctx.df = ctx.df.withColumn("_graft_ghost", lit(false))
+          .unionByName(tail)
+        df = ctx.df
+        ctx.parts = Seq(col(ckName))
       }
       val outNames = fields.map(f => f.alias.getOrElse(autoName(f.expr)))
       // COMMIT-with-FLUSH segmentation: when the commit condition does not
@@ -2250,6 +2317,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           case e => compileExpr(e, params) // may grow ctx.df (materialized)
         }
         df = runCtx.get.df.withColumn(n, c)
+        runCtx.get.df = df
+      }
+      // ghost context rows have served their lookback purpose — drop them
+      if (ghostK.isDefined) {
+        df = runCtx.get.df.filter(!col("_graft_ghost")).drop("_graft_ghost")
         runCtx.get.df = df
       }
       // COMMIT emission over the computed out fields. When the condition

@@ -502,6 +502,34 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("bounded-lookback window chains distribute via chunk ghosts") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, lag n AS prev, lag (3, n) AS prev3, changed n AS chg,
+               moveavg (5, n) AS ma5
+        FROM tbl;""")
+    val base = spark.range(1, 100001).toDF("n").repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    // every window is chunk-partitioned — no single-task WindowExec
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "ghosted plan still has a partition-less window")
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 100000)
+    assert(got.sameElements(want))
+  }
+
   test("running count-distinct = novelty prefix sum: distributed and exact") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     import org.apache.spark.sql.functions.col
