@@ -303,7 +303,7 @@ object SketchQueries {
         Tables.events(s, d)
           .agg(topKDecayed(col("user_id"), col("value"),
             unix_micros(col("ts")).cast("double") / 1e6,
-            capacity = 256, k = 10,
+            capacity = 10000, k = 10,
             decay = decayForDuration(86400.0)).as("top"))
           .select(explode(col("top")).as("e"))
           .select(col("e.key").as("user"), round(col("e.w"), 6).as("weight"))
@@ -311,16 +311,17 @@ object SketchQueries {
       None),
 
     // ---- s13: TOP with decay = 0 — the sketch degenerates to exact
-    // weighted heavy hitters (capacity 256 ≥ 150 distinct users), so the
-    // decayed-TOP machinery gets a plain SQL oracle: sum weights, top 10.
-    // round(4) absorbs double-summation association differences.
+    // weighted heavy hitters. Capacity is the reference's default 10k
+    // (HeavyHitters.ml), comfortably above the 1.5k distinct users at
+    // sf0.1 — the sf0.1 validation sweep caught 256 going approximate
+    // there. round(4) absorbs double-summation association differences.
     QueryDef(
       "s13_top_weighted",
       (s, d) => {
         Tables.events(s, d)
           .agg(topKDecayed(col("user_id"), col("value"),
             unix_micros(col("ts")).cast("double") / 1e6,
-            capacity = 256, k = 10, decay = 0.0).as("top"))
+            capacity = 10000, k = 10, decay = 0.0).as("top"))
           .select(explode(col("top")).as("e"))
           .select(col("e.key").as("user"), round(col("e.w"), 4).as("weight"))
           .orderBy(desc("weight"), asc("user"))

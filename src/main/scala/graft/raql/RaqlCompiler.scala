@@ -82,6 +82,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     scala.collection.mutable.Map.empty[String, DataFrame]
   private val globalEpochs = scala.collection.mutable.Map.empty[String, Int]
   private var activeGlobals: Map[String, String] = Map.empty
+  private var randCounter: Long = 0L
 
   /** Union `df`'s (k, v) writes into global `name`'s state frame; later
     * epochs and later arrivals win at resolution. */
@@ -714,10 +715,41 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         } else {
           // skip nulls (the default): the last k NON-NULL values, however
           // many rows back — O(k)-state ring buffer folded once per row
-          // (a collect_list prefix would re-materialize O(n) per row)
+          // (a collect_list prefix would re-materialize O(n) per row).
+          // Ungrouped chunked mode distributes: within-chunk rings from a
+          // chunk-partitioned window + a broadcast carry of prior chunks'
+          // final rings (flattened in chunk order, trimmed to k) — rides
+          // the frozen chunked base, so the two evaluations agree.
           import org.apache.spark.sql.{GraftShims => GS}
-          GS.column(graft.aggs.LatestScan(GS.expression(c), k)
-            .toAggregateExpression()).over(prefix)
+          def ringCol(v: Column): Column =
+            GS.column(graft.aggs.LatestScan(GS.expression(v), k)
+              .toAggregateExpression())
+          val ctx = runCtx.get
+          val chunked = ctx.parts.isEmpty &&
+            !spark.conf.getOption("graft.raql.chunkedRunning").contains("false")
+          if (!chunked) ringCol(c).over(prefix)
+          else {
+            val ckName = withChunkCol(ctx)
+            val vName = s"_graft_cv${ctx.df.columns.length}"
+            ctx.df = ctx.df.withColumn(vName, c)
+            val within = ringCol(col(vName)).over(
+              Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+                .rowsBetween(Window.unboundedPreceding, 0))
+            val carryName = s"_graft_cc${ctx.df.columns.length}"
+            // partial aggregation folds each (single-chunk) partition of
+            // the frozen base in its stored = seq order
+            val totals = ctx.df.select(col(ckName), col(vName))
+              .groupBy(col(ckName).as("_gck")).agg(ringCol(col(vName)).as("_gring"))
+              .select(col("_gck"), flatten(collect_list(col("_gring")).over(
+                Window.orderBy(col("_gck"))
+                  .rowsBetween(Window.unboundedPreceding, -1))).as(carryName))
+            ctx.df = ctx.df.join(broadcast(totals),
+              ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+            val comb = when(col(carryName).isNull, within)
+              .otherwise(concat(col(carryName), within))
+            when(size(comb) <= k, comb)
+              .otherwise(slice(comb, size(comb) - k + 1, lit(k)))
+          }
         }
       case AggCall("oldest", x, mods, _) =>
         slice(collect_list(goM(x)).over(prefix), 1,
@@ -950,7 +982,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("exp", Seq(x)) => exp(go(x))
       case ("log", Seq(x)) => when(go(x) > 0, log(go(x)))
       case ("log10", Seq(x)) => when(go(x) > 0, log10(go(x)))
-      case ("random", Seq()) => rand()
+      // RANDOM is unseeded like the reference's; graft.raql.randomSeed
+      // (set by the regression harness) makes draws deterministic —
+      // distinct per occurrence (seed+counter) so expressions in one
+      // program stay independent
+      case ("random", Seq()) =>
+        spark.conf.getOption("graft.raql.randomSeed") match {
+          case Some(s) => randCounter += 1; rand(s.toLong + randCounter)
+          case None => rand()
+        }
       case ("pi", Seq()) => lit(math.Pi)
       case ("variant", Seq(Lit(n: String))) =>
         experiments.get(n).map(lit).getOrElse(lit(null).cast("string"))

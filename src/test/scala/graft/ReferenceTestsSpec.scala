@@ -268,8 +268,14 @@ class ReferenceTestsSpec extends AnyFunSuite {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     // the reference runs YIELD producers until the expectations appear (or
     // the .test timeout); emulate with enough generated rows — 150 covers
-    // most tests, stress/cons1 asserts on the 2000th tuple
-    val genRows = Map("stress" -> "2100").withDefaultValue("150")
+    // most tests, stress/cons1 asserts on the 2000th tuple, and fit stops
+    // at its present row (start=30: the reference runner checks `absent`
+    // only over rows seen before `present` appears — a noisy-predictor fit
+    // occasionally exceeds the error bound, so a long tail over-checks)
+    val genRows = Map("stress" -> "2100", "fit" -> "32").withDefaultValue("150")
+    // regression runs draw RANDOM deterministically (see RaqlCompiler):
+    // the suite tests the compiler, not the RNG's tail luck
+    spark.conf.set("graft.raql.randomSeed", "1234")
     try testFiles.foreach { tf =>
       val tname = tf.getFileName.toString.stripSuffix(".test")
       if (!skip.exists(tname.contains)) {
@@ -340,7 +346,10 @@ class ReferenceTestsSpec extends AnyFunSuite {
           }
         }
       }
-    } finally spark.conf.unset("graft.raql.everyRows")
+    } finally {
+      spark.conf.unset("graft.raql.everyRows")
+      spark.conf.unset("graft.raql.randomSeed")
+    }
 
     info(s"reference expectations: $passed/$checked outputs hold")
     failures.foreach(f => info(s"  MISS $f"))
