@@ -2217,6 +2217,36 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     if (ok && any) Some(maxK) else None
   }
 
+  /** Max PAST duration when every stateful call is a sliding PAST (the
+    * time-bounded analogue of [[boundedLookback]]): shapes a time-bucket
+    * partition plus previous-bucket ghost rows can distribute exactly. */
+  private def timeWindowOnly(es: Seq[Expr], params: Map[String, Expr]): Option[Double] = {
+    var maxD = 0.0; var any = false; var ok = true
+    def walk(e: Expr): Unit = e match {
+      case AggCall("past", x, mods, extra) if !mods.contains("tumbling") =>
+        if (hasWindowFn(x) || hasAgg(x)) ok = false
+        else {
+          any = true
+          maxD = math.max(maxD, extra.headOption.map(evalNum(_, params))
+            .orElse(modNum(mods, "n")).getOrElse(1.0))
+        }
+      case Ref(Seq("previous" | "local_last_out" | "global_last_out", _*)) =>
+        ok = false
+      case AggCall(_, _, _, _) | PercentileCall(_, _) => ok = false
+      case FunCall(f, _) if windowFunCalls(f) || f == "histogram" => ok = false
+      case FunCall(_, as) => as.foreach(walk)
+      case Binop(_, l, r) => walk(l); walk(r)
+      case Unop(_, y) => walk(y)
+      case CaseExpr(br, el) =>
+        br.foreach { case (c0, v) => walk(c0); walk(v) }; el.foreach(walk)
+      case IsNull(y, _) => walk(y)
+      case VectorLit(it) => it.foreach(walk)
+      case _ => ()
+    }
+    es.foreach(walk)
+    if (ok && any && maxD > 0.0) Some(maxD) else None
+  }
+
   /** Commit-every-tuple (running) compilation: one output row per input
     * row, stateful functions as window expressions over the arrival
     * sequence. WHERE runs against the unfiltered stream first (its own
@@ -2276,6 +2306,38 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           .unionByName(tail)
         df = ctx.df
         ctx.parts = Seq(col(ckName))
+      }
+      // Sliding-PAST-only shapes distribute by TIME: partition windows by
+      // the d-wide event-time bucket and replay every row of bucket e as a
+      // GHOST into bucket e+1 — a row at time t sees [t-d, t] entirely
+      // within its own bucket plus the previous one's ghosts. Classic
+      // double-bucket sliding windows; exact, 2× row volume.
+      val ghostD: Option[Double] =
+        if (ghostK.isDefined || runCtx.get.parts.nonEmpty ||
+            agg.commitCond.nonEmpty || agg.every.nonEmpty ||
+            agg.where.exists(hasAgg) ||
+            spark.conf.getOption("graft.raql.chunkedRunning").contains("false"))
+          None
+        else timeWindowOnly(fields.map(_.expr), params)
+      ghostD.foreach { d =>
+        val ctx = runCtx.get
+        val t = ctx.eventTime.getOrElse {
+          if (ctx.df.columns.contains("start")) col("start").cast("double")
+          else if (ctx.df.columns.contains("ts")) unix_micros(col("ts")) / 1e6
+          else col(ctx.seqName).cast("double")
+        }
+        val dUs = math.max((d * 1e6).toLong, 1L)
+        val epochName = "_graft_epoch"
+        // freeze the (row, seq, epoch) assignment like withChunkCol does
+        ctx.df = ctx.df.withColumn(epochName,
+            floor((t * 1e6).cast("long") / dUs).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ghosts = ctx.df.withColumn(epochName, col(epochName) + 1)
+          .withColumn("_graft_ghost", lit(true))
+        ctx.df = ctx.df.withColumn("_graft_ghost", lit(false))
+          .unionByName(ghosts)
+        df = ctx.df
+        ctx.parts = Seq(col(epochName))
       }
       val outNames = fields.map(f => f.alias.getOrElse(autoName(f.expr)))
       // COMMIT-with-FLUSH segmentation: when the commit condition does not
@@ -2360,7 +2422,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         runCtx.get.df = df
       }
       // ghost context rows have served their lookback purpose — drop them
-      if (ghostK.isDefined) {
+      if (ghostK.isDefined || ghostD.isDefined) {
         df = runCtx.get.df.filter(!col("_graft_ghost")).drop("_graft_ghost")
         runCtx.get.df = df
       }

@@ -530,6 +530,39 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("sliding PAST distributes via time-bucket ghosts") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT start, v, past 5 of v AS win FROM tbl;""")
+    // irregular event times, multi-partition
+    val base = spark.range(1, 20001)
+      .select((col("id") * 37 % 9973).cast("double").as("start"),
+        col("id").as("v"))
+      .repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "PAST plan still has a partition-less window")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getDouble(0), r.getLong(1),
+        r.getSeq[Long](2).sorted)).sortBy(x => (x._1, x._2))
+    val got = canon(df.select(col("start"), col("v"), col("win")).collect())
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      canon(c2.compile("run/f")
+        .select(col("start"), col("v"), col("win")).collect())
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 20000)
+    assert(got.sameElements(want))
+  }
+
   test("running count-distinct = novelty prefix sum: distributed and exact") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     import org.apache.spark.sql.functions.col
