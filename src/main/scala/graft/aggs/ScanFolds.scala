@@ -190,6 +190,132 @@ case class LatestScan(
     copy(child = c)
 }
 
+/** `OLDEST k x` (skip-nulls) — the FIRST k non-null values: O(k) state,
+  * stops accumulating once full (vs re-collecting the whole prefix). */
+case class FirstKScan(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Any]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty[Any]
+
+  override def update(b: scala.collection.mutable.ArrayBuffer[Any],
+      row: InternalRow): scala.collection.mutable.ArrayBuffer[Any] = {
+    if (b.size < k) {
+      val v = child.eval(row)
+      if (v != null) b.append(InternalRow.copyValue(v))
+    }
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.ArrayBuffer[Any],
+      o: scala.collection.mutable.ArrayBuffer[Any]): scala.collection.mutable.ArrayBuffer[Any] =
+    if (o.isEmpty) b
+    else if (b.isEmpty) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray)
+
+  override def serialize(b: scala.collection.mutable.ArrayBuffer[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.toList); oos.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Any] = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    scala.collection.mutable.ArrayBuffer.from(ois.readObject().asInstanceOf[List[Any]])
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_oldest"
+
+  override def withNewMutableAggBufferOffset(x: Int): FirstKScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): FirstKScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): FirstKScan =
+    copy(child = c)
+}
+
+/** `LARGEST/SMALLEST k x` — bounded heap of the k extreme values seen so
+  * far, evaluated as a sorted array (desc for largest, asc for smallest):
+  * O(k) state and O(log k) per row, vs the O(n²) per-row re-sort of a
+  * collect_list-prefix formulation. */
+case class TopNScan(
+    child: Expression,
+    k: Int,
+    largest: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[Any]]
+  with UnaryLike[Expression] {
+
+  @transient private lazy val ord: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(child.dataType).asInstanceOf[Ordering[Any]]
+  // the heap root is the EVICTION candidate: the smallest kept value for
+  // largest-k (min-heap), the largest kept for smallest-k (max-heap)
+  @transient private lazy val heapOrd: Ordering[Any] =
+    if (largest) ord.reverse else ord
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[Any] =
+    scala.collection.mutable.PriorityQueue.empty[Any](heapOrd)
+
+  override def update(b: scala.collection.mutable.PriorityQueue[Any],
+      row: InternalRow): scala.collection.mutable.PriorityQueue[Any] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val value = InternalRow.copyValue(v)
+      if (b.size < k) b.enqueue(value)
+      else if (heapOrd.compare(value, b.head) < 0) { b.dequeue(); b.enqueue(value) }
+    }
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.PriorityQueue[Any],
+      o: scala.collection.mutable.PriorityQueue[Any]): scala.collection.mutable.PriorityQueue[Any] =
+    if (o.isEmpty) b
+    else if (b.isEmpty) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: scala.collection.mutable.PriorityQueue[Any]): Any = {
+    val arr = b.clone().dequeueAll.toArray // eviction order = reverse output
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr.reverse)
+  }
+
+  override def serialize(b: scala.collection.mutable.PriorityQueue[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.toList); oos.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[Any] = {
+    val xs = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject().asInstanceOf[List[Any]]
+    val q = createAggregationBuffer(); xs.foreach(q.enqueue(_)); q
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = if (largest) "graft_largest" else "graft_smallest"
+
+  override def withNewMutableAggBufferOffset(x: Int): TopNScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): TopNScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): TopNScan =
+    copy(child = c)
+}
+
 /** Mutable RECALL fold state: the current registration time, if any, and
   * the boolean emitted for the last row folded in. */
 final class RecallState(var hasReg: Boolean, var regTime: Double, var out: Boolean)

@@ -646,6 +646,41 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     val seqC = col(ctx.seqName)
     val W = seqWindow()
     val prefix = W.rowsBetween(Window.unboundedPreceding, 0)
+    import org.apache.spark.sql.{GraftShims => GS}
+
+    /** Ring-style scan aggregate (bounded per-row state) over the running
+      * prefix; ungrouped chunked mode DISTRIBUTES it — within-chunk rings
+      * from a chunk-partitioned window plus a broadcast carry of prior
+      * chunks' final rings flattened in chunk order, combined by `trim`.
+      * Rides the frozen chunked base so the two evaluations agree. Exact
+      * because every global answer is contained in the union of per-chunk
+      * rings (last-k / first-k / top-n are all chunk-decomposable). */
+    def chunkedRing(c: Column, ringCol: Column => Column,
+        trim: Column => Column): Column = {
+      val chunked = ctx.parts.isEmpty &&
+        !spark.conf.getOption("graft.raql.chunkedRunning").contains("false")
+      if (!chunked) trim(ringCol(c).over(prefix))
+      else {
+        val ckName = withChunkCol(ctx)
+        val vName = s"_graft_cv${ctx.df.columns.length}"
+        ctx.df = ctx.df.withColumn(vName, c)
+        val within = ringCol(col(vName)).over(
+          Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+            .rowsBetween(Window.unboundedPreceding, 0))
+        val carryName = s"_graft_cc${ctx.df.columns.length}"
+        // partial aggregation folds each (single-chunk) partition of the
+        // frozen base in its stored = seq order
+        val totals = ctx.df.select(col(ckName), col(vName))
+          .groupBy(col(ckName).as("_gck")).agg(ringCol(col(vName)).as("_gring"))
+          .select(col("_gck"), flatten(collect_list(col("_gring")).over(
+            Window.orderBy(col("_gck"))
+              .rowsBetween(Window.unboundedPreceding, -1))).as(carryName))
+        ctx.df = ctx.df.join(broadcast(totals),
+          ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+        trim(when(col(carryName).isNull, within)
+          .otherwise(concat(col(carryName), within)))
+      }
+    }
 
     /** Event time: the EVENT STARTS AT designation when present, else the
       * start/ts column convention. */
@@ -716,44 +751,20 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           // skip nulls (the default): the last k NON-NULL values, however
           // many rows back — O(k)-state ring buffer folded once per row
           // (a collect_list prefix would re-materialize O(n) per row).
-          // Ungrouped chunked mode distributes: within-chunk rings from a
-          // chunk-partitioned window + a broadcast carry of prior chunks'
-          // final rings (flattened in chunk order, trimmed to k) — rides
-          // the frozen chunked base, so the two evaluations agree.
-          import org.apache.spark.sql.{GraftShims => GS}
-          def ringCol(v: Column): Column =
-            GS.column(graft.aggs.LatestScan(GS.expression(v), k)
-              .toAggregateExpression())
-          val ctx = runCtx.get
-          val chunked = ctx.parts.isEmpty &&
-            !spark.conf.getOption("graft.raql.chunkedRunning").contains("false")
-          if (!chunked) ringCol(c).over(prefix)
-          else {
-            val ckName = withChunkCol(ctx)
-            val vName = s"_graft_cv${ctx.df.columns.length}"
-            ctx.df = ctx.df.withColumn(vName, c)
-            val within = ringCol(col(vName)).over(
-              Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
-                .rowsBetween(Window.unboundedPreceding, 0))
-            val carryName = s"_graft_cc${ctx.df.columns.length}"
-            // partial aggregation folds each (single-chunk) partition of
-            // the frozen base in its stored = seq order
-            val totals = ctx.df.select(col(ckName), col(vName))
-              .groupBy(col(ckName).as("_gck")).agg(ringCol(col(vName)).as("_gring"))
-              .select(col("_gck"), flatten(collect_list(col("_gring")).over(
-                Window.orderBy(col("_gck"))
-                  .rowsBetween(Window.unboundedPreceding, -1))).as(carryName))
-            ctx.df = ctx.df.join(broadcast(totals),
-              ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
-            val comb = when(col(carryName).isNull, within)
-              .otherwise(concat(col(carryName), within))
-            when(size(comb) <= k, comb)
-              .otherwise(slice(comb, size(comb) - k + 1, lit(k)))
-          }
+          // Chunked mode trims the ghost-free concat to the last k.
+          chunkedRing(c,
+            v => GS.column(graft.aggs.LatestScan(GS.expression(v), k)
+              .toAggregateExpression()),
+            comb => when(size(comb) <= k, comb)
+              .otherwise(slice(comb, size(comb) - k + 1, lit(k))))
         }
       case AggCall("oldest", x, mods, _) =>
-        slice(collect_list(goM(x)).over(prefix), 1,
-          modNum(mods, "n").getOrElse(1.0).toInt)
+        // first k non-null: O(k) state, accumulation stops once full
+        val k = modNum(mods, "n").getOrElse(1.0).toInt
+        chunkedRing(goM(x),
+          v => GS.column(graft.aggs.FirstKScan(GS.expression(v), k)
+            .toAggregateExpression()),
+          comb => slice(comb, 1, k))
 
       case AggCall("moveavg", x, mods, _) =>
         moveavgOf(x, modNum(mods, "n").getOrElse(1.0).toLong)
@@ -898,11 +909,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         }
 
       case AggCall("largest", x, mods, _) =>
-        slice(reverse(array_sort(collect_list(goM(x)).over(prefix))), 1,
-          modNum(mods, "n").getOrElse(1.0).toInt)
+        // bounded heap of the n largest: O(n) state, O(log n) per row
+        // (the collect_list prefix re-sorted O(rows) per row)
+        val n = modNum(mods, "n").getOrElse(1.0).toInt
+        chunkedRing(goM(x),
+          v => GS.column(graft.aggs.TopNScan(GS.expression(v), n, largest = true)
+            .toAggregateExpression()),
+          comb => slice(reverse(array_sort(comb)), 1, n))
       case AggCall("smallest", x, mods, _) =>
-        slice(array_sort(collect_list(goM(x)).over(prefix)), 1,
-          modNum(mods, "n").getOrElse(1.0).toInt)
+        val n = modNum(mods, "n").getOrElse(1.0).toInt
+        chunkedRing(goM(x),
+          v => GS.column(graft.aggs.TopNScan(GS.expression(v), n, largest = false)
+            .toAggregateExpression()),
+          comb => slice(array_sort(comb), 1, n))
 
       case AggCall("is_in_top", x, mods, _) =>
         topRankCol(go(x), modNum(mods, "n").getOrElse(10.0).toInt).isNotNull

@@ -530,6 +530,37 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("oldest/largest/smallest rings distribute and match the global plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, oldest 4 v AS o4, largest 3 v AS lg3, smallest 3 v AS sm3
+        FROM tbl;""")
+    val base = spark.range(1, 50001)
+      .select(col("id").as("n"), (col("id") * 7919 % 104729).as("v"))
+      .repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 50000)
+    assert(got.sameElements(want))
+  }
+
   test("sliding PAST distributes via time-bucket ghosts") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     import org.apache.spark.sql.functions.col
