@@ -2232,7 +2232,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case VectorLit(it) => it.foreach(walk)
       case _ => ()
     }
-    es.foreach(walk)
+    // a non-constant window argument (evalNum throws) fails the gate, not
+    // the compile — the global-window path handles whatever this can't
+    try es.foreach(walk)
+    catch { case _: UnsupportedOperationException => ok = false }
     if (ok && any) Some(maxK) else None
   }
 
