@@ -81,6 +81,74 @@ case class ExpSmoothScan(
     copy(child = c)
 }
 
+/** Affine fold state for the chunked SMOOTH: the rows folded so far act on
+  * any incoming smoothed state as the map s -> a*s + b. */
+final class AffineState(var a: Double, var b: Double)
+
+/** The within-chunk half of a DISTRIBUTED `SMOOTH alpha, x`: composing
+  * s := alpha*x + (1-alpha)*s over the prefix (nulls are the identity map)
+  * yields an affine map `(a, b)` with `s_i = a*s_in + b` for WHATEVER
+  * state `s_in` entered the chunk. Affine maps compose associatively, so
+  * per-chunk finals can carry across chunks in chunk order — no global
+  * single-partition scan. Float re-association makes this algebraically
+  * (not bit-) equal to the sequential fold, which is why the chunked
+  * SMOOTH path is opt-in (graft.raql.chunkedSmooth). */
+case class ExpSmoothAffineScan(
+    child: Expression,
+    alpha: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[AffineState] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): AffineState = new AffineState(1.0, 0.0)
+
+  override def update(b: AffineState, row: InternalRow): AffineState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      b.a *= (1.0 - alpha)
+      b.b = alpha * x + (1.0 - alpha) * b.b
+    }
+    b
+  }
+
+  // an identity map in either slot composes away regardless of order; the
+  // frozen chunked base keeps one chunk per partition, so a genuine
+  // two-sided merge (order unknowable) only happens on misuse
+  override def merge(b: AffineState, o: AffineState): AffineState =
+    if (o.a == 1.0 && o.b == 0.0) b
+    else if (b.a == 1.0 && b.b == 0.0) { b.a = o.a; b.b = o.b; b }
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: AffineState): Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b.a, b.b))
+
+  override def serialize(b: AffineState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16)
+    buf.putDouble(b.a).putDouble(b.b)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): AffineState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    new AffineState(buf.getDouble(), buf.getDouble())
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("a", DoubleType, nullable = false),
+    StructField("b", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_smooth_affine"
+
+  override def withNewMutableAggBufferOffset(x: Int): ExpSmoothAffineScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): ExpSmoothAffineScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): ExpSmoothAffineScan =
+    copy(child = c)
+}
+
 /** `HYSTERESIS x, acceptable, maximum` — true while in the acceptable
   * regime, false once the signal exceeds `maximum`, true again once it
   * returns to ≤ `acceptable` (reference CodeGenLib.ml:506-514). */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{DecayedTopK, ExpSmoothScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
   * sequential-scan functions.
@@ -80,6 +80,13 @@ object GraftFunctions {
   def expSmoothScan(x: Column, alpha: Double): Column =
     ExpressionUtils.column(
       ExpSmoothScan(col2e(x.cast("double")), alpha).toAggregateExpression())
+
+  /** The prefix fold of SMOOTH as an affine map struct(a, b) over the
+    * incoming state (`value = a*s_in + b`; nulls are the identity) — the
+    * within-chunk half of the distributed SMOOTH ([[ExpSmoothAffineScan]]). */
+  def expSmoothAffine(x: Column, alpha: Double): Column =
+    ExpressionUtils.column(
+      ExpSmoothAffineScan(col2e(x.cast("double")), alpha).toAggregateExpression())
 
   /** FIT_MULTI prediction over a window-collected array of (y, x1…xp)
     * structs: through-origin least squares of all but the last observation,

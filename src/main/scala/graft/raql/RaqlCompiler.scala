@@ -724,9 +724,52 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     }
 
     // incremental O(1)-state scan folded once per row by WindowExec (the
-    // collect_list-prefix + HOF fold re-ran the whole prefix per row)
-    def smoothOf(x: Expr, alpha: Double): Column =
-      graft.functions.GraftFunctions.expSmoothScan(goM(x), alpha).over(prefix)
+    // collect_list-prefix + HOF fold re-ran the whole prefix per row).
+    // Opt-in chunked mode (graft.raql.chunkedSmooth=true) distributes the
+    // ungrouped scan: the prefix fold is affine in the incoming state
+    // (s -> a*s + b, see ExpSmoothAffineScan), so chunks compute (a, b)
+    // plus a first-value-seeded local scan, per-chunk finals fold into an
+    // incoming-state carry over the tiny totals frame, and each row emits
+    // a*carry + b (or the local seeded value while no prior chunk has a
+    // non-null). Algebraically exact; NOT bit-equal to the sequential fold
+    // (float re-association), hence opt-in rather than default.
+    def smoothOf(x: Expr, alpha: Double): Column = {
+      import graft.functions.{GraftFunctions => GF}
+      val chunked = ctx.parts.isEmpty &&
+        spark.conf.getOption("graft.raql.chunkedSmooth").contains("true")
+      val c = goM(x)
+      if (!chunked) GF.expSmoothScan(c, alpha).over(prefix)
+      else {
+        val ckName = withChunkCol(ctx)
+        val vName = s"_graft_cv${ctx.df.columns.length}"
+        ctx.df = ctx.df.withColumn(vName, c)
+        val chunkW = Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val carryName = s"_graft_cc${ctx.df.columns.length}"
+        // per-chunk finals (partial aggregation folds the single-chunk
+        // partitions of the frozen base in stored = seq order), then the
+        // incoming state per chunk: a sequential fold over ~numChunks rows
+        val totals = ctx.df.select(col(ckName), col(vName))
+          .groupBy(col(ckName).as("_gck"))
+          .agg(GF.expSmoothAffine(col(vName), alpha).as("_gab"),
+            GF.expSmoothScan(col(vName), alpha).as("_gsf"))
+          .select(col("_gck"),
+            aggregate(
+              collect_list(struct(col("_gab").getField("a").as("a"),
+                col("_gab").getField("b").as("b"), col("_gsf").as("sf")))
+                .over(Window.orderBy(col("_gck"))
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(null).cast("double"),
+              (s, t) => when(s.isNull, t.getField("sf"))
+                .otherwise(t.getField("a") * s + t.getField("b")))
+              .as(carryName))
+        ctx.df = ctx.df.join(broadcast(totals),
+          ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+        val aff = GF.expSmoothAffine(col(vName), alpha).over(chunkW)
+        when(col(carryName).isNull, GF.expSmoothScan(col(vName), alpha).over(chunkW))
+          .otherwise(aff.getField("a") * col(carryName) + aff.getField("b"))
+      }
+    }
 
     /** moveavg k = avg of the k values BEFORE the current one (the
       * reference's Seasonal state excludes the current value — see
@@ -810,7 +853,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
       case AggCall("one_out_of", x, mods, _) =>
         val n = modNum(mods, "n").getOrElse(1.0).toInt
-        when((row_number().over(W) - 1) % n === 0, go(x))
+        // the row index is a running count — integer-exact under the
+        // chunked prefix scan, so the sampler distributes by default
+        val chunkedRn = ctx.parts.isEmpty &&
+          !spark.conf.getOption("graft.raql.chunkedRunning").contains("false")
+        val rn =
+          if (chunkedRn) chunkedPrefix(lit(1L), count, sum,
+            (cr, w) => coalesce(cr, lit(0L)) + w)
+          else row_number().over(W).cast("long")
+        when((rn - 1) % n === 0, go(x))
 
       case AggCall("once_every", x, mods, _) =>
         // clock-aligned: emit on the first row of each duration bucket
@@ -2219,6 +2270,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         bump(evalNum(kE, params).toInt); walk(x)
       case AggCall("latest", x, mods, _) if mods.contains("keep_nulls") =>
         bump(math.max(modNum(mods, "n").getOrElse(1.0).toInt - 1, 0)); walk(x)
+      // clock-aligned sampler: lag(1) of the time bucket — ghost-exact
+      case AggCall("once_every", x, _, _) => bump(1); walk(x)
       case Ref(Seq("previous" | "local_last_out" | "global_last_out", _*)) =>
         ok = false
       case AggCall(_, _, _, _) | PercentileCall(_, _) => ok = false

@@ -637,6 +637,103 @@ class RaqlSpec extends AnyFunSuite {
     assert(chunkedRows.sameElements(plain))
   }
 
+  test("ungrouped running SMOOTH distributes via affine chunk carry (opt-in)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val src = Map("run" -> """DEFINE f AS
+        SELECT i, smooth(0.3, n) AS sm FROM tbl;""")
+    // nulls exercise the identity-map path of the affine carry
+    val base = spark.range(1, 100001).toDF("i")
+      .withColumn("n", when(col("i") % 13 === 0, lit(null))
+        .otherwise(col("i").cast("double")))
+      .repartition(8)
+    spark.conf.set("graft.raql.chunkedSmooth", "true")
+    val got = try {
+      val c = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c.registerTable("tbl", base)
+      val df = c.compile("run/f")
+      // full-input windows are chunk-partitioned; a partition-less window
+      // may only exist over the per-chunk totals frame (Aggregate subtree)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+      assert(wins.nonEmpty)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+          "partition-less window over the full input")
+      }
+      df.orderBy("i").collect()
+    } finally spark.conf.unset("graft.raql.chunkedSmooth")
+    val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c2.registerTable("tbl", base)
+    val want = c2.compile("run/f").orderBy("i").collect()
+    assert(got.length == 100000)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.isNullAt(1) == w.isNullAt(1), s"null mismatch at ${g.get(0)}")
+      if (!g.isNullAt(1)) {
+        val gv = g.getDouble(1); val wv = w.getDouble(1)
+        assert(math.abs(gv - wv) <= 1e-9 * math.max(1.0, math.abs(wv)),
+          s"row ${g.get(0)}: $gv vs $wv")
+      }
+    }
+  }
+
+  test("ONE OUT OF distributes via the chunked row count") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, one out of 7 n AS smp FROM tbl;""")
+    val base = spark.range(1, 100001).toDF("n").repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 100000)
+    assert(got.count(!_.isNullAt(1)) * 7 >= 100000)
+    assert(got.sameElements(want))
+  }
+
+  test("ONCE EVERY joins the ghost-distributed bounded-lookback gate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT start, once every 10 start AS tick FROM tbl;""")
+    val base = spark.range(1, 50001)
+      .select((col("id").cast("double") / 3.0).as("start"))
+      .repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "ghosted plan still has a partition-less window")
+    val got = df.orderBy("start").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("start").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 50000)
+    assert(got.sameElements(want))
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
