@@ -151,21 +151,31 @@ case class ExpSmoothAffineScan(
 
 /** `HYSTERESIS x, acceptable, maximum` — true while in the acceptable
   * regime, false once the signal exceeds `maximum`, true again once it
-  * returns to ≤ `acceptable` (reference CodeGenLib.ml:506-514). */
+  * returns to ≤ `acceptable` (reference CodeGenLib.ml:506-514).
+  *
+  * `startAcceptable` picks the state the scan assumes BEFORE any row: the
+  * reference starts in the acceptable regime; the chunked-running path
+  * runs each chunk from BOTH starts and picks per row by the carried
+  * cross-chunk state (a 2-state automaton's transfer function is fully
+  * determined by those two runs — exact, no float re-association). */
 case class HysteresisScan(
     child: Expression,
     acceptable: Double,
     maximum: Double,
+    startAcceptable: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ScanState] with UnaryLike[Expression] {
 
+  // init: whether any row folded yet (empty-merge detection);
   // s: 1.0 = acceptable regime, 0.0 = fired
-  override def createAggregationBuffer(): ScanState = new ScanState(true, 1.0)
+  override def createAggregationBuffer(): ScanState =
+    new ScanState(false, if (startAcceptable) 1.0 else 0.0)
 
   override def update(b: ScanState, row: InternalRow): ScanState = {
     val v = child.eval(row)
     if (v != null) {
+      b.init = true
       val x = v.asInstanceOf[Number].doubleValue()
       if (x > maximum) b.s = 0.0
       else if (x <= acceptable) b.s = 1.0
@@ -174,15 +184,18 @@ case class HysteresisScan(
   }
 
   override def merge(b: ScanState, o: ScanState): ScanState =
-    ScanFolds.requireNoMerge(prettyName)
+    if (!o.init) b
+    else if (!b.init) o
+    else ScanFolds.requireNoMerge(prettyName)
 
   override def eval(b: ScanState): Any = b.s == 1.0
 
   override def serialize(b: ScanState): Array[Byte] =
-    Array(if (b.s == 1.0) 1.toByte else 0.toByte)
+    Array(if (b.init) 1.toByte else 0.toByte,
+      if (b.s == 1.0) 1.toByte else 0.toByte)
 
   override def deserialize(bytes: Array[Byte]): ScanState =
-    new ScanState(true, if (bytes(0) == 1) 1.0 else 0.0)
+    new ScanState(bytes(0) == 1, if (bytes(1) == 1) 1.0 else 0.0)
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false

@@ -102,11 +102,14 @@ object GraftFunctions {
       RecallScan(col2e(t.cast("double")), dur).toAggregateExpression())
 
   /** Incremental HYSTERESIS for running windows: same transitions as
-    * [[hysteresisArr]], O(1) state updated once per row. */
-  def hysteresisScan(x: Column, acceptable: Double, maximum: Double): Column =
+    * [[hysteresisArr]], O(1) state updated once per row. `startAcceptable`
+    * sets the assumed pre-scan regime (both variants drive the chunked
+    * 2-state automaton composition). */
+  def hysteresisScan(x: Column, acceptable: Double, maximum: Double,
+      startAcceptable: Boolean = true): Column =
     ExpressionUtils.column(
-      HysteresisScan(col2e(x.cast("double")), acceptable, maximum)
-        .toAggregateExpression())
+      HysteresisScan(col2e(x.cast("double")), acceptable, maximum,
+        startAcceptable).toAggregateExpression())
 
   /** RaQL `SMOOTH alpha, x` over an ordered array: s := alpha*x + (1-a)*s,
     * seeded with the first element; returns the final smoothed value. */

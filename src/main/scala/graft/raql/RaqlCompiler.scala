@@ -710,6 +710,23 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           e => struct(e.getField("s").as("s"), e.getField("v").as("v")))),
         s => s.getField("v"))
 
+    /** Running SAMPLE: the k-smallest-by-hash selection is a TopNScan ring
+      * (O(k) state, chunk-decomposable) — same winners as [[sampleOf]]
+      * over the unbounded prefix without its O(n) per-row collect, and
+      * distributed in ungrouped chunked mode. */
+    def sampleRunning(v: Column, k: Int): Column = {
+      val tagged = when(v.isNotNull,
+        struct(xxhash64(seqC).as("h"), seqC.as("s"), v.as("v")))
+      val winners = chunkedRing(tagged,
+        c => GS.column(graft.aggs.TopNScan(GS.expression(c), k,
+          largest = false).toAggregateExpression()),
+        comb => slice(array_sort(comb), 1, k))
+      transform(
+        array_sort(transform(winners,
+          e => struct(e.getField("s").as("s"), e.getField("v").as("v")))),
+        s => s.getField("v"))
+    }
+
     def lagOver(x: Expr, k: Int): Column = lag(goM(x), k).over(W)
 
     def deriveOf(x: Expr): Column = {
@@ -871,8 +888,47 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           bucket =!= lag(bucket, 1).over(W), go(x))
 
       case FunCall("hysteresis", Seq(x, acceptable, maximum)) =>
-        graft.functions.GraftFunctions.hysteresisScan(goM(x),
-          evalNum(acceptable, params), evalNum(maximum, params)).over(prefix)
+        // a 2-state automaton: each chunk's transfer function is fully
+        // determined by running the scan from BOTH start states, so the
+        // cross-chunk state carries as a boolean fold over the tiny totals
+        // frame and each row picks between its two within-chunk runs.
+        // Booleans compose exactly — bit-equal to the sequential scan,
+        // distributed by default.
+        import graft.functions.{GraftFunctions => GF}
+        val acc = evalNum(acceptable, params)
+        val mx = evalNum(maximum, params)
+        val chunked = ctx.parts.isEmpty &&
+          !spark.conf.getOption("graft.raql.chunkedRunning").contains("false")
+        if (!chunked) GF.hysteresisScan(goM(x), acc, mx).over(prefix)
+        else {
+          val ckName = withChunkCol(ctx)
+          val vName = s"_graft_cv${ctx.df.columns.length}"
+          ctx.df = ctx.df.withColumn(vName, goM(x))
+          val chunkW = Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val carryName = s"_graft_cc${ctx.df.columns.length}"
+          val totals = ctx.df.select(col(ckName), col(vName))
+            .groupBy(col(ckName).as("_gck"))
+            .agg(GF.hysteresisScan(col(vName), acc, mx,
+              startAcceptable = true).as("_gft"),
+              GF.hysteresisScan(col(vName), acc, mx,
+                startAcceptable = false).as("_gff"))
+            .select(col("_gck"),
+              aggregate(
+                collect_list(struct(col("_gft").as("ft"), col("_gff").as("ff")))
+                  .over(Window.orderBy(col("_gck"))
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                lit(true),
+                (s, t) => when(s, t.getField("ft")).otherwise(t.getField("ff")))
+                .as(carryName))
+          ctx.df = ctx.df.join(broadcast(totals),
+            ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+          when(coalesce(col(carryName), lit(true)),
+            GF.hysteresisScan(col(vName), acc, mx, startAcceptable = true)
+              .over(chunkW))
+            .otherwise(GF.hysteresisScan(col(vName), acc, mx,
+              startAcceptable = false).over(chunkW))
+        }
 
       // argument-tuple spelling `REMEMBER [GLOBALLY] (fpr, dur, key…, tim)`
       // (reference afun4_sf order, RamenExpr.ml:1463-1468): remembered while
@@ -919,10 +975,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
       case AggCall("sample", x, mods, _) =>
         if (x == Lit(null)) lit(null)
-        else sampleOf(goM(x), modNum(mods, "n").getOrElse(1.0).toInt, prefix)
+        else sampleRunning(goM(x), modNum(mods, "n").getOrElse(1.0).toInt)
       case FunCall("sample", Seq(k, x)) =>
         if (x == Lit(null)) lit(null)
-        else sampleOf(goM(x), evalNum(k, params).toInt, prefix)
+        else sampleRunning(goM(x), evalNum(k, params).toInt)
 
       case AggCall("sample_past", x, mods, extra) =>
         val d = extra.headOption.map(evalNum(_, params)).getOrElse(1.0)

@@ -734,6 +734,71 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("HYSTERESIS distributes via 2-state automaton composition") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, hysteresis(v, 200, 800) AS ok FROM tbl;""")
+    // a signal that wanders across both thresholds many times per chunk
+    val base = spark.range(1, 100001)
+      .select(col("id").as("n"), (col("id") * 37 % 1000).as("v"))
+      .repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 100000)
+    // both regimes actually occur
+    assert(got.exists(_.getBoolean(1)) && got.exists(!_.getBoolean(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("running SAMPLE is an O(k) ring, distributed in chunked mode") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.col
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, sample 10 v AS smp FROM tbl;""")
+    val base = spark.range(1, 50001)
+      .select(col("id").as("n"), (col("id") * 7919 % 104729).as("v"))
+      .repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 50000)
+    // the sample is full capacity once n >= k
+    assert(got.last.getSeq[Long](1).length == 10)
+    assert(got.sameElements(want))
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
