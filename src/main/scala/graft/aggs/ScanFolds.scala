@@ -397,6 +397,142 @@ case class TopNScan(
     copy(child = c)
 }
 
+/** Damped-Holt fold state: level and trend (reference
+  * `smooth_damped_holt_init` = (0, 0)). */
+final class HoltState(var init: Boolean, var l: Double, var t: Double)
+
+/** `SMOOTH_DAMPED_HOLT(alpha, beta, phi, x)` — damped-trend double
+  * exponential smoothing over the running prefix; each row emits the
+  * one-step forecast level + phi*trend (reference `CodeGenLib.ml`
+  * smooth_damped_holt :350-358, arg order CodeGen_OCaml.ml:2390). */
+case class DampedHoltScan(
+    child: Expression,
+    alpha: Double,
+    beta: Double,
+    phi: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HoltState] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): HoltState = new HoltState(false, 0.0, 0.0)
+
+  override def update(b: HoltState, row: InternalRow): HoltState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      val level = alpha * x + (1.0 - alpha) * (b.l + phi * b.t)
+      b.t = beta * (level - b.l) + (1.0 - beta) * phi * b.t
+      b.l = level
+      b.init = true
+    }
+    b
+  }
+
+  override def merge(b: HoltState, o: HoltState): HoltState =
+    if (!o.init) b
+    else if (!b.init) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: HoltState): Any = b.l + phi * b.t
+
+  override def serialize(b: HoltState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(17)
+    buf.put(if (b.init) 1.toByte else 0.toByte).putDouble(b.l).putDouble(b.t)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HoltState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    new HoltState(buf.get() == 1, buf.getDouble(), buf.getDouble())
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_damped_holt"
+
+  override def withNewMutableAggBufferOffset(x: Int): DampedHoltScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): DampedHoltScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): DampedHoltScan =
+    copy(child = c)
+}
+
+/** Holt-Winters fold state: level, trend, additive seasonal ring, cycle. */
+final class HoltWinterState(var init: Boolean, var l: Double, var t: Double,
+    var seasons: Array[Double], var cycle: Int)
+
+/** `SMOOTH_DAMPED_HOLT_WINTER(alpha, beta, gamma, period, phi, x)` —
+  * damped-trend smoothing plus an additive seasonal ring of `period`
+  * slots; each row emits level + phi*trend + seasons[cycle] (reference
+  * `CodeGenLib.ml` smooth_damped_holt_winter :360-382, arg order
+  * CodeGen_OCaml.ml:2412). O(period) state folded once per row. */
+case class HoltWinterScan(
+    child: Expression,
+    alpha: Double,
+    beta: Double,
+    gamma: Double,
+    period: Int,
+    phi: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HoltWinterState] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): HoltWinterState =
+    new HoltWinterState(false, 0.0, 0.0, new Array[Double](period), 0)
+
+  override def update(b: HoltWinterState, row: InternalRow): HoltWinterState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      val newCycle = (b.cycle + 1) % period
+      val predSeason = b.seasons(b.cycle)
+      val level = alpha * (x - predSeason) + (1.0 - alpha) * (b.l + phi * b.t)
+      val trend = beta * (level - b.l) + (1.0 - beta) * phi * b.t
+      val season = gamma * (x - b.l - phi * b.t) + (1.0 - gamma) * predSeason
+      b.seasons(b.cycle) = season
+      b.l = level; b.t = trend; b.cycle = newCycle
+      b.init = true
+    }
+    b
+  }
+
+  override def merge(b: HoltWinterState, o: HoltWinterState): HoltWinterState =
+    if (!o.init) b
+    else if (!b.init) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: HoltWinterState): Any =
+    b.l + phi * b.t + b.seasons(b.cycle)
+
+  override def serialize(b: HoltWinterState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(1 + 8 + 8 + 4 + 8 * period)
+    buf.put(if (b.init) 1.toByte else 0.toByte)
+      .putDouble(b.l).putDouble(b.t).putInt(b.cycle)
+    b.seasons.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HoltWinterState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val init = buf.get() == 1
+    val l = buf.getDouble(); val t = buf.getDouble(); val cy = buf.getInt()
+    val ss = Array.fill(period)(buf.getDouble())
+    new HoltWinterState(init, l, t, ss, cy)
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_holt_winter"
+
+  override def withNewMutableAggBufferOffset(x: Int): HoltWinterScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): HoltWinterScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): HoltWinterScan =
+    copy(child = c)
+}
+
 /** Mutable RECALL fold state: the current registration time, if any, and
   * the boolean emitted for the last row folded in. */
 final class RecallState(var hasReg: Boolean, var regTime: Double, var out: Boolean)

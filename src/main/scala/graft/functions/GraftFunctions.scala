@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DampedHoltScan, DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HoltWinterScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
   * sequential-scan functions.
@@ -80,6 +80,22 @@ object GraftFunctions {
   def expSmoothScan(x: Column, alpha: Double): Column =
     ExpressionUtils.column(
       ExpSmoothScan(col2e(x.cast("double")), alpha).toAggregateExpression())
+
+  /** RaQL `SMOOTH_DAMPED_HOLT(a, b, phi, x)` for running windows: O(1)
+    * (level, trend) state, emits the one-step forecast per row. */
+  def dampedHoltScan(x: Column, alpha: Double, beta: Double,
+      phi: Double): Column =
+    ExpressionUtils.column(
+      DampedHoltScan(col2e(x.cast("double")), alpha, beta, phi)
+        .toAggregateExpression())
+
+  /** RaQL `SMOOTH_DAMPED_HOLT_WINTER(a, b, g, p, phi, x)` for running
+    * windows: O(period) seasonal ring folded once per row. */
+  def holtWinterScan(x: Column, alpha: Double, beta: Double, gamma: Double,
+      period: Int, phi: Double): Column =
+    ExpressionUtils.column(
+      HoltWinterScan(col2e(x.cast("double")), alpha, beta, gamma, period, phi)
+        .toAggregateExpression())
 
   /** The prefix fold of SMOOTH as an affine map struct(a, b) over the
     * incoming state (`value = a*s_in + b`; nulls are the identity) — the

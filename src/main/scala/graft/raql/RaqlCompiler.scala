@@ -236,7 +236,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Same functions in their parenthesized FunCall spelling. */
   private val windowFunCalls = Set("lag", "moveavg", "sample", "hysteresis",
     "remember", "recall", "smooth", "derive", "changed", "season_moveavg",
-    "fit_multi", "season_fit_multi")
+    "fit_multi", "season_fit_multi", "smooth_damped_holt",
+    "smooth_damped_holt_winter")
 
   private def hasWindowFn(e: Expr): Boolean = e match {
     case AggCall(fn, op, _, extra) =>
@@ -861,6 +862,17 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         smoothOf(x, modNum(mods, "n").getOrElse(0.5))
       case FunCall("smooth", Seq(a, x)) => smoothOf(x, evalNum(a, params))
       case FunCall("smooth", Seq(x)) => smoothOf(x, 0.5)
+
+      // damped-trend double exponential smoothing; one-step forecast per
+      // row (reference RamenExpr.ml:1446-1457 spellings)
+      case FunCall("smooth_damped_holt", Seq(a, b, f, x)) =>
+        graft.functions.GraftFunctions.dampedHoltScan(goM(x),
+          evalNum(a, params), evalNum(b, params), evalNum(f, params))
+          .over(prefix)
+      case FunCall("smooth_damped_holt_winter", Seq(a, b, g, p, f, x)) =>
+        graft.functions.GraftFunctions.holtWinterScan(goM(x),
+          evalNum(a, params), evalNum(b, params), evalNum(g, params),
+          evalNum(p, params).toInt, evalNum(f, params)).over(prefix)
 
       case AggCall("derive", x, _, _) => deriveOf(x)
       case FunCall("derive", Seq(x)) => deriveOf(x)

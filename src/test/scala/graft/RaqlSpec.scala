@@ -799,6 +799,49 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("SMOOTH_DAMPED_HOLT / _WINTER running scans match the reference fold") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, smooth_damped_holt(0.5, 0.3, 0.9, v) AS fc,
+               smooth_damped_holt_winter(0.5, 0.3, 0.2, 4, 0.9, v) AS fw
+        FROM tbl;""")
+    val vals = Seq(10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0, 15.0, 10.5, 12.5)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl",
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("n", "v").coalesce(1))
+    val got = c.compile("run/f").orderBy("n").collect()
+    // replicate CodeGenLib.ml smooth_damped_holt(_winter) exactly
+    var l = 0.0; var t = 0.0
+    val expHolt = vals.map { x =>
+      val lv = 0.5 * x + 0.5 * (l + 0.9 * t)
+      t = 0.3 * (lv - l) + 0.7 * 0.9 * t
+      l = lv
+      l + 0.9 * t
+    }
+    var wl = 0.0; var wt = 0.0; var cy = 0
+    val seasons = Array.fill(4)(0.0)
+    val expWinter = vals.map { x =>
+      val newCy = (cy + 1) % 4
+      val ps = seasons(cy)
+      val lv = 0.5 * (x - ps) + 0.5 * (wl + 0.9 * wt)
+      val tr = 0.3 * (lv - wl) + 0.7 * 0.9 * wt
+      val se = 0.2 * (x - wl - 0.9 * wt) + 0.8 * ps
+      seasons(cy) = se
+      wl = lv; wt = tr; cy = newCy
+      wl + 0.9 * wt + seasons(cy)
+    }
+    assert(got.length == vals.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(1) - expHolt(i)) < 1e-12,
+        s"holt row $i: ${r.getDouble(1)} vs ${expHolt(i)}")
+      assert(math.abs(r.getDouble(2) - expWinter(i)) < 1e-12,
+        s"winter row $i: ${r.getDouble(2)} vs ${expWinter(i)}")
+    }
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
