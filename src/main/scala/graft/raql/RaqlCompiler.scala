@@ -1066,8 +1066,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case _ => false
   }
 
-  private def compileFun(name: String, args: Seq[Expr], go: Expr => Column): Column =
+  /** Alternate reference spellings (RamenExpr.ml:1379-1527) normalized to
+    * the canonical name compiled below. */
+  private val funAliases = Map(
+    "country_code" -> "countrycode", "ip_family" -> "ipfamily",
+    "square" -> "sq", "greatest" -> "max", "least" -> "min")
+
+  private def compileFun(name0: String, args: Seq[Expr], go: Expr => Column): Column = {
+    val name = funAliases.getOrElse(name0, name0)
     (name, args) match {
+      case ("sq", Seq(x)) =>
+        val c = go(x)
+        c * c
       // string(vec of char) joins the chars into one string, '?' for NULL
       // elements (char.ramen foo/foo_null1; RamenTypes.ml value printing)
       case ("string" | "string?", Seq(x)) if charVecShaped(x) =>
@@ -1461,6 +1471,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         unsupported("split generator outside SELECT field")
       case (other, _) => unsupported(s"function $other/${args.size}")
     }
+  }
 
   /** Immediate aggregation over an array-typed operand (the reference's
     * "every aggregation function must also accept lists" rule — see

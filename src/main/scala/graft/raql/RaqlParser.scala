@@ -243,7 +243,8 @@ object RaqlParser extends RegexParsers {
   private val prefixFunNames = Set("length", "abs", "exp", "log", "log10",
     "sqrt", "floor", "ceil", "round", "lower", "upper", "hash", "basename",
     "age", "chr", "string", "force", "uuid_of_u128", "sparkline",
-    "countrycode", "ipfamily", "fit", "truncate", "parse_time")
+    "countrycode", "ipfamily", "country_code", "ip_family", "sq", "square",
+    "fit", "truncate", "parse_time")
   private def prefixFun: Parser[Expr] =
     ident.filter(i => prefixFunNames.contains(i.toLowerCase)) ~ unaryExpr ^^ {
       case f ~ e => FunCall(f.toLowerCase, Seq(e))

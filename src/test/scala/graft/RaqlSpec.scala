@@ -842,6 +842,35 @@ class RaqlSpec extends AnyFunSuite {
     }
   }
 
+  test("alias spellings: sq/square, greatest/least, country_code, ip_family") {
+    import spark.implicits._
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, sq n AS s1, square n AS s2,
+               greatest(n, 5, 3) AS g, least(n, 5, 3) AS l,
+               ip_family(10.0.0.1) AS fam
+        FROM tbl;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", Seq(4L, 7L).toDF("n").coalesce(1))
+    val rows = c.compile("run/f").orderBy("n").collect()
+    assert(rows.length == 2)
+    val r4 = rows(0)
+    assert(r4.getLong(1) == 16L && r4.getLong(2) == 16L)
+    assert(r4.getLong(3) == 5L && r4.getLong(4) == 3L)
+    assert(r4.get(5).toString == "4")
+    val r7 = rows(1)
+    assert(r7.getLong(3) == 7L && r7.getLong(4) == 3L)
+    // country_code routes to the canonical COUNTRYCODE implementation
+    // (which demands registered geo ranges — the typed error proves it)
+    val src2 = Map("run" -> """DEFINE f AS
+        SELECT country_code(10.0.0.1) AS cc FROM tbl;""")
+    val c2 = RaqlCompiler.fromSources(spark, funcDir, src2)
+      .fold(e => fail(s"parse: $e"), identity)
+    c2.registerTable("tbl", Seq(1L).toDF("n").coalesce(1))
+    val err = intercept[UnsupportedOperationException](c2.compile("run/f"))
+    assert(err.getMessage.contains("COUNTRYCODE"))
+  }
+
   test("sort/f golden: SORT LAST bounded reorder buffer emission order") {
     val c = load("fixtures/earthquakes", "sort")
     val years = c.compile("sort/f").collect().map(_.get(0).toString.toInt)
