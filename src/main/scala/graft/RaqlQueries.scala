@@ -224,6 +224,45 @@ object RaqlQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- r10: HYSTERESIS + SMOOTH_DAMPED_HOLT running scans, oracled
+    // independently: hysteresis as a last-deciding-value window, the Holt
+    // recurrence as a recursive CTE replaying CodeGenLib.ml's fold.
+    // Restricted to the first 2k events because the CTE's self-join
+    // recursion is quadratic in DuckDB.
+    QueryDef(
+      "r10_raql_hysteresis_holt",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id,
+                    hysteresis(value, 50, 150) AS ok,
+                    round(smooth_damped_holt(0.5, 0.3, 0.9, value), 6) AS holt6
+             WHERE event_id < 2000;""")
+        .orderBy("event_id"),
+      Some("""WITH RECURSIVE ev AS (
+          SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn
+          FROM events WHERE event_id < 2000
+        ), fold AS (
+          SELECT 0 AS rn, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t
+          UNION ALL
+          SELECT e.rn,
+            CASE WHEN e.value IS NULL THEN f.l
+                 ELSE 0.5*e.value + (1-0.5)*(f.l + 0.9*f.t) END,
+            CASE WHEN e.value IS NULL THEN f.t
+                 ELSE 0.3*((0.5*e.value + (1-0.5)*(f.l + 0.9*f.t)) - f.l)
+                      + (1-0.3)*0.9*f.t END
+          FROM ev e JOIN fold f ON e.rn = f.rn + 1
+        )
+        SELECT e.event_id,
+          COALESCE(last_value(CASE WHEN e.value > 150 THEN FALSE
+                                   WHEN e.value <= 50 THEN TRUE END
+                              IGNORE NULLS)
+            OVER (ORDER BY e.event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW), TRUE) AS ok,
+          round(f.l + 0.9*f.t, 6) AS holt6
+        FROM ev e JOIN fold f ON f.rn = e.rn
+        ORDER BY e.event_id"""))
   )
 }
