@@ -254,6 +254,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stateless RaQL compiles to one plan that runs batch AND streaming") {
+    // the reference runs programs continuously; our stateless compile path
+    // has no sequence id or window, so the SAME RaQL text drives a
+    // readStream source unchanged — micro-batch results equal batch
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val raql = """DEFINE q AS
+        FROM tables/events
+        SELECT event_id, user_id, value * 2 AS v2,
+               upper(event_type) AS etype
+        WHERE value >= 100 AND event_type <> "error";"""
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_raqlstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamEv = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val cs = new RaqlCompiler(spark, dir)
+    cs.registerTable("tables/events", streamEv)
+    RaqlParser.parseProgram(raql) match {
+      case Right(p) => cs.register("main", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = cs.compile("main/q")
+    assert(sdf.isStreaming, "stateless RaQL plan should stay streaming")
+    val q = sdf.writeStream.format("memory").queryName("raqlstream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("raqlstream_out")
+    val cb = new RaqlCompiler(spark, dir)
+    cb.registerTable("tables/events", Tables.load(spark, dir, "events"))
+    RaqlParser.parseProgram(raql) match {
+      case Right(p) => cb.register("main", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val batch = cb.compile("main/q")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
     // a RaQL program reading the stats feed, like comms.ramen's metamon
     val src = Map("mon" -> """DEFINE metamon AS
