@@ -278,8 +278,22 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       * joined rank column's name: membership, rank and list forms of the
       * same TOP share one join, and nothing runs eagerly on the driver. */
     val topJoins = scala.collection.mutable.Map.empty[(String, Int), String]
+    /** The pristine persisted chunked base (set by withChunkCol), BEFORE
+      * any carry joins: carry totals evaluate against this so the k-th
+      * aggregate's totals subtree does not drag k-1 earlier broadcast
+      * joins through its scan. */
+    var frozen: DataFrame = _
   }
   private var runCtx: Option[RunCtx] = None
+
+  /** Slim (chunk, value) frame for a carry-totals aggregation, evaluated
+    * on the FROZEN base when the value expression resolves there (it
+    * almost always does — operands reference input columns); falls back
+    * to the joined frame for expressions over compiler-added columns. */
+  private def totalsInput(ctx: RunCtx, ckName: String, vName: String,
+      c: Column): DataFrame =
+    try ctx.frozen.withColumn(vName, c).select(col(ckName), col(vName))
+    catch { case _: Throwable => ctx.df.select(col(ckName), col(vName)) }
 
   /** Sequence-ordered running window, partitioned by the GROUP BY keys
     * when the program has any. */
@@ -671,7 +685,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val carryName = s"_graft_cc${ctx.df.columns.length}"
         // partial aggregation folds each (single-chunk) partition of the
         // frozen base in its stored = seq order
-        val totals = ctx.df.select(col(ckName), col(vName))
+        val totals = totalsInput(ctx, ckName, vName, c)
           .groupBy(col(ckName).as("_gck")).agg(ringCol(col(vName)).as("_gring"))
           .select(col("_gck"), flatten(collect_list(col("_gring")).over(
             Window.orderBy(col("_gck"))
@@ -767,7 +781,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // per-chunk finals (partial aggregation folds the single-chunk
         // partitions of the frozen base in stored = seq order), then the
         // incoming state per chunk: a sequential fold over ~numChunks rows
-        val totals = ctx.df.select(col(ckName), col(vName))
+        val totals = totalsInput(ctx, ckName, vName, c)
           .groupBy(col(ckName).as("_gck"))
           .agg(GF.expSmoothAffine(col(vName), alpha).as("_gab"),
             GF.expSmoothScan(col(vName), alpha).as("_gsf"))
@@ -915,11 +929,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         else {
           val ckName = withChunkCol(ctx)
           val vName = s"_graft_cv${ctx.df.columns.length}"
-          ctx.df = ctx.df.withColumn(vName, goM(x))
+          val cv = goM(x)
+          ctx.df = ctx.df.withColumn(vName, cv)
           val chunkW = Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
             .rowsBetween(Window.unboundedPreceding, 0)
           val carryName = s"_graft_cc${ctx.df.columns.length}"
-          val totals = ctx.df.select(col(ckName), col(vName))
+          val totals = totalsInput(ctx, ckName, vName, cv)
             .groupBy(col(ckName).as("_gck"))
             .agg(GF.hysteresisScan(col(vName), acc, mx,
               startAcceptable = true).as("_gft"),
@@ -1534,9 +1549,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * the price — the reference materializes its stream in ringbufs too. */
   private def withChunkCol(ctx: RunCtx): String = {
     val ckName = "_graft_chunk"
-    if (!ctx.df.columns.contains(ckName))
+    if (!ctx.df.columns.contains(ckName)) {
       ctx.df = ctx.df.withColumn(ckName, shiftright(col(ctx.seqName), 33))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ctx.frozen = ctx.df
+    }
     ckName
   }
 
@@ -1552,7 +1569,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
         .rowsBetween(Window.unboundedPreceding, 0))
     val carryName = s"_graft_cc${ctx.df.columns.length}"
-    val totals = ctx.df.select(col(ckName), col(vName))
+    val totals = totalsInput(ctx, ckName, vName, c)
       .groupBy(col(ckName).as("_gck"))
       .agg(build(col(vName)).as("_gtot"))
       .select(col("_gck"), carryBuild(col("_gtot")).over(
@@ -1636,7 +1653,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
               .rowsBetween(Window.unboundedPreceding, 0))
           val carryName = s"_graft_cc${ctx.df.columns.length}"
-          val totals = ctx.df.select(col(ckName), col(vName))
+          val totals = totalsInput(ctx, ckName, vName, novel)
             .groupBy(col(ckName).as("_gck")).agg(sum(col(vName)).as("_gtot"))
             .select(col("_gck"), sum(col("_gtot")).over(
               Window.orderBy(col("_gck"))
@@ -2432,6 +2449,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         df = runCtx.get.df.withColumn("_graft_where", c)
           .filter(col("_graft_where")).drop("_graft_where")
         runCtx.get.df = df
+        // a stateful WHERE may have frozen the chunked base pre-filter;
+        // later carries must only total the rows that survived
+        if (runCtx.get.frozen != null) runCtx.get.frozen = df
       }
       // Bounded-lookback chains (lag/changed/derive/moveavg chains — the
       // common monitoring shape) DISTRIBUTE: every window partitions by
