@@ -152,7 +152,7 @@ object RaqlQueries {
         """DEFINE q AS
              FROM tables/events
              SELECT event_id,
-                    remember (0.01, ts, 3600, user_id) AS seen_1h,
+                    remember (0.01, 3600, user_id, ts) AS seen_1h,
                     distinct user_id AS novel_user;""")
         .orderBy("event_id"),
       Some("""SELECT event_id,

@@ -976,12 +976,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         } :+ op).map(goM)
         row_number().over(partedWindow(keyCols: _*)) > 1
 
-      case FunCall("remember", args) if args.size >= 4 =>
-        // REMEMBER (fpr, time, duration, e…): seen within `duration` of the
-        // last sighting. Batch is exact — no bloom false positives.
-        val t = go(args(1)).cast("double")
-        val dur = evalNum(args(2), params)
-        val keyCols = args.drop(3).map(go)
+      case FunCall("remember", args) if args.size >= 3 =>
+        // REMEMBER (fpr, dur, e[, tim]) — surface order per afun4_sf/
+        // afun3_sf (`src/RamenExpr.ml:1463-1468`; time defaults to event
+        // time): seen within `dur` of the last sighting (refresh=true).
+        // Batch is exact — no bloom false positives.
+        val hasTim = args.size >= 4
+        val t = (if (hasTim) goM(args.last) else time).cast("double")
+        val dur = evalNum(args(1), params)
+        val keyCols = (if (hasTim) args.drop(2).dropRight(1)
+          else args.drop(2)).map(goM)
         val wk = partedWindow(keyCols: _*)
         val prevT = lag(t, 1).over(wk)
         prevT.isNotNull && (t - prevT) <= dur
@@ -1829,21 +1833,47 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           return instances.map(k => compile(s"$k/$fName"))
             .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    // `../` climbs out of the referencing program's directory
-    val norm = ref.replace("#_", "")
+    // `prog#/func` (empty suffix) inherits the referencing instance's
+    // suffix (`src/RamenName.ml:172-180`)
+    val ref1 = ref.split('/').toSeq match {
+      case parts if parts.exists(_.endsWith("#")) =>
+        val suffix = progName.split('/').collectFirst {
+          case seg if seg.contains('#') => seg.substring(seg.indexOf('#'))
+        }.getOrElse("")
+        parts.map(p => if (p.endsWith("#")) p.dropRight(1) + suffix else p)
+          .mkString("/")
+      case _ => ref
+    }
+    // `../` resolves against the program NAME as a directory —
+    // `simplified_path(start ^ "/" ^ rel)`, `src/RamenName.ml:181-183`
+    def collapse(path: String): String = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      path.split('/').foreach {
+        case "" | "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case seg => out += seg
+      }
+      out.mkString("/")
+    }
+    val norm = ref1.replace("#_", "")
       .split('/').filterNot(_ == "..").mkString("/")
-    val candidates = Seq(
-      ref,                                   // fully qualified prog/func
-      s"$progName/$ref",                     // sibling function
-      ref.split('/').toSeq match {           // relative program path
+    val candidates0 = Seq(
+      ref1,                                  // fully qualified prog/func
+      s"$progName/$ref1",                    // sibling function
+      collapse(s"$progName/$ref1"),          // ../ relative program path
+      ref1.split('/').toSeq match {          // sibling program's function
         case parts if parts.length > 1 =>
           (progName.split('/').dropRight(1) ++ parts).mkString("/")
-        case _ => ref
+        case _ => ref1
       },
       norm, s"$progName/$norm")
-    candidates.collectFirst {
-      case c if lookupable(c) => compile(c)
-    }.getOrElse(throw new NoSuchElementException(s"FROM $ref (from $progName)"))
+    // an instance ref `p#ext/f` with no such instance registered falls
+    // back to the base program `p/f` (default parameters) in batch mode
+    val candidates = candidates0 ++ candidates0.filter(_.contains('#'))
+      .map(_.replaceAll("#[^/]*", ""))
+    candidates.collectFirst { case c if compiled.contains(c) => compiled(c) }
+      .orElse(candidates.collectFirst { case c if lookupable(c) => compile(c) })
+      .getOrElse(throw new NoSuchElementException(s"FROM $ref (from $progName)"))
   }
 
   private def lookupable(key: String): Boolean = {
@@ -1945,9 +1975,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       val full = new java.io.File(new java.io.File(baseDir,
         progName).getParentFile, path).getPath
       // single partition: RaQL first/last/lag depend on file arrival order
-      val df0 = graft.sources.CsvSource.read(spark, full, raw,
-        graft.sources.CsvSource.CsvSpec(separator = sep, nullStr = nullStr,
-          quote = if (quotes) "\"" else "\u0000")).coalesce(1)
+      // a READ source whose file doesn't exist yet is legal — the
+      // reference's workers WATCH for it (qps.ramen reads a file "the
+      // test suite will specify"); compile to an empty frame of the
+      // declared schema instead of failing analysis
+      val df0 =
+        (if (new java.io.File(full).exists())
+          graft.sources.CsvSource.read(spark, full, raw,
+            graft.sources.CsvSource.CsvSpec(separator = sep,
+              nullStr = nullStr,
+              quote = if (quotes) "\"" else "\u0000"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw))
+          .coalesce(1)
       def fmtIp(n: String) = graft.functions.GraftFunctions.formatIp(
         col(s"_${n}_v"), col(s"_${n}_a"))
       def tagged(t: String) =
@@ -2112,8 +2152,17 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // COUNT _low_emit`): aggregate operands must see the defining
     // expression, not a column that only exists post-aggregation.
     val aliasMap = scala.collection.mutable.Map.empty[String, Expr]
+    val outMap = scala.collection.mutable.Map.empty[String, Expr]
     def subAlias(x: Expr): Expr = x match {
       case Ref(Seq(nm)) if aliasMap.contains(nm) => aliasMap(nm)
+      // `out.x` names the output tuple being built: for an already-defined
+      // field it is that field's expression — INCLUDING aggregate fields
+      // (hosts.ramen `out.start + period AS stop` after
+      // `TRUNCATE(MIN start, …) AS start`; Out binding in
+      // `src/RamenOperation.ml:735-775`). Bare refs keep preferring the
+      // input column; only the explicit out. prefix reaches aggregates.
+      case Ref(Seq("out", nm)) if outMap.contains(nm) => outMap(nm)
+      case Ref(Seq("out", nm)) if aliasMap.contains(nm) => aliasMap(nm)
       case Binop(o, l, r) => Binop(o, subAlias(l), subAlias(r))
       case Unop(o, y) => Unop(o, subAlias(y))
       case FunCall(f, as) => FunCall(f, as.map(subAlias))
@@ -2129,6 +2178,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     val named1 = named0.map { case (e, n) =>
       val e2 = subAlias(e)
       if (!hasAgg(e2)) aliasMap(n) = e2
+      outMap(n) = e2
       (e2, n)
     }
     // Global-map access on the SELECT path (post alias substitution, so a
@@ -2229,6 +2279,33 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     finally typerDf = None
   }
 
+  /** Substitute refs to earlier AGGREGATE-bearing output fields (bare when
+    * no input column shadows them, always for `out.`-prefixed) with their
+    * defining expressions, so the referencing field can evaluate inside
+    * the same `agg()` call. */
+  private def subAggAliases(named: Seq[(Expr, String)], inputCols: Set[String],
+      acc: scala.collection.mutable.Map[String, Expr]): Seq[(Expr, String)] =
+    named.map { case (e, n) =>
+      def sub(x: Expr): Expr = x match {
+        case Ref(Seq(nm)) if acc.contains(nm) && !inputCols.contains(nm) =>
+          acc(nm)
+        case Ref(Seq("out", nm)) if acc.contains(nm) => acc(nm)
+        case Binop(o, l, r) => Binop(o, sub(l), sub(r))
+        case Unop(o, y) => Unop(o, sub(y))
+        case FunCall(f, as) => FunCall(f, as.map(sub))
+        case AggCall(f, op, m, ex) => AggCall(f, sub(op), m, ex.map(sub))
+        case PercentileCall(ps, op) => PercentileCall(ps, sub(op))
+        case CaseExpr(br, el) =>
+          CaseExpr(br.map { case (c0, v) => (sub(c0), sub(v)) }, el.map(sub))
+        case IsNull(y, ng) => IsNull(sub(y), ng)
+        case VectorLit(it) => VectorLit(it.map(sub))
+        case other => other
+      }
+      val e2 = sub(e)
+      if (hasAgg(e2)) acc(n) = e2
+      (e2, n)
+    }
+
   private def compileNamed(src: DataFrame, named: Seq[(Expr, String)],
       agg: Aggregate, params: Map[String, Expr],
       splitCols: Map[FunCall, Column]): DataFrame = {
@@ -2245,6 +2322,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val keys = agg.groupBy.zipWithIndex.map { case (k, i) =>
           compileExpr(k, params, splitCols).as(s"_gk$i")
         }
+        // a bare ref to an AGGREGATE alias that shadows no input column
+        // can only mean the out field (errors.ramen `err_count /
+        // tot_count AS err_ratio`): substitute its defining expression so
+        // the whole field evaluates inside this agg() (running mode
+        // instead reads the materialized window column — same state, not
+        // a second one)
+        val aggAlias = scala.collection.mutable.Map.empty[String, Expr]
+        val named = this.subAggAliases(fields, src.columns.toSet, aggAlias)
         val aggCols = named.collect {
           case (e, n) if hasAgg(e) => compileExpr(e, params, splitCols).as(n)
           case (e, n) if !keyIdx.contains(e) =>
@@ -2562,6 +2647,27 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // (tests/func/previous.ramen, tumbling.ramen, min_max.ramen…)
         val prefix = seqWindow().rowsBetween(Window.unboundedPreceding, 0)
         def prevSelf(x: Expr): Boolean = x == Ref(Seq("previous", n))
+        // flatten `t1 + t2 + …` and find the single (previous.x |? init)
+        // term: the rest is the running increment
+        object AddChain {
+          def unapply(x: Expr): Option[(Expr, Expr)] = {
+            def terms(e: Expr): Seq[Expr] = e match {
+              case Binop("+", l, r) => terms(l) ++ terms(r)
+              case other => Seq(other)
+            }
+            val ts = terms(x)
+            val inits = ts.collect {
+              case FunCall("coalesce", Seq(p, init)) if prevSelf(p) => init
+            }
+            val deltas = ts.filterNot {
+              case FunCall("coalesce", Seq(p, _)) => prevSelf(p)
+              case _ => false
+            }
+            if (ts.size >= 2 && inits.size == 1 && deltas.size == ts.size - 1)
+              Some((inits.head, deltas.reduce(Binop("+", _, _))))
+            else None
+          }
+        }
         val c = f.expr match {
           case FunCall("coalesce", Seq(p, init)) if prevSelf(p) =>
             // previous.x |? c alone: c on row one, then unchanged — constant
@@ -2572,14 +2678,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             val initC = compileExpr(init, params).cast("boolean")
             val odd = row_number().over(seqWindow()) % 2 === 1
             when(odd, !initC).otherwise(initC)
-          case Binop("+", d, FunCall("coalesce", Seq(p, init)))
-              if prevSelf(p) && !hasWindowFn(d) =>
+          case AddChain(init, delta) if !hasWindowFn(delta) =>
+            // any additive chain with one self term, e.g. logs_fast.ramen
+            // `(previous.start |? t0) + _clock_jitter + _dt`
             compileExpr(init, params) +
-              sum(matCol(compileExpr(d, params))).over(prefix)
-          case Binop("+", FunCall("coalesce", Seq(p, init)), d)
-              if prevSelf(p) && !hasWindowFn(d) =>
-            compileExpr(init, params) +
-              sum(matCol(compileExpr(d, params))).over(prefix)
+              sum(matCol(compileExpr(delta, params))).over(prefix)
           case FunCall("coalesce", Seq(Binop("+", p, d), init))
               if prevSelf(p) && !hasWindowFn(d) =>
             val dc = matCol(compileExpr(d, params))

@@ -36,25 +36,31 @@ object RaqlParser extends RegexParsers {
   // --- literals ---------------------------------------------------------
 
   private val number: Parser[Expr] = {
-    // suffixes: durations (0.1s, 1min), type tags (0u32, 1i8[?]); also hex
-    // and trailing-dot floats (`0.`)
-    val core = """-?(0x[0-9a-fA-F]+|\d+(\.\d*)?([eE]-?\d+)?)(ms|min|h|s|[ui](8|16|24|32|40|48|56|64|128)\??)?""".r
+    // suffixes: durations (0.1s, 1min, 1d), type tags (0u32, 1i8[?]); also
+    // hex, trailing-dot floats (`0.`), and `_` digit separators (10_000 —
+    // examples/generators/network/logs.ramen)
+    val core = """-?(0x[0-9a-fA-F]+|\d[\d_]*(\.[\d_]*)?([eE]-?\d+)?)(ms|min|h|s|d|[ui](8|16|24|32|40|48|56|64|128)\??)?""".r
     val unitWord =
       kw("milliseconds") | kw("millisecond") | kw("seconds") | kw("second") |
-      kw("minutes") | kw("minute") | kw("hours") | kw("hour")
-    core ~ opt(unitWord) ^^ { case s0 ~ unit =>
+      kw("minutes") | kw("minute") | kw("hours") | kw("hour") |
+      kw("days") | kw("day")
+    core ~ opt(unitWord) ^^ { case s1 ~ unit =>
+      val s0 = s1.replace("_", "")
       val (num, mult) =
         if (s0.matches(""".*[ui]\d+\??$""")) (s0.replaceAll("[ui]\\d+\\??$", ""), 1.0)
         else if (s0.endsWith("ms")) (s0.dropRight(2), 0.001)
         else if (s0.endsWith("min")) (s0.dropRight(3), 60.0)
         else if (s0.endsWith("h")) (s0.dropRight(1), 3600.0)
         else if (s0.endsWith("s")) (s0.dropRight(1), 1.0)
+        else if (s0.endsWith("d") && !s0.startsWith("0x"))
+          (s0.dropRight(1), 86400.0)
         else (s0, 1.0)
       val wordMult = unit match {
         case Some(u) if u.startsWith("milli") => 0.001
         case Some(u) if u.startsWith("second") => 1.0
         case Some(u) if u.startsWith("minute") => 60.0
         case Some(u) if u.startsWith("hour") => 3600.0
+        case Some(u) if u.startsWith("day") => 86400.0
         case _ => 1.0
       }
       val m = mult * wordMult
@@ -222,6 +228,19 @@ object RaqlParser extends RegexParsers {
       case fn ~ mods ~ e => AggCall(fn, e, mods.toSet)
     }
     samplePast | argsForm | withCount | simple
+  }
+
+  /** `k-ma [locally|globally] x` / `k-moveavg x` moving-average shorthand
+    * (`src/RamenExpr.ml:1682-1694`): the dash binds to the number, no
+    * blanks (a spaced `5 - ma` stays a subtraction). */
+  private def kMoveavg: Parser[Expr] = {
+    val mod = kw("globally") ^^^ "globally" | kw("locally") ^^^ "locally" |
+      (kw("skip") ~ (kw("nulls") | kw("null"))) ^^^ "skip_nulls"
+    """\d+-(moveavg|ma)\b""".r ~ rep(mod) ~ unaryExpr ^^ {
+      case s ~ mods ~ e =>
+        val k = s.takeWhile(_.isDigit)
+        AggCall("moveavg", e, mods.toSet + s"n=$k")
+    }
   }
 
   /** `IS x IN TOP n [AT TIME t] [FOR d] [ABOVE s SIGMAS]` /
@@ -403,7 +422,8 @@ object RaqlParser extends RegexParsers {
 
   private def primary: Parser[Expr] = {
     val base =
-      percentileCall | ordinalGet | ipLit | number | charLit | eventTimeRef |
+      percentileCall | ordinalGet | ipLit | kMoveavg | number | charLit |
+        eventTimeRef |
         stringLit |
         boolLit | nullLit | caseExpr | ifCall | castExpr | onceEvery |
         oneOutOf | peekCall | topMembership | pastOf | listTop |
@@ -423,7 +443,15 @@ object RaqlParser extends RegexParsers {
     ("*" ~ opt("-" ~> rep1sep(ident, ","))) ^^ {
       case _ ~ minus => SelectField(Ref(Seq("*")), minus.map(_.mkString("-")))
     } |
-    expr ~ opt(kw("as") ~> ident) ^^ { case e ~ a => SelectField(e, a) }
+    // `expr [AS name ["doc"] | DOC "doc"] [AGGREGATE USING f]`
+    // (`src/RamenOperation.ml:1201-1218`); the doc string and the
+    // re-aggregation hint are parsed and dropped (batch plans never
+    // re-aggregate archived outputs)
+    expr ~ opt(kw("doc") ~ stringLit) ~
+      opt((kw("as") ~> ident) ~ opt(stringLit)) <~
+      opt(kw("aggregate") ~> kw("using") ~> ident) ^^ {
+      case e ~ _ ~ a => SelectField(e, a.map(_._1))
+    }
 
   /** FROM names may climb (`../prog#_/f`) and carry experiment suffixes. */
   private val fromName: Parser[String] =
@@ -472,6 +500,8 @@ object RaqlParser extends RegexParsers {
   private case class CGroup(ks: Seq[Expr]) extends Clause
   private case class CCommit(before: Boolean, cond: Expr,
       keep: Boolean = false) extends Clause
+  private case class CCommitN(commit: CCommit, ntf: Option[Expr])
+      extends Clause
   private case class CEvery(e: Expr) extends Clause
   private case class CNotify(e: Expr) extends Clause
   private case class CSort(n: Int, until: Option[Expr], by: Seq[Expr])
@@ -482,21 +512,32 @@ object RaqlParser extends RegexParsers {
 
   def aggregateOp: Parser[Operation] = {
     val clause: Parser[Clause] =
-      (kw("select") | kw("yield")) ~> rep1sep(selectField, ",") ^^ CSelect.apply |
+      // the comma between fields is tolerated missing — the examples
+      // corpus omits it between consecutive aliased fields
+      // (examples/monitoring/network/hosts.ramen interface/disk blocks)
+      (kw("select") | kw("yield")) ~> rep1(selectField <~ opt(",")) ^^ CSelect.apply |
       fromClause ^^ CFrom.apply |
       (kw("where") | kw("when")) ~> expr ^^ CWhere.apply |
       kw("group") ~> kw("by") ~> rep1sep(expr, ",") ^^ CGroup.apply |
       // [COMMIT] [AND] [KEEP ALL | FLUSH] (AFTER|BEFORE|WHEN) cond
-      opt(kw("commit")) ~ opt(kw("and")) ~
+      // [COMMIT] [,] [AND] [KEEP ALL | FLUSH] [[,] [AND] NOTIFY e]
+      // (AFTER|BEFORE) cond — the NOTIFY may ride inside the commit
+      // clause (traffic.ramen `COMMIT, KEEP ALL AND NOTIFY "Traffic"
+      // AFTER …`, hosts.ramen `KEEP ALL AND NOTIFY "RAM is low" AFTER …`)
+      opt(kw("commit")) ~ opt(",") ~ opt(kw("and")) ~
         opt((kw("keep") ~ opt(kw("all")) ^^^ true) | (kw("flush") ^^^ false)) ~
+        opt(opt(",") ~> opt(kw("and")) ~> kw("notify") ~> expr) ~
         ((kw("after") ^^^ false) | (kw("before") ^^^ true)) ~ expr ^^ {
-          case _ ~ _ ~ keep ~ before ~ cond =>
-            CCommit(before, cond, keep.getOrElse(false))
+          case _ ~ _ ~ _ ~ keep ~ ntf ~ before ~ cond =>
+            CCommitN(CCommit(before, cond, keep.getOrElse(false)), ntf)
         } |
       kw("commit") ~ kw("when") ~> expr ^^ (CCommit(false, _)) |
       kw("every") ~> expr ^^ CEvery.apply |
       eventClause ^^ { case (s, e) => CEvent(s, e) } |
-      (kw("factors") | kw("factor")) ~> rep1sep(ident, ",") ^^ CFactors.apply |
+      // factors separate with `,` OR `and` (list_sep_and,
+      // `src/RamenParsing.ml:422-426`)
+      (kw("factors") | kw("factor")) ~>
+        rep1sep(ident, "," | kw("and")) ^^ CFactors.apply |
       // SORT LAST n [OR UNTIL cond] BY e…: bounded input reorder buffer
       // with optional early release (RamenOperation.ml:1280-1292)
       (kw("sort") ~> kw("last") ~> number) ~
@@ -509,8 +550,17 @@ object RaqlParser extends RegexParsers {
       kw("notify") ~> expr ^^ CNotify.apply |
       (kw("keep") ~ opt(kw("all")) | kw("flush")) ^^^ CIgnored
 
-    rep1(clause).filter(_.exists(_.isInstanceOf[CSelect])) ^^ { cs =>
-      val fields = cs.collect { case CSelect(fs) => fs }.flatten
+    // SELECT may be absent when FROM is given (qps.ramen `alert`:
+    // FROM + WHERE + NOTIFY): the implicit projection is `*`
+    rep1(clause).filter(cs => cs.exists(_.isInstanceOf[CSelect]) ||
+        cs.exists(_.isInstanceOf[CFrom])) ^^ { cs0 =>
+      val cs = cs0.map {
+        case CCommitN(c, _) => c
+        case other => other
+      }
+      val fields0 = cs.collect { case CSelect(fs) => fs }.flatten
+      val fields =
+        if (fields0.nonEmpty) fields0 else Seq(SelectField(Ref(Seq("*")), None))
       val from = cs.collect { case CFrom(r) => r }.flatten
       val wheres = cs.collect { case CWhere(e) => e }
       Aggregate(fields,
@@ -523,7 +573,8 @@ object RaqlParser extends RegexParsers {
         commitCond = cs.collectFirst { case CCommit(_, c, _) => c },
         commitKeep = cs.collectFirst { case CCommit(_, _, k) => k }.getOrElse(false),
         every = cs.collectFirst { case CEvery(e) => e },
-        notifyName = cs.collectFirst { case CNotify(e) => e },
+        notifyName = cs.collectFirst { case CNotify(e) => e }.orElse(
+          cs0.collectFirst { case CCommitN(_, Some(e)) => e }),
         sortLast = cs.collectFirst { case CSort(n, _, by) if by.nonEmpty => (n, by) },
         sortUntil = cs.collectFirst {
           case CSort(_, Some(u), by) if by.nonEmpty => u },
@@ -590,7 +641,10 @@ object RaqlParser extends RegexParsers {
           (kw("clickhouse") ~ kw("syntax")) ^^^ (("ch", Lit(null)))) ~
       ("(" ~> (chSchema | rep1sep(ident ~ rtype, ",") ^^
           (_.map { case n ~ t => (n, t) })) <~ ")") <~
-      opt(eventClause) ^^ {
+      // FACTORS and EVENT follow the schema in either order (qps.ramen)
+      rep(eventClause ^^^ (()) |
+          (kw("factors") | kw("factor")) ~ rep1sep(ident, "," | kw("and"))
+            ^^^ (())) ^^ {
       case Lit(path: String) ~ _ ~ _ ~ _ ~ opts ~ fields =>
         def optS(k: String, d: String): String =
           opts.collectFirst { case (`k`, Lit(s: String)) => s }.getOrElse(d)
@@ -635,12 +689,18 @@ object RaqlParser extends RegexParsers {
     readKafkaOp | readRowBinaryOp | readCsvOp | listenOp | aggregateOp
 
   private def define: Parser[Func] =
-    kw("define") ~> opt(kw("lazy")) ~> ident ~
+    // modifiers may come before OR after the name: `DEFINE memory PERSIST
+    // FOR 1d AS` (hosts.ramen) and `DEFINE PERSIST FOR 1h http AS`
+    // (aggregated.ramen) are both accepted by the reference
+    kw("define") ~> opt(kw("lazy")) ~>
+      opt(kw("persist") ~> kw("for") ~> expr <~
+        opt(kw("while") ~ kw("querying") ~ kw("every") ~ expr)) ~ ident ~
       opt(kw("persist") ~> kw("for") ~> expr <~
         opt(kw("while") ~ kw("querying") ~ kw("every") ~ expr)) ~
       opt(kw("best") ~> kw("after") ~> expr) ~
       (kw("as") ~> operation) <~ opt(";") ^^ {
-      case n ~ persist ~ best ~ op => Func(n, op, persist, best)
+      case pre ~ n ~ persist ~ best ~ op =>
+        Func(n, op, persist.orElse(pre), best)
     }
 
   private def paramDecl: Parser[Param] =

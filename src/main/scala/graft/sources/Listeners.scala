@@ -17,7 +17,7 @@ object Listeners {
 
   // --- netflow v5 (public packet layout) --------------------------------
   final case class NetflowRecord(
-      source: String, first: Double, last: Double, seqnum: Long,
+      source: String, start: Double, stop: Double, seqnum: Long,
       engine_type: Short, engine_id: Short,
       sampling_type: Short, sampling_rate: Int,
       src: Long, dst: Long, next_hop: Long,
@@ -26,8 +26,9 @@ object Listeners {
       ip_tos: Short, src_as: Int, dst_as: Int, src_mask: Short, dst_mask: Short)
 
   /** Decode one netflow v5 packet (24-byte header + n×48-byte records).
-    * `first`/`last` are converted from router sysuptime to absolute unix
-    * seconds the way the reference does. */
+    * The flow's first/last sysuptimes are converted to absolute unix
+    * seconds and emitted as `start`/`stop`, the reference's field names
+    * (`src/RamenNetflow.ml:120-128`). */
   def parseNetflowV5(source: String, packet: Array[Byte]): Seq[NetflowRecord] = {
     val b = ByteBuffer.wrap(packet).order(ByteOrder.BIG_ENDIAN)
     val version = b.getShort() & 0xffff
@@ -72,17 +73,25 @@ object Listeners {
   }
 
   // --- collectd binary protocol (public part-based layout) --------------
+  /** The reference's collectd tuple (`src/RamenCollectd.ml:24-80`):
+    * `instance` is collectd's plugin-instance part, `start` the (hi-res)
+    * timestamp, and each VALUES part spreads over `value`..`value5`
+    * nullable columns (a part with more than 5 values emits one record
+    * per chunk of 5 — nothing is silently dropped). */
   final case class CollectdRecord(
-      host: String, time: Double, plugin: String, plugin_instance: Option[String],
-      type_name: String, type_instance: Option[String], values: Seq[Double])
+      host: String, instance: Option[String], plugin: Option[String],
+      start: Double, type_instance: Option[String], type_name: Option[String],
+      value: Double, value2: Option[Double], value3: Option[Double],
+      value4: Option[Double], value5: Option[Double])
 
   /** Decode the collectd binary "parts" protocol: each part is
     * (type:u16be, len:u16be, payload); string parts are NUL-terminated;
     * VALUES parts carry (count, per-value type tag, 8-byte values). */
   def parseCollectd(packet: Array[Byte]): Seq[CollectdRecord] = {
     val b = ByteBuffer.wrap(packet).order(ByteOrder.BIG_ENDIAN)
-    var host = ""; var time = 0.0; var plugin = ""; var pluginInst: Option[String] = None
-    var typeName = ""; var typeInst: Option[String] = None
+    var host = ""; var time = 0.0
+    var plugin: Option[String] = None; var pluginInst: Option[String] = None
+    var typeName: Option[String] = None; var typeInst: Option[String] = None
     val out = scala.collection.mutable.ArrayBuffer[CollectdRecord]()
     def str(len: Int): String = {
       val arr = new Array[Byte](len - 4)
@@ -102,9 +111,9 @@ object Listeners {
         case 0x0000 => host = str(partLen)
         case 0x0001 => time = (b.getLong()).toDouble
         case 0x0008 => time = b.getLong() / 1073741824.0 // 2^30 hi-res
-        case 0x0002 => plugin = str(partLen)
+        case 0x0002 => plugin = Some(str(partLen)).filter(_.nonEmpty)
         case 0x0003 => pluginInst = Some(str(partLen)).filter(_.nonEmpty)
-        case 0x0004 => typeName = str(partLen)
+        case 0x0004 => typeName = Some(str(partLen)).filter(_.nonEmpty)
         case 0x0005 => typeInst = Some(str(partLen)).filter(_.nonEmpty)
         case 0x0006 =>
           val n = b.getShort() & 0xffff
@@ -116,8 +125,11 @@ object Listeners {
             case _ => // COUNTER/DERIVE/ABSOLUTE: big-endian int64
               b.getLong().toDouble
           }.toSeq
-          out += CollectdRecord(host, time, plugin, pluginInst, typeName,
-            typeInst, values)
+          values.grouped(5).foreach { chunk =>
+            out += CollectdRecord(host, pluginInst, plugin, time, typeInst,
+              typeName, chunk.head, chunk.lift(1), chunk.lift(2),
+              chunk.lift(3), chunk.lift(4))
+          }
         case _ => b.position(b.position() + (partLen - 4)) // skip unknown
       }
     } catch { case _: java.nio.BufferUnderflowException => () }

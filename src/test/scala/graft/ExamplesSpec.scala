@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raql.{RaqlCompiler, RaqlParser}
+import graft.raql.Ast.{ListenFor, ReadKafka}
+
+/** Sweep the reference's `examples/` corpus — its REAL-WORLD programs
+  * (`/root/reference/examples`: network monitoring on netflow+collectd,
+  * synthetic-load generators, a comms benchmark) as opposed to the unit
+  * fixtures under `tests/func`. Every program must parse, and every
+  * function that doesn't need a live socket must batch-compile to a
+  * DataFrame plan. These programs exercise cross-directory `FROM ../x/f`
+  * resolution (`src/RamenName.ml:168-183`), instance refs (`#1min`),
+  * parameter units, doc strings, and the reference's netflow/collectd
+  * LISTEN schemas (`src/RamenNetflow.ml`, `src/RamenCollectd.ml`). */
+class ExamplesSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+
+  private val exDir = "/root/reference/examples"
+
+  private def allPrograms: Map[String, String] = {
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.flatMap(walk)
+      else if (p.toString.endsWith(".ramen")) Seq(p) else Nil
+    walk(Paths.get(exDir)).map { p =>
+      val rel = Paths.get(exDir).relativize(p).toString.stripSuffix(".ramen")
+      rel -> Files.readString(p)
+    }.toMap
+  }
+
+  test("every example program parses") {
+    val failures = allPrograms.toSeq.sortBy(_._1).flatMap { case (name, src) =>
+      RaqlParser.parseProgram(src) match {
+        case Right(_) => None
+        case Left(e) => Some(s"$name: ${e.take(200)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every non-live example function batch-compiles") {
+    import spark.implicits._
+    val sources = allPrograms
+    val c = RaqlCompiler.fromSources(spark, exDir, sources)
+      .fold(e => fail(s"parse: $e"), identity)
+    // COUNTRYCODE compiles against registered GeoIP ranges (aggregated.ramen)
+    c.registerGeoRanges(Seq((0L, 2000000000L, "AA"), (2000000001L, 4294967295L, "BB")))
+    // comms.ramen predates runtime_stats.type: its benchmark reads the old
+    // instrumentation field names — expose the modern stats stream under
+    // them for the FROM metamon reference
+    locally {
+      import org.apache.spark.sql.functions.col
+      val stats = graft.streaming.Instrumentation(spark).df
+      c.registerTable("benchmarks/comms/metamon", stats.select(
+        col("worker"), col("stats_time").as("start"),
+        col("tot_out_tuples").as("tuples_out"),
+        col("tot_wait_in").as("wait_in"), col("tot_wait_out").as("wait_out"),
+        col("tot_cpu").as("cpu"), col("cur_ram").as("ram")))
+    }
+    // LISTEN FOR NETFLOW/COLLECTD need a bound socket: pre-register empty
+    // frames with the decoders' (reference) schemas so functions reading
+    // FROM them still compile; the LISTEN functions themselves are skipped
+    // (their sockets are exercised in StreamingSpec).
+    sources.foreach { case (prog, src) =>
+      RaqlParser.parseProgram(src).foreach(_.funcs.foreach { f =>
+        f.op match {
+          case ListenFor("netflow", _) => c.registerTable(s"$prog/${f.name}",
+            spark.emptyDataset[graft.sources.Listeners.NetflowRecord].toDF())
+          case ListenFor("collectd", _) => c.registerTable(s"$prog/${f.name}",
+            spark.emptyDataset[graft.sources.Listeners.CollectdRecord].toDF())
+          case _ => ()
+        }
+      })
+    }
+    var ok = 0; var tried = 0
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    sources.keys.toSeq.sorted.foreach { prog =>
+      RaqlParser.parseProgram(sources(prog)).foreach { p =>
+        p.funcs.foreach { f =>
+          val usesLive = f.op match {
+            case ListenFor(proto, _) => proto != "instrumentation"
+            case _: ReadKafka => true
+            case _ => false
+          }
+          if (!usesLive) {
+            tried += 1
+            try { c.compile(s"$prog/${f.name}"); ok += 1 }
+            catch { case e: Exception =>
+              failures += s"$prog/${f.name}: ${e.toString.take(250)}" }
+          }
+        }
+      }
+    }
+    info(s"compiled $ok/$tried example functions")
+    failures.foreach(f => info(s"  FAIL $f"))
+    assert(ok == tried, s"only $ok of $tried example functions compiled:\n" +
+      failures.mkString("\n"))
+  }
+}
