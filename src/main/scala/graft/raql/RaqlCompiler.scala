@@ -2330,14 +2330,52 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // a second one)
         val aggAlias = scala.collection.mutable.Map.empty[String, Expr]
         val named = this.subAggAliases(fields, src.columns.toSet, aggAlias)
+        // STREAMING tumbling translation: on a streaming source, a
+        // `t // d` group key is the reference's time-bucket idiom
+        // (security.ramen `GROUP BY start // 60 COMMIT AFTER in.start >
+        // out.start + 120`) — compile it to the native event-time window
+        // with a watermark, so the SAME RaQL text runs append-mode
+        // Structured Streaming: state is bounded by the watermark and the
+        // COMMIT slack becomes the allowed lateness.
+        var src1 = src
+        val streamKeys: Option[Seq[Column]] =
+          if (!src.isStreaming) None
+          else {
+            val bucket = agg.groupBy.zipWithIndex.collectFirst {
+              case (Binop("//", tE, dE), i) => (tE, dE, i)
+            }.flatMap { case (tE, dE, i) =>
+              scala.util.Try(evalNum(dE, params)).toOption.map(d => (tE, d, i))
+            }
+            bucket.map { case (tE, d, bi) =>
+              // allowed lateness from the commit slack:
+              // `in.t > out.x + s` / `in.t >= out.x + s` → s; default d
+              val lateness = agg.commitCond.collect {
+                case Binop(">" | ">=", Ref(Seq("in", _) | Seq(_)),
+                    Binop("+", _, sE @ (Lit(_) | Ref(_)))) =>
+                  try evalNum(sE, params) catch { case _: Exception => d }
+              }.getOrElse(d)
+              typerDf = Some(src)
+              val tCol =
+                try compileExpr(tE, params, splitCols) finally typerDf = None
+              src1 = src.withColumn("_graft_evt",
+                timestamp_seconds(tCol.cast("double")))
+                .withWatermark("_graft_evt", s"${math.max(lateness, 1.0)} seconds")
+              agg.groupBy.zipWithIndex.map { case (k, i) =>
+                if (i == bi)
+                  window(col("_graft_evt"), s"$d seconds").as(s"_gk$i")
+                else compileExpr(k, params, splitCols).as(s"_gk$i")
+              }
+            }
+          }
         val aggCols = named.collect {
           case (e, n) if hasAgg(e) => compileExpr(e, params, splitCols).as(n)
           case (e, n) if !keyIdx.contains(e) =>
             last(compileExpr(e, params, splitCols)).as(n)
         }
+        val keys1 = streamKeys.getOrElse(keys)
         val aggDf =
-          if (aggCols.nonEmpty) src.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-          else src.groupBy(keys: _*).agg(count(lit(1)).as("_graft_cnt"))
+          if (aggCols.nonEmpty) src1.groupBy(keys1: _*).agg(aggCols.head, aggCols.tail: _*)
+          else src1.groupBy(keys1: _*).agg(count(lit(1)).as("_graft_cnt"))
         aggDf.select(named.map { case (e, n) =>
           keyIdx.get(e) match {
             case Some(i) => col(s"_gk$i").as(n)

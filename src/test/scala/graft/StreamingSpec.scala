@@ -295,6 +295,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("STATEFUL grouped RaQL runs append-mode streaming via window+watermark") {
+    // the reference's tumbling idiom — GROUP BY t // d with a COMMIT
+    // slack — compiles on a streaming source to the native event-time
+    // window + watermark: the SAME RaQL text drives batch and an
+    // append-mode stream, and every window the watermark closed matches
+    // the batch result bit-for-bit
+    val dir = "/root/testdata/sf0.001"
+    val raql = """DEFINE q AS
+        FROM tables/ev
+        SELECT TRUNCATE(MIN ets, 3600) AS wstart, event_type,
+               SUM 1 AS n, SUM value AS total
+        GROUP BY event_type, ets // 3600
+        COMMIT AFTER in.ets > out.wstart + 7200;"""
+    val evBatch = Tables.events(spark, dir)
+      .withColumn("ets", col("ts").cast("double"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_tumble")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", col("ts").cast("double"))
+    def compiled(ev: org.apache.spark.sql.DataFrame) = {
+      val c = new RaqlCompiler(spark, dir)
+      c.registerTable("tables/ev", ev)
+      RaqlParser.parseProgram(raql) match {
+        case Right(p) => c.register("main", p)
+        case Left(e) => fail(s"parse: $e")
+      }
+      c.compile("main/q")
+    }
+    val sdf = compiled(evStream)
+    assert(sdf.isStreaming, "tumbling grouped RaQL should stay streaming")
+    val q = sdf.writeStream.format("memory").queryName("raqltumble")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("raqltumble")
+    val batch = compiled(evBatch)
+    // append emits only watermark-closed windows; every emitted row must
+    // equal its batch counterpart, and the bulk of windows must emit
+    assert(streamed.count() > 0, "no window closed under the watermark")
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streamed rows diverge from batch")
+    assert(streamed.count() >= batch.count() / 2,
+      s"too few closed windows: ${streamed.count()} of ${batch.count()}")
+  }
+
   test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
     // a RaQL program reading the stats feed, like comms.ramen's metamon
     val src = Map("mon" -> """DEFINE metamon AS
