@@ -1118,6 +1118,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val asD = c.try_cast("double")
         when(c.isNotNull, coalesce(c.try_cast("decimal(38,0)"),
           when(asD >= 0, maxD).when(asD < 0, minD)))
+      // an integer cast of an ipv4 LITERAL is its numeric address
+      // (logs.ramen `u32(192.168.42.0) + u8(RANDOM * 5)`)
+      case (n, Seq(Lit(s: String)))
+          if castType(n).exists(t => t == "long" || t.startsWith("int") ||
+            t.startsWith("bigint") || t.startsWith("decimal")) &&
+            s.matches("""\d+\.\d+\.\d+\.\d+""") =>
+        lit(s.split('.').foldLeft(0L)((a, b) => a * 256 + b.toLong))
+          .cast(castType(n).get)
       case (n, Seq(x)) if castType(n).isDefined => go(x).cast(castType(n).get)
       case (n, Seq(x)) if n.startsWith("array_") &&
           castType(n.stripPrefix("array_")).isDefined =>
@@ -2272,9 +2280,43 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case _ => (src, agg)
     }
     typerDf = Some(srcW)
+    // GROUPED tumbling via the cross-group COMMIT BEFORE idiom
+    // (hosts.ramen: `GROUP BY host COMMIT BEFORE in.start >= out.stop`
+    // with stop = out.start + d and start = TRUNCATE(MIN start, d)): the
+    // emitted windows ARE the (host, t // d) groups — add the time
+    // bucket as a group key, so batch emits one row per window and a
+    // streaming source picks up the window+watermark translation.
+    val outDefs1 = named.map { case (e, n) => n -> e }.toMap
+    def tumblingBucket: Option[Expr] = aggW.commitCond.flatMap {
+      case Binop(">=" | ">", Ref(Seq("in", t)), stopRef) =>
+        val stopName = stopRef match {
+          case Ref(Seq("out", n)) => Some(n)
+          case Ref(Seq(n)) => Some(n)
+          case _ => None
+        }
+        stopName.flatMap(outDefs1.get).flatMap {
+          // start's definition was already substituted into stop's
+          case Binop("+",
+              FunCall("truncate",
+                Seq(AggCall("min", Ref(Seq(`t`) | Seq("in", `t`)), _, _), dE2)),
+              dE) if dE2 == dE =>
+            Some(Binop("//", Ref(Seq(t)), dE))
+          case _ => None
+        }
+      case _ => None
+    }
+    val aggT =
+      if (aggW.commitBefore && !aggW.commitKeep && aggW.groupBy.nonEmpty &&
+          !aggW.groupBy.exists {
+            case Binop("//", _, _) => true
+            case _ => false
+          })
+        tumblingBucket.map(b => aggW.copy(groupBy = aggW.groupBy :+ b))
+          .getOrElse(aggW)
+      else aggW
     // GROUP BY may key on OUT aliases (`lower word AS word … GROUP BY
     // word`, word_count.ramen) — substitute the defining expressions
-    val agg2 = aggW.copy(groupBy = aggW.groupBy.map(subAlias))
+    val agg2 = aggT.copy(groupBy = aggT.groupBy.map(subAlias))
     try compileNamed(srcW, named, agg2, params, splitCols)
     finally typerDf = None
   }
@@ -2668,10 +2710,37 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           }
         case _ => None
       }
+      // COMMIT AFTER horizon variant (security.ramen DDoS_detector:
+      // `GROUP BY start // 60 COMMIT AFTER in.start > out.start + 120`,
+      // start = TRUNCATE(start, d)): emission is time-driven, not
+      // state-driven — a window emits when a LATER tuple passes its
+      // horizon, which per (group, window) is its final row; batch also
+      // flushes the end-of-input pending windows
+      def horizonBucket(cc: Expr): Option[Expr] = cc match {
+        case Binop(">" | ">=", Ref(Seq("in", t)), Binop("+", baseRef, _)) =>
+          val baseName = baseRef match {
+            case Ref(Seq("out", n)) => Some(n)
+            case Ref(Seq(n)) => Some(n)
+            case _ => None
+          }
+          baseName.flatMap(outDefs.get).flatMap {
+            case FunCall("truncate",
+                Seq(Ref(Seq(`t`) | Seq("in", `t`)), dE)) =>
+              Some(Binop("//", Ref(Seq(t)), dE))
+            case FunCall("truncate",
+                Seq(AggCall("min", Ref(Seq(`t`) | Seq("in", `t`)), _, _), dE)) =>
+              Some(Binop("//", Ref(Seq(t)), dE))
+            case AggCall("min",
+                b @ Binop("//", Ref(Seq(`t`) | Seq("in", `t`)), _), _, _) =>
+              Some(b)
+            case _ => None
+          }
+        case _ => None
+      }
       val timeBucket =
-        if (agg.commitBefore && !agg.commitKeep)
-          agg.commitCond.flatMap(timeWindowBucket)
-        else None
+        if (agg.commitKeep) None
+        else if (agg.commitBefore) agg.commitCond.flatMap(timeWindowBucket)
+        else agg.commitCond.flatMap(horizonBucket)
       timeBucket.foreach { b =>
         val d0 = runCtx.get.df.withColumn("_graft_twin", compileExpr(b, params))
         runCtx.get.df = d0

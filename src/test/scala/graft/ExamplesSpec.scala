@@ -45,6 +45,43 @@ class ExamplesSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("security DDoS_detector counts new connections per minute slice") {
+    // pins the modifier-less 3-arg REMEMBER (fpr, dur, (src; dst)) inside
+    // SUM (`examples/monitoring/network/security.ramen:6-27`; arg order
+    // afun3_sf, `src/RamenExpr.ml:1466-1468`): a (src,dst) pair already
+    // seen within the hour no longer counts as a new connection
+    import spark.implicits._
+    val c = new RaqlCompiler(spark, "/tmp")
+    // minute 0: pairs (1,9) twice and (2,9) once → 2 new; minute 1: (1,9)
+    // again within the hour → 0 new, (3,9) → 1 new
+    // the trailing far-future row advances in.start past every window's
+    // commit horizon so all slices emit
+    c.registerTable("tables/flows", Seq(
+      (1L, 9L, 10.0), (1L, 9L, 20.0), (2L, 9L, 30.0),
+      (1L, 9L, 70.0), (3L, 9L, 80.0),
+      (9L, 9L, 10000.0)).toDF("src", "dst", "start"))
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/flows
+        GROUP BY start // 60
+        COMMIT AFTER in.start > out.start + 120
+        SELECT
+          TRUNCATE(start, 60) AS start,
+          sum (1.1 * float (NOT REMEMBER (0.1, 3600, (src; dst)))) / 60
+            AS new_cnxs_per_secs;""") match {
+      case Right(p) => c.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val got = c.compile("m/q").collect()
+      .map(r => (r.getAs[Number]("start").doubleValue(),
+        math.rint(r.getAs[Number]("new_cnxs_per_secs").doubleValue() * 600)
+          / 10)).toMap
+    // per-second rates × 60. REMEMBER defaults to LOCAL lifespan under
+    // GROUP BY (`src/RamenOperation.ml:865-877`): state is per minute
+    // slice, so minute 0 dedups its (1,9) repeat (2 new × 1.1 = 2.2) and
+    // minute 1's (1,9) counts again (2 new); the flusher row is 1 new
+    assert(got == Map(0.0 -> 2.2, 60.0 -> 2.2, 9960.0 -> 1.1), s"got $got")
+  }
+
   test("every non-live example function batch-compiles") {
     import spark.implicits._
     val sources = allPrograms
@@ -91,7 +128,13 @@ class ExamplesSpec extends AnyFunSuite {
           }
           if (!usesLive) {
             tried += 1
-            try { c.compile(s"$prog/${f.name}"); ok += 1 }
+            // compile AND execute: a plan that dies at runtime (bad cast,
+            // unresolved generator, empty-source edge) is not covered
+            try {
+              val df = c.compile(s"$prog/${f.name}")
+              if (!df.isStreaming) df.count() // streaming plans: compile only
+              ok += 1
+            }
             catch { case e: Exception =>
               failures += s"$prog/${f.name}: ${e.toString.take(250)}" }
           }

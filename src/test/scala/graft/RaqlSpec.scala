@@ -881,6 +881,32 @@ class RaqlSpec extends AnyFunSuite {
     assert(years.toSet.size == 100) // a reorder, not a filter
   }
 
+  test("cross-group COMMIT BEFORE tumbling groups by (key, time window)") {
+    // hosts.ramen idiom: GROUP BY host, COMMIT BEFORE in.start >= out.stop
+    // with stop = out.start + d and start = TRUNCATE(MIN start, d) — the
+    // emitted rows are per (host, d-window), not one per host
+    import spark.implicits._
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/x", Seq(
+      ("a", 10.0, 1.0), ("a", 20.0, 2.0), ("a", 40.0, 3.0),
+      ("b", 5.0, 10.0), ("b", 65.0, 20.0)).toDF("host", "start", "value"))
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/x
+        SELECT TRUNCATE(MIN start, 30) AS start, out.start + 30 AS stop,
+               host, SUM value AS total
+        GROUP BY host
+        COMMIT BEFORE in.start >= out.stop;""") match {
+      case Right(p) => c.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val got = c.compile("m/q").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Double]("start"),
+        r.getAs[Double]("stop"), r.getAs[Double]("total"))).toSet
+    assert(got == Set(
+      ("a", 0.0, 30.0, 3.0), ("a", 30.0, 60.0, 3.0),
+      ("b", 0.0, 30.0, 10.0), ("b", 60.0, 90.0, 20.0)))
+  }
+
   test("GROUP BY running mode partitions every window by the group key") {
     import org.apache.spark.sql.functions.{count, min, max}
     val src = Map(
