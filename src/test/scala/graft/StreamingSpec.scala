@@ -344,6 +344,51 @@ class StreamingSpec extends AnyFunSuite {
       s"too few closed windows: ${streamed.count()} of ${batch.count()}")
   }
 
+  test("hosts.ramen's COMMIT BEFORE shape streams via the same translation") {
+    // the flagship monitoring idiom (hosts.ramen memory/cpu/disk...):
+    // GROUP BY key + COMMIT BEFORE in.t >= out.stop with stop =
+    // out.start + d, start = TRUNCATE(MIN t, d). The compiler adds the
+    // implied t // d window key, which on a streaming source becomes the
+    // event-time window + watermark — same text, batch and stream.
+    val dir = "/root/testdata/sf0.001"
+    val raql = """DEFINE q AS
+        FROM tables/ev
+        SELECT TRUNCATE(MIN ets, 3600) AS wstart, out.wstart + 3600 AS wstop,
+               event_type, AVG value AS avg_v, SUM 1 AS n
+        GROUP BY event_type
+        COMMIT BEFORE in.ets >= out.wstop;"""
+    val evBatch = Tables.events(spark, dir)
+      .withColumn("ets", col("ts").cast("double"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_hosts")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", col("ts").cast("double"))
+    def compiled(ev: org.apache.spark.sql.DataFrame) = {
+      val c = new RaqlCompiler(spark, dir)
+      c.registerTable("tables/ev", ev)
+      RaqlParser.parseProgram(raql) match {
+        case Right(p) => c.register("main", p)
+        case Left(e) => fail(s"parse: $e")
+      }
+      c.compile("main/q")
+    }
+    val sdf = compiled(evStream)
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("hostsshape")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hostsshape")
+    val batch = compiled(evBatch)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(streamed.count() >= batch.count() / 2)
+  }
+
   test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
     // a RaQL program reading the stats feed, like comms.ramen's metamon
     val src = Map("mon" -> """DEFINE metamon AS
