@@ -389,6 +389,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() >= batch.count() / 2)
   }
 
+  test("UDP collectd -> hosts-style tumbling RaQL windows end-to-end") {
+    // live socket -> reference collectd schema -> the hosts.ramen shape
+    // compiled on the stream: windows close as the watermark passes
+    import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+    import java.nio.{ByteBuffer, ByteOrder}
+    val udp = new UdpIngest(spark, 0).start()
+    try {
+      val c = new RaqlCompiler(spark, "/tmp")
+      c.registerTable("mon/collectd", udp.collectd)
+      RaqlParser.parseProgram("""DEFINE q AS
+          FROM mon/collectd
+          SELECT TRUNCATE(MIN start, 60) AS wstart, out.wstart + 60 AS wstop,
+                 host, AVG value AS v
+          GROUP BY host
+          COMMIT BEFORE in.start >= out.wstop;""") match {
+        case Right(p) => c.register("m", p)
+        case Left(e) => fail(s"parse: $e")
+      }
+      val sdf = c.compile("m/q")
+      assert(sdf.isStreaming)
+      val q = sdf.writeStream.format("memory").queryName("collectd_win")
+        .outputMode("append").start()
+      def packet(host: String, time: Long, value: Double): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        def part(t: Int, payload: Array[Byte]): Unit = {
+          val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          bb.putShort(t.toShort).putShort((payload.length + 4).toShort)
+          out.write(bb.array()); out.write(payload)
+        }
+        part(0x0000, (host + "\u0000").getBytes("UTF-8"))
+        val tb = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+          .putLong(time)
+        part(0x0001, tb.array())
+        part(0x0002, "load\u0000".getBytes("UTF-8"))
+        val vb = ByteBuffer.allocate(2 + 1 + 8).order(ByteOrder.BIG_ENDIAN)
+        vb.putShort(1).put(1.toByte)
+        vb.order(ByteOrder.LITTLE_ENDIAN).putDouble(value)
+        part(0x0006, vb.array())
+        out.toByteArray
+      }
+      val sock = new DatagramSocket()
+      def send(b: Array[Byte]): Unit =
+        sock.send(new DatagramPacket(b, b.length,
+          InetAddress.getLoopbackAddress, udp.boundPort))
+      // window [0,60): two samples on web01; then a far-future packet
+      // whose event time closes it under the watermark
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        send(packet("web01", 10, 1.0))
+        send(packet("web01", 20, 3.0))
+        send(packet("web01", 100000, 9.0))
+        Thread.sleep(200)
+        q.processAllAvailable()
+        done = spark.table("collectd_win").count() > 0
+      }
+      q.stop()
+      sock.close()
+      val rows = spark.table("collectd_win")
+        .filter(col("wstart") === 0.0).collect()
+      assert(rows.nonEmpty, "window [0,60) never closed")
+      val r = rows.head
+      assert(r.getAs[String]("host") == "web01")
+      assert(math.abs(r.getAs[Double]("v") - 2.0) < 1e-9)
+    } finally udp.stop()
+  }
+
   test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
     // a RaQL program reading the stats feed, like comms.ramen's metamon
     val src = Map("mon" -> """DEFINE metamon AS
