@@ -19,6 +19,12 @@ object RaqlQueries {
         if (t == "events") Tables.events(s, dir) else Tables.load(s, dir, t))
       catch { case _: Throwable => () }
     }
+    // an epoch-seconds view of events for time-window programs (the
+    // reference's sources carry numeric start columns)
+    try c.registerTable("tables/events_ets",
+      Tables.events(s, dir).withColumn("ets",
+        org.apache.spark.sql.functions.col("ts").cast("double")))
+    catch { case _: Throwable => () }
     RaqlParser.parseProgram(src) match {
       case Right(p) => c.register("main", p); c.compile("main/q")
       case Left(e) => throw new IllegalArgumentException(s"RaQL parse: $e")
@@ -263,6 +269,22 @@ object RaqlQueries {
                   AND CURRENT ROW), TRUE) AS ok,
           round(f.l + 0.9*f.t, 6) AS holt6
         FROM ev e JOIN fold f ON f.rn = e.rn
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    QueryDef(
+      "r11_raql_tumbling_commit",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events_ets
+             SELECT TRUNCATE(MIN ets, 3600) AS wstart,
+                    out.wstart + 3600 AS wstop,
+                    event_type, SUM 1 AS n
+             GROUP BY event_type
+             COMMIT BEFORE in.ets >= out.wstop;""")
+        .orderBy("event_type", "wstart"),
+      Some("""SELECT FLOOR(epoch(ts) / 3600) * 3600 AS wstart,
+          FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS wstop,
+          event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3 ORDER BY event_type, wstart"""))
   )
 }
