@@ -80,8 +80,20 @@ final class Instrumentation(spark: SparkSession) extends StreamingQueryListener 
   private val maxRetained = 10000L
   private var added = 0L
 
-  /** The queryable stats stream (schema = runtime_stats.type). */
-  def df: DataFrame = stream.toDF()
+  /** The queryable stats stream (schema = runtime_stats.type, plus the
+    * pre-runtime_stats instrumentation names as alias columns — the
+    * reference's own examples/benchmarks/comms.ramen still reads
+    * start/tuples_out/wait_in/wait_out/cpu/ram). */
+  def df: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    stream.toDF()
+      .withColumn("start", col("stats_time"))
+      .withColumn("tuples_out", col("tot_out_tuples"))
+      .withColumn("wait_in", col("tot_wait_in"))
+      .withColumn("wait_out", col("tot_wait_out"))
+      .withColumn("cpu", col("tot_cpu"))
+      .withColumn("ram", col("cur_ram"))
+  }
 
   /** Deregister from the session and drop the cached instance. */
   def close(): Unit = {

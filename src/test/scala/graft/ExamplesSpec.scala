@@ -89,18 +89,6 @@ class ExamplesSpec extends AnyFunSuite {
       .fold(e => fail(s"parse: $e"), identity)
     // COUNTRYCODE compiles against registered GeoIP ranges (aggregated.ramen)
     c.registerGeoRanges(Seq((0L, 2000000000L, "AA"), (2000000001L, 4294967295L, "BB")))
-    // comms.ramen predates runtime_stats.type: its benchmark reads the old
-    // instrumentation field names — expose the modern stats stream under
-    // them for the FROM metamon reference
-    locally {
-      import org.apache.spark.sql.functions.col
-      val stats = graft.streaming.Instrumentation(spark).df
-      c.registerTable("benchmarks/comms/metamon", stats.select(
-        col("worker"), col("stats_time").as("start"),
-        col("tot_out_tuples").as("tuples_out"),
-        col("tot_wait_in").as("wait_in"), col("tot_wait_out").as("wait_out"),
-        col("tot_cpu").as("cpu"), col("cur_ram").as("ram")))
-    }
     // LISTEN FOR NETFLOW/COLLECTD need a bound socket: pre-register empty
     // frames with the decoders' (reference) schemas so functions reading
     // FROM them still compile; the LISTEN functions themselves are skipped

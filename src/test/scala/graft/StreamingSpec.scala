@@ -389,6 +389,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() >= batch.count() / 2)
   }
 
+  test("the streaming tumbling plan watermarks and windows the group key") {
+    // scale shape: state partitions by (window, key) under an event-time
+    // watermark — no unbounded per-group state
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .parquet(java.nio.file.Files.createTempDirectory("graft_plan").toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", col("ts").cast("double"))
+    val c = new RaqlCompiler(spark, dir)
+    c.registerTable("tables/ev", ev)
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT event_type, SUM 1 AS n
+        GROUP BY event_type, ets // 60
+        COMMIT AFTER in.ets > out.n + 120;""") match {
+      case Right(p) => c.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("m/q")
+    val analyzed = sdf.queryExecution.analyzed.toString
+    assert(analyzed.contains("EventTimeWatermark"),
+      s"no watermark in:\n$analyzed")
+    assert(analyzed.toLowerCase.contains("window"),
+      s"no window key in:\n$analyzed")
+  }
+
   test("UDP collectd -> hosts-style tumbling RaQL windows end-to-end") {
     // live socket -> reference collectd schema -> the hosts.ramen shape
     // compiled on the stream: windows close as the watermark passes
