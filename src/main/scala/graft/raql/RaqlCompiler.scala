@@ -968,6 +968,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val t = goM(op).cast("double")
         val prevT = lag(t, 1).over(partedWindow(keyCols: _*))
         prevT.isNotNull && (t - prevT) <= dur
+      // modifier 3-arg spelling `REMEMBER GLOBALLY (fpr, dur, key)`:
+      // time defaults to event time, dur is honored (afun3_sf,
+      // RamenExpr.ml:1466-1468)
+      case AggCall("remember", op, _, extra) if extra.size == 2 =>
+        val dur = evalNum(extra(1), params)
+        val t = time.cast("double")
+        val prevT = lag(t, 1).over(partedWindow(goM(op)))
+        prevT.isNotNull && (t - prevT) <= dur
       // degenerate spelling without a time argument: seen-before-ever
       case AggCall("remember", op, _, extra) if extra.nonEmpty =>
         val keyCols = (extra.filterNot {
@@ -1121,8 +1129,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // an integer cast of an ipv4 LITERAL is its numeric address
       // (logs.ramen `u32(192.168.42.0) + u8(RANDOM * 5)`)
       case (n, Seq(Lit(s: String)))
-          if castType(n).exists(t => t == "long" || t.startsWith("int") ||
-            t.startsWith("bigint") || t.startsWith("decimal")) &&
+          if castType(n).exists(t => t == "smallint" || t == "int" ||
+            t == "bigint" || t.startsWith("decimal")) &&
             s.matches("""\d+\.\d+\.\d+\.\d+""") =>
         lit(s.split('.').foldLeft(0L)((a, b) => a * 256 + b.toLong))
           .cast(castType(n).get)
@@ -1879,8 +1887,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // back to the base program `p/f` (default parameters) in batch mode
     val candidates = candidates0 ++ candidates0.filter(_.contains('#'))
       .map(_.replaceAll("#[^/]*", ""))
-    candidates.collectFirst { case c if compiled.contains(c) => compiled(c) }
-      .orElse(candidates.collectFirst { case c if lookupable(c) => compile(c) })
+    // candidate ORDER is the resolution priority: for each candidate try
+    // the registered-table cache, then the program registry — a cached
+    // weaker candidate must not shadow an earlier correct one
+    candidates.iterator.flatMap { c =>
+      compiled.get(c).orElse(if (lookupable(c)) Some(compile(c)) else None)
+    }.nextOption()
       .getOrElse(throw new NoSuchElementException(s"FROM $ref (from $progName)"))
   }
 
@@ -2170,7 +2182,6 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // `src/RamenOperation.ml:735-775`). Bare refs keep preferring the
       // input column; only the explicit out. prefix reaches aggregates.
       case Ref(Seq("out", nm)) if outMap.contains(nm) => outMap(nm)
-      case Ref(Seq("out", nm)) if aliasMap.contains(nm) => aliasMap(nm)
       case Binop(o, l, r) => Binop(o, subAlias(l), subAlias(r))
       case Unop(o, y) => Unop(o, subAlias(y))
       case FunCall(f, as) => FunCall(f, as.map(subAlias))
@@ -2288,7 +2299,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // streaming source picks up the window+watermark translation.
     val outDefs1 = named.map { case (e, n) => n -> e }.toMap
     def tumblingBucket: Option[Expr] = aggW.commitCond.flatMap {
-      case Binop(">=" | ">", Ref(Seq("in", t)), stopRef) =>
+      // '>=' ONLY: with '>' a tuple at exactly t == stop still joins the
+      // closing window, which the t//d regrouping cannot express
+      case Binop(">=", Ref(Seq("in", t)), stopRef) =>
         val stopName = stopRef match {
           case Ref(Seq("out", n)) => Some(n)
           case Ref(Seq(n)) => Some(n)
@@ -2380,6 +2393,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // Structured Streaming: state is bounded by the watermark and the
         // COMMIT slack becomes the allowed lateness.
         var src1 = src
+        var streamBucket: Option[(Int, Double)] = None
         val streamKeys: Option[Seq[Column]] =
           if (!src.isStreaming) None
           else {
@@ -2402,6 +2416,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
               src1 = src.withColumn("_graft_evt",
                 timestamp_seconds(tCol.cast("double")))
                 .withWatermark("_graft_evt", s"${math.max(lateness, 1.0)} seconds")
+              streamBucket = Some((bi, d))
               agg.groupBy.zipWithIndex.map { case (k, i) =>
                 if (i == bi)
                   window(col("_graft_evt"), s"$d seconds").as(s"_gk$i")
@@ -2420,6 +2435,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           else src1.groupBy(keys1: _*).agg(count(lit(1)).as("_graft_cnt"))
         aggDf.select(named.map { case (e, n) =>
           keyIdx.get(e) match {
+            // a field equal to the streaming bucket key reads the numeric
+            // bucket back out of the window struct, matching batch
+            case Some(i) if streamBucket.exists(_._1 == i) =>
+              floor(col(s"_gk$i").getField("start").cast("double") /
+                streamBucket.get._2).as(n)
             case Some(i) => col(s"_gk$i").as(n)
             case None => col(n)
           } }: _*)
@@ -2716,6 +2736,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // state-driven — a window emits when a LATER tuple passes its
       // horizon, which per (group, window) is its final row; batch also
       // flushes the end-of-input pending windows
+      // Only sound when the grouping ITSELF is the t//d bucket: the
+      // detector then merely switches emission to last-row-per-group.
+      // Per-key windows whose membership the slack defines (reference
+      // keeps key k's window open until one of k's tuples passes
+      // start + s) must NOT be re-bucketed by d.
       def horizonBucket(cc: Expr): Option[Expr] = cc match {
         case Binop(">" | ">=", Ref(Seq("in", t)), Binop("+", baseRef, _)) =>
           val baseName = baseRef match {
@@ -2723,17 +2748,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             case Ref(Seq(n)) => Some(n)
             case _ => None
           }
-          baseName.flatMap(outDefs.get).flatMap {
+          val timeShaped = baseName.flatMap(outDefs.get).exists {
             case FunCall("truncate",
-                Seq(Ref(Seq(`t`) | Seq("in", `t`)), dE)) =>
-              Some(Binop("//", Ref(Seq(t)), dE))
+                Seq(Ref(Seq(`t`) | Seq("in", `t`)), _)) => true
             case FunCall("truncate",
-                Seq(AggCall("min", Ref(Seq(`t`) | Seq("in", `t`)), _, _), dE)) =>
-              Some(Binop("//", Ref(Seq(t)), dE))
+                Seq(AggCall("min", Ref(Seq(`t`) | Seq("in", `t`)), _, _), _)) =>
+              true
             case AggCall("min",
-                b @ Binop("//", Ref(Seq(`t`) | Seq("in", `t`)), _), _, _) =>
-              Some(b)
-            case _ => None
+                Binop("//", Ref(Seq(`t`) | Seq("in", `t`)), _), _, _) => true
+            case _ => false
+          }
+          if (!timeShaped) None
+          else agg.groupBy.collectFirst {
+            case b @ Binop("//", Ref(Seq(`t`) | Seq("in", `t`)), _) => b
           }
         case _ => None
       }

@@ -881,6 +881,30 @@ class RaqlSpec extends AnyFunSuite {
     assert(years.toSet.size == 100) // a reorder, not a filter
   }
 
+  test("REMEMBER GLOBALLY (fpr, dur, key) honors dur against event time") {
+    // the modifier 3-arg spelling must match the modifier-less one
+    // (afun3_sf, RamenExpr.ml:1466-1468): an entry last seen beyond dur
+    // is NOT remembered
+    import spark.implicits._
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/x", Seq(
+      ("A", 0.0), ("A", 1.0), ("A", 10.0), ("B", 10.5))
+      .toDF("k", "start"))
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/x
+        SELECT k, start, REMEMBER GLOBALLY (0.1, 2, k) AS r;""") match {
+      case Right(p) => c.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val got = c.compile("m/q").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("start"),
+        r.getAs[Boolean]("r"))).toSet
+    assert(got == Set(
+      ("A", 0.0, false), ("A", 1.0, true), // within 2 s of last sighting
+      ("A", 10.0, false),                  // 9 s later: expired
+      ("B", 10.5, false)))
+  }
+
   test("cross-group COMMIT BEFORE tumbling groups by (key, time window)") {
     // hosts.ramen idiom: GROUP BY host, COMMIT BEFORE in.start >= out.stop
     // with stop = out.start + d and start = TRUNCATE(MIN start, d) — the
