@@ -285,6 +285,30 @@ object RaqlQueries {
       Some("""SELECT FLOOR(epoch(ts) / 3600) * 3600 AS wstart,
           FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS wstop,
           event_type, COUNT(*) AS n
-        FROM events GROUP BY 1, 2, 3 ORDER BY event_type, wstart"""))
+        FROM events GROUP BY 1, 2, 3 ORDER BY event_type, wstart""")),
+
+    QueryDef(
+      "r12_raql_horizon_remember",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events_ets
+             GROUP BY ets // 3600
+             COMMIT AFTER in.ets > out.wstart + 7200
+             SELECT TRUNCATE(ets, 3600) AS wstart,
+                    SUM (float (NOT REMEMBER (0.01, 900, user_id)))
+                      AS new_users;""")
+        .orderBy("wstart"),
+      // REMEMBER is LOCAL under GROUP BY: per (hour slice, user) the lag
+      // of event time decides novelty; the horizon commit emits each
+      // slice's final (total) row
+      Some("""SELECT FLOOR(epoch(ts) / 3600) * 3600 AS wstart,
+          SUM(CASE WHEN prev IS NULL OR epoch(ts) - prev > 900
+              THEN 1.0 ELSE 0.0 END) AS new_users
+        FROM (SELECT ts,
+                lag(epoch(ts)) OVER (
+                  PARTITION BY FLOOR(epoch(ts) / 3600), user_id
+                  ORDER BY event_id) AS prev
+              FROM events)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
