@@ -229,7 +229,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** Stateful functions that force running mode (AggCall spellings). */
   private val windowFns = Set("lag", "smooth", "derive", "hysteresis",
-    "remember", "sample", "sample_past", "latest", "oldest", "largest",
+    "remember", "recall", "sample", "sample_past", "latest", "oldest", "largest",
     "smallest", "changed", "past", "once_every", "one_out_of",
     "is_in_top", "rank_in_top", "moveavg")
 
@@ -997,6 +997,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val wk = partedWindow(keyCols: _*)
         val prevT = lag(t, 1).over(wk)
         prevT.isNotNull && (t - prevT) <= dur
+
+      // modifier spellings of RECALL mirror REMEMBER's tuple forms
+      case AggCall("recall", op, _, extra) if extra.size >= 3 =>
+        val dur = evalNum(extra(1), params)
+        val keyCols = extra.drop(2).map(goM)
+        graft.functions.GraftFunctions.recallScan(goM(op).cast("double"), dur)
+          .over(partedWindow(keyCols: _*)
+            .rowsBetween(Window.unboundedPreceding, 0))
+      case AggCall("recall", op, _, extra) if extra.size == 2 =>
+        val dur = evalNum(extra(1), params)
+        graft.functions.GraftFunctions.recallScan(time.cast("double"), dur)
+          .over(partedWindow(goM(op))
+            .rowsBetween(Window.unboundedPreceding, 0))
 
       case FunCall("recall", args) if args.size >= 3 =>
         // RECALL (fpr, dur, key[, tim]) — REMEMBER with refresh=false

@@ -185,7 +185,7 @@ object RaqlParser extends RegexParsers {
 
   private val aggNames = Set("min", "max", "sum", "avg", "first", "last",
     "count", "bitor", "bitand", "bitxor", "group", "distinct", "lag",
-    "smooth", "derive", "hysteresis", "remember", "sample", "all", "any",
+    "smooth", "derive", "hysteresis", "remember", "recall", "sample", "all", "any",
     "latest", "oldest", "largest", "smallest", "changed", "past")
 
   /** Aggregate call: name, optional modifiers, then a unary operand (no

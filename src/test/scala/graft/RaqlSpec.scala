@@ -881,6 +881,28 @@ class RaqlSpec extends AnyFunSuite {
     assert(years.toSet.size == 100) // a reorder, not a filter
   }
 
+  test("RECALL GLOBALLY remembers from registration, without refresh") {
+    // RECALL = REMEMBER with refresh=false (RamenExpr.ml:1469-1472): a
+    // sighting inside the window does NOT extend it
+    import spark.implicits._
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/x", Seq(
+      ("A", 0.0), ("A", 1.0), ("A", 1.5), ("A", 3.0))
+      .toDF("k", "start"))
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/x
+        SELECT k, start, RECALL GLOBALLY (0.1, 2, k, start) AS r;""") match {
+      case Right(p) => c.register("m", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val got = c.compile("m/q").collect()
+      .map(r => (r.getAs[Double]("start"), r.getAs[Boolean]("r"))).toSet
+    // registered at 0; 1 and 1.5 are within dur=2 of REGISTRATION (and do
+    // not refresh it); 3.0 is past 0+2 → novel again (REMEMBER, which
+    // refreshes, would still return true there: 3.0 - 1.5 < 2)
+    assert(got == Set((0.0, false), (1.0, true), (1.5, true), (3.0, false)))
+  }
+
   test("REMEMBER GLOBALLY (fpr, dur, key) honors dur against event time") {
     // the modifier 3-arg spelling must match the modifier-less one
     // (afun3_sf, RamenExpr.ml:1466-1468): an entry last seen beyond dur
