@@ -483,6 +483,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally udp.stop()
   }
 
+  test("randomized tumbling equality: every closed window matches batch") {
+    // seeded adversarial input — random keys, jittered/duplicated/
+    // boundary-exact event times — through the same RaQL text in batch
+    // and append-mode streaming
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val rows = (1 to 5000).map { i =>
+      val t = rnd.nextInt(50) * 60 +
+        (if (rnd.nextBoolean()) 0.0 else rnd.nextDouble() * 59)
+      (s"k${rnd.nextInt(7)}", t, rnd.nextInt(100).toDouble, i.toLong)
+    }
+    val raql = """DEFINE q AS
+        FROM tables/r
+        SELECT TRUNCATE(MIN ets, 60) AS wstart, k,
+               SUM 1 AS n, MIN v AS lo, MAX v AS hi
+        GROUP BY k, ets // 60
+        COMMIT AFTER in.ets > out.wstart + 120;"""
+    val batchDf = rows.toDF("k", "ets", "v", "id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rand")
+    batchDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(tmp.toString).schema).parquet(tmp.toString)
+    def compiled(df: org.apache.spark.sql.DataFrame) = {
+      val c = new RaqlCompiler(spark, "/tmp")
+      c.registerTable("tables/r", df)
+      RaqlParser.parseProgram(raql) match {
+        case Right(p) => c.register("m", p)
+        case Left(e) => fail(s"parse: $e")
+      }
+      c.compile("m/q")
+    }
+    val sdf = compiled(streamDf)
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("randtumble")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("randtumble")
+    val batch = compiled(batchDf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streamed windows diverge from batch")
+    assert(streamed.count() >= batch.count() / 2)
+  }
+
   test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
     // a RaQL program reading the stats feed, like comms.ramen's metamon
     val src = Map("mon" -> """DEFINE metamon AS
