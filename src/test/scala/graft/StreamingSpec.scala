@@ -528,6 +528,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() >= batch.count() / 2)
   }
 
+  test("UDP graphite -> RaQL filter end-to-end") {
+    // the third LISTEN decoder live: plaintext metrics over the socket,
+    // filtered through compiled RaQL
+    import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+    val udp = new UdpIngest(spark, 0).start()
+    try {
+      val c = new RaqlCompiler(spark, "/tmp")
+      c.registerTable("mon/graphite", udp.graphite)
+      RaqlParser.parseProgram("""DEFINE q AS
+          FROM mon/graphite
+          SELECT path, value WHERE value > 0.5;""") match {
+        case Right(p) => c.register("m", p)
+        case Left(e) => fail(s"parse: $e")
+      }
+      val sdf = c.compile("m/q")
+      assert(sdf.isStreaming)
+      val q = sdf.writeStream.format("memory").queryName("graphite_out")
+        .outputMode("append").start()
+      val sock = new DatagramSocket()
+      val payload =
+        "servers.web01.cpu 0.93 1700000000\nservers.web01.mem 0.10 1700000000\n"
+          .getBytes("UTF-8")
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("graphite_out").count() == 0 &&
+          System.currentTimeMillis() < deadline) {
+        sock.send(new DatagramPacket(payload, payload.length,
+          InetAddress.getLoopbackAddress, udp.boundPort))
+        Thread.sleep(150)
+        q.processAllAvailable()
+      }
+      q.stop()
+      sock.close()
+      val rows = spark.table("graphite_out").collect()
+      assert(rows.nonEmpty, "no graphite metric passed the filter")
+      assert(rows.forall(_.getAs[String]("path") == "servers.web01.cpu"),
+        "the value <= 0.5 metric leaked through")
+    } finally udp.stop()
+  }
+
   test("LISTEN FOR INSTRUMENTATION is a queryable runtime-stats stream") {
     // a RaQL program reading the stats feed, like comms.ramen's metamon
     val src = Map("mon" -> """DEFINE metamon AS
