@@ -110,8 +110,13 @@ object Dedup {
     * persisted so lineage doesn't stack. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // the edge frame is consumed TWICE per iteration (propagation join +
+    // convergence count) across O(diameter) rounds — persist it, or the
+    // whole upstream pair-generation join (O(n²) in the exact path)
+    // re-executes 2×rounds times
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     var labels = vertices.select(col("id"), col("id").as("label")).persist()
     var changed = 1L
     var it = 0
@@ -126,6 +131,7 @@ object Dedup {
       labels = next
       it += 1
     }
+    sym.unpersist()
     labels
   }
 
