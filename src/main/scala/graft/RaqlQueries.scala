@@ -282,8 +282,8 @@ object RaqlQueries {
              GROUP BY event_type
              COMMIT BEFORE in.ets >= out.wstop;""")
         .orderBy("event_type", "wstart"),
-      Some("""SELECT FLOOR(epoch(ts) / 3600) * 3600 AS wstart,
-          FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS wstop,
+      Some("""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS wstart,
+          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600 AS wstop,
           event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2, 3 ORDER BY event_type, wstart""")),
 
@@ -301,7 +301,7 @@ object RaqlQueries {
       // REMEMBER is LOCAL under GROUP BY: per (hour slice, user) the lag
       // of event time decides novelty; the horizon commit emits each
       // slice's final (total) row
-      Some("""SELECT FLOOR(epoch(ts) / 3600) * 3600 AS wstart,
+      Some("""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS wstart,
           SUM(CASE WHEN prev IS NULL OR epoch(ts) - prev > 900
               THEN 1.0 ELSE 0.0 END) AS new_users
         FROM (SELECT ts,

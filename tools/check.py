@@ -78,6 +78,24 @@ for name in sorted(oracle):
         print(f"FAIL  {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         n_fail += 1
         continue
+    # dtype-strict: the driver's hash distinguishes 3600 (int64) from
+    # 3600.0 (DOUBLE) even when float() would compare equal. Compare the
+    # pandas dtype *kind* per column ('i'/'u' merged; bool vs int kept
+    # apart). NaN-promotion to float64 happens on both loaders alike, so
+    # int-vs-float here means a genuine schema mismatch, not nulls.
+    kind = lambda d: {"u": "i"}.get(d.kind, d.kind)
+    dtype_bad = None
+    for c in sorted(spark_df.columns):
+        ka, kb = kind(spark_df[c].dtype), kind(duck_df[c].dtype)
+        if ka != kb:
+            dtype_bad = (c, spark_df[c].dtype, duck_df[c].dtype)
+            break
+    if dtype_bad is not None:
+        c, da, db = dtype_bad
+        print(f"FAIL  {name}: dtype col={c} spark={da} duck={db} "
+              f"(driver hash is dtype-strict)")
+        n_fail += 1
+        continue
     a, b = canon(spark_df), canon(duck_df)
     exact = True
     close = True
