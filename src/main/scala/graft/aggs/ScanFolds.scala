@@ -458,6 +458,105 @@ case class DampedHoltScan(
     copy(child = c)
 }
 
+/** Affine fold state for the chunked DAMPED HOLT: the rows folded so far
+  * act on any incoming (level, trend) as the affine map
+  * (l, t) -> (a11·l + a12·t + b1, a21·l + a22·t + b2). */
+final class HoltAffineState(var a11: Double, var a12: Double, var b1: Double,
+    var a21: Double, var a22: Double, var b2: Double)
+
+/** The within-chunk half of a DISTRIBUTED `SMOOTH_DAMPED_HOLT`: the Holt
+  * recurrence is LINEAR in (level, trend) with the sample x entering only
+  * the constant term, so a chunk's whole fold is an affine 3×3 map (here
+  * the non-trivial 2×3 block). Maps compose associatively, so per-chunk
+  * finals carry across chunks from the reference's (0,0) start — no
+  * global single-partition scan. Each homogeneous column and the constant
+  * column evolve by the SAME scalar recurrence as [[DampedHoltScan]]
+  * (x present only in the constant column), which keeps the float path as
+  * close to the sequential fold as re-association allows; like the
+  * chunked SMOOTH this is algebraically (not bit-) equal, hence opt-in
+  * (graft.raql.chunkedHolt). Nulls are the identity map. */
+case class DampedHoltAffineScan(
+    child: Expression,
+    alpha: Double,
+    beta: Double,
+    phi: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HoltAffineState] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): HoltAffineState =
+    new HoltAffineState(1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+
+  override def update(b: HoltAffineState, row: InternalRow): HoltAffineState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      // column (a11, a21): the image of (1, 0) — linear part only
+      val l1 = (1.0 - alpha) * (b.a11 + phi * b.a21)
+      val t1 = beta * (l1 - b.a11) + (1.0 - beta) * phi * b.a21
+      // column (a12, a22): the image of (0, 1)
+      val l2 = (1.0 - alpha) * (b.a12 + phi * b.a22)
+      val t2 = beta * (l2 - b.a12) + (1.0 - beta) * phi * b.a22
+      // constant column: the image of (0, 0) — x enters here, exactly the
+      // scalar recurrence of DampedHoltScan
+      val lb = alpha * x + (1.0 - alpha) * (b.b1 + phi * b.b2)
+      val tb = beta * (lb - b.b1) + (1.0 - beta) * phi * b.b2
+      b.a11 = l1; b.a21 = t1
+      b.a12 = l2; b.a22 = t2
+      b.b1 = lb; b.b2 = tb
+    }
+    b
+  }
+
+  private def isIdentity(s: HoltAffineState): Boolean =
+    s.a11 == 1.0 && s.a12 == 0.0 && s.b1 == 0.0 &&
+      s.a21 == 0.0 && s.a22 == 1.0 && s.b2 == 0.0
+
+  // an identity map in either slot composes away regardless of order; the
+  // frozen chunked base keeps one chunk per partition, so a genuine
+  // two-sided merge (order unknowable) only happens on misuse
+  override def merge(b: HoltAffineState, o: HoltAffineState): HoltAffineState =
+    if (isIdentity(o)) b
+    else if (isIdentity(b)) {
+      b.a11 = o.a11; b.a12 = o.a12; b.b1 = o.b1
+      b.a21 = o.a21; b.a22 = o.a22; b.b2 = o.b2; b
+    } else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: HoltAffineState): Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b.a11, b.a12, b.b1, b.a21, b.a22, b.b2))
+
+  override def serialize(b: HoltAffineState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(48)
+    buf.putDouble(b.a11).putDouble(b.a12).putDouble(b.b1)
+      .putDouble(b.a21).putDouble(b.a22).putDouble(b.b2)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HoltAffineState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    new HoltAffineState(buf.getDouble(), buf.getDouble(), buf.getDouble(),
+      buf.getDouble(), buf.getDouble(), buf.getDouble())
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("a11", DoubleType, nullable = false),
+    StructField("a12", DoubleType, nullable = false),
+    StructField("b1", DoubleType, nullable = false),
+    StructField("a21", DoubleType, nullable = false),
+    StructField("a22", DoubleType, nullable = false),
+    StructField("b2", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_damped_holt_affine"
+
+  override def withNewMutableAggBufferOffset(x: Int): DampedHoltAffineScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): DampedHoltAffineScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): DampedHoltAffineScan =
+    copy(child = c)
+}
+
 /** Holt-Winters fold state: level, trend, additive seasonal ring, cycle. */
 final class HoltWinterState(var init: Boolean, var l: Double, var t: Double,
     var seasons: Array[Double], var cycle: Int)

@@ -96,6 +96,11 @@ final class DecayedTopState(val capacity: Int, val decay: Double,
   /** key -> (inflated weight, overestimation error) */
   val weights: mutable.HashMap[String, (Double, Double)] = mutable.HashMap.empty
   var t0: Double = Double.NaN
+  /** Latest observed event time — the canonical origin [[top]] rebases to,
+    * so reported weights are Σ w·exp((t−tMax)·decay): independent of
+    * partition boundaries (each partition's t0 is its FIRST event, which
+    * is layout-dependent) and exactly reproducible by a SQL oracle. */
+  var tMax: Double = Double.NaN
   var sumW: Double = 0.0
   var sumW2: Double = 0.0
   var nW: Long = 0L
@@ -109,6 +114,7 @@ final class DecayedTopState(val capacity: Int, val decay: Double,
 
   def observe(key: String, w: Double, t: Double): Unit = {
     if (w == 0.0) return
+    tMax = if (tMax.isNaN) t else math.max(tMax, t)
     val infl =
       if (decay == 0.0) 1.0
       else if (t0.isNaN) { t0 = t; 1.0 }
@@ -159,10 +165,15 @@ final class DecayedTopState(val capacity: Int, val decay: Double,
       weights ++= merged.toSeq.sortBy { case (k, (w, _)) => (-w, k) }.take(capacity)
     else weights ++= merged
     sumW += o.sumW; sumW2 += o.sumW2; nW += o.nW
+    tMax = if (tMax.isNaN) o.tMax
+           else if (o.tMax.isNaN) tMax
+           else math.max(tMax, o.tMax)
   }
 
-  /** top-k by (weight desc, key asc) after the sigma cutoff. */
+  /** top-k by (weight desc, key asc) after the sigma cutoff, with weights
+    * first rebased to the canonical origin tMax (see [[tMax]]). */
   def top(k: Int): Seq[(String, Double)] = {
+    if (decay != 0.0 && !tMax.isNaN && !t0.isNaN && tMax != t0) rebase(tMax)
     val cutoff =
       if (sigmas <= 0.0 || nW == 0L) Double.NegativeInfinity
       else {
@@ -305,7 +316,7 @@ case class DecayedTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.capacity); out.writeDouble(b.decay); out.writeDouble(b.sigmas)
-    out.writeDouble(b.t0)
+    out.writeDouble(b.t0); out.writeDouble(b.tMax)
     out.writeDouble(b.sumW); out.writeDouble(b.sumW2); out.writeLong(b.nW)
     out.writeInt(b.weights.size)
     b.weights.foreach { case (key, (w, e)) =>
@@ -318,7 +329,7 @@ case class DecayedTopK(
   override def deserialize(bytes: Array[Byte]): DecayedTopState = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val st = new DecayedTopState(in.readInt(), in.readDouble(), in.readDouble())
-    st.t0 = in.readDouble()
+    st.t0 = in.readDouble(); st.tMax = in.readDouble()
     st.sumW = in.readDouble(); st.sumW2 = in.readDouble(); st.nW = in.readLong()
     val n = in.readInt()
     var i = 0

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{DampedHoltScan, DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HoltWinterScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DampedHoltAffineScan, DampedHoltScan, DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HoltWinterScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
   * sequential-scan functions.
@@ -103,6 +103,16 @@ object GraftFunctions {
   def expSmoothAffine(x: Column, alpha: Double): Column =
     ExpressionUtils.column(
       ExpSmoothAffineScan(col2e(x.cast("double")), alpha).toAggregateExpression())
+
+  /** The prefix fold of SMOOTH_DAMPED_HOLT as an affine map
+    * struct(a11,a12,b1,a21,a22,b2) over the incoming (level, trend) —
+    * the within-chunk half of the distributed DAMPED HOLT
+    * ([[DampedHoltAffineScan]]). */
+  def dampedHoltAffine(x: Column, alpha: Double, beta: Double,
+      phi: Double): Column =
+    ExpressionUtils.column(
+      DampedHoltAffineScan(col2e(x.cast("double")), alpha, beta, phi)
+        .toAggregateExpression())
 
   /** FIT_MULTI prediction over a window-collected array of (y, x1…xp)
     * structs: through-origin least squares of all but the last observation,

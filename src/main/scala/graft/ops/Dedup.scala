@@ -153,20 +153,26 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16·chunks
     * guarantees candidate completeness via the pigeonhole chunk join). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
-    // Map-only simhash: the native one-pass SimHash64 expression (same
-    // per-token hash and majority vote as the earlier explode + 64-vote-
-    // column aggregation) computes the fingerprint inside whole-stage
-    // codegen with NO per-doc shuffle; the only exchange is the narrow
-    // (chunk, chunk_val) bucket partitioning.
-    val fps = docs
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsOfFps(simhashFps(docs, idCol, textCol), maxHamming)
+
+  /** Map-only simhash fingerprints: the native one-pass SimHash64
+    * expression (same per-token hash and majority vote as the earlier
+    * explode + 64-vote-column aggregation) computes the fingerprint inside
+    * whole-stage codegen with NO per-doc shuffle. */
+  def simhashFps(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .repartition(par(docs))
       .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+
+  /** Pigeonhole chunk join over a precomputed (id, fp) frame; the only
+    * exchange is the narrow (chunk, chunk_val) bucket partitioning. */
+  def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
     val chunks = fps.select(col("id"), col("fp"), posexplode(
       expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-      .repartition(par(docs), col("chunk"), col("chunk_val"))
+      .repartition(par(fps), col("chunk"), col("chunk_val"))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
@@ -175,6 +181,35 @@ object Dedup {
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-doc audit of the pigeonhole chunk join against brute-force
+    * Hamming pairs: `pigeonhole_ok` iff the doc's neighbor set from the
+    * production chunk-join path equals the exhaustive O(n²) one. The two
+    * sets are provably equal (hamming ≤ 3 of 4 chunks ⇒ ≥ 1 chunk equal),
+    * so a `false` row means the simhash/banding implementation broke —
+    * this is the DuckDB-orac-able surface of a hash-specific operator
+    * whose pair values SQL cannot recompute. The brute-force side runs on
+    * the 8-byte fingerprints only (n²/2 codegen'd XOR+popcounts — cheap
+    * relative to the text scan even at bench scale; the o(n²) production
+    * answer is still the chunk join). */
+  def simhashPigeonholeAudit(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFps(docs, idCol, textCol)
+    val viaChunks = simhashPairsOfFps(fps, maxHamming).select("id_a", "id_b")
+    val f = fps.repartition(par(fps))
+    val bruteForce = f.as("a").join(f.as("b"), col("a.id") < col("b.id"))
+      .filter(hamming64(col("a.fp"), col("b.fp")) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val mismatch = viaChunks.exceptAll(bruteForce)
+      .unionByName(bruteForce.exceptAll(viaChunks))
+    val badIds = mismatch.select(col("id_a").as("id"))
+      .unionByName(mismatch.select(col("id_b").as("id"))).distinct()
+    // badIds is empty whenever the implementation is correct — broadcast
+    // it (the except-pipeline's stats would otherwise force a sort-merge)
+    fps.select(col("id"))
+      .join(broadcast(badIds.withColumn("bad", lit(true))), Seq("id"), "left")
+      .select(col("id"), col("bad").isNull.as("pigeonhole_ok"))
   }
 
   /** Exact embedding-cosine near-dup pairs (brute force; verification path).

@@ -82,19 +82,29 @@ object Similarity {
     * explode to their nprobe cells and broadcast-join the assigned corpus.
     * Versus brute force, compared candidates drop to ~nprobe/nlist of the
     * corpus; versus LSH, recall degrades gracefully with distance instead
-    * of banding cliffs. Seeds are hash-ordered corpus vectors — stable
-    * across runs, no kmeans iterations (a kmeans refinement would reuse
-    * exactly this assignment plan per iteration). */
+    * of banding cliffs. Seeds are the `nlist` lowest-id corpus vectors —
+    * as arbitrary as a hash order for seeding purposes, stable across
+    * runs, and exactly reproducible by the SQL oracle (ORDER BY id LIMIT
+    * nlist), so the whole pipeline — cell argmax, probe selection,
+    * re-rank — is value-checkable end to end. No kmeans iterations (a
+    * kmeans refinement would reuse exactly this assignment plan per
+    * iteration). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val dim = vecDim(corpus, vecCol)
-    // deterministic seed centroids, L2-normalized at the driver
+    // deterministic seed centroids, L2-normalized at the driver; floats
+    // widen exactly (f.doubleValue) so the oracle's CAST(x AS DOUBLE)
+    // sees bit-identical components
     val cents: Seq[Seq[Double]] = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("h", xxhash64(col("id"))).orderBy("h").limit(nlist)
+      .orderBy(col("id")).limit(nlist)
       .select("v").collect()
       .map { r =>
-        val raw = r.getSeq[Any](0).map(x => x.toString.toDouble)
+        val raw = r.getSeq[Any](0).map {
+          case f: java.lang.Float => f.doubleValue
+          case d: java.lang.Double => d.doubleValue
+          case x => x.toString.toDouble
+        }
         val n = math.sqrt(raw.map(x => x * x).sum)
         raw.map(_ / math.max(n, 1e-12)).toSeq
       }.toSeq
@@ -166,5 +176,49 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= minCos)
       .distinct()
+  }
+
+  /** Per-query-point recall audit of [[lshNeighbors]]: for each query id
+    * (< nQueries), count its exact neighbors at minCos (one linear
+    * broadcast pass — NOT all-pairs) and assert the production LSH pair
+    * set caught at least `minRecall` of them. `n_true` is value-checked
+    * by the SQL oracle; `recall_ok` is the deterministic (seeded
+    * hyperplanes) recall assertion — a red row means the banding lost
+    * recall it used to have. */
+  def lshRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
+      bands: Int, r: Int, minCos: Double, nQueries: Int,
+      minRecall: Double): DataFrame = {
+    val dim = vecDim(embs, vecCol)
+    val pairs = lshNeighbors(embs, idCol, vecCol, bands, r, minCos)
+    val found = pairs.select(col("id_a").as("qid"), col("id_b").as("nid"))
+      .unionByName(pairs.select(col("id_b").as("qid"), col("id_a").as("nid")))
+      .filter(col("qid") < nQueries)
+    val v = withVec(embs, idCol, vecCol, dim)
+    val q = broadcast(v.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm")))
+    val exact = q.join(v.as("c"), col("qid") =!= col("c.id"))
+      .select(col("qid"), col("c.id").as("nid"),
+        round(dotFlat(col("qv"), col("c.v"), dim) /
+          (col("qnorm") * col("c.norm")), 9).as("cos"))
+      .filter(col("cos") >= minCos)
+    // `found` is the LSH pair set restricted to the nQueries query points
+    // — a few rows per query at any corpus size; broadcast it (the stats
+    // estimate of the candidate pipeline would otherwise force sort-merge)
+    val stats = exact
+      .join(broadcast(found.withColumn("hit", lit(true))),
+        Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_found"))
+    // fresh un-hinted spine (broadcast(q) must not propagate onto the
+    // LEFT/stream side of a left-outer join); the per-query stats frame is
+    // ≤ nQueries rows — broadcast it rather than shuffling both sides
+    v.filter(col("id") < nQueries).select(col("id").as("query_id"))
+      .join(broadcast(stats.withColumnRenamed("qid", "query_id")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        (coalesce(col("n_found"), lit(0L)).cast("double") >=
+          lit(minRecall) * coalesce(col("n_true"), lit(0L))).as("recall_ok"))
   }
 }

@@ -803,6 +803,56 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       }
     }
 
+    /** DAMPED HOLT, sequential by default; opt-in chunked mode
+      * (graft.raql.chunkedHolt=true) distributes the ungrouped scan the
+      * same way as [[smoothOf]]'s: the Holt recurrence is affine in
+      * (level, trend) (see DampedHoltAffineScan), so chunks compute a 2×3
+      * map, the incoming (level, trend) per chunk folds over the tiny
+      * totals frame from the reference's (0, 0) start, and each row
+      * applies its within-chunk prefix map to the carry. Simpler than
+      * SMOOTH's carry: the reference seeds at (0,0) — no first-value
+      * special case, the carry struct is never null. Algebraically exact;
+      * NOT bit-equal to the sequential fold (float re-association), hence
+      * opt-in. */
+    def dampedHoltOf(x: Expr, a: Double, b: Double, f: Double): Column = {
+      import graft.functions.{GraftFunctions => GF}
+      val chunked = ctx.parts.isEmpty &&
+        spark.conf.getOption("graft.raql.chunkedHolt").contains("true")
+      val c = goM(x)
+      if (!chunked) GF.dampedHoltScan(c, a, b, f).over(prefix)
+      else {
+        val ckName = withChunkCol(ctx)
+        val vName = s"_graft_cv${ctx.df.columns.length}"
+        ctx.df = ctx.df.withColumn(vName, c)
+        val chunkW = Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val carryName = s"_graft_cc${ctx.df.columns.length}"
+        val totals = totalsInput(ctx, ckName, vName, c)
+          .groupBy(col(ckName).as("_gck"))
+          .agg(GF.dampedHoltAffine(col(vName), a, b, f).as("_gm"))
+          .select(col("_gck"),
+            aggregate(
+              collect_list(col("_gm"))
+                .over(Window.orderBy(col("_gck"))
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+              struct(lit(0.0).as("l"), lit(0.0).as("t")),
+              (s, m) => struct(
+                (m.getField("a11") * s.getField("l") +
+                  m.getField("a12") * s.getField("t") + m.getField("b1")).as("l"),
+                (m.getField("a21") * s.getField("l") +
+                  m.getField("a22") * s.getField("t") + m.getField("b2")).as("t")))
+              .as(carryName))
+        ctx.df = ctx.df.join(broadcast(totals),
+          ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+        val m = GF.dampedHoltAffine(col(vName), a, b, f).over(chunkW)
+        val cl = col(carryName).getField("l")
+        val ct = col(carryName).getField("t")
+        val lNow = m.getField("a11") * cl + m.getField("a12") * ct + m.getField("b1")
+        val tNow = m.getField("a21") * cl + m.getField("a22") * ct + m.getField("b2")
+        lNow + lit(f) * tNow
+      }
+    }
+
     /** moveavg k = avg of the k values BEFORE the current one (the
       * reference's Seasonal state excludes the current value — see
       * tests/func/moveavg.ramen's `avg lag latest k` equivalence). */
@@ -880,9 +930,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // damped-trend double exponential smoothing; one-step forecast per
       // row (reference RamenExpr.ml:1446-1457 spellings)
       case FunCall("smooth_damped_holt", Seq(a, b, f, x)) =>
-        graft.functions.GraftFunctions.dampedHoltScan(goM(x),
-          evalNum(a, params), evalNum(b, params), evalNum(f, params))
-          .over(prefix)
+        dampedHoltOf(x, evalNum(a, params), evalNum(b, params),
+          evalNum(f, params))
       case FunCall("smooth_damped_holt_winter", Seq(a, b, g, p, f, x)) =>
         graft.functions.GraftFunctions.holtWinterScan(goM(x),
           evalNum(a, params), evalNum(b, params), evalNum(g, params),

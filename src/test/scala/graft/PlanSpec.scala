@@ -13,11 +13,17 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark = GraftSession.builder("8").getOrCreate()
   private val sf = "/root/testdata/sf0.001"
 
-  /** Execute through the noop sink and render the final adaptive plan. */
+  /** Execute and render the final adaptive plan. The action must run
+    * through THIS QueryExecution (collect, not a sink write — a write
+    * spawns its own QueryExecution and leaves this one un-executed, so
+    * AQE would render the initial isFinalPlan=false plan and AQE-time
+    * join-strategy regressions would go unseen). */
   private def finalPlan(name: String): String = {
     val df = Queries.byName(name).run(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("isFinalPlan=false"), s"$name plan not final post-AQE")
+    p
   }
 
   private lazy val headlinePlans: Map[String, String] =
@@ -30,9 +36,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("nested-loop joins appear only where intended") {
     // q17: 1-row bounds frame broadcast-crossed into the scan (by design);
-    // a01: brute-force baseline broadcasting the small query side
+    // a01: brute-force baseline broadcasting the small query side;
+    // a02: the recall audit's exact side — the same broadcast-queries ×
+    // corpus linear pass as a01 (the LSH pair path itself stays bucketed);
+    // d04: the pigeonhole audit's brute-force id<id join over the 8-byte
+    // fingerprints (the production answer is still the chunk join)
     val got = headlinePlans.filter(_._2.contains("BroadcastNestedLoopJoin")).keySet
-    assert(got == Set("q17_timeseries", "a01_ann_bruteforce"), s"unexpected: $got")
+    assert(got == Set("q17_timeseries", "a01_ann_bruteforce", "a02_ann_lsh",
+      "d04_simhash"), s"unexpected: $got")
   }
 
   test("no headline join falls back to sort-merge") {

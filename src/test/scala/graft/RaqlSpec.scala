@@ -678,6 +678,47 @@ class RaqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ungrouped running DAMPED HOLT distributes via affine 3x3 carry (opt-in)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val src = Map("run" -> """DEFINE f AS
+        SELECT i, smooth_damped_holt(0.4, 0.2, 0.9, n) AS hf FROM tbl;""")
+    // nulls exercise the identity-map path of the affine carry
+    val base = spark.range(1, 100001).toDF("i")
+      .withColumn("n", when(col("i") % 13 === 0, lit(null))
+        .otherwise((col("i") % 97).cast("double")))
+      .repartition(8)
+    spark.conf.set("graft.raql.chunkedHolt", "true")
+    val got = try {
+      val c = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c.registerTable("tbl", base)
+      val df = c.compile("run/f")
+      // full-input windows are chunk-partitioned; a partition-less window
+      // may only exist over the per-chunk totals frame (Aggregate subtree)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+      assert(wins.nonEmpty)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+          "partition-less window over the full input")
+      }
+      df.orderBy("i").collect()
+    } finally spark.conf.unset("graft.raql.chunkedHolt")
+    val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c2.registerTable("tbl", base)
+    val want = c2.compile("run/f").orderBy("i").collect()
+    assert(got.length == 100000)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.isNullAt(1) == w.isNullAt(1), s"null mismatch at ${g.get(0)}")
+      if (!g.isNullAt(1)) {
+        val gv = g.getDouble(1); val wv = w.getDouble(1)
+        assert(math.abs(gv - wv) <= 1e-9 * math.max(1.0, math.abs(wv)),
+          s"row ${g.get(0)}: $gv vs $wv")
+      }
+    }
+  }
+
   test("ONE OUT OF distributes via the chunked row count") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     import org.apache.spark.sql.functions.col
