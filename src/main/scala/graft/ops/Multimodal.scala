@@ -17,12 +17,13 @@ import org.apache.spark.sql.types._
   *   - Content-hash dedup groups on a 16-byte key — the same map-only
   *     fingerprint + tiny-shuffle shape as text exact-dedup (Dedup.scala).
   *   - Heavy per-item decoding (pixel decode, resample, frame extraction)
-  *     runs batched per partition via [[decodeStub]]/[[featuresStub]] —
+  *     runs batched per partition via [[decodeImages]]/[[featuresStub]] —
   *     `mapPartitions` over (id, bytes), the Scala analogue of
   *     `mapInPandas`: one JVM-side batch per partition, no per-row setup.
-  *     Real codec libraries are not in this container, so the pixel-level
-  *     step is a deterministic fake over the payload bytes; the schema,
-  *     batch shape, and partitioning are the real thing.
+  *     PNG/JPEG decode is REAL (`javax.imageio`, in the JDK); the
+  *     synthetic GIMG container decodes through its header; audio/video
+  *     codecs are not in this container, so those stay deterministic
+  *     fakes with the real schema, batch shape, and partitioning.
   *
   * The stub container format (tests + synthetic tables):
   * `"GIMG" | width:u16be | height:u16be | channels:u8 | payload bytes`.
@@ -77,6 +78,69 @@ object Multimodal {
   /** One decoded record from the batched decoder stub. */
   final case class Decoded(id: Long, width: Int, height: Int, channels: Int,
       meanByte: Double)
+
+  /** One decoded record from the real/batched image decoder. */
+  final case class DecodedImage(id: Long, format: String, width: Int,
+      height: Int, channels: Int, meanPixel: Double)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+  private def isStub(b: Array[Byte]): Boolean =
+    b.length >= 9 && b(0) == 'G' && b(1) == 'I' && b(2) == 'M' && b(3) == 'G'
+
+  /** Batched REAL image decode over partitions — PNG/JPEG through
+    * `javax.imageio` (ships with the JDK: no extra dependency), the
+    * synthetic GIMG container through its header, anything else a
+    * zero-dim "unknown" row. Same mapPartitions batch shape as
+    * [[decodeStub]]: one JVM-side batch per partition, no per-row codec
+    * setup (ImageIO's reader lookup is static), payload bytes stream
+    * through the partition iterator without materializing the whole
+    * partition. meanPixel averages every raster sample (all bands) —
+    * deterministic codec-level ground truth MultimodalSpec checks against
+    * independently-constructed images. */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        if (isPng(bytes) || isJpeg(bytes)) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"ImageIO failed to decode image id=$id")
+          val r = img.getRaster
+          val bands = r.getNumBands
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var b = 0
+              while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight * bands
+          DecodedImage(id, if (isPng(bytes)) "png" else "jpeg",
+            img.getWidth, img.getHeight, bands,
+            if (n > 0) sum.toDouble / n else 0.0)
+        } else if (isStub(bytes)) {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val w = bb.getShort(4) & 0xffff
+          val h = bb.getShort(6) & 0xffff
+          val c = bb.get(8) & 0xff
+          var sum = 0L
+          var i = 9
+          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+          val mean =
+            if (bytes.length > 9) sum.toDouble / (bytes.length - 9) else 0.0
+          DecodedImage(id, "stub", w, h, c, mean)
+        } else DecodedImage(id, "unknown", 0, 0, 0, 0.0)
+      }
+    }(Encoders.product[DecodedImage]).toDF()
+  }
 
   /** Batched "pixel decode" over partitions — the mapInPandas-shaped
     * stage. The pixel step is a DETERMINISTIC FAKE (header parse + payload

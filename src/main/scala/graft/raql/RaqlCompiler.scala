@@ -109,6 +109,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   def registerExperiment(name: String, variant: String): Unit =
     experiments(name) = variant
 
+  /** Batch-WHERE frame hook: set around the WHERE compile so global-map
+    * reads can LEFT-JOIN the resolved state into the frame (the same
+    * scale path as SELECT reads) instead of collecting a driver literal;
+    * the caller filters the (possibly grown) frame read back from here. */
+  private var whereDf: Option[DataFrame] = None
+
   /** Best-effort type lookup for operand-directed compilation (boolean
     * COUNT, array LENGTH) in any mode. */
   private var typerDf: Option[DataFrame] = None
@@ -511,18 +517,38 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           applyMapAdd(activeGlobals(g), go(k), go(v), df)
         }
         go(v)
-      // `var[key]` on a DECLAREd global OUTSIDE the select path (WHERE,
-      // stateful operands — no frame to join): capped literal fallback
-      // (NULL when absent, like the reference's MapGet)
+      // `var[key]` on a DECLAREd global OUTSIDE the select path: whenever
+      // a frame is in reach (running context, batch WHERE) the read is the
+      // SAME left join of the resolved state as the SELECT path — no
+      // driver literal, no cap, AQE broadcasts small maps and shuffles big
+      // ones. Only genuinely frame-less contexts (RUN IF's one-row eval,
+      // group keys) keep the capped literal fallback (NULL when absent,
+      // like the reference's MapGet).
       case FunCall("get", Seq(k, Ref(Seq(g)))) if activeGlobals.contains(g) =>
         resolvedMap(activeGlobals(g)) match {
           case None => lit(null).cast("string")
+          case Some(state) if runCtx.isDefined =>
+            val ctx = runCtx.get
+            val i = ctx.df.columns.length
+            val kN = s"_gjk$i"; val vN = s"_gjv$i"
+            val renamed = state.select(col("_gk").as(kN), col("_gv").as(vN))
+            ctx.df = ctx.df.join(renamed,
+              go(k).cast("string") === col(kN), "left").drop(kN)
+            col(vN)
+          case Some(state) if whereDf.isDefined =>
+            val i = whereDf.get.columns.length
+            val kN = s"_gjk$i"; val vN = s"_gjv$i"
+            val renamed = state.select(col("_gk").as(kN), col("_gv").as(vN))
+            whereDf = Some(whereDf.get.join(renamed,
+              go(k).cast("string") === col(kN), "left").drop(kN))
+            typerDf = whereDf // keep operand-type lookups on the grown frame
+            col(vN)
           case Some(s) =>
             val rows = s.limit(RaqlCompiler.GlobalMapLiteralCap + 1).collect()
             if (rows.length > RaqlCompiler.GlobalMapLiteralCap)
               unsupported(s"global map $g exceeds the " +
                 s"${RaqlCompiler.GlobalMapLiteralCap}-entry literal cap in a " +
-                "non-SELECT context; read it in SELECT (join path) instead")
+                "frame-less context; read it in SELECT or WHERE (join path) instead")
             if (rows.isEmpty) lit(null).cast("string")
             else element_at(
               map(rows.toSeq.flatMap(r =>
@@ -2182,7 +2208,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     val filtered = agg.where match {
       case Some(w) if !hasAgg(w) && !hasWindowFn(w) =>
         typerDf = Some(base) // operand-directed compile (ip IN cidr, bool COUNT)
-        try base.filter(compileExpr(w, params)) finally typerDf = None
+        whereDf = Some(base) // global-map reads join into this frame
+        try {
+          val c = compileExpr(w, params)
+          // compileExpr may have grown the frame (global-map joins):
+          // filter the grown frame, then drop the helper value columns
+          val grown = whereDf.get.filter(c)
+          grown.drop(grown.columns.filter(_.startsWith("_gjv")): _*)
+        } finally { typerDf = None; whereDf = None }
       case Some(w) => unsupported(s"stateful WHERE with GROUP BY: $w")
       case None => base
     }

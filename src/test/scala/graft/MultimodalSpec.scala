@@ -57,6 +57,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dupGroup.getLong(2) == 2L) // ids 1 and 2 merged
   }
 
+  test("real PNG decode via javax.imageio matches ground truth") {
+    import java.awt.image.BufferedImage
+    // independently-constructed PNGs: known dims and exact pixel values,
+    // so width/height/channels/meanPixel have a closed-form ground truth
+    def png(w: Int, h: Int, tpe: Int, px: (Int, Int) => Int): (Array[Byte], Double) = {
+      val img = new BufferedImage(w, h, tpe)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val r = img.getRaster
+      val n = w.toLong * h * r.getNumBands
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until r.getNumBands)
+        sum += r.getSample(x, y, b)
+      (bos.toByteArray, sum.toDouble / n)
+    }
+    // 3-band RGB gradient + 1-band gray checkerboard
+    val (rgb, rgbMean) = png(20, 10, BufferedImage.TYPE_INT_RGB,
+      (x, y) => (x * 12 << 16) | (y * 25 << 8) | ((x + y) * 7))
+    val (gray, grayMean) = png(7, 5, BufferedImage.TYPE_BYTE_GRAY,
+      (x, y) => if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val stub = Seq(("payload-text", 3L)).toDF("text", "id")
+      .select(col("id"), Multimodal.stubImage(col("text")).as("img"))
+      .select(col("id"), col("img")).as[(Long, Array[Byte])].head()
+    val df = Seq((1L, rgb), (2L, gray), stub, (4L, Array[Byte](9, 9, 9, 9)))
+      .toDF("id", "img")
+    val got = Multimodal.decodeImages(df, "id", "img")
+      .orderBy("id").collect()
+    // PNG RGB: dims, 3 bands, exact sample mean
+    assert(got(0).getString(1) == "png" && got(0).getInt(2) == 20 &&
+      got(0).getInt(3) == 10 && got(0).getInt(4) == 3)
+    assert(math.abs(got(0).getDouble(5) - rgbMean) < 1e-12)
+    // PNG gray: 1 band, checkerboard mean
+    assert(got(1).getString(1) == "png" && got(1).getInt(2) == 7 &&
+      got(1).getInt(3) == 5 && got(1).getInt(4) == 1)
+    assert(math.abs(got(1).getDouble(5) - grayMean) < 1e-12)
+    // stub container still decodes through its header
+    assert(got(2).getString(1) == "stub" && got(2).getInt(2) > 0)
+    // unknown bytes neither throw nor lie
+    assert(got(3).getString(1) == "unknown" && got(3).getInt(2) == 0)
+  }
+
   test("isStubImage gates on the magic") {
     val flags = imgs.select(Multimodal.isStubImage(col("img"))).as[Boolean].collect()
     assert(flags.forall(identity))

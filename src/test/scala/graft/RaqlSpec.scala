@@ -321,6 +321,26 @@ class RaqlSpec extends AnyFunSuite {
     assert(got == Map("5" -> "v5", "999999" -> "v999999", "nope" -> null))
   }
 
+  test("global maps scale: 1M-entry map read in WHERE joins, no literal cap") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val src = Map("bigmap" -> """
+      DECLARE WITH PROGRAM SCOPE big string[string];
+      DEFINE writer AS FROM wtbl SELECT 1 AS one, mapadd(big, k, v) AS _w;
+      DEFINE reader AS FROM probe SELECT pk WHERE big[pk] = "v999999";""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("wtbl", spark.range(1000000).select(
+      col("id").cast("string").as("k"), concat(lit("v"), col("id")).as("v")))
+    c.registerTable("probe",
+      Seq("5", "999999", "nope").toDF("pk").coalesce(1))
+    c.compile("bigmap/writer")
+    // pre-fix this threw the 100k literal-cap error; the WHERE read now
+    // left-joins the state frame exactly like a SELECT read
+    val reader = c.compile("bigmap/reader")
+    assert(reader.collect().map(_.getString(0)).toSeq == Seq("999999"))
+  }
+
   test("globals_function compiles: MAPADD + read in one function") {
     val c = load("globals_function")
     val row = c.compile("globals_function/f").collect().head
