@@ -47,10 +47,30 @@ object Bench {
       }
     }
     val results = selected.map(q => q.name -> times(q.name).min)
+    // isolated pass: back-to-back reps per query AFTER the round-robin
+    // suite, so each query also gets a warm, contention-free minimum.
+    // Round-robin minima absorb suite-order effects; isolated minima are
+    // the number to bisect against when a query drifts across rounds
+    // (round-5 verdict: q01/n01/r01 swung ±20% between same-day suites).
+    val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "2").toInt
+    val isolated = selected.map { q =>
+      val ts = (1 to isoReps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} isolated failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> ts.min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

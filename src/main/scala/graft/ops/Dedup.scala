@@ -107,7 +107,14 @@ object Dedup {
     * O(component diameter) rounds; near-dup clusters are near-cliques, so
     * 2–4 in practice. The per-round `count` action is the convergence
     * check (inherent to iterative fixpoints), and each round's labels are
-    * persisted so lineage doesn't stack. */
+    * persisted so lineage doesn't stack. Throws when maxIter rounds don't
+    * converge (silently stale labels would disagree with any
+    * transitive-closure oracle).
+    *
+    * Ownership: the RETURNED frame is persisted (unpersisting before
+    * handing it back would recompute the whole fixpoint — and the O(n²)
+    * edge generation — on first use); call `.unpersist()` on it when
+    * done. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     // the edge frame is consumed TWICE per iteration (propagation join +
@@ -132,6 +139,12 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
+    // silent non-convergence would disagree with any transitive-closure
+    // oracle (a chain component longer than maxIter keeps stale labels)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(a component's diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -180,6 +180,31 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def unsupported(what: String) =
     throw new UnsupportedOperationException(what)
 
+  /** Running forms compiled by this instance that inherently funnel ONE
+    * WindowExec task (O(window) state per row — running GROUP, PAST
+    * sliding arrays). Surfaced so callers can audit a program set's scale
+    * shape; accumulates across compiles. */
+  val sequentialForms: scala.collection.mutable.LinkedHashSet[String] =
+    scala.collection.mutable.LinkedHashSet.empty[String]
+
+  /** Record (and under graft.raql.failOnSequential=true, reject) a running
+    * form whose per-row state is the whole window CONTENTS — there is no
+    * carry that distributes it (the output itself is O(window) per row),
+    * so at scale the only honest options are a bounded rewrite (LATEST n,
+    * PAST … SAMPLE SIZE n, TUMBLING) or accepting the single task. This is
+    * the typed diagnostic for the one WindowExec class that chunk-carries
+    * cannot fix. */
+  private def sequentialWindow(op: String): Unit = {
+    val msg = s"$op in ungrouped running mode keeps the whole window " +
+      "contents as per-row state on ONE WindowExec task; bound it " +
+      "(LATEST n / PAST … SAMPLE SIZE n / TUMBLING) for scale"
+    if (spark.conf.getOption("graft.raql.failOnSequential").contains("true"))
+      unsupported(msg)
+    if (sequentialForms.add(op))
+      org.slf4j.LoggerFactory.getLogger(classOf[RaqlCompiler])
+        .warn("graft: {}", msg)
+  }
+
   /** Does this expression contain an aggregate call (after unification)? */
   /** Aggregates whose state RESETS on commit-flush (plain aggregates, not
     * the window/scan functions like LAG or CHANGED whose one-deep state
@@ -1130,7 +1155,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             bucket =!= lag(bucket, 1).over(W), lag(arr, 1).over(W))
         } else {
           // sliding: strictly younger than d (t_cur - t' < d), current
-          // row included, time-ascending order
+          // row included, time-ascending order. Per-row state is the
+          // window CONTENTS — flag the single-task shape when ungrouped.
+          if (ctx.parts.isEmpty) sequentialWindow("PAST … SLIDING array")
           val tUs = (time * 1e6).cast("long")
           val frame = orderedWindow(tUs)
             .rangeBetween(-((d * 1e6).toLong - 1), 0)
@@ -1212,8 +1239,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           if (n.startsWith("u")) lit(java.math.BigDecimal.ZERO)
           else lit(new java.math.BigDecimal("-" + "9".repeat(38)))
         val asD = c.try_cast("double")
-        when(c.isNotNull, coalesce(c.try_cast("decimal(38,0)"),
-          when(asD >= 0, maxD).when(asD < 0, minD)))
+        val sat = coalesce(c.try_cast("decimal(38,0)"),
+          when(asD >= 0, maxD).when(asD < 0, minD))
+        // u-types saturate at BOTH carrier bounds: an in-range negative
+        // clamps to the low bound too (u128(-5) = 0), consistent with the
+        // high-bound policy above
+        when(c.isNotNull,
+          if (n.startsWith("u")) greatest(sat, minD.cast("decimal(38,0)"))
+          else sat)
       // an integer cast of an ipv4 LITERAL is its numeric address
       // (logs.ramen `u32(192.168.42.0) + u8(RANDOM * 5)`)
       case (n, Seq(Lit(s: String)))
@@ -1776,7 +1809,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case "bitor" => call_function("bit_or", c).over(prefix)
       case "bitand" => call_function("bit_and", c).over(prefix)
       case "bitxor" => call_function("bit_xor", c).over(prefix)
-      case "group" => collect_list(c).over(prefix)
+      case "group" =>
+        // per-row state IS the whole prefix — no distributing carry exists
+        if (runCtx.get.parts.isEmpty) sequentialWindow("running GROUP")
+        collect_list(c).over(prefix)
       case "distinct" => // novelty flag: first sighting of this value
         row_number().over(partedWindow(c)) === 1
       case other => unsupported(s"running aggregate $other")
@@ -2498,13 +2534,47 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
               scala.util.Try(evalNum(dE, params)).toOption.map(d => (tE, d, i))
             }
             bucket.map { case (tE, d, bi) =>
-              // allowed lateness from the commit slack:
-              // `in.t > out.x + s` / `in.t >= out.x + s` → s; default d
-              val lateness = agg.commitCond.collect {
-                case Binop(">" | ">=", Ref(Seq("in", _) | Seq(_)),
-                    Binop("+", _, sE @ (Lit(_) | Ref(_)))) =>
+              // allowed lateness from the commit slack — GUARDED like the
+              // batch horizonBucket: the commit must compare the SAME time
+              // ref as the bucket against a time-shaped out field
+              // (`in.t > out.wstart + s` with wstart = TRUNCATE(MIN t, d)).
+              // A non-time commit (COMMIT AFTER … out.n + 120 with n =
+              // SUM 1) must NOT silently become event-time windowing with
+              // an unrelated lateness — typed error instead.
+              def refName(e: Expr): Option[String] = e match {
+                case Ref(Seq("in", n)) => Some(n)
+                case Ref(Seq(n)) => Some(n)
+                case _ => None
+              }
+              val tName = refName(tE)
+              val defs = named.map { case (e0, n0) => n0 -> e0 }.toMap
+              def isT(r: Expr): Boolean = tName.isDefined && refName(r) == tName
+              def timeShapedDef(e0: Expr): Boolean = e0 match {
+                case FunCall("truncate", Seq(r, _)) =>
+                  isT(r) || timeShapedDef(r)
+                case AggCall("min", r, _, _) => isT(r) || timeShapedDef(r)
+                case Binop(_, l0, r0) => timeShapedDef(l0) || timeShapedDef(r0)
+                case r => isT(r)
+              }
+              def timeShapedBase(base: Expr): Boolean = base match {
+                case Ref(Seq("out", n0)) => defs.get(n0).exists(timeShapedDef)
+                case Ref(Seq(n0)) =>
+                  defs.get(n0).exists(timeShapedDef) || isT(base)
+                case _ => timeShapedDef(base)
+              }
+              val lateness = agg.commitCond match {
+                case None => d
+                case Some(Binop(">" | ">=", inRef,
+                    Binop("+", baseRef, sE @ (Lit(_) | Ref(_)))))
+                    if isT(inRef) && timeShapedBase(baseRef) =>
                   try evalNum(sE, params) catch { case _: Exception => d }
-              }.getOrElse(d)
+                case Some(Binop(">" | ">=", inRef, baseRef))
+                    if isT(inRef) && timeShapedBase(baseRef) => d
+                case Some(cc) => unsupported(
+                  s"streaming time-bucket GROUP BY with a non-time COMMIT " +
+                  s"condition ($cc): the window+watermark translation " +
+                  "cannot read an allowed lateness from it")
+              }
               typerDf = Some(src)
               val tCol =
                 try compileExpr(tE, params, splitCols) finally typerDf = None

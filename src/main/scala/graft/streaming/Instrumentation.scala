@@ -79,6 +79,10 @@ final class Instrumentation(spark: SparkSession) extends StreamingQueryListener 
   // (reference workers also keep only the latest stats, RamenWorkerStats)
   private val maxRetained = 10000L
   private var added = 0L
+  /** Highest retention offset this listener has (tried to) commit —
+    * monotonic, so an engine commit racing ahead never triggers a
+    * lower-offset commit storm. */
+  private var manualCommitted = 0L
 
   /** The queryable stats stream (schema = runtime_stats.type, plus the
     * pre-runtime_stats instrumentation names as alias columns — the
@@ -166,9 +170,23 @@ final class Instrumentation(spark: SparkSession) extends StreamingQueryListener 
         max_ram = t.maxRam))
       added += 1
       // each addData is one batch = one offset unit: discard batches older
-      // than the retention window so long-lived sessions stay bounded
-      if (added % 256 == 0 && added > maxRetained)
-        stream.commit(LongOffset(added - maxRetained))
+      // than the retention window so long-lived sessions stay bounded.
+      // The engine ALSO commits offsets on behalf of any query consuming
+      // the stats stream: if a reader already committed past our target,
+      // MemoryStream throws "Offsets committed out of order" — those
+      // batches are already discarded, so retention is satisfied; swallow
+      // and record the target as done. (The converse — our commit
+      // trimming under a LAGGING reader — is the documented retention
+      // contract: bounded memory wins, exactly as the reference's
+      // ringbufs drop unread entries to stay fixed-size.)
+      if (added % 256 == 0 && added > maxRetained) {
+        val target = added - maxRetained
+        if (target > manualCommitted) {
+          try stream.commit(LongOffset(target))
+          catch { case _: IllegalStateException => () }
+          manualCommitted = target
+        }
+      }
     }
   }
 

@@ -739,6 +739,42 @@ class RaqlSpec extends AnyFunSuite {
     }
   }
 
+  test("running GROUP / PAST sliding flag their single-task window shape") {
+    import org.apache.spark.sql.functions.col
+    val base = spark.range(1, 101).toDF("n")
+      .withColumn("start", col("n").cast("double"))
+    def compileWith(body: String): RaqlCompiler = {
+      val c = RaqlCompiler.fromSources(spark, funcDir,
+        Map("run" -> s"DEFINE f AS $body;"))
+        .fold(e => fail(s"parse: $e"), identity)
+      c.registerTable("tbl", base)
+      c.compile("run/f")
+      c
+    }
+    // ungrouped running GROUP and PAST … sliding: inherently one
+    // WindowExec task (per-row state = the window contents) — the typed
+    // diagnostic must record both
+    val c1 = compileWith("SELECT n, group n AS g FROM tbl")
+    assert(c1.sequentialForms.contains("running GROUP"))
+    // plain `past d of x` distributes via the bounded-lookback ghost
+    // machinery — only shapes that defeat it (nested stateful operand)
+    // fall back to the partition-less collect and must flag
+    val c2 = compileWith("SELECT n, past 10 of (n + lag n) AS w FROM tbl")
+    assert(c2.sequentialForms.exists(_.startsWith("PAST")),
+      c2.sequentialForms.toString)
+    val c2b = compileWith("SELECT n, past 10 of n AS w FROM tbl")
+    assert(c2b.sequentialForms.isEmpty, c2b.sequentialForms.toString)
+    // grouped forms partition their windows — no flag
+    val c3 = compileWith("SELECT n % 3 AS k, group n AS g FROM tbl GROUP BY n % 3")
+    assert(c3.sequentialForms.isEmpty, c3.sequentialForms.toString)
+    // strict mode turns the diagnostic into a typed error
+    spark.conf.set("graft.raql.failOnSequential", "true")
+    try {
+      val e = intercept[Exception](compileWith("SELECT n, group n AS g FROM tbl"))
+      assert(e.getMessage.contains("ONE WindowExec task"), e.getMessage)
+    } finally spark.conf.unset("graft.raql.failOnSequential")
+  }
+
   test("ONE OUT OF distributes via the chunked row count") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     import org.apache.spark.sql.functions.col

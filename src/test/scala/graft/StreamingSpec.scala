@@ -402,9 +402,9 @@ class StreamingSpec extends AnyFunSuite {
     c.registerTable("tables/ev", ev)
     RaqlParser.parseProgram("""DEFINE q AS
         FROM tables/ev
-        SELECT event_type, SUM 1 AS n
+        SELECT TRUNCATE(MIN ets, 60) AS wstart, event_type, SUM 1 AS n
         GROUP BY event_type, ets // 60
-        COMMIT AFTER in.ets > out.n + 120;""") match {
+        COMMIT AFTER in.ets > out.wstart + 120;""") match {
       case Right(p) => c.register("m", p)
       case Left(e) => fail(s"parse: $e")
     }
@@ -414,6 +414,30 @@ class StreamingSpec extends AnyFunSuite {
       s"no watermark in:\n$analyzed")
     assert(analyzed.toLowerCase.contains("window"),
       s"no window key in:\n$analyzed")
+  }
+
+  test("a non-time COMMIT on a streaming time-bucket is a typed error") {
+    // COMMIT AFTER in.ets > out.n + 120 with n = SUM 1 is a COUNT-shaped
+    // commit: silently compiling it to event-time windowing would read
+    // 120 as an allowed lateness it does not mean — reject instead
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .parquet(java.nio.file.Files.createTempDirectory("graft_nontime").toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", col("ts").cast("double"))
+    val c = new RaqlCompiler(spark, dir)
+    c.registerTable("tables/ev", ev)
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT event_type, SUM 1 AS n
+        GROUP BY event_type, ets // 60
+        COMMIT AFTER in.ets > out.n + 120;""") match {
+      case Right(p) => c.register("m2", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val e = intercept[UnsupportedOperationException](c.compile("m2/q"))
+    assert(e.getMessage.contains("non-time COMMIT"), e.getMessage)
   }
 
   test("UDP collectd -> hosts-style tumbling RaQL windows end-to-end") {
