@@ -56,6 +56,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1) == WinOut("", 60L, 1L, 5.0, 3.0))    // second; previous=3.0
   }
 
+  test("CommitHarness streams grouped count-based COMMIT AFTER sum 1 >= k") {
+    // the reference's count-commit (check_commit_for_all shape,
+    // CodeGenLib_Skeletons.ml:814-876) over a live grouped stream: each
+    // key emits a row every k tuples and flushes. Batch handles this via
+    // the k-row tumbling rewrite; the streaming engine capability is the
+    // commit harness (the RaQL-text wiring stays a documented gap).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val k = 3L
+    val out = CommitHarness.run[String, Ev, WinState, WinOut](
+      mem.toDS(),
+      (e: Ev) => e.user,
+      GroupSpec[Ev, WinState, WinOut](
+        init = () => WinState(-1L, 0L, 0.0),
+        update = (s, e) => WinState(s.winStart, s.n + 1, s.sum + e.v),
+        // COMMIT AFTER SUM 1 >= k: post-update count reaches k → emit+flush
+        commitAfter = (s, _) => s.n >= k,
+        emit = (s, prev) => WinOut("", s.winStart, s.n, s.sum,
+          prev.map(_.sum).getOrElse(0.0)),
+        keepOnCommit = false,
+        emitOnTimeout = false))
+    val q = out.writeStream.format("memory").queryName("cntcommit")
+      .outputMode("append").start()
+    // a: 7 events → windows of 3, 3 (one pending); b: 3 events → one window
+    mem.addData(Ev("a", 1, 1.0), Ev("a", 2, 2.0), Ev("b", 1, 10.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 3, 3.0), Ev("a", 4, 4.0), Ev("b", 2, 20.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 5, 5.0), Ev("a", 6, 6.0), Ev("a", 7, 7.0),
+      Ev("b", 3, 30.0))
+    q.processAllAvailable()
+    val rows = spark.table("cntcommit").as[WinOut].collect()
+    q.stop()
+    val sums = rows.map(_.sum).sorted.toSeq
+    // a's windows: 1+2+3=6 and 4+5+6=15 (7 pending); b's: 10+20+30=60
+    assert(sums == Seq(6.0, 15.0, 60.0), rows.mkString(", "))
+    // previous carries each key's last committed sum
+    assert(rows.exists(r => r.sum == 15.0 && r.prevSum == 6.0))
+  }
+
   test("CommitHarness COMMIT AFTER with KEEP retains running state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
