@@ -33,20 +33,32 @@ object Bench {
     // window mid-suite cannot hit all of one query's reps at once — the
     // round-4 d01/d02 "regressions" were exactly that artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val failed = scala.collection.mutable.Set.empty[String]
+    // a rep that throws (analysis error, missing input) must NOT count as a
+    // timing sample — a fast failure would otherwise report a tiny min with
+    // only a stderr note (round-6 advisory)
+    def timeRep(q: QueryDef, tag: String): Option[Double] = {
+      System.gc() // don't bill query N for query N-1's garbage
+      val t0 = System.nanoTime()
+      try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name}$tag failed: ${e.getMessage}")
+        failed += q.name
+        None
+      }
+    }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     (1 to reps).foreach { _ =>
       selected.foreach { q =>
-        System.gc() // don't bill query N for query N-1's garbage
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        times(q.name) = ((System.nanoTime() - t0) / 1e9) :: times(q.name)
+        timeRep(q, "").foreach(t => times(q.name) = t :: times(q.name))
       }
     }
-    val results = selected.map(q => q.name -> times(q.name).min)
+    // a query with zero successful reps reports -1 (never a plausible time)
+    val results = selected.map(q =>
+      q.name -> times(q.name).minOption.getOrElse(-1.0))
     // isolated pass: back-to-back reps per query AFTER the round-robin
     // suite, so each query also gets a warm, contention-free minimum.
     // Round-robin minima absorb suite-order effects; isolated minima are
@@ -54,23 +66,16 @@ object Bench {
     // (round-5 verdict: q01/n01/r01 swung ±20% between same-day suites).
     val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "2").toInt
     val isolated = selected.map { q =>
-      val ts = (1 to isoReps).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} isolated failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      q.name -> ts.min
+      val ts = (1 to isoReps).flatMap(_ => timeRep(q, " isolated"))
+      q.name -> ts.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
+    val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,22 +25,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * reader only accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`
-    * — set by [[GraftSession]]). Expose both:
+  /** `events.ts` arrives in driver-generated parquet as either
+    * TIMESTAMP(NANOS) — which Spark only reads as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set by [[GraftSession]]) —
+    * or plain micros (NTZ in recent generator runs). Normalize to:
     *   - `ts_ns`: exact int64 nanos (total order; use for ordering/tie-breaks
     *     so Spark and the DuckDB oracle sort identically)
-    *   - `ts`: microsecond TimestampType (floor of ns) for time windows.
+    *   - `ts`: microsecond TimestampType (session tz is UTC, so the NTZ→LTZ
+    *     cast preserves the wall-clock instant DuckDB reads natively).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Defensive runtime set: the driver may call entry() on a session that
     // was not built by GraftSession.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventsTs(load(s, d, "events"))
   }
+
+  /** The ts normalization above for an events frame from ANY source —
+    * batch load or a file-stream with the raw parquet schema. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+        raw
+          .withColumn("ts_ns", col("ts").cast("long"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // TIMESTAMP / TIMESTAMP_NTZ at micros precision
+        val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw
+          .withColumn("ts_ns", unix_micros(ts) * 1000L)
+          .withColumn("ts", ts)
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -186,6 +186,10 @@ object Dedup {
       expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
       .repartition(par(fps), col("chunk"), col("chunk_val"))
+      // pin the co-partitioned self-join (same rationale as the LSH bucket
+      // join): a broadcast build side would recompute the full fingerprint
+      // pipeline in one task, and sort-merge adds a pointless sort
+      .hint("shuffle_hash")
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&

@@ -159,6 +159,9 @@ object Similarity {
       .select(col("id"), posexplode(bucketArr))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .repartition(par(embs), col("band"), col("bucket"))
+      // pin the co-partitioned self-join: a broadcast build side would
+      // recompute the whole projection pipeline in one task
+      .hint("shuffle_hash")
     // One pipelined codegen stage per bucket partition: generate pairs,
     // probe the (broadcast) vector table twice, flat-dot cosine, filter —
     // THEN dedup the (now small) surviving pairs. Dedup-before-cosine reads

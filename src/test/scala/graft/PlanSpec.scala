@@ -36,14 +36,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("nested-loop joins appear only where intended") {
     // q17: 1-row bounds frame broadcast-crossed into the scan (by design);
-    // a01: brute-force baseline broadcasting the small query side;
-    // a02: the recall audit's exact side — the same broadcast-queries ×
-    // corpus linear pass as a01 (the LSH pair path itself stays bucketed);
-    // d04: the pigeonhole audit's brute-force id<id join over the 8-byte
-    // fingerprints (the production answer is still the chunk join)
+    // a01: brute-force baseline broadcasting the small query side.
+    // d04/a02 are the PRODUCTION chunk/bucket joins since r7 (the
+    // BNLJ-bearing audits moved to the non-headline d04a/a02a entries).
     val got = headlinePlans.filter(_._2.contains("BroadcastNestedLoopJoin")).keySet
-    assert(got == Set("q17_timeseries", "a01_ann_bruteforce", "a02_ann_lsh",
-      "d04_simhash"), s"unexpected: $got")
+    assert(got == Set("q17_timeseries", "a01_ann_bruteforce"), s"unexpected: $got")
   }
 
   test("no headline join falls back to sort-merge") {
@@ -66,6 +63,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("d02's bucket self-join stays co-partitioned (shuffle-hash)") {
     assert(headlinePlans("d02_minhash_lsh").contains("ShuffledHashJoin"),
+      "the LSH bucket self-join lost its shuffle_hash pin")
+  }
+
+  test("d04/a02 production chunk/bucket self-joins stay shuffle-hash") {
+    assert(headlinePlans("d04_simhash").contains("ShuffledHashJoin"),
+      "the simhash chunk self-join lost its shuffle_hash pin")
+    assert(headlinePlans("a02_ann_lsh").contains("ShuffledHashJoin"),
       "the LSH bucket self-join lost its shuffle_hash pin")
   }
 

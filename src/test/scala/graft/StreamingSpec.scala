@@ -251,7 +251,7 @@ class StreamingSpec extends AnyFunSuite {
       streamDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventsTs)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream.format("memory").queryName("replayout")
@@ -356,7 +356,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ets", col("ts").cast("double"))
     def compiled(ev: org.apache.spark.sql.DataFrame) = {
       val c = new RaqlCompiler(spark, dir)
@@ -405,7 +405,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ets", col("ts").cast("double"))
     def compiled(ev: org.apache.spark.sql.DataFrame) = {
       val c = new RaqlCompiler(spark, dir)
@@ -436,7 +436,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val ev = spark.readStream.schema(schema)
       .parquet(java.nio.file.Files.createTempDirectory("graft_plan").toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ets", col("ts").cast("double"))
     val c = new RaqlCompiler(spark, dir)
     c.registerTable("tables/ev", ev)
@@ -464,7 +464,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val ev = spark.readStream.schema(schema)
       .parquet(java.nio.file.Files.createTempDirectory("graft_nontime").toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ets", col("ts").cast("double"))
     val c = new RaqlCompiler(spark, dir)
     c.registerTable("tables/ev", ev)
