@@ -2412,13 +2412,30 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // BEFORE shrinks the window (condition precedes the tuple) and KEEP
     // accumulates (no flush) — both take the general commit path instead
     val (srcW, aggW) = agg.commitCond.flatMap(countCommitK) match {
-      case Some(k) if agg.groupBy.isEmpty && k > 0 &&
+      // streaming can't run the row_number rewrite (no unbounded window on
+      // a stream) — compileNamed routes count-commit to the CommitHarness
+      case Some(k) if k > 0 && !src.isStreaming &&
           !agg.commitBefore && !agg.commitKeep &&
           named.forall(f => countWindowable(f._1)) =>
-        (src.withColumn("_graft_cwin",
-          floor((row_number().over(
-            Window.orderBy(monotonically_increasing_id())) - 1) / k.toDouble)),
-          agg.copy(groupBy = Seq(Ref(Seq("_graft_cwin")))))
+        if (agg.groupBy.isEmpty)
+          (src.withColumn("_graft_cwin",
+            floor((row_number().over(
+              Window.orderBy(monotonically_increasing_id())) - 1) / k.toDouble)),
+            agg.copy(groupBy = Seq(Ref(Seq("_graft_cwin")))))
+        else {
+          // GROUPED count-commit (reference: each GROUP flushes every k of
+          // ITS OWN rows): the k-row window partitions by the group keys —
+          // one shuffle by key, bounded per-partition numbering (scales,
+          // unlike the ungrouped global window)
+          typerDf = Some(src)
+          val keyCols =
+            try agg.groupBy.map(kE => compileExpr(subAlias(kE), params, splitCols))
+            finally typerDf = None
+          (src.withColumn("_graft_cwin",
+            floor((row_number().over(Window.partitionBy(keyCols: _*)
+              .orderBy(monotonically_increasing_id())) - 1) / k.toDouble)),
+            agg.copy(groupBy = agg.groupBy :+ Ref(Seq("_graft_cwin"))))
+        }
       case _ => (src, agg)
     }
     typerDf = Some(srcW)
@@ -2465,6 +2482,82 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     finally typerDf = None
   }
 
+  /** Streaming translation of `COMMIT AFTER sum 1 >= k` — the reference's
+    * count-commit (`check_commit_for_all`,
+    * /root/reference/src/CodeGenLib_Skeletons.ml:814-876): every group
+    * emits its out-tuple and flushes after k input tuples. Batch handles
+    * this with the k-row tumbling rewrite; on a stream it compiles to
+    * [[graft.streaming.CommitHarness]] — per-key fold state in Spark's
+    * state store (RocksDB at scale), sharded by group key exactly like the
+    * reference's per-worker group hash, but elastic and checkpointed.
+    *
+    * Field shapes supported: group keys, decomposable aggregates
+    * (COUNT/SUM/MIN/MAX/AVG/FIRST/LAST) over stateless operands, and
+    * stateless expressions (group-last, matching the batch translation).
+    * Anything else (nested state, previous.*) stays a typed error.
+    */
+  private def compileStreamingCountCommit(src: DataFrame,
+      named: Seq[(Expr, String)], agg: Aggregate, params: Map[String, Expr],
+      splitCols: Map[FunCall, Column], k: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import graft.streaming.{CommitHarness, GroupSpec}
+
+    val plans: Seq[(String, Column)] = named.map { case (e, _) =>
+      e match {
+        case _ if !hasAgg(e) =>
+          ("pass", compileExpr(e, params, splitCols))
+        case AggCall(fn @ ("count" | "sum" | "min" | "max" | "avg" |
+            "first" | "last"), op, _, _) if !hasAgg(op) =>
+          (fn, compileExpr(op, params, splitCols))
+        case other => unsupported(
+          s"streaming count-commit field $other (only decomposable " +
+          "aggregates over stateless operands stream through the harness)")
+      }
+    }
+    // key identity: json of the key tuple (null-safe, collision-free);
+    // ungrouped = one global key
+    val keyCol =
+      if (agg.groupBy.isEmpty) lit("")
+      else to_json(struct(agg.groupBy.zipWithIndex.map { case (kE, i) =>
+        compileExpr(kE, params, splitCols).as(s"_k$i")
+      }: _*))
+    val proj = src.select(
+      keyCol.as("_gkey") +: plans.zipWithIndex.map { case ((_, c), i) =>
+        c.as(s"_v$i")
+      }: _*)
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val vTypes = proj.schema.fields.drop(1).map(_.dataType)
+    val outSchema = StructType(named.zip(plans).zip(vTypes).map {
+      case (((_, name), ("count", _)), _) => StructField(name, LongType)
+      case (((_, name), ("sum", _)), dt) =>
+        StructField(name, if (integral(dt)) LongType else DoubleType)
+      case (((_, name), ("avg", _)), _) => StructField(name, DoubleType)
+      case (((_, name), _), dt) => StructField(name, dt)
+    })
+    // all runtime logic lives in the serializable Rt (nested defs here
+    // would lift onto the non-serializable compiler and poison the task)
+    val rt = new CountCommitRt(plans.map(_._1).toArray,
+      vTypes.map(integral).toArray, plans.length, outSchema, k)
+    CommitHarness.run[String, Row, Array[Any], Row](
+      proj,
+      (r: Row) => r.getString(0),
+      GroupSpec[Row, Array[Any], Row](
+        init = () => rt.init(),
+        update = (s, r) => rt.update(s, r),
+        commitAfter = (s, _) => rt.commitAfter(s),
+        emit = (s, _) => rt.emit(s),
+        keepOnCommit = false,
+        // partial windows stay pending, like the reference's (batch has an
+        // end and emits the tail; a stream does not)
+        emitOnTimeout = false))(
+      Encoders.STRING, Encoders.row(proj.schema),
+      Encoders.kryo[CommitHarness.GState[Array[Any], Row]],
+      Encoders.row(outSchema)).toDF()
+  }
+
   /** Substitute refs to earlier AGGREGATE-bearing output fields (bare when
     * no input column shadows them, always for `out.`-prefixed) with their
     * defining expressions, so the referencing field can evaluate inside
@@ -2497,6 +2590,19 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       splitCols: Map[FunCall, Column]): DataFrame = {
     val fields = named // (expr, name) pairs, aliases pre-substituted
     if (fields.exists(f => hasAgg(f._1))) {
+      // STREAMING count-based COMMIT (`COMMIT AFTER sum 1 >= k`): the k-row
+      // tumbling rewrite is a batch construct (unbounded row_number), and
+      // the window+watermark translation needs a TIME commit — this is the
+      // reference's count-commit (check_commit_for_all shape,
+      // /root/reference/src/CodeGenLib_Skeletons.ml:814-876) and routes to
+      // the CommitHarness: per-key state in the state store, emit+flush
+      // every k tuples. Applies to grouped AND ungrouped programs (the
+      // ungrouped case is one global key).
+      if (src.isStreaming && !agg.commitBefore && !agg.commitKeep)
+        agg.commitCond.flatMap(countCommitK).filter(_ > 0).foreach { k =>
+          return compileStreamingCountCommit(src, fields, agg, params,
+            splitCols, k)
+        }
       if (agg.groupBy.nonEmpty) {
         // grouping columns come back from groupBy() itself; aggregate
         // fields go through agg(); other fields take the group's last
@@ -3120,5 +3226,93 @@ object RaqlCompiler {
       }
     }
     if (errs.isEmpty) Right(c) else Left(errs.mkString("; "))
+  }
+}
+
+/** Serializable fold runtime for the streaming count-commit translation
+  * (see RaqlCompiler.compileStreamingCountCommit). One slot per SELECT
+  * field plus a trailing row counter (the commit's `sum 1`); `kinds(i)` is
+  * "pass" (group-last) or the aggregate name; `integralSlot(i)` picks the
+  * Long vs Double sum fold. Kept top-level so CommitHarness closures
+  * capture ONLY this value, never the compiler.
+  */
+private[raql] final class CountCommitRt(
+    kinds: Array[String], integralSlot: Array[Boolean], n: Int,
+    schema: org.apache.spark.sql.types.StructType, k: Long)
+    extends Serializable {
+  import org.apache.spark.sql.Row
+
+  private def numD(a: Any): Double = a match {
+    case x: java.lang.Number => x.doubleValue
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case other => other.toString.toDouble
+  }
+  private def numL(a: Any): Long = a match {
+    case null => 0L
+    case x: java.lang.Number => x.longValue
+    case b: java.lang.Boolean => if (b) 1L else 0L
+    case other => other.toString.toLong
+  }
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+    case _ => 0
+  }
+
+  def init(): Array[Any] = new Array[Any](n + 1)
+
+  def update(s: Array[Any], row: Row): Array[Any] = {
+    var i = 0
+    while (i < n) {
+      val v = if (row.isNullAt(i + 1)) null else row.get(i + 1)
+      kinds(i) match {
+        case "pass" => s(i) = v // Spark `last` semantics: nulls overwrite
+        case fn => if (v != null) fn match {
+          case "count" => v match {
+            case b: java.lang.Boolean => if (b) s(i) = numL(s(i)) + 1L
+            case _ => s(i) = numL(s(i)) + 1L
+          }
+          case "sum" =>
+            if (integralSlot(i))
+              s(i) = (if (s(i) == null) 0L else numL(s(i))) + numL(v)
+            else s(i) = (if (s(i) == null) 0.0 else numD(s(i))) + numD(v)
+          case "min" => if (s(i) == null || cmp(v, s(i)) < 0) s(i) = v
+          case "max" => if (s(i) == null || cmp(v, s(i)) > 0) s(i) = v
+          case "avg" =>
+            val acc =
+              if (s(i) == null) Array[Any](0.0, 0L)
+              else s(i).asInstanceOf[Array[Any]]
+            s(i) = Array[Any](acc(0).asInstanceOf[Double] + numD(v),
+              acc(1).asInstanceOf[Long] + 1L)
+          case "first" => if (s(i) == null) s(i) = v
+          case "last" => s(i) = v
+        }
+      }
+      i += 1
+    }
+    s(n) = numL(s(n)) + 1L
+    s
+  }
+
+  def commitAfter(s: Array[Any]): Boolean = numL(s(n)) >= k
+
+  def emit(s: Array[Any]): Row = {
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = kinds(i) match {
+        case "count" => numL(s(i))
+        case "avg" => s(i) match {
+          case null => null
+          case acc: Array[Any] =>
+            acc(0).asInstanceOf[Double] / acc(1).asInstanceOf[Long]
+        }
+        case _ => s(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      vals, schema)
   }
 }

@@ -96,6 +96,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(r => r.sum == 15.0 && r.prevSum == 6.0))
   }
 
+  test("RaQL-text count-based COMMIT streams through the CommitHarness") {
+    // the full front-end path: the SAME RaQL text with `COMMIT AFTER
+    // SUM 1 >= k` compiles to the k-row rewrite on batch and to
+    // CommitHarness state on a stream — closed (complete) windows agree
+    implicit val sqlCtx = spark.sqlContext
+    val raql = """DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM 1 AS n, SUM v AS total, MAX v AS vmax, AVG v AS vavg
+        GROUP BY user
+        COMMIT AFTER SUM 1 >= 3;"""
+    val mem = MemoryStream[Ev]
+    val cs = new RaqlCompiler(spark, "/tmp")
+    cs.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram(raql) match {
+      case Right(p) => cs.register("mc", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val streamDf = cs.compile("mc/q")
+    assert(streamDf.isStreaming, "count-commit text must stay streaming")
+    val q = streamDf.writeStream.format("memory").queryName("raqlcnt")
+      .outputMode("append").start()
+    val events = Seq(
+      Ev("a", 1, 1.0), Ev("a", 2, 2.0), Ev("b", 1, 10.0),
+      Ev("a", 3, 3.0), Ev("a", 4, 4.0), Ev("b", 2, 20.0),
+      Ev("a", 5, 5.0), Ev("a", 6, 6.0), Ev("a", 7, 7.0), Ev("b", 3, 30.0))
+    events.grouped(3).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("raqlcnt")
+      .select("user", "n", "total", "vmax", "vavg")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    // batch replay of the same rows in the same order, same RaQL text
+    val cb = new RaqlCompiler(spark, "/tmp")
+    cb.registerTable("tables/ev", events.toDF().coalesce(1))
+    RaqlParser.parseProgram(raql) match {
+      case Right(p) => cb.register("mb", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val batch = cb.compile("mb/q")
+    val batchClosed = batch.filter(col("n") === 3)
+      .select("user", "n", "total", "vmax", "vavg")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "no streamed commit rows")
+    assert(streamed == batchClosed,
+      s"stream/batch disagree:\n  stream=$streamed\n  batch=$batchClosed")
+    // a: windows (1,2,3) and (4,5,6) committed, 7 pending; b: (10,20,30)
+    val totals = streamed.map(_(2)).toSeq.asInstanceOf[Seq[Double]].sorted
+    assert(totals == Seq(6.0, 15.0, 60.0), s"totals: $totals")
+  }
+
   test("CommitHarness COMMIT AFTER with KEEP retains running state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
