@@ -75,7 +75,20 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"failed":$failedArr,"sf":"$sfDir"}""")
+    // sustained streaming throughput vs BASELINE.md's ~0.5M tuples/s —
+    // the comms.ramen-shaped harness (see StreamBench); skippable via env
+    val streaming =
+      if (sys.env.get("SPARK_GRAFT_STREAMBENCH").contains("0")) ""
+      else try {
+        val r = StreamBench.run(spark)
+        val pw = r.perWorker.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""","streaming_tuples_per_s":${r.tuplesPerS},"streaming":{"per_worker":$pw,"rows":${r.rows},"seconds":${r.seconds}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        ""","streaming_tuples_per_s":-1"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"failed":$failedArr$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
