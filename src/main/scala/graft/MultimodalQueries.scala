@@ -54,6 +54,35 @@ object MultimodalQueries {
             || unhex(lpad(hex(octet_length(encode(text)) % 3 + 1), 2, '0'))
             || encode(text)))) AS content_hash,
           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-        FROM documents GROUP BY 1 ORDER BY 1"""))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- m03: the batched image-decode stage (mapPartitions, the
+    // mapInPandas-shaped path) driven end-to-end: every synthetic GIMG
+    // container decodes through the SAME decodeImages entry point that
+    // handles real PNG/JPEG via javax.imageio (codec-level ground truth
+    // for those lives in MultimodalSpec — SQL cannot rasterize). The
+    // oracle re-derives format/dims/mean-payload-byte independently from
+    // the text the stub encodes, so a break in either the container
+    // construction or the decoder's header/byte walk turns the row red.
+    QueryDef(
+      "m03_image_decode",
+      (s, d) => {
+        val imgs = Tables.documents(s, d)
+          .select(col("doc_id"), Multimodal.stubImage(col("text")).as("img"))
+        Multimodal.decodeImages(imgs, "doc_id", "img")
+          .select(col("id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("channels"), col("meanPixel").as("mean_pixel"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'stub' AS format,
+          octet_length(encode(text)) % 251 + 1 AS width,
+          octet_length(encode(text)) % 127 + 1 AS height,
+          octet_length(encode(text)) % 3 + 1 AS channels,
+          CASE WHEN octet_length(encode(text)) > 0 THEN
+            CAST(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+              i -> CAST(concat('0x', substring(hex(encode(text)), 2*i-1, 2)) AS BIGINT))) AS DOUBLE)
+              / octet_length(encode(text))
+          ELSE 0.0 END AS mean_pixel
+        FROM documents ORDER BY doc_id"""))
   )
 }
