@@ -695,3 +695,103 @@ case class RecallScan(
   override protected def withNewChildInternal(c: Expression): RecallScan =
     copy(child = c)
 }
+
+/** One retained candidate of the PAST … SAMPLE SIZE dominance ring. */
+private[graft] final class PastSampleEntry(
+    val h: Long, val s: Long, val t: Long, val v: Any, var cnt: Int)
+  extends Serializable
+
+/** Bounded-state scan for `PAST d [SLIDING] SAMPLE SIZE k OF x` (and the
+  * `SAMPLE k OF THE PAST d` spelling): the window sample is the k
+  * smallest-by-hash members of the trailing time window (the compiler's
+  * deterministic stand-in for the reference's seeded reservoir,
+  * `/root/reference/src/CodeGenLib.ml` Past :599-680 + RamenSampling).
+  *
+  * Retention rule (the reason state is bounded): candidate y can appear in
+  * some FUTURE window's bottom-k only while fewer than k later-or-equal-
+  * time values with a smaller hash exist — such values expire no earlier
+  * than y, so once k of them arrive, y is permanently shadowed. Keeping a
+  * per-entry shadow count and evicting at k gives expected O(k·log W)
+  * retained entries (vs the O(W) per-row window CONTENTS of the un-sampled
+  * form — this is what makes the SAMPLE SIZE escape hatch itself
+  * distributable; the finishing time-filter + bottom-k + arrival re-sort
+  * happens in the compiler's trim step).
+  *
+  * Child is a struct (h: hash, s: arrival seq, t: event micros, v: value);
+  * null v rows are skipped (reference reservoirs sample values, and the
+  * un-sampled form's collect skips nulls too). Output: the retained
+  * entries as an array of the same struct.
+  */
+case class PastSampleScan(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[PastSampleEntry]]
+  with UnaryLike[Expression] {
+
+  private def vType: DataType =
+    child.dataType.asInstanceOf[StructType].fields(3).dataType
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[PastSampleEntry] =
+    scala.collection.mutable.ArrayBuffer.empty[PastSampleEntry]
+
+  override def update(b: scala.collection.mutable.ArrayBuffer[PastSampleEntry],
+      row: InternalRow): scala.collection.mutable.ArrayBuffer[PastSampleEntry] = {
+    val sv = child.eval(row).asInstanceOf[InternalRow]
+    if (sv == null || sv.isNullAt(3)) return b
+    val h = sv.getLong(0); val s = sv.getLong(1); val t = sv.getLong(2)
+    // shadow counts both ways (time disorder safe): x counts against y
+    // only when x expires no earlier (t_x >= t_y) and hashes strictly
+    // smaller; compaction happens in place
+    var newCnt = 0
+    var i = 0
+    var w = 0
+    while (i < b.length) {
+      val y = b(i)
+      if (h < y.h && t >= y.t) y.cnt += 1
+      else if (y.h < h && y.t >= t) newCnt += 1
+      if (y.cnt < k) { if (w != i) b(w) = y; w += 1 }
+      i += 1
+    }
+    b.takeInPlace(w)
+    if (newCnt < k)
+      b += new PastSampleEntry(h, s, t, InternalRow.copyValue(sv.get(3, vType)), newCnt)
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.ArrayBuffer[PastSampleEntry],
+      o: scala.collection.mutable.ArrayBuffer[PastSampleEntry]): scala.collection.mutable.ArrayBuffer[PastSampleEntry] =
+    if (o.isEmpty) b
+    else if (b.isEmpty) o
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: scala.collection.mutable.ArrayBuffer[PastSampleEntry]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.map(e => InternalRow(e.h, e.s, e.t, e.v)).toArray[Any])
+
+  override def serialize(b: scala.collection.mutable.ArrayBuffer[PastSampleEntry]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.toList); oos.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[PastSampleEntry] = {
+    val xs = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject()
+      .asInstanceOf[List[PastSampleEntry]]
+    scala.collection.mutable.ArrayBuffer.from(xs)
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_past_sample"
+
+  override def withNewMutableAggBufferOffset(x: Int): PastSampleScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): PastSampleScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): PastSampleScan =
+    copy(child = c)
+}

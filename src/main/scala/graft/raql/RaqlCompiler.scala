@@ -776,6 +776,32 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           e => struct(e.getField("s").as("s"), e.getField("v").as("v")))),
         s => s.getField("v"))
 
+    /** `PAST d SAMPLE SIZE k` / `SAMPLE k OF THE PAST d`: same winners as
+      * [[sampleOf]] over the trailing time window, computed by the bounded
+      * dominance ring ([[graft.aggs.PastSampleScan]], expected O(k·log W)
+      * retained entries) instead of the O(window)-contents-per-row collect
+      * — so the SAMPLE SIZE escape hatch the sequentialWindow diagnostic
+      * recommends is itself chunk-distributed in ungrouped mode. The ring
+      * folds in ARRIVAL order and expels by event time, exactly the
+      * reference's Past.add shape (CodeGenLib.ml:599-680); with monotone
+      * event time this equals the time-range-frame formulation row for
+      * row (RaqlSpec equality test). */
+    def pastSampleRing(v: Column, k: Int, d: Double): Column = {
+      val dUs = math.max((d * 1e6).toLong, 1L)
+      val tUs = (time * 1e6).cast("long")
+      val entry = struct(xxhash64(seqC).as("h"), seqC.as("s"),
+        tUs.as("t"), v.as("v"))
+      val winners = chunkedRing(entry,
+        c => GS.column(graft.aggs.PastSampleScan(GS.expression(c), k)
+          .toAggregateExpression()),
+        comb => slice(array_sort(filter(comb,
+          e => e.getField("t") > tUs - lit(dUs))), 1, k))
+      transform(
+        array_sort(transform(winners,
+          e => struct(e.getField("s").as("s"), e.getField("v").as("v")))),
+        s => s.getField("v"))
+    }
+
     /** Running SAMPLE: the k-smallest-by-hash selection is a TopNScan ring
       * (O(k) state, chunk-decomposable) — same winners as [[sampleOf]]
       * over the unbounded prefix without its O(n) per-row collect, and
@@ -1134,10 +1160,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
       case AggCall("sample_past", x, mods, extra) =>
         val d = extra.headOption.map(evalNum(_, params)).getOrElse(1.0)
-        val tUs = (time * 1e6).cast("long")
-        val frame = orderedWindow(tUs)
-          .rangeBetween(-((d * 1e6).toLong - 1), 0)
-        sampleOf(goM(x), modNum(mods, "n").getOrElse(1.0).toInt, frame)
+        pastSampleRing(goM(x), modNum(mods, "n").getOrElse(1.0).toInt, d)
 
       case AggCall("past", x, mods, extra) =>
         val d = extra.headOption.map(evalNum(_, params))
@@ -1155,17 +1178,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             bucket =!= lag(bucket, 1).over(W), lag(arr, 1).over(W))
         } else {
           // sliding: strictly younger than d (t_cur - t' < d), current
-          // row included, time-ascending order. Per-row state is the
-          // window CONTENTS — flag the single-task shape when ungrouped.
-          if (ctx.parts.isEmpty) sequentialWindow("PAST … SLIDING array")
-          val tUs = (time * 1e6).cast("long")
-          val frame = orderedWindow(tUs)
-            .rangeBetween(-((d * 1e6).toLong - 1), 0)
+          // row included, time-ascending order.
           modNum(mods, "sample") match {
             // PAST d SAMPLE SIZE n OF x: bounded uniform sample of the
-            // time window instead of the full contents
-            case Some(n) => sampleOf(goM(x), n.toInt, frame)
-            case None => collect_list(goM(x)).over(frame)
+            // time window — the dominance ring keeps state O(n·log W)
+            // and chunk-distributes, so this form is NOT sequential
+            case Some(n) => pastSampleRing(goM(x), n.toInt, d)
+            case None =>
+              // full contents: per-row state IS the window — flag the
+              // single-task shape when ungrouped (no carry can fix an
+              // O(window) per-row output)
+              if (ctx.parts.isEmpty) sequentialWindow("PAST … SLIDING array")
+              val tUs = (time * 1e6).cast("long")
+              val frame = orderedWindow(tUs)
+                .rangeBetween(-((d * 1e6).toLong - 1), 0)
+              collect_list(goM(x)).over(frame)
           }
         }
 

@@ -550,6 +550,58 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("PAST … SAMPLE SIZE: dominance ring distributes and equals the time-frame sample") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val src = Map("run" -> """DEFINE f AS
+        SELECT start, PAST 5 SAMPLE SIZE 3 OF x AS smp
+        FROM tbl;""")
+    // monotone event time, single partition: arrival order == time order,
+    // so the ring must match the time-range-frame formulation exactly
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 2000).map { i =>
+      (i * 0.37, if (i % 17 == 0) None else Some((i * 131 % 977).toDouble))
+    }.toDF("start", "x").coalesce(1)
+    def run(chunked: Boolean): (Array[Seq[Double]], RaqlCompiler) = {
+      if (!chunked) spark.conf.set("graft.raql.chunkedRunning", "false")
+      try {
+        val c = RaqlCompiler.fromSources(spark, funcDir, src)
+          .fold(e => fail(s"parse: $e"), identity)
+        c.registerTable("tbl", base)
+        val rows = c.compile("run/f").orderBy("start").collect()
+          .map(_.getSeq[Double](1))
+        (rows, c)
+      } finally if (!chunked) spark.conf.unset("graft.raql.chunkedRunning")
+    }
+    val (gotChunked, cc) = run(chunked = true)
+    val (gotSeq, _) = run(chunked = false)
+    // the SAMPLE SIZE form must NOT be flagged sequential (that is the
+    // whole point of the bounded ring)
+    assert(cc.sequentialForms.isEmpty, s"flagged: ${cc.sequentialForms}")
+    // chunked plan: no partition-less window over the full input
+    assert(gotChunked.toSeq == gotSeq.toSeq)
+    // independent expectation: the k-smallest-by-hash of the trailing
+    // 5 s time-range frame (the pre-ring formulation)
+    val w = Window.orderBy(col("_tus")).rangeBetween(-(5000000L - 1), 0)
+    val expect = base
+      .withColumn("_s", monotonically_increasing_id())
+      .withColumn("_tus", (col("start").cast("double") * 1e6).cast("long"))
+      .withColumn("smp", transform(
+        array_sort(transform(
+          slice(array_sort(collect_list(
+            when(col("x").isNotNull, struct(xxhash64(col("_s")).as("h"),
+              col("_s").as("s"), col("x").as("v")))).over(w)), 1, 3),
+          e => struct(e.getField("s").as("s"), e.getField("v").as("v")))),
+        s => s.getField("v")))
+      .orderBy("start").collect().map(_.getSeq[Double](4))
+    assert(gotChunked.length == 2000)
+    assert(gotChunked.toSeq == expect.toSeq)
+    // (the un-sampled form's diagnostics are covered by the "running
+    // GROUP / PAST sliding flag their single-task window shape" test)
+  }
+
   test("oldest/largest/smallest rings distribute and match the global plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     import org.apache.spark.sql.functions.col
