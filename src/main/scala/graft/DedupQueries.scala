@@ -46,6 +46,10 @@ object DedupQueries {
     // check: any true pair the banding misses turns the driver row red.
     // Recall is 1.0 at threshold 0.5 with the seeded 12/6-band family
     // (deterministic — DedupSpec keeps the ≥0.8 floor as a property test).
+    // ACCEPTED RISK (r6 advisory): recall-1.0 is measured at this SF, not
+    // a mathematical guarantee — if a future SF dips below 1.0 this row
+    // goes red with no implementation bug; the fix then is to reshape to
+    // a02a-style per-pair found/total audit columns, not to widen bands.
     QueryDef(
       "d02_minhash_lsh",
       (s, d) => {

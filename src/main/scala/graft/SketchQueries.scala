@@ -314,6 +314,11 @@ object SketchQueries {
     // absorbs the association drift between the sketch's incremental
     // inflate+rebase products and SQL's one-exp-per-row sum. AggregatesSpec
     // covers decay order, rebase, sigma filtering, and partition invariance.
+    // ACCEPTED RISK (r6 advisory): both engines cut the top-10 on
+    // UN-rounded weights — round(4) absorbs value drift but a float
+    // near-tie exactly at the rank-10/11 boundary could select different
+    // key sets; if that ever flakes at another SF, round before the cut
+    // on both sides (or widen k with a deterministic tie margin).
     QueryDef(
       "s12_top_decayed",
       (s, d) => {

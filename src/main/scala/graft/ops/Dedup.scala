@@ -127,7 +127,11 @@ object Dedup {
     var labels = vertices.select(col("id"), col("id").as("label")).persist()
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    // maxIter + 1 passes allowed: an iteration that still CHANGES labels
+    // can be the converging one — only the following zero-change pass
+    // confirms the fixpoint, so a graph converging at exactly maxIter
+    // rounds needs one extra confirmation pass, not a throw
+    while (changed > 0 && it <= maxIter) {
       val viaEdges = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("label"))
       val next = labels.unionByName(viaEdges)
@@ -141,10 +145,12 @@ object Dedup {
     sym.unpersist()
     // silent non-convergence would disagree with any transitive-closure
     // oracle (a chain component longer than maxIter keeps stale labels)
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist() // don't leak the cached frame on the throw path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
           "(a component's diameter exceeds maxIter); raise maxIter")
+    }
     labels
   }
 

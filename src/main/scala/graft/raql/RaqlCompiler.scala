@@ -834,18 +834,23 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
     // incremental O(1)-state scan folded once per row by WindowExec (the
     // collect_list-prefix + HOF fold re-ran the whole prefix per row).
-    // Opt-in chunked mode (graft.raql.chunkedSmooth=true) distributes the
-    // ungrouped scan: the prefix fold is affine in the incoming state
-    // (s -> a*s + b, see ExpSmoothAffineScan), so chunks compute (a, b)
-    // plus a first-value-seeded local scan, per-chunk finals fold into an
+    // Chunked mode (DEFAULT; graft.raql.chunkedSmooth=false restores the
+    // single sequential scan) distributes the ungrouped scan: the prefix
+    // fold is affine in the incoming state (s -> a*s + b, see
+    // ExpSmoothAffineScan), so chunks compute (a, b) plus a
+    // first-value-seeded local scan, per-chunk finals fold into an
     // incoming-state carry over the tiny totals frame, and each row emits
     // a*carry + b (or the local seeded value while no prior chunk has a
-    // non-null). Algebraically exact; NOT bit-equal to the sequential fold
-    // (float re-association), hence opt-in rather than default.
+    // non-null). POLICY (r7): default-on — algebraically exact with the
+    // sequential fold, differing only by float re-association (equality
+    // specs hold at 1e-9 relative; driver oracles round) — the same
+    // tolerance class every chunked scan in this file already accepts,
+    // and the sequential default was the last ungrouped scan that would
+    // silently serialize at 100 TB.
     def smoothOf(x: Expr, alpha: Double): Column = {
       import graft.functions.{GraftFunctions => GF}
       val chunked = ctx.parts.isEmpty &&
-        spark.conf.getOption("graft.raql.chunkedSmooth").contains("true")
+        !spark.conf.getOption("graft.raql.chunkedSmooth").contains("false")
       val c = goM(x)
       if (!chunked) GF.expSmoothScan(c, alpha).over(prefix)
       else {
@@ -880,21 +885,20 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       }
     }
 
-    /** DAMPED HOLT, sequential by default; opt-in chunked mode
-      * (graft.raql.chunkedHolt=true) distributes the ungrouped scan the
-      * same way as [[smoothOf]]'s: the Holt recurrence is affine in
-      * (level, trend) (see DampedHoltAffineScan), so chunks compute a 2×3
-      * map, the incoming (level, trend) per chunk folds over the tiny
-      * totals frame from the reference's (0, 0) start, and each row
-      * applies its within-chunk prefix map to the carry. Simpler than
-      * SMOOTH's carry: the reference seeds at (0,0) — no first-value
-      * special case, the carry struct is never null. Algebraically exact;
-      * NOT bit-equal to the sequential fold (float re-association), hence
-      * opt-in. */
+    /** DAMPED HOLT, chunked by DEFAULT (graft.raql.chunkedHolt=false
+      * restores the single sequential scan): the Holt recurrence is
+      * affine in (level, trend) (see DampedHoltAffineScan), so chunks
+      * compute a 2×3 map, the incoming (level, trend) per chunk folds
+      * over the tiny totals frame from the reference's (0, 0) start, and
+      * each row applies its within-chunk prefix map to the carry. Simpler
+      * than SMOOTH's carry: the reference seeds at (0,0) — no first-value
+      * special case, the carry struct is never null. POLICY (r7):
+      * default-on, same rationale and float-tolerance statement as
+      * [[smoothOf]]. */
     def dampedHoltOf(x: Expr, a: Double, b: Double, f: Double): Column = {
       import graft.functions.{GraftFunctions => GF}
       val chunked = ctx.parts.isEmpty &&
-        spark.conf.getOption("graft.raql.chunkedHolt").contains("true")
+        !spark.conf.getOption("graft.raql.chunkedHolt").contains("false")
       val c = goM(x)
       if (!chunked) GF.dampedHoltScan(c, a, b, f).over(prefix)
       else {

@@ -182,9 +182,16 @@ final class Instrumentation(spark: SparkSession) extends StreamingQueryListener 
       if (added % 256 == 0 && added > maxRetained) {
         val target = added - maxRetained
         if (target > manualCommitted) {
-          try stream.commit(LongOffset(target))
-          catch { case _: IllegalStateException => () }
-          manualCommitted = target
+          try { stream.commit(LongOffset(target)); manualCommitted = target }
+          catch {
+            // ONLY the documented race (a consuming query committed past
+            // our target → those batches are already discarded, retention
+            // satisfied); any other IllegalStateException is a real
+            // failure and must not be recorded as committed
+            case e: IllegalStateException
+                if Option(e.getMessage).exists(_.contains("committed out of order")) =>
+              manualCommitted = target
+          }
         }
       }
     }
