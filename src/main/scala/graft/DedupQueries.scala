@@ -89,6 +89,38 @@ object DedupQueries {
       None,
       headline = true),
 
+    // ---- d04b: the SAME production pigeonhole chunk-join operator over
+    // the SQL-reproducible md5 simhash family — a FULL value oracle for
+    // the operator d04 runs: DuckDB recomputes the md5 token hashes, the
+    // ±1 bit votes, the 60-bit fingerprints, and the brute-force Hamming
+    // pair set (which the pigeonhole identity proves equal to the chunk
+    // join's output). d04 keeps the fast xxh64 family in production;
+    // here only the ORACLE is O(n²).
+    QueryDef(
+      "d04b_simhash_md5",
+      (s, d) => Dedup.simhashPairsOfFps(
+        Dedup.simhashFpsMd5(Tables.documents(s, d), "doc_id", "text"),
+        maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (
+          SELECT doc_id, list_transform(string_split($normSql, ' '),
+            tok -> CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)) AS ths
+          FROM documents),
+        f AS (
+          SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN COALESCE(list_sum(list_transform(ths, h ->
+              CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY id_a, id_b"""),
+      ),
+
     // ---- d04a: per-doc completeness AUDIT of the production chunk join:
     // the chunk-join neighbor set must equal the exhaustive O(n²) Hamming
     // one for every doc (a mathematical identity of the 4×16-bit

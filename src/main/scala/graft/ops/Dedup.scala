@@ -184,6 +184,30 @@ object Dedup {
       .repartition(par(docs))
       .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
 
+  /** SQL-reproducible simhash family: 60-bit fingerprint from md5-derived
+    * per-token hashes (first 15 hex chars → bigint) with the same
+    * majority-vote construction as [[simhashFps]]. Slower than the xxh64
+    * codegen expression (one md5 per token), so the PRODUCTION family
+    * stays xxh64 — this one exists so the whole pigeonhole chunk-join
+    * operator is value-oracle-able end to end: DuckDB recomputes md5
+    * hashes, votes, fingerprints, and brute-force Hamming pairs
+    * bit-identically (d04b). Still map-only whole-stage codegen. */
+  def simhashFpsMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .repartition(par(docs))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
+        .as("ths"))
+      // bit b of the fingerprint is the sign of the ±1 vote sum across
+      // token hashes; empty docs vote 0 ≥ 0 on every bit (both engines)
+      .select(col("id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+          IF(aggregate(ths, 0L,
+               (a, h) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1
+                              THEN 1L ELSE -1L END)) >= 0,
+             shiftleft(1L, b), 0L))""").as("fp"))
+
   /** Pigeonhole chunk join over a precomputed (id, fp) frame; the only
     * exchange is the narrow (chunk, chunk_val) bucket partitioning. */
   def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3): DataFrame = {

@@ -148,6 +148,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(totals == Seq(6.0, 15.0, 60.0), s"totals: $totals")
   }
 
+  test("StreamBench harness produces a sane sustained-throughput measurement") {
+    // tiny configuration (10k-row triggers, 4 batches): asserts the
+    // comms-shaped pipeline runs, both consumers report through the
+    // instrumentation stream, and the rate is positive — the Bench JSON's
+    // streaming_tuples_per_s depends on this plumbing
+    val r = StreamBench.run(spark, rowsPerBatch = 10000L, batches = 4,
+      warmupBatches = 1)
+    assert(r.perWorker.keySet == Set("consumer1", "consumer2"),
+      s"workers: ${r.perWorker.keySet}")
+    assert(r.tuplesPerS > 0, s"rate: ${r.tuplesPerS}")
+    assert(r.rows >= 3 * 10000L * 4, s"rows: ${r.rows}") // 3 producers × batches
+  }
+
   test("CommitHarness COMMIT AFTER with KEEP retains running state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
