@@ -195,6 +195,84 @@ object SimilarityQueries {
             JOIN v t ON t.vec_id = ce.vec_id AND t.vec_id <> q.vec_id) z
         WHERE rk <= 5 ORDER BY query_id, rk""")),
 
+    // ---- a05: IVF with ONE spherical-kmeans refinement sweep — the
+    // assignment plan a04 uses, run once more after recomputing each
+    // cell's centroid as the elementwise member mean. Fully value-oracled:
+    // the means go through round-6 + DECIMAL sums (exact integer
+    // arithmetic, order-free — the a03 trick), normalization is the same
+    // sequential ascending-dim fold in both engines, so DuckDB replays
+    // seed → assign → refine → re-assign → probe → re-rank
+    // value-for-value. Empty cells keep their seed centroid (both sides).
+    QueryDef(
+      "a05_ann_ivf_kmeans",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.ivfKmeansTopK(embs, embs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4, iters = 1)
+          .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+            p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+            (acc, x) -> acc + x)"""
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+          FROM embeddings),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+        sc0 AS (
+          SELECT v.vec_id, t.cidx, ${dot("v.v", "t.cv")} AS dt
+          FROM v CROSS JOIN c0 t),
+        cell0 AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc0) z WHERE rk = 1),
+        m AS (
+          SELECT ce.cell AS cidx, dims.dim,
+            CAST(SUM(CAST(ROUND(v.v[dims.dim], 6) AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(*) AS mv
+          FROM v JOIN cell0 ce ON ce.vec_id = v.vec_id
+          CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dims
+          GROUP BY ce.cell, dims.dim),
+        m1 AS (SELECT cidx, list(mv ORDER BY dim) AS ml FROM m GROUP BY cidx),
+        c1 AS (
+          SELECT c0.cidx,
+            COALESCE(list_transform(m1.ml, x -> x / greatest(
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(m1.ml, y -> y * y)), (a, z) -> a + z)), 1e-12)),
+              c0.cv) AS cv
+          FROM c0 LEFT JOIN m1 ON m1.cidx = c0.cidx),
+        sc1 AS (
+          SELECT v.vec_id, t.cidx, ${dot("v.v", "t.cv")} AS dt
+          FROM v CROSS JOIN c1 t),
+        cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc1) z WHERE rk = 1),
+        probe AS (
+          SELECT vec_id AS qid, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc1 WHERE vec_id < 10) z WHERE rk <= 4)
+        SELECT query_id, rk, neighbor_id, cos FROM (
+          SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+            ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) AS cos,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) DESC, t.vec_id) AS rk
+          FROM v q JOIN probe p ON p.qid = q.vec_id
+            JOIN cell ce ON ce.cell = p.cell
+            JOIN v t ON t.vec_id = ce.vec_id AND t.vec_id <> q.vec_id) z
+        WHERE rk <= 5 ORDER BY query_id, rk"""
+      }),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

@@ -128,6 +128,24 @@ object TextQueries {
       (s, d) => docsPar(s, d)
         .select(col("doc_id"), md5(normalize(col("text")).cast("binary")).as("fp"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id"""))
+      Some(s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""")),
+
+    // ---- t05: deterministic per-language stratified sampling — the
+    // training-mix downsampling op (see graft.ops.Sampling): membership is
+    // a pure function of md5(doc_id), so the sample is stable across
+    // reruns/partitionings and exactly reproducible by the oracle. Rates
+    // deliberately uneven (downsample the dominant language).
+    QueryDef(
+      "t05_stratified_sample",
+      (s, d) => graft.ops.Sampling.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "lang",
+        rates = Map("en" -> 0.25, "zh" -> 0.8), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0 <
+          CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.8 ELSE 0.5 END
+        ORDER BY doc_id"""))
   )
 }

@@ -4,6 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -92,22 +93,39 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val dim = vecDim(corpus, vecCol)
-    // deterministic seed centroids, L2-normalized at the driver; floats
-    // widen exactly (f.doubleValue) so the oracle's CAST(x AS DOUBLE)
-    // sees bit-identical components
-    val cents: Seq[Seq[Double]] = corpus
+    ivfPlan(corpus, queries, idCol, vecCol, k, nprobe, dim,
+      seedCentroids(corpus, idCol, vecCol, nlist))
+  }
+
+  /** Deterministic seed centroids: the nlist lowest-id corpus vectors,
+    * L2-normalized at the driver; floats widen exactly (f.doubleValue) so
+    * the oracle's CAST(x AS DOUBLE) sees bit-identical components. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Seq[Seq[Double]] =
+    corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .orderBy(col("id")).limit(nlist)
       .select("v").collect()
       .map { r =>
-        val raw = r.getSeq[Any](0).map {
+        normalized(r.getSeq[Any](0).map {
           case f: java.lang.Float => f.doubleValue
           case d: java.lang.Double => d.doubleValue
           case x => x.toString.toDouble
-        }
-        val n = math.sqrt(raw.map(x => x * x).sum)
-        raw.map(_ / math.max(n, 1e-12)).toSeq
+        })
       }.toSeq
+
+  private def normalized(raw: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / math.max(n, 1e-12)).toSeq
+  }
+
+  /** The IVF probe plan around a literal centroid set: map-only cell
+    * argmax over the corpus, nprobe-cell broadcast probe, per-query
+    * re-rank. Shared by the seeded ([[ivfTopK]]) and kmeans-refined
+    * ([[ivfKmeansTopK]]) variants. */
+  private def ivfPlan(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, dim: Int,
+      cents: Seq[Seq[Double]]): DataFrame = {
     def cellScores(v: Column): Column =
       array(cents.map(cv => dotFlat(v, typedlit(cv), dim)): _*)
 
@@ -131,6 +149,57 @@ object Similarity {
           .as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF with `iters` spherical-kmeans refinement sweeps over the seed
+    * centroids: assign every vector to its argmax-dot cell (the SAME
+    * map-only plan the probe path uses), recompute each cell's centroid
+    * as the elementwise mean of its members, normalize, repeat.
+    *
+    * Determinism contract (what makes this fully SQL-oracle-able): the
+    * mean goes through round-6 quantization + DECIMAL(18,6) sums — exact
+    * integer arithmetic, so both engines produce bit-identical centroid
+    * components regardless of aggregation order (the a03 trick) — and the
+    * normalization is a sequential ascending-dim fold on both sides.
+    * Cells that lose all members keep their previous centroid. Per sweep
+    * the driver collects nlist×dim doubles (same footprint class as the
+    * seed fetch — documented).
+    *
+    * Scale shape: each sweep is one map-only assignment pass + one
+    * (cell, dim)-keyed aggregation of nlist×dim rows — no corpus shuffle
+    * beyond the narrow explode, and the refined centroids go back out as
+    * literals, exactly like the seeds. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 1): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    var cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    for (_ <- 1 to iters) {
+      def cellScores(v: Column): Column =
+        array(cents.map(cv => dotFlat(v, typedlit(cv), dim)): _*)
+      val assigned = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("v"))
+        .repartition(par(corpus))
+        .withColumn("_scores", cellScores(col("v")))
+        .withColumn("cell",
+          array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
+        .drop("_scores")
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .select(col("cell"), (col("pos") + 1).as("dim"),
+          round(col("col").cast("double"), 6).as("xq"))
+        .groupBy("cell", "dim")
+        .agg((sum(col("xq").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("mv"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rs =>
+          rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i + 1).map(normalized).getOrElse(old)
+      }
+    }
+    ivfPlan(corpus, queries, idCol, vecCol, k, nprobe, dim, cents)
   }
 
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
