@@ -188,6 +188,81 @@ object DedupQueries {
           SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
         SELECT s AS doc_id, MIN(d) AS cluster_id,
           (s = MIN(d)) AS is_canonical
-        FROM reach GROUP BY s ORDER BY doc_id"""))
+        FROM reach GROUP BY s ORDER BY doc_id""")),
+
+    // ---- d07: SemDeDup — cluster-bounded semantic dedup over embeddings
+    // (coarse kmeans cells around the a04 seed centroids, pairwise cosine
+    // ONLY within a cell, drop to the min-id mate at cos ≥ 0.4). The
+    // sub-quadratic scale path for embedding dedup: pair cost is Σ|cell|²,
+    // not n². Fully value-oracled — seeded centroids make the assignment
+    // argmax, the within-cell pair set, and the min-id pick exactly
+    // reproducible in DuckDB (same machinery a04 proved).
+    QueryDef(
+      "d07_semantic_dedup",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Dedup.semanticDedup(embs, "vec_id", "embedding",
+          graft.ops.Similarity.seedCentroids(embs, "vec_id", "embedding", 16),
+          minCos = 0.4)
+          .select(col("id").as("vec_id"), col("cell"), col("dup_of"),
+            col("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+        sc AS (
+          SELECT v.vec_id, c.cidx,
+            list_reduce(list_prepend(0.0, list_transform(list_zip(v.v, c.cv),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM v CROSS JOIN c),
+        cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc) z WHERE rk = 1),
+        dup AS (
+          SELECT cb.vec_id AS id, MIN(ca.vec_id) AS dup_of
+          FROM cell ca JOIN cell cb
+            ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+          JOIN v a ON a.vec_id = ca.vec_id
+          JOIN v b ON b.vec_id = cb.vec_id
+          WHERE ROUND(list_reduce(list_prepend(0.0,
+              list_transform(list_zip(a.v, b.v),
+                p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) / (a.norm * b.norm), 9) >= 0.4
+          GROUP BY cb.vec_id)
+        SELECT ce.vec_id, ce.cell, dup.dup_of,
+          dup.dup_of IS NOT NULL AS is_dup
+        FROM cell ce LEFT JOIN dup ON dup.id = ce.vec_id
+        ORDER BY ce.vec_id""")),
+
+    // ---- d08: cross-doc duplicated-span ratio — the inverted-index
+    // contamination signal (fraction of a doc's distinct 3-gram spans
+    // that exist in another doc). One span-hash shuffle, no pair join;
+    // integer-ratio math ⇒ bit-exact.
+    QueryDef(
+      "d08_shared_spans",
+      (s, d) => Dedup.crossDocSharedShingles(Tables.documents(s, d),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_shingles"), col("shared_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        c AS (SELECT g, COUNT(*) AS ndocs FROM e GROUP BY 1)
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+          ROUND(CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 9) AS shared_frac
+        FROM e JOIN c USING (g)
+        GROUP BY e.doc_id ORDER BY e.doc_id"""))
   )
 }

@@ -146,6 +146,101 @@ object TextQueries {
         WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
               / 1152921504606846976.0 <
           CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.8 ELSE 0.5 END
+        ORDER BY doc_id"""),
+      headline = false),
+
+    // ---- t06: within-doc repetition signals (the Gopher repetition
+    // filters, Rae et al. 2021 §A1.1, adapted to token level): top2_frac =
+    // fraction of the doc's tokens covered by occurrences of its most
+    // frequent 2-gram; dup3_frac = fraction of 3-gram occurrences whose
+    // gram repeats within the doc. Scale shape: ALL n-gram occurrences
+    // (not the distinct shingle set) explode to (doc, gram) rows and
+    // aggregate per doc — hash-partitioned by (doc_id, gram) with map-side
+    // partial counts; no cross-doc shuffle at all. Integer-ratio math ⇒
+    // bit-exact across engines.
+    QueryDef(
+      "t06_repetition",
+      (s, d) => {
+        val base = docsPar(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            expr("""if(size(toks) < 2, array(),
+              transform(sequence(1, size(toks)-1), i -> concat_ws(' ', slice(toks, i, 2))))""")
+              .as("g2"),
+            expr("""if(size(toks) < 3, array(),
+              transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3))))""")
+              .as("g3"))
+        val s2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id").agg(max("count").as("mx2"))
+        val s3 = base.select(col("doc_id"), explode(col("g3")).as("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id").agg(
+            sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup3"),
+            sum(col("count")).as("tot3"))
+        base.select(col("doc_id"), col("n_tokens"))
+          .join(s2, Seq("doc_id"), "left")
+          .join(s3, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(col("mx2") * lit(2.0) / col("n_tokens"), 9).as("top2_frac"),
+            round(col("dup3").cast("double") / col("tot3"), 9).as("dup3_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+            for i in range(1, greatest(len(toks), 1))]) AS g FROM t),
+        s2 AS (SELECT doc_id, MAX(c) AS mx2 FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) z GROUP BY 1),
+        g3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+            for i in range(1, greatest(len(toks) - 1, 1))]) AS g FROM t),
+        s3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+            SUM(c) AS tot3 FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) z GROUP BY 1)
+        SELECT t.doc_id,
+          ROUND(s2.mx2 * 2.0 / len(t.toks), 9) AS top2_frac,
+          ROUND(CAST(s3.dup3 AS DOUBLE) / s3.tot3, 9) AS dup3_frac
+        FROM t LEFT JOIN s2 ON s2.doc_id = t.doc_id
+        LEFT JOIN s3 ON s3.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ---- t07: rule-based quality gate (Gopher-style heuristics, Rae et
+    // al. 2021 §A1.1, adapted to this corpus's token vocabulary): token
+    // count bounds, mean token length bounds, minimum stopword presence.
+    // Pure map-only pass — every signal derives from the normalized text
+    // row-locally, integer/length arithmetic only ⇒ bit-exact.
+    QueryDef(
+      "t07_quality_gate",
+      (s, d) => {
+        val n = col("n_tokens")
+        // normalized text = tokens joined by single spaces, so total token
+        // chars = length(norm) - (n_tokens - 1) — no second array pass
+        val meanW = (col("n_norm") - (n - lit(1))).cast("double") / n
+        docsPar(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"),
+            length(normalize(col("text"))).as("n_norm"))
+          .select(col("doc_id"), col("n_norm"), size(col("toks")).as("n_tokens"),
+            langScore(col("toks"), "en").as("sw"))
+          .select(col("doc_id"), n,
+            round(meanW, 9).as("mean_wlen"),
+            (n >= 20 && n <= 1000).as("wc_ok"),
+            (meanW >= 2.0 && meanW <= 12.0).as("wlen_ok"),
+            (col("sw") >= 1).as("stop_ok"),
+            (n >= 20 && n <= 1000 && meanW >= 2.0 && meanW <= 12.0 &&
+              col("sw") >= 1).as("pass"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens,
+        ROUND(mean_wlen, 9) AS mean_wlen,
+        n_tokens BETWEEN 20 AND 1000 AS wc_ok,
+        mean_wlen BETWEEN 2.0 AND 12.0 AS wlen_ok,
+        sw >= 1 AS stop_ok,
+        (n_tokens BETWEEN 20 AND 1000) AND (mean_wlen BETWEEN 2.0 AND 12.0)
+          AND sw >= 1 AS pass
+        FROM (SELECT doc_id, len(toks) AS n_tokens,
+            CAST(length(norm) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wlen,
+            ${scoreSql("en")} AS sw
+          FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks
+            FROM documents) a) b
         ORDER BY doc_id"""))
   )
 }

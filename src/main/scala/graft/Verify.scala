@@ -5,10 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2))
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional extra args: name prefixes to restrict the dump to (local
+    // iteration; the driver always passes exactly two args)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.isEmpty || only.exists(name.startsWith) }
+    selected.foreach { case (name, fn) =>
       try {
         // `.coalesce(1)` directly on the query can interact with the global
         // sort (AQE may drop the range exchange), losing the row order the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -257,6 +257,85 @@ object Dedup {
     fps.select(col("id"))
       .join(broadcast(badIds.withColumn("bad", lit(true))), Seq("id"), "left")
       .select(col("id"), col("bad").isNull.as("pigeonhole_ok"))
+  }
+
+  /** Semantic dedup: cluster-bounded embedding near-dup pruning (the
+    * SemDeDup shape — Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"). Every vector
+    * is coarse-assigned to its argmax-dot cell around the literal
+    * `cents` centroids (the SAME map-only plan [[Similarity.ivfTopK]]
+    * uses), and pairwise cosine runs ONLY within a cell: a vector whose
+    * cell holds a lower-id mate with cosine ≥ `minCos` is marked a
+    * duplicate of the smallest such mate.
+    *
+    * Scale shape: this is THE way semantic dedup stays sub-quadratic at
+    * 100 TB — the O(n²) pair cost becomes Σ|cell|², bounded by the
+    * clustering (with balanced cells, n²/nlist), the cell join is
+    * co-partitioned on the cell key (shuffle-hash pinned: row-count stats
+    * undersell the quadratic output), and cell assignment is map-only
+    * codegen over broadcast-literal centroids. At corpus scale pass
+    * kmeans-refined centroids ([[Similarity.ivfKmeansTopK]]'s sweep) and
+    * a larger nlist; seeded centroids keep the whole pipeline (argmax,
+    * pair set, min-id pick) exactly SQL-reproducible for the oracle.
+    *
+    * Returns one row per vector: (id, cell, dup_of, is_dup) with
+    * dup_of = min lower-id cell-mate at cosine ≥ minCos (NULL ⇒ kept). */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], minCos: Double): DataFrame = {
+    val dim = Similarity.vecDim(embs, vecCol)
+    def cellScores(v: Column): Column =
+      array(cents.map(cv => Similarity.dotFlat(v, typedlit(cv), dim)): _*)
+    val assigned = embs
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normFlat(col(vecCol), dim).as("norm"))
+      .repartition(par(embs)) // spread the per-row nlist×dim dot products
+      .withColumn("_scores", cellScores(col("v")))
+      .withColumn("cell",
+        array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
+      .drop("_scores")
+    // co-partitioned within-cell self-join (pinned: a broadcast build side
+    // would redo the whole assignment pipeline in one task)
+    val byCell = assigned.repartition(par(embs), col("cell")).hint("shuffle_hash")
+    val dupOf = byCell.as("a")
+      .join(byCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(round(Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
+        (col("a.norm") * col("b.norm")), 9) >= minCos)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("dup_of"))
+    assigned.select(col("id"), col("cell"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Cross-document duplicated-span ratio: for every document, the
+    * fraction of its distinct word `shingleN`-gram spans that also occur
+    * in at least one OTHER document. The corpus-level contamination /
+    * boilerplate signal (the span-dedup analysis pass of CCNet/RefinedWeb
+    * pipelines) — a doc with a high shared fraction is mostly made of
+    * text that exists elsewhere.
+    *
+    * Scale shape: this is an inverted-index pass, not a pair join —
+    * distinct spans explode to (span, doc) rows, the span-frequency
+    * aggregate shuffles once on the span hash (map-side partial counts),
+    * and the count joins back co-partitioned on the same key. Cost is
+    * O(total spans), never O(docs²); skew is bounded because per-doc
+    * spans are DISTINCT (a span repeats at most once per doc). */
+  def crossDocSharedShingles(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val ex = docs
+      .repartition(par(docs)) // single-file local input ⇒ force map parallelism
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("g"))
+    val counts = ex.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    ex.join(counts, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("id"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 9)
+          .as("shared_frac"))
   }
 
   /** Exact embedding-cosine near-dup pairs (brute force; verification path).

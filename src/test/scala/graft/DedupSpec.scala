@@ -111,6 +111,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("semantic dedup marks within-cell near-dups against exact cosine") {
+    val embs = Tables.embeddings(spark, sf)
+    val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", 16)
+    val out = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, minCos = 0.4)
+      .select("id", "cell", "dup_of").as[(Long, Int, Option[Long])].collect()
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    // exact near-dup pairs at the same threshold (round-6 vs round-9 agree
+    // far from the boundary; the pairs here are well above 0.4)
+    val exact = Dedup.embeddingNearDup(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val dups = out.collect { case (id, _, Some(keep)) => (id, keep) }
+    dups.foreach { case (id, keep) =>
+      assert(keep < id, s"dup_of must be a LOWER id ($id -> $keep)")
+      assert(cellOf(keep) == cellOf(id), s"dup_of must share the cell ($id -> $keep)")
+      assert(exact.contains((keep, id)), s"($keep,$id) not an exact near-dup pair")
+    }
+    // completeness within cells: every exact pair that shares a cell must
+    // mark the higher id as a duplicate
+    exact.filter { case (a, b) => cellOf(a) == cellOf(b) }.foreach { case (a, b) =>
+      assert(out.exists(r => r._1 == b && r._3.nonEmpty),
+        s"within-cell exact pair ($a,$b) left $b unmarked")
+    }
+  }
+
+  test("cross-doc shared-shingle ratio on constructed overlap") {
+    val df = Seq(
+      (1L, "a b c d e"),   // shingles: {a b c, b c d, c d e}
+      (2L, "a b c x y"),   // shingles: {a b c, b c x, c x y} — shares "a b c"
+      (3L, "p q r s t")    // fully unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSharedShingles(df, "doc_id", "text")
+      .select("id", "n_shingles", "shared_frac")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 0.333333333)))
+    assert(got(2L) == ((3L, 0.333333333)))
+    assert(got(3L) == ((3L, 0.0)))
+  }
+
   test("exact dedup groups permuted duplicates together") {
     val df = Seq(
       (1L, "alpha beta gamma"),
