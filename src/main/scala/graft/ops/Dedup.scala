@@ -303,8 +303,11 @@ object Dedup {
         (col("a.norm") * col("b.norm")), 9) >= minCos)
       .groupBy(col("b.id").as("id"))
       .agg(min(col("a.id")).as("dup_of"))
+    // the (id → dup_of) frame is narrow but its row-count estimate comes
+    // from the quadratic pair pipeline — unhinted, the planner sorts both
+    // sides into a sort-merge; a hash join on the id shuffle needs no sort
     assigned.select(col("id"), col("cell"))
-      .join(dupOf, Seq("id"), "left")
+      .join(dupOf.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("cell"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
   }
@@ -317,19 +320,20 @@ object Dedup {
     * text that exists elsewhere.
     *
     * Scale shape: this is an inverted-index pass, not a pair join —
-    * distinct spans explode to (span, doc) rows, the span-frequency
-    * aggregate shuffles once on the span hash (map-side partial counts),
-    * and the count joins back co-partitioned on the same key. Cost is
-    * O(total spans), never O(docs²); skew is bounded because per-doc
-    * spans are DISTINCT (a span repeats at most once per doc). */
+    * distinct spans explode to (span, doc) rows, ONE shuffle on the span
+    * hash feeds an unordered per-span window count (no re-join of the
+    * explode pipeline against its own aggregate, which would compute the
+    * shingle expansion twice), then one narrow shuffle back to the doc
+    * key. Cost is O(total spans), never O(docs²); skew is bounded because
+    * per-doc spans are DISTINCT (a span repeats at most once per doc). */
   def crossDocSharedShingles(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val ex = docs
+    import org.apache.spark.sql.expressions.Window
+    docs
       .repartition(par(docs)) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("g"))
-    val counts = ex.groupBy("g").agg(count(lit(1)).as("ndocs"))
-    ex.join(counts, Seq("g"))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("g")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))

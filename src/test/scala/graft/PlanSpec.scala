@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite {
       "the LSH bucket self-join lost its shuffle_hash pin")
   }
 
+  test("d07 semantic dedup: within-cell self-join stays shuffle-hash, no cartesian") {
+    val p = finalPlan("d07_semantic_dedup")
+    assert(p.contains("ShuffledHashJoin"),
+      "the within-cell self-join lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct"), "d07 plans a cartesian product")
+    assert(!p.contains("SortMergeJoin"), "d07 fell back to sort-merge")
+  }
+
+  test("d08 shared spans: single-pipeline window count, no self-join of the explode") {
+    val p = finalPlan("d08_shared_spans")
+    assert(!Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "CartesianProduct").exists(p.contains),
+      "d08 should need no join at all (window count over the span shuffle)")
+    assert(p.contains("Window"), "d08 lost its per-span window count")
+  }
+
   test("q04's dimension joins broadcast the small side") {
     assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
   }
