@@ -62,6 +62,45 @@ object DedupQueries {
       Some(exactPairsSql),
       headline = true),
 
+    // ---- d02a: per-doc recall AUDIT of the minhash-LSH path (a02a's
+    // shape, r6-advisory follow-up): n_true — the doc's exact Jaccard-0.5
+    // pair count — is value-checked by DuckDB, recall_ok asserts the
+    // LSH+verify pipeline caught ≥ 80% of them. If a future SF dips below
+    // recall 1.0, d02's set-equality row goes red as designed, and THIS
+    // row says whether that red is a recall regression (recall_ok false)
+    // or a value bug. Exact side is the O(n²) d03 pass — audit only.
+    QueryDef(
+      "d02a_minhash_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val exact = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text",
+          threshold = 0.5).select("id_a", "id_b")
+        val found = Dedup.verifyJaccard(
+            Dedup.minhashCandidates(docs, "doc_id", "text"),
+            docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        def perDoc(pairs: org.apache.spark.sql.DataFrame, as: String) = pairs
+          .select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as(as))
+        // both per-doc stat frames are tiny (docs with ≥1 near-dup pair)
+        // but sit on pair-join pipelines whose stats would force
+        // sort-merge — broadcast them (the a02a pattern)
+        docs.select("doc_id")
+          .join(broadcast(perDoc(exact, "n_true")), Seq("doc_id"), "left")
+          .join(broadcast(perDoc(found, "n_found")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            (coalesce(col("n_found"), lit(0L)).cast("double") >=
+              lit(0.8) * coalesce(col("n_true"), lit(0L))).as("recall_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS ($exactPairsSql),
+        u AS (SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b FROM p),
+        t AS (SELECT doc_id, COUNT(*) AS n_true FROM u GROUP BY 1)
+        SELECT d.doc_id, COALESCE(t.n_true, 0) AS n_true, TRUE AS recall_ok
+        FROM documents d LEFT JOIN t USING (doc_id) ORDER BY doc_id""")),
+
     // ---- d03: exact all-pairs n-gram Jaccard (the verification oracle for
     // the probabilistic paths; integer-ratio Jaccard is bit-exact)
     QueryDef(

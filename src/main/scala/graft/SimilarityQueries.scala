@@ -273,6 +273,59 @@ object SimilarityQueries {
         WHERE rk <= 5 ORDER BY query_id, rk"""
       }),
 
+    // ---- a06: Johnson–Lindenstrauss random projection 64 → 16 dims —
+    // the dimensionality-reduction pass before clustering/ANN. Map-only
+    // codegen'd VecDots against the seeded driver-side matrix, which the
+    // oracle embeds as literals (the a02 hyperplane trick) and replays
+    // with the same sequential fold ⇒ bit-identical projections.
+    QueryDef(
+      "a06_random_projection",
+      (s, d) => Similarity.randomProject(Tables.embeddings(s, d),
+        "vec_id", "embedding", dimOut = 16)
+        .select(col("id").as("vec_id"), col("dim"), col("proj"))
+        .orderBy("vec_id", "dim"),
+      Some {
+        val m = Similarity.projectionMatrix(64, 16).zipWithIndex.map {
+          case (p, i) =>
+            s"(${i + 1}, [${p.map(java.lang.Double.toString).mkString(", ")}])"
+        }.mkString(", ")
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+          m AS (SELECT * FROM (VALUES $m) AS t(dim, p))
+          SELECT v.vec_id, m.dim,
+            ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(v.v, m.p),
+              q -> CAST(struct_extract(q, 1) AS DOUBLE) * CAST(struct_extract(q, 2) AS DOUBLE))),
+              (acc, x) -> acc + x), 9) AS proj
+          FROM v CROSS JOIN m ORDER BY v.vec_id, m.dim"""
+      }),
+
+    // ---- a07: symmetric int8 scalar quantization — the embedding
+    // storage-compression pass (4× smaller, re-rankable retrieval). Pure
+    // map-only double math, summarized by deterministic integer
+    // reductions; the oracle recomputes scale and every quantized
+    // component from the same exactly-widened doubles.
+    QueryDef(
+      "a07_quantize_int8",
+      (s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d),
+        "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"), col("q_sum"),
+          col("q_l1"), col("q_max"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, ROUND(amax / 127.0, 9) AS scale,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS q_sum,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(q, x -> abs(x))), (a, x) -> a + x) AS q_l1,
+          list_max(q) AS q_max
+        FROM (SELECT vec_id, amax,
+            list_transform(vd, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q
+          FROM (SELECT vec_id, vd,
+              greatest(list_max(list_transform(vd, x -> abs(x))), 1e-12) AS amax
+            FROM (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+              FROM embeddings) a) b) c
+        ORDER BY vec_id""")),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

@@ -241,6 +241,23 @@ object TextQueries {
             ${scoreSql("en")} AS sw
           FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks
             FROM documents) a) b
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- t08: BPE-ish regex token counting next to the whitespace count
+    // — the pre-tokenizer pass (GPT-2-style alternation: letter runs,
+    // single digits, punctuation marks; first-char-disjoint alternatives,
+    // so Java and RE2 agree exactly). Map-only regex scan in codegen.
+    QueryDef(
+      "t08_bpe_tokens",
+      (s, d) => docsPar(s, d)
+        .select(col("doc_id"),
+          expr("""size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))""")
+            .as("n_bpe"),
+          size(tokens(col("text"))).as("n_ws"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
+        len($toksSql) AS n_ws
+        FROM documents ORDER BY doc_id"""))
   )
 }

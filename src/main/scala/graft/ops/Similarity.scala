@@ -202,6 +202,60 @@ object Similarity {
     ivfPlan(corpus, queries, idCol, vecCol, k, nprobe, dim, cents)
   }
 
+  /** Seeded Gaussian projection matrix for [[randomProject]]: `dimOut`
+    * rows of `dimIn` N(0, 1/dimOut) weights — the Johnson–Lindenstrauss
+    * scaling that keeps pairwise distances ≈ preserved in expectation. A
+    * pure driver-side function of (dims, seed), so the SAME matrix the
+    * plan projects with can be embedded as literals in a SQL oracle
+    * (exactly like [[hyperplanes]]). */
+  def projectionMatrix(dimIn: Int, dimOut: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rng = new Random(seed)
+    val s = math.sqrt(dimOut.toDouble)
+    Seq.fill(dimOut)(Seq.fill(dimIn)(rng.nextGaussian() / s))
+  }
+
+  /** Random projection (Johnson–Lindenstrauss) of the embedding column to
+    * `dimOut` dimensions — the dimensionality-reduction pass before
+    * clustering/ANN when the stored width is larger than the working
+    * width. Map-only whole-stage codegen: one [[graft.functions.VecDot]]
+    * per output dim per row against the broadcast-literal matrix; no
+    * shuffle at all (the explode emits narrow (id, dim, proj) rows in
+    * place). Returns (id, dim, proj) with dim ∈ [1, dimOut]. */
+  def randomProject(embs: DataFrame, idCol: String, vecCol: String,
+      dimOut: Int, seed: Long = 7L): DataFrame = {
+    val dim = vecDim(embs, vecCol)
+    val m = projectionMatrix(dim, dimOut, seed)
+    embs
+      .repartition(par(embs)) // single-file local input ⇒ force map parallelism
+      .select(col(idCol).as("id"),
+        posexplode(array(m.map(p => dotFlat(col(vecCol), typedlit(p), dim)): _*)))
+      .select(col("id"), (col("pos") + 1).as("dim"),
+        round(col("col"), 9).as("proj"))
+  }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage-compression pass for embedding tables at corpus scale (4×
+    * smaller than float32, distance-preserving enough for re-rankable
+    * retrieval). Per-vector scale = max|x|/127; each component rounds to
+    * round(x·127/max|x|) ∈ [-127, 127]. Map-only, codegen'd array HOFs;
+    * all math on exactly-widened doubles so a SQL oracle reproduces every
+    * value bit-for-bit. Returns (id, scale, q_sum, q_l1, q_max) — the
+    * quantized vector summarized by deterministic integer reductions. */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs
+      .repartition(par(embs))
+      .select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("vd"))
+      .withColumn("amax",
+        expr("greatest(array_max(transform(vd, x -> abs(x))), 1e-12d)"))
+      .withColumn("q",
+        expr("transform(vd, x -> cast(round(x * 127.0d / amax) as long))"))
+      .select(col("id"),
+        round(col("amax") / lit(127.0), 9).as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        expr("array_max(q)").as("q_max"))
+
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
     * cos ≥ minCos. */

@@ -149,6 +149,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0.0)))
   }
 
+  test("BPE-ish regex tokenizer splits digits and punctuation apart from words") {
+    // on the synthetic corpus (lowercase words, single spaces) the regex
+    // and whitespace counts coincide — this pins the behavior that makes
+    // them differ on real text
+    val df = Seq(("hello  world42, foo-bar baz", 9, 4)).toDF("text", "bpe", "ws")
+    val got = df.select(
+      expr("""size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))"""),
+      size(tokens(col("text")))).as[(Int, Int)].head()
+    assert(got == ((9, 4)),
+      s"expected (9 bpe, 4 ws) for 'hello  world42, foo-bar baz', got $got")
+  }
+
+  test("int8 quantization round-trips within one scale step") {
+    val embs = Tables.embeddings(spark, sf)
+    val out = graft.ops.Similarity.quantizeInt8(embs, "vec_id", "embedding")
+    // |q| ≤ 127 always, and the max component quantizes to ±127 exactly
+    val bad = out.filter(col("q_max") > 127 || col("q_l1") < col("q_max")).count()
+    assert(bad == 0)
+    val maxed = out.filter(col("q_max") === 127).count()
+    assert(maxed > 0, "some vector's largest component must hit +127")
+  }
+
   test("exact dedup groups permuted duplicates together") {
     val df = Seq(
       (1L, "alpha beta gamma"),
