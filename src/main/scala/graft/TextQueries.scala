@@ -258,6 +258,54 @@ object TextQueries {
       Some(s"""SELECT doc_id,
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
         len($toksSql) AS n_ws
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- t09: benchmark decontamination — flag docs sharing any 5-gram
+    // span with the probe set (docs 0–4 stand in for an eval benchmark;
+    // they flag themselves by construction, a built-in sanity check).
+    // The probe set BROADCASTS — the corpus never shuffles on content.
+    QueryDef(
+      "t09_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Packing.decontaminate(docs,
+          graft.ops.Packing.probeShingles(docs.filter(col("doc_id") < 5), "text"),
+          "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+        SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+            for i in range(1, greatest(len(toks) - 3, 1))]) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        p AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id < 5),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        h AS (SELECT e.doc_id, COUNT(*) AS n_hits FROM e JOIN p USING (g)
+          GROUP BY 1)
+        SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+          h.n_hits IS NOT NULL AS contaminated
+        FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""")),
+
+    // ---- t10: sequence-packing layout — docs concatenate in id order
+    // into 256-token context windows; placement = exclusive token prefix
+    // sum, computed as a distributed two-phase scan (per-bucket totals →
+    // broadcast base offsets → within-bucket windows), never a global
+    // single-partition window. Integer math ⇒ bit-exact.
+    QueryDef(
+      "t10_pack_sequences",
+      (s, d) => graft.ops.Packing.packSequences(Tables.documents(s, d),
+        "doc_id", "text", capacity = 256L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("cum_before"),
+          col("bin"), col("offset_in_bin"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, len(toks) AS n_tokens
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents) a),
+        c AS (SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before FROM t)
+        SELECT doc_id, n_tokens, cum_before,
+          cum_before // 256 AS bin, cum_before % 256 AS offset_in_bin
+        FROM c ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Packing
+
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("8").getOrCreate()
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("two-phase packing prefix equals the global-window prefix") {
+    val docs = Tables.documents(spark, sf)
+    // tiny bucket width ⇒ many buckets ⇒ the cross-bucket base path is
+    // genuinely exercised (500 docs / width 7 ≈ 72 buckets)
+    val got = Packing.packSequences(docs, "doc_id", "text",
+      capacity = 100L, bucketWidth = 7L)
+      .select("id", "cum_before", "bin", "offset_in_bin")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val naive = docs
+      .select(col("doc_id").as("id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .withColumn("cum", coalesce(sum("n").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("id"), col("cum"), expr("cum div 100"), expr("cum % 100"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("decontamination flags exactly the docs sharing a probe shingle") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),   // probe
+      (1L, "something entirely different with no overlap at all"),
+      (2L, "he said the quick brown fox jumps far away"),    // shares 5-gram
+      (3L, "quick brown fox sleeps here now")                // 5-grams differ
+    ).toDF("doc_id", "text")
+    val out = Packing.decontaminate(docs,
+      Packing.probeShingles(docs.filter(col("doc_id") === 0), "text"),
+      "doc_id", "text")
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+  }
+}
