@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Multimodal
+import graft.ops.{Dedup, Multimodal}
 
 /** Multimodal binary-column operators over a synthetic image table derived
   * deterministically from documents (real binary media is container-less
@@ -83,6 +83,73 @@ object MultimodalQueries {
               i -> CAST(concat('0x', substring(hex(encode(text)), 2*i-1, 2)) AS BIGINT))) AS DOUBLE)
               / octet_length(encode(text))
           ELSE 0.0 END AS mean_pixel
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- m04: perceptual average-hash (aHash) per image — 60-bit
+    // fingerprint from chunked sample means, computed in the SAME batched
+    // decode stage (raster samples for PNG/JPEG, payload bytes for GIMG).
+    // The bit test is integer cross-multiplication, so DuckDB recomputes
+    // every fingerprint bit-for-bit from the payload hex.
+    QueryDef(
+      "m04_image_ahash",
+      (s, d) => {
+        val imgs = Tables.documents(s, d)
+          .select(col("doc_id"), Multimodal.stubImage(col("text")).as("img"))
+        Multimodal.imageAHash(imgs, "doc_id", "img")
+          .select(col("id").as("doc_id"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some(ahashSql("SELECT doc_id, text FROM documents") +
+        " SELECT doc_id, fp FROM f ORDER BY doc_id")),
+
+    // ---- m05: image near-dup pairs — the pigeonhole chunk join
+    // (Dedup.simhashPairsOfFps, the d04 production operator) over aHash
+    // fingerprints: operator reuse across modalities. The input plants
+    // its own near-dups (single-byte-edited copies of images 0–49, ids
+    // +100000 — the image-world "one pixel changed"); the oracle
+    // recomputes fingerprints AND the brute-force Hamming pair set
+    // (provably equal to the chunk join's by the pigeonhole identity).
+    QueryDef(
+      "m05_image_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edited = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            expr("concat(substring(text, 1, length(text)-1), '!')").as("text"))
+        val imgs = docs.select(col("doc_id"), col("text")).unionByName(edited)
+          .select(col("doc_id"), Multimodal.stubImage(col("text")).as("img"))
+        Dedup.simhashPairsOfFps(
+            Multimodal.imageAHash(imgs, "doc_id", "img"), maxHamming = 3)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(ahashSql("""SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000,
+            substring(text, 1, length(text)-1) || '!' FROM documents
+          WHERE doc_id < 50""") +
+        """ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY id_a, id_b"""))
   )
+
+  /** CTE chain recomputing [[Multimodal.imageAHash]]'s 60-bit fingerprint
+    * from the GIMG payload bytes (hex-pair parse → chunked integer mean
+    * test), parameterized by the doc source. Ends with CTE `f(doc_id, fp)`. */
+  private def ahashSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+      b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS n FROM src),
+      ar AS (SELECT doc_id, n,
+        [CAST(concat('0x', substring(hx, 2*i-1, 2)) AS BIGINT)
+          for i in range(1, n+1)] AS arr FROM b),
+      t AS (SELECT doc_id, n, arr, list_sum(arr) AS total FROM ar),
+      f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), c ->
+          CASE WHEN ((c+1)*n)//60 - (c*n)//60 > 0
+            AND COALESCE(list_sum(arr[(c*n)//60 + 1 : ((c+1)*n)//60]), 0) * n
+                >= total * (((c+1)*n)//60 - (c*n)//60)
+          THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)) AS BIGINT) AS fp
+        FROM t)"""
 }

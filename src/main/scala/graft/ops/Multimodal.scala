@@ -142,6 +142,74 @@ object Multimodal {
     }(Encoders.product[DecodedImage]).toDF()
   }
 
+  /** One perceptual-hash record from [[imageAHash]]. */
+  final case class ImageHash(id: Long, fp: Long)
+
+  /** Batched perceptual average-hash (aHash) over partitions: the sample
+    * stream (decoded raster samples for real PNG/JPEG, payload bytes for
+    * the GIMG container) splits into 60 contiguous chunks; bit i of the
+    * fingerprint is set iff chunk i's mean ≥ the overall mean. 60 bits
+    * keep the fingerprint positive in a signed 64-bit carrier (the d04b
+    * trick), and the comparison is INTEGER cross-multiplication
+    * (sum_i·n ≥ total·cnt_i) — no float anywhere, so a SQL oracle
+    * reproduces every bit.
+    *
+    * This is the image analogue of SimHash: near-identical images (same
+    * bytes reordered locally, small payload edits) land within a small
+    * Hamming distance, and the SAME pigeonhole chunk join
+    * ([[Dedup.simhashPairsOfFps]]) that powers text near-dup turns the
+    * fingerprints into candidate pairs without an all-pairs join. */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        val samples: Array[Int] =
+          if (isPng(bytes) || isJpeg(bytes)) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"ImageIO failed to decode image id=$id")
+            val r = img.getRaster
+            val bands = r.getNumBands
+            val out = new Array[Int](img.getWidth * img.getHeight * bands)
+            var k = 0; var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var b = 0
+                while (b < bands) { out(k) = r.getSample(x, y, b); k += 1; b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            out
+          } else if (isStub(bytes)) {
+            val out = new Array[Int](math.max(0, bytes.length - 9))
+            var i = 9
+            while (i < bytes.length) { out(i - 9) = bytes(i) & 0xff; i += 1 }
+            out
+          } else Array.empty[Int]
+        val n = samples.length
+        var total = 0L
+        var i = 0
+        while (i < n) { total += samples(i); i += 1 }
+        var fp = 0L
+        var c = 0
+        while (c < 60) {
+          val lo = (c.toLong * n / 60).toInt
+          val hi = ((c + 1).toLong * n / 60).toInt
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += samples(j); j += 1 }
+          val cnt = hi - lo
+          if (cnt > 0 && s * n >= total * cnt) fp |= 1L << c
+          c += 1
+        }
+        ImageHash(id, fp)
+      }
+    }(Encoders.product[ImageHash]).toDF()
+  }
+
   /** Batched "pixel decode" over partitions — the mapInPandas-shaped
     * stage. The pixel step is a DETERMINISTIC FAKE (header parse + payload
     * byte mean standing in for a real codec); batching, schema, and

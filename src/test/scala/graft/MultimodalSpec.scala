@@ -99,6 +99,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3).getString(1) == "unknown" && got(3).getInt(2) == 0)
   }
 
+  test("aHash: identical PNGs collide, one-pixel edit stays near, inverse is far") {
+    import java.awt.image.BufferedImage
+    def png(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grad(x: Int, y: Int) = { val v = x * 16 + y * 3; (v << 16) | (v << 8) | v }
+    val base = png(grad)
+    val same = png(grad)
+    val edit = png((x, y) => if (x == 3 && y == 3) 0xffffff else grad(x, y))
+    val inv = png((x, y) => { val v = 255 - (x * 16 + y * 3); (v << 16) | (v << 8) | v })
+    val df = Seq((1L, base), (2L, same), (3L, edit), (4L, inv)).toDF("id", "img")
+    val fp = Multimodal.imageAHash(df, "id", "img")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L), "identical images must hash identically")
+    val near = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val far = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(near <= 3, s"one-pixel edit moved $near bits")
+    assert(far > 20, s"inverted image only $far bits away")
+  }
+
   test("isStubImage gates on the magic") {
     val flags = imgs.select(Multimodal.isStubImage(col("img"))).as[Boolean].collect()
     assert(flags.forall(identity))
