@@ -326,6 +326,40 @@ object SimilarityQueries {
               FROM embeddings) a) b) c
         ORDER BY vec_id""")),
 
+    // ---- a08: product-quantization encoding (Jégou et al. 2011) — one
+    // small code per 8-dim subspace instead of 64 floats: the embedding
+    // compression behind IVF-PQ indexes. Map-only codegen against the
+    // seeded literal codebooks; the oracle replays codebook construction,
+    // every subspace dot, and the argmax value-for-value.
+    QueryDef(
+      "a08_pq_codes",
+      (s, d) => Similarity.pqCodes(Tables.embeddings(s, d),
+        "vec_id", "embedding", subs = 8, codes = 16)
+        .select(col("id").as("vec_id"), col("sub"), col("code"), col("score"))
+        .orderBy("vec_id", "sub"),
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS cj, v
+          FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16) s0),
+        books AS (SELECT sub.s, seeds.cj,
+            list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], x -> x / greatest(
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], y -> y * y)),
+                (a, z) -> a + z)), 1e-12)) AS cw
+          FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub),
+        sc AS (SELECT v.vec_id, b.s, b.cj,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_zip(v.v[b.s*8+1 : b.s*8+8], b.cw),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM v CROSS JOIN books b)
+        SELECT vec_id, s + 1 AS sub, cj AS code, ROUND(dt, 9) AS score
+        FROM (SELECT vec_id, s, cj, dt, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk FROM sc) z
+        WHERE rk = 1 ORDER BY vec_id, sub"""),
+      ),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

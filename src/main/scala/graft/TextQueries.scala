@@ -306,6 +306,47 @@ object TextQueries {
             AS cum_before FROM t)
         SELECT doc_id, n_tokens, cum_before,
           cum_before // 256 AS bin, cum_before % 256 AS offset_in_bin
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---- t11: per-doc top TF-IDF terms — term frequency from the token
+    // explode, document frequency from the per-(doc, token) frame, corpus
+    // size from a broadcast 1-row frame. Ranking uses the ROUND-6 score
+    // (then token) on BOTH engines: mathematically-tied scores (e.g.
+    // 2·ln(N/a) vs ln(N/a²·N⁻¹)) can differ in the last ulp between
+    // engines, and ranking on rounded scores makes the order immune to
+    // that while the tie-break stays deterministic.
+    QueryDef(
+      "t11_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = docsPar(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = Tables.documents(s, d)
+          .agg(count(lit(1)).as("n_docs"))
+        val sc = tf.join(dfreq, Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+              .as("score"))
+        sc.withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("token"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(toks) AS token
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents) a),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.token,
+            ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        SELECT doc_id, rk, token, score FROM (
+          SELECT doc_id, token, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM sc) z
+        WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }

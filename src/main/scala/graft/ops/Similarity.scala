@@ -256,6 +256,63 @@ object Similarity {
         expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
         expr("array_max(q)").as("q_max"))
 
+  /** Product-quantization codebooks: the embedding space splits into
+    * `subs` contiguous subspaces of dim/subs dims; subspace s's codebook
+    * is the (L2-normalized) s-th subvector of each of the `codes`
+    * lowest-id corpus vectors — the same deterministic lowest-id seeding
+    * as [[seedCentroids]], so a SQL oracle replays the codebooks
+    * verbatim. Returns codebooks(sub)(code) = unit subvector. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      subs: Int, codes: Int): Seq[Seq[Seq[Double]]] = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
+    val w = dim / subs
+    val seeds = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(codes)
+      .select("v").collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.doubleValue
+        case d: java.lang.Double => d.doubleValue
+        case x => x.toString.toDouble
+      })
+    (0 until subs).map(s => seeds.toSeq.map(v => normalized(v.slice(s * w, (s + 1) * w))))
+  }
+
+  /** Product-quantization encoding — the embedding-compression technique
+    * behind IVF-PQ indexes (Jégou et al. 2011): each vector stores one
+    * small code per subspace (here `codes` ≤ 256 ⇒ one byte each)
+    * instead of dim floats. The quantizer is inner-product (spherical):
+    * code = argmax dot(subvector, codeword), ties to the lowest code.
+    *
+    * Scale shape: codebooks are driver-side literals (subs×codes×(dim/
+    * subs) doubles — the [[hyperplanes]] footprint class), so encoding is
+    * MAP-ONLY whole-stage codegen — one VecDot per codeword per subspace
+    * per row, argmax inline, zero shuffle. Every dot is the same
+    * sequential fold as the SQL oracle's list_reduce ⇒ bit-identical
+    * argmax everywhere.
+    *
+    * Returns (id, sub, code, score): sub ∈ [1, subs], code ∈ [1, codes],
+    * score = round-9 winning dot. */
+  def pqCodes(embs: DataFrame, idCol: String, vecCol: String,
+      subs: Int = 8, codes: Int = 16): DataFrame = {
+    val dim = vecDim(embs, vecCol)
+    val w = dim / subs
+    val books = pqCodebooks(embs, idCol, vecCol, subs, codes)
+    val subCells = (0 until subs).map { s =>
+      val scores = array(books(s).map(c =>
+        dotFlat(slice(col(vecCol), s * w + 1, w), typedlit(c), w)): _*)
+      struct(
+        array_position(scores, array_max(scores)).cast("int").as("code"),
+        round(array_max(scores), 9).as("score"))
+    }
+    embs
+      .repartition(par(embs)) // single-file local input ⇒ force map parallelism
+      .select(col(idCol).as("id"), posexplode(array(subCells: _*)))
+      .select(col("id"), (col("pos") + 1).as("sub"),
+        col("col.code").as("code"), col("col.score").as("score"))
+  }
+
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
     * cos ≥ minCos. */
