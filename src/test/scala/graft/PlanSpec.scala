@@ -89,6 +89,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "d08 lost its per-span window count")
   }
 
+  test("map-only encodings plan no exchange beyond the input spread") {
+    // a06 (random projection), a07 (int8 quantization), a08 (PQ codes),
+    // m04 (aHash) are all pure map passes over broadcast-literal state:
+    // exactly ONE round-robin repartition of the input, no join, and no
+    // aggregation exchange (the orderBy range exchange is presentation)
+    for (name <- Seq("a06_random_projection", "a07_quantize_int8",
+        "a08_pq_codes", "m04_image_ahash")) {
+      // AdaptiveSparkPlan's toString prints BOTH the final and the
+      // initial plan — count exchanges in the final section only
+      val p = finalPlan(name).split("== Initial Plan ==")(0)
+      assert(!p.contains("Join"), s"$name should not join")
+      val shuffles = "Exchange (hashpartitioning|RoundRobinPartitioning)".r
+        .findAllIn(p).size
+      assert(shuffles <= 1, s"$name plans $shuffles data shuffles (want ≤ 1)")
+    }
+  }
+
+  test("t09 decontamination broadcasts the probe set, never shuffles content") {
+    val p = finalPlan("t09_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle on span content")
+  }
+
+  test("t10 packing windows are bucket-partitioned except the tiny base scan") {
+    val p = finalPlan("t10_pack_sequences")
+    // the per-row window must carry a partition spec (bucket); the only
+    // unpartitioned window runs over the #buckets totals frame
+    assert(p.contains("Window"), "t10 lost its window prefix")
+    assert(p.contains("BroadcastHashJoin"), "bucket bases must broadcast")
+  }
+
   test("q04's dimension joins broadcast the small side") {
     assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
   }
