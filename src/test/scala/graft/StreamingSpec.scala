@@ -241,6 +241,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerter.currentlyFiring.isEmpty)
   }
 
+  test("streaming exact dedup on the content fingerprint matches batch survivors") {
+    // the d01 ingestion-time shape: fingerprint is map-only, the dedup
+    // state is keyed by the 16-byte fingerprint (at scale:
+    // dropDuplicatesWithinWatermark bounds that state by event time; here
+    // the unbounded variant keeps the test deterministic)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.bagFingerprint(col("text")).as("fp"))
+    val q = fp.dropDuplicates("fp")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    mem.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "unique words here"))
+    q.processAllAvailable()
+    // batch 2: ids 4/5 are PERMUTATIONS of earlier docs (same bag
+    // fingerprint) and must be dropped by the cross-batch state
+    mem.addData((4L, "gamma beta alpha"), (5L, "epsilon delta"),
+      (6L, "fresh content now"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("stream_dedup").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 6L))
+    // the batch operator agrees: in-arrival-order ids make first-arrival
+    // (stream) and min-id (batch) the same survivor set
+    val all = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "unique words here"), (4L, "gamma beta alpha"),
+      (5L, "epsilon delta"), (6L, "fresh content now")).toDF("doc_id", "text")
+    val batchKeep = graft.ops.Dedup.exactDedup(all, "doc_id", "text")
+      .select("keep_id").as[Long].collect().toSet
+    assert(batchKeep == kept)
+  }
+
   test("UDP netflow → RaQL NOTIFY fires incidents end-to-end") {
     import java.net.{DatagramPacket, DatagramSocket, InetAddress}
     import java.nio.{ByteBuffer, ByteOrder}
