@@ -360,6 +360,54 @@ object SimilarityQueries {
         WHERE rk = 1 ORDER BY vec_id, sub"""),
       ),
 
+    // ---- a09: PQ asymmetric-distance (ADC) top-k — the query path over
+    // a08's codes: corpus represented only by one code per subspace, each
+    // query scores via a broadcast LUT of subs×codes partial dots,
+    // ROUND-9 + DECIMAL-summed so the ranking is bit-deterministic. The
+    // oracle replays codebooks, code assignment, the LUT, and the exact
+    // decimal aggregation.
+    QueryDef(
+      "a09_pq_adc_search",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.pqAdcTopK(embs, embs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS cj, v
+          FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16) s0),
+        books AS (SELECT sub.s, seeds.cj,
+            list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], x -> x / greatest(
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], y -> y * y)),
+                (a, z) -> a + z)), 1e-12)) AS cw
+          FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub),
+        sc AS (SELECT v.vec_id, b.s, b.cj,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_zip(v.v[b.s*8+1 : b.s*8+8], b.cw),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM v CROSS JOIN books b),
+        cd AS (SELECT vec_id, s, cj FROM (SELECT vec_id, s, cj,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk
+          FROM sc) z WHERE rk = 1),
+        lut AS (SELECT vec_id AS qid, s, cj,
+            CAST(ROUND(dt, 9) AS DECIMAL(18,9)) AS qdot
+          FROM sc WHERE vec_id < 10),
+        adc AS (SELECT lut.qid AS query_id, cd.vec_id AS neighbor_id,
+            CAST(SUM(lut.qdot) AS DOUBLE) AS adc
+          FROM cd JOIN lut ON lut.s = cd.s AND lut.cj = cd.cj
+          WHERE cd.vec_id <> lut.qid GROUP BY 1, 2)
+        SELECT query_id, rk, neighbor_id, adc FROM (
+          SELECT query_id, neighbor_id, adc, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rk
+          FROM adc) z
+        WHERE rk <= 5 ORDER BY query_id, rk""")),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFunctions._
 
@@ -347,6 +348,46 @@ object TextQueries {
         SELECT doc_id, rk, token, score FROM (
           SELECT doc_id, token, score, row_number() OVER (
             PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM sc) z
-        WHERE rk <= 3 ORDER BY doc_id, rk"""))
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- t12: unigram log-probability scoring — the perplexity-filter
+    // proxy (KenLM-style quality gates rank docs by LM logprob; the
+    // unigram model needs only corpus token counts). Per-token
+    // ln P(token) is ROUND-6 then DECIMAL-summed (exact, order-free — the
+    // Det.dsum trick), so the per-doc mean is bit-identical across
+    // engines and partitionings.
+    QueryDef(
+      "t12_unigram_logprob",
+      (s, d) => {
+        val tf = docsPar(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val cnt = tf.groupBy("token").agg(sum("tf").as("cnt"))
+        val total = cnt.agg(sum("cnt").as("total"))
+        tf.join(cnt, Seq("token"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("tf"),
+            (round(log(col("cnt").cast("double") / col("total")), 6)
+              .cast(DecimalType(18, 6)) * col("tf")).as("contrib"))
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n_tokens"),
+            (sum(col("contrib")).cast("double") / sum("tf"))
+              .as("avg_logprob"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("avg_logprob"), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(toks) AS token
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents) a),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1),
+        n AS (SELECT SUM(cnt) AS total FROM cnt),
+        c AS (SELECT tf.doc_id, tf.tf,
+            CAST(ROUND(ln(CAST(cnt.cnt AS DOUBLE) / n.total), 6)
+              AS DECIMAL(18,6)) * tf.tf AS contrib
+          FROM tf JOIN cnt USING (token) CROSS JOIN n)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(contrib) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+        FROM c GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -313,6 +313,46 @@ object Similarity {
         col("col.code").as("code"), col("col.score").as("score"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search — the query path of an
+    * IVF-PQ index: the corpus is represented ONLY by its PQ codes
+    * ([[pqCodes]]), and each query scores a vector as
+    * Σ_s dot(q_s, codeword(code_s)) via a per-query lookup table of
+    * subs×codes partial dots. Approximate by construction (quantization
+    * error); in a full IVF-PQ stack the ADC top-k is re-ranked exactly.
+    *
+    * Scale shape: the corpus side is the narrow (id, sub, code) code
+    * frame — dim/8 bytes per vector, not dim floats; the LUT is
+    * |queries|·subs·codes tiny rows and BROADCASTS, so scoring is a
+    * map-side join + one aggregation keyed by (query, id). Partial dots
+    * are ROUND-9 then DECIMAL-summed (exact, order-free), so the ADC
+    * score — and therefore the ranking — is bit-identical across engines
+    * and partitionings. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, subs: Int = 8, codes: Int = 16): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    val w = dim / subs
+    val books = pqCodebooks(corpus, idCol, vecCol, subs, codes)
+    val codeFrame = pqCodes(corpus, idCol, vecCol, subs, codes)
+      .select(col("id"), col("sub"), col("code"))
+    val lut = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), posexplode(array((0 until subs).map { s =>
+        array(books(s).map(c =>
+          dotFlat(slice(col("qv"), s * w + 1, w), typedlit(c), w)): _*)
+      }: _*)))
+      .select(col("qid"), (col("pos") + 1).as("sub"), col("col").as("dots"))
+      .select(col("qid"), col("sub"), posexplode(col("dots")))
+      .select(col("qid"), col("sub"), (col("pos") + 1).as("code"),
+        round(col("col"), 9).cast(DecimalType(18, 9)).as("qdot"))
+    import org.apache.spark.sql.expressions.Window
+    val adc = codeFrame.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      .agg(sum("qdot").cast("double").as("adc"))
+    val rkW = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    adc.withColumn("rk", row_number().over(rkW)).filter(col("rk") <= k)
+  }
+
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
     * cos ≥ minCos. */

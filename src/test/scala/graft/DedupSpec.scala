@@ -171,6 +171,20 @@ class DedupSpec extends AnyFunSuite {
     assert(maxed > 0, "some vector's largest component must hit +127")
   }
 
+  test("PQ ADC search finds a meaningful share of the exact top-k") {
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = Similarity.pqAdcTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 8×16 PQ on uniform random 64-dim vectors is the quantizer's hardest
+    // case (no cluster structure) — require better-than-chance retrieval,
+    // not exactness (chance: 5 of 99 ≈ 0.05)
+    val recall = adc.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"ADC recall $recall is no better than chance")
+  }
+
   test("exact dedup groups permuted duplicates together") {
     val df = Seq(
       (1L, "alpha beta gamma"),
