@@ -281,7 +281,8 @@ object DedupQueries {
         SELECT ce.vec_id, ce.cell, dup.dup_of,
           dup.dup_of IS NOT NULL AS is_dup
         FROM cell ce LEFT JOIN dup ON dup.id = ce.vec_id
-        ORDER BY ce.vec_id""")),
+        ORDER BY ce.vec_id"""),
+      headline = true),
 
     // ---- d08: cross-doc duplicated-span ratio — the inverted-index
     // contamination signal (fraction of a doc's distinct 3-gram spans

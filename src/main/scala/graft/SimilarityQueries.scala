@@ -358,7 +358,7 @@ object SimilarityQueries {
         FROM (SELECT vec_id, s, cj, dt, row_number() OVER (
             PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk FROM sc) z
         WHERE rk = 1 ORDER BY vec_id, sub"""),
-      ),
+      headline = true),
 
     // ---- a09: PQ asymmetric-distance (ADC) top-k — the query path over
     // a08's codes: corpus represented only by one code per subspace, each

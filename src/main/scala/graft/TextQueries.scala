@@ -154,39 +154,25 @@ object TextQueries {
     // filters, Rae et al. 2021 §A1.1, adapted to token level): top2_frac =
     // fraction of the doc's tokens covered by occurrences of its most
     // frequent 2-gram; dup3_frac = fraction of 3-gram occurrences whose
-    // gram repeats within the doc. Scale shape: ALL n-gram occurrences
-    // (not the distinct shingle set) explode to (doc, gram) rows and
-    // aggregate per doc — hash-partitioned by (doc_id, gram) with map-side
-    // partial counts; no cross-doc shuffle at all. Integer-ratio math ⇒
-    // bit-exact across engines.
+    // gram repeats within the doc. Scale shape: the signals are ROW-LOCAL
+    // (a doc's repetition depends only on its own tokens), so this is ONE
+    // map pass — the native [[graft.functions.RepetitionStats]] kernel
+    // counts every 2-/3-gram occurrence in one O(n) hash-map loop per
+    // row, no explode, no aggregation exchange, nothing shuffles but the
+    // presentation sort. (Two earlier formulations were strictly worse:
+    // explode + double groupBy paid two exchanges and evaluated the gram
+    // arrays three times; the per-position HOF scan was interpreted and
+    // O(n²).) Integer-ratio math ⇒ bit-exact across engines.
     QueryDef(
       "t06_repetition",
-      (s, d) => {
-        val base = docsPar(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-            expr("""if(size(toks) < 2, array(),
-              transform(sequence(1, size(toks)-1), i -> concat_ws(' ', slice(toks, i, 2))))""")
-              .as("g2"),
-            expr("""if(size(toks) < 3, array(),
-              transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3))))""")
-              .as("g3"))
-        val s2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
-          .groupBy("doc_id", "g").count()
-          .groupBy("doc_id").agg(max("count").as("mx2"))
-        val s3 = base.select(col("doc_id"), explode(col("g3")).as("g"))
-          .groupBy("doc_id", "g").count()
-          .groupBy("doc_id").agg(
-            sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup3"),
-            sum(col("count")).as("tot3"))
-        base.select(col("doc_id"), col("n_tokens"))
-          .join(s2, Seq("doc_id"), "left")
-          .join(s3, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            round(col("mx2") * lit(2.0) / col("n_tokens"), 9).as("top2_frac"),
-            round(col("dup3").cast("double") / col("tot3"), 9).as("dup3_frac"))
-          .orderBy("doc_id")
-      },
+      (s, d) => docsPar(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          repetitionStats(col("toks")).as("rs"))
+        .select(col("doc_id"),
+          round(col("rs.mx2") * lit(2.0) / col("n_tokens"), 9).as("top2_frac"),
+          round(col("rs.dup3").cast("double") / col("rs.tot3"), 9).as("dup3_frac"))
+        .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
             for i in range(1, greatest(len(toks), 1))]) AS g FROM t),
@@ -202,7 +188,8 @@ object TextQueries {
           ROUND(CAST(s3.dup3 AS DOUBLE) / s3.tot3, 9) AS dup3_frac
         FROM t LEFT JOIN s2 ON s2.doc_id = t.doc_id
         LEFT JOIN s3 ON s3.doc_id = t.doc_id
-        ORDER BY t.doc_id""")),
+        ORDER BY t.doc_id"""),
+      headline = true),
 
     // ---- t07: rule-based quality gate (Gopher-style heuristics, Rae et
     // al. 2021 §A1.1, adapted to this corpus's token vocabulary): token

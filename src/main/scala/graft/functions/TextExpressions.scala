@@ -85,6 +85,84 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Within-doc repetition statistics of a token array in ONE pass — the
+  * Gopher repetition signals' kernel (t06): counts every 2-gram and
+  * 3-gram occurrence in two hash maps and returns
+  * `struct(mx2, dup3, tot3)`:
+  *   - mx2  = occurrence count of the most frequent 2-gram (NULL if < 2 tokens)
+  *   - dup3 = number of 3-gram occurrences whose gram repeats (NULL if < 3)
+  *   - tot3 = total 3-gram occurrences (NULL if < 3 tokens)
+  *
+  * Why a custom expression: the HOF form (per-position
+  * `size(filter(grams, _ == x))`) is interpreted AND O(n²); this is one
+  * generated O(n) loop with hash-map counts that stays inside whole-stage
+  * codegen — the row-local map-only shape this signal deserves. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mx2", LongType, nullable = true),
+    StructField("dup3", LongType, nullable = true),
+    StructField("tot3", LongType, nullable = true)))
+
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  /** Shared by eval and the generated code (the loop is all object ops —
+    * generating it inline would win nothing over one static-shaped call). */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = arr.numElements()
+    val out = new Array[Any](3)
+    if (len >= 2) {
+      val c2 = new java.util.HashMap[UTF8String, Long]()
+      var mx = 0L
+      var i = 0
+      while (i + 2 <= len) {
+        val g = UTF8String.concatWs(space, arr.getUTF8String(i), arr.getUTF8String(i + 1))
+        val c = c2.merge(g, 1L, (a, b) => a + b)
+        if (c > mx) mx = c
+        i += 1
+      }
+      out(0) = mx
+    }
+    if (len >= 3) {
+      val c3 = new java.util.HashMap[UTF8String, Long]()
+      var i = 0
+      while (i + 3 <= len) {
+        val g = UTF8String.concatWs(space, arr.getUTF8String(i),
+          arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+        c3.merge(g, 1L, (a, b) => a + b)
+        i += 1
+      }
+      var dup = 0L
+      c3.values.forEach(c => if (c > 1) dup += c)
+      out(1) = dup
+      out(2) = (len - 2).toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // stays codegen-compatible (no interpreted-projection fallback for the
+    // whole stage); the kernel itself is one static-shaped call
+    val self = ctx.addReferenceObj("repStats", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
 /** SimHash-64 of a token array in one pass: per-token xxhash64 (seed 42,
   * identical to Spark's `xxhash64(tok)`), ±1 vote per bit, bit set when
   * votes > 0. Replaces both the interpreted HOF fold and d04's

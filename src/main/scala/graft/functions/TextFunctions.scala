@@ -86,4 +86,11 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** One-pass within-doc repetition stats `struct(mx2, dup3, tot3)` —
+    * native O(n) hash-map kernel ([[RepetitionStats]]); the HOF form was
+    * interpreted and O(n²). */
+  def repetitionStats(toks: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      RepetitionStats(org.apache.spark.sql.GraftShims.expression(toks)))
 }

@@ -149,6 +149,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 0.0)))
   }
 
+  test("repetition stats kernel: counts, duplicated occurrences, tiny-doc nulls") {
+    val df = Seq(
+      (1L, "x y x y x y"),        // 2-grams: "x y"×3,"y x"×2 → mx2=3; all 4 3-grams duplicated
+      (2L, "a b c d e"),          // no repetition: mx2=1, dup3=0, tot3=3
+      (3L, "a b"),                // 1 2-gram, no 3-grams → tot3/dup3 null
+      (4L, "a")                   // nothing → all null
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      repetitionStats(tokens(col("text"))).as("rs"))
+      .select(col("doc_id"), col("rs.mx2"), col("rs.dup3"), col("rs.tot3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(3L), Some(4L), Some(4L))))
+    assert(got(2L) == ((Some(1L), Some(0L), Some(3L))))
+    assert(got(3L) == ((Some(1L), None, None)))
+    assert(got(4L) == ((None, None, None)))
+  }
+
   test("BPE-ish regex tokenizer splits digits and punctuation apart from words") {
     // on the synthetic corpus (lowercase words, single spaces) the regex
     // and whitespace counts coincide — this pins the behavior that makes

@@ -32,6 +32,30 @@ class PackingSpec extends AnyFunSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("packing/decontamination/quantization edge cases: empty and tiny inputs") {
+    // doc shorter than the 5-gram window ⇒ no probe shingles, nothing flags
+    val tiny = Seq((1L, "just three words"), (2L, "a b")).toDF("doc_id", "text")
+    val dec = Packing.decontaminate(tiny,
+      Packing.probeShingles(tiny.filter(col("doc_id") === 2), "text"),
+      "doc_id", "text")
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(dec == Map(1L -> false, 2L -> false))
+    // packing a doc with empty text: split("") = [""], so the empty doc
+    // counts ONE (empty) token — the tokenizer's documented behavior,
+    // identical in the DuckDB oracle (string_split('', ' ') = [''])
+    val withEmpty = Seq((1L, "one two three"), (2L, ""), (3L, "four five"))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(withEmpty, "doc_id", "text", capacity = 4L)
+      .select("id", "n_tokens", "cum_before", "bin")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == Seq((1L, 3, 0L, 0L), (2L, 1, 3L, 0L), (3L, 2, 4L, 1L)))
+    // quantizing a zero vector: guarded scale, all-zero codes
+    val zeroVec = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.quantizeInt8(zeroVec, "vec_id", "embedding")
+      .select("q_sum", "q_l1", "q_max").as[(Long, Long, Long)].head()
+    assert(q == ((0L, 0L, 0L)))
+  }
+
   test("decontamination flags exactly the docs sharing a probe shingle") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),   // probe
