@@ -163,6 +163,85 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Product-quantization encoder: for each of `books.length` subspaces,
+  * the (1-based, first-wins) argmax-dot codeword index and its raw dot —
+  * `array<struct<code:int, score:double>>`, one entry per subspace.
+  *
+  * Why a custom expression: the Column formulation spells out
+  * subs×codes literal-vector dots (128 `VecDot(slice(...), typedlit)`
+  * nodes for 8×16) — a plan tree whose task-deserialization and codegen
+  * compile time dwarfed the actual math at bench scale. Here the
+  * codebooks ride ONE reference object and the whole encode is one
+  * static-shaped kernel call; each dot accumulates over ascending dims
+  * exactly like [[graft.functions.VecDot]] (and the SQL oracle's
+  * list_reduce), so codes and scores are bit-identical to the
+  * spelled-out form. */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(books.nonEmpty && books.head.nonEmpty, "empty codebooks")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("code", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val flat: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val w = books.head.head.length
+
+  def compute(arr: ArrayData): ArrayData = {
+    val subs = flat.length
+    val out = new Array[Any](subs)
+    var s = 0
+    while (s < subs) {
+      val cws = flat(s)
+      var bestJ = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < cws.length) {
+        val cw = cws(j)
+        var acc = 0.0
+        var d = 0
+        val off = s * w
+        while (d < w) {
+          val x = if (isFloat) arr.getFloat(off + d).toDouble
+                  else arr.getDouble(off + d)
+          acc += x * cw(d)
+          d += 1
+        }
+        if (acc > bestScore) { bestScore = acc; bestJ = j }
+        j += 1
+      }
+      out(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestJ + 1, bestScore))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
 /** SimHash-64 of a token array in one pass: per-token xxhash64 (seed 42,
   * identical to Spark's `xxhash64(tok)`), ±1 vote per bit, bit set when
   * votes > 0. Replaces both the interpreted HOF fold and d04's

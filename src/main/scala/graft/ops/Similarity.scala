@@ -296,21 +296,18 @@ object Similarity {
     * score = round-9 winning dot. */
   def pqCodes(embs: DataFrame, idCol: String, vecCol: String,
       subs: Int = 8, codes: Int = 16): DataFrame = {
-    val dim = vecDim(embs, vecCol)
-    val w = dim / subs
     val books = pqCodebooks(embs, idCol, vecCol, subs, codes)
-    val subCells = (0 until subs).map { s =>
-      val scores = array(books(s).map(c =>
-        dotFlat(slice(col(vecCol), s * w + 1, w), typedlit(c), w)): _*)
-      struct(
-        array_position(scores, array_max(scores)).cast("int").as("code"),
-        round(array_max(scores), 9).as("score"))
-    }
+    // native one-kernel encode (graft.functions.PqEncode): the spelled-out
+    // subs×codes literal-dot tree cost more in task deserialization and
+    // codegen compilation than in arithmetic
+    val enc = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftShims.expression(col(vecCol)), books))
     embs
       .repartition(par(embs)) // single-file local input ⇒ force map parallelism
-      .select(col(idCol).as("id"), posexplode(array(subCells: _*)))
+      .select(col(idCol).as("id"), posexplode(enc))
       .select(col("id"), (col("pos") + 1).as("sub"),
-        col("col.code").as("code"), col("col.score").as("score"))
+        col("col.code").as("code"), round(col("col.score"), 9).as("score"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k search — the query path of an
