@@ -1353,6 +1353,24 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ("truncate", Seq(x)) => floor(go(x))
       case ("truncate", Seq(x, s)) => floor(go(x) / go(s)) * go(s)
       case ("hash", Seq(x)) => xxhash64(go(x))
+      // --- beyond-parity extensions (training-data pipeline primitives;
+      // NOT in the reference grammar — documented in COVERAGE.md): expose
+      // the graft.functions kernels to RaQL text so reference-language
+      // programs can run dedup/sampling passes directly.
+      case ("simhash", Seq(x)) =>
+        val c = go(x)
+        graft.functions.TextFunctions.simhash64(
+          if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType])) c
+          else graft.functions.TextFunctions.tokens(c))
+      case ("bag_fingerprint", Seq(x)) =>
+        graft.functions.TextFunctions.bagFingerprint(go(x))
+      case ("lang_id", Seq(x)) =>
+        val c = go(x)
+        graft.functions.TextFunctions.langId(
+          if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType])) c
+          else graft.functions.TextFunctions.tokens(c))
+      case ("hash_fraction", Seq(x)) =>
+        graft.ops.Sampling.hashFraction(go(x))
       case ("sparkline", Seq(x)) =>
         val c = go(x)
         if (dtypeOpt(c).exists(_.isInstanceOf[ArrayType]))

@@ -267,6 +267,32 @@ class RaqlSpec extends AnyFunSuite {
     assert(byYear(1951) == List(7, 11))  // n(1952), n(1951)
   }
 
+  test("pipeline-primitive extension functions compile from RaQL text") {
+    val src = Map("pipe" -> """DEFINE f AS YIELD
+        simhash("the quick brown fox") AS fp,
+        bag_fingerprint("beta alpha") AS bf1,
+        bag_fingerprint("alpha beta") AS bf2,
+        lang_id("the cat is on the roof and it is happy") AS lang,
+        hash_fraction(42) AS hf;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    val row = c.compile("pipe/f").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    // matches the DataFrame-side kernels exactly
+    val exp = spark.sql("SELECT 1").select(
+      graft.functions.TextFunctions.simhash64(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.lit("the quick brown fox"))),
+      graft.ops.Sampling.hashFraction(org.apache.spark.sql.functions.lit(42)))
+      .collect().head
+    assert(row.getLong(byName("fp")) == exp.getLong(0))
+    assert(row.getString(byName("bf1")) == row.getString(byName("bf2")),
+      "bag fingerprint must be word-order invariant")
+    assert(row.getString(byName("lang")) == "en")
+    assert(row.getDouble(byName("hf")) == exp.getDouble(1))
+    assert(row.getDouble(byName("hf")) >= 0.0 && row.getDouble(byName("hf")) < 1.0)
+  }
+
   test("RUN IF + variant(): experiment selection gates a program") {
     // mirrors tests/features/experiments.feature: the program runs only
     // when the test_external experiment resolves to var1
