@@ -47,6 +47,7 @@ object Queries {
       SimilarityQueries.entries ++
       NetQueries.entries ++
       MultimodalQueries.entries ++
+      PipelineQueries.entries ++
       RaqlQueries.entries
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
