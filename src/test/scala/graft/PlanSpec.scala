@@ -121,6 +121,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bucket bases must broadcast")
   }
 
+  test("p01 curation pipeline composes without cartesians or sort-merge joins") {
+    val p = finalPlan("p01_curation").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), "p01 plans a cartesian product")
+    assert(!p.contains("SortMergeJoin"), "p01 fell back to sort-merge")
+  }
+
   test("q04's dimension joins broadcast the small side") {
     assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
   }
