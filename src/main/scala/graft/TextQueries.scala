@@ -296,6 +296,33 @@ object TextQueries {
           cum_before // 256 AS bin, cum_before % 256 AS offset_in_bin
         FROM c ORDER BY doc_id""")),
 
+    // ---- t13: packed-segment materialization — one row per (doc,
+    // context window) with the in-window placement, i.e. the copy plan a
+    // packed-dataset writer executes when docs spill across windows.
+    // Integer interval math over t10's two-phase prefix scan; the explode
+    // emits ≤ ⌈n/C⌉+1 narrow rows per doc in place.
+    QueryDef(
+      "t13_pack_segments",
+      (s, d) => graft.ops.Packing.packSegments(Tables.documents(s, d),
+        "doc_id", "text", capacity = 256L)
+        .select(col("id").as("doc_id"), col("bin"), col("offset_in_bin"),
+          col("doc_offset"), col("seg_len"))
+        .orderBy("doc_id", "bin"),
+      Some(s"""WITH t AS (SELECT doc_id, len(toks) AS n
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents) a),
+        c AS (SELECT doc_id, n,
+          CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum FROM t),
+        seg AS (SELECT doc_id, n, cum,
+          unnest(generate_series(cum // 256, (cum + n - 1) // 256)) AS bin
+          FROM c WHERE n > 0)
+        SELECT doc_id, bin,
+          greatest(bin * 256, cum) - bin * 256 AS offset_in_bin,
+          greatest(bin * 256, cum) - cum AS doc_offset,
+          least((bin + 1) * 256, cum + n) - greatest(bin * 256, cum) AS seg_len
+        FROM seg ORDER BY doc_id, bin""")),
+
     // ---- t11: per-doc top TF-IDF terms — term frequency from the token
     // explode, document frequency from the per-(doc, token) frame, corpus
     // size from a broadcast 1-row frame. Ranking uses the ROUND-6 score

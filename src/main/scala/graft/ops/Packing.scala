@@ -54,6 +54,29 @@ object Packing {
         expr(s"cum_before % $capacity").as("offset_in_bin"))
   }
 
+  /** Materialized packing segments: [[packSequences]] gives each doc its
+    * starting (bin, offset); here a doc that spills across context
+    * windows emits ONE ROW PER WINDOW it touches — (bin, offset_in_bin,
+    * doc_offset, seg_len) — i.e. the copy plan a packed-dataset writer
+    * executes. Pure integer interval math on top of the two-phase prefix
+    * scan; the explode emits ≤ ⌈n/capacity⌉+1 narrow rows per doc in
+    * place, no extra shuffle. Invariants (spec'd): per-doc seg_len sums
+    * to n_tokens; per-bin seg_len sums to ≤ capacity. */
+  def packSegments(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Long, bucketWidth: Long = 500L): DataFrame =
+    packSequences(docs, idCol, textCol, capacity, bucketWidth)
+      .withColumn("bin_last",
+        expr(s"(cum_before + n_tokens - 1) div $capacity"))
+      .select(col("id"), col("cum_before"), col("n_tokens"),
+        explode(expr("sequence(bin, bin_last)")).as("seg_bin"))
+      .select(col("id"), col("seg_bin").as("bin"),
+        (greatest(col("seg_bin") * capacity, col("cum_before")) -
+          col("seg_bin") * capacity).as("offset_in_bin"),
+        (greatest(col("seg_bin") * capacity, col("cum_before")) -
+          col("cum_before")).as("doc_offset"),
+        (least((col("seg_bin") + 1) * capacity, col("cum_before") + col("n_tokens")) -
+          greatest(col("seg_bin") * capacity, col("cum_before"))).as("seg_len"))
+
   /** Benchmark decontamination flagging: a document is CONTAMINATED when
     * it shares any word `shingleN`-gram with the probe set (in real use,
     * the n-grams of an eval benchmark). Returns one row per doc:

@@ -56,6 +56,25 @@ class PackingSpec extends AnyFunSuite {
     assert(q == ((0L, 0L, 0L)))
   }
 
+  test("pack segments: per-doc lengths sum to n_tokens, bins never overflow") {
+    val docs = Tables.documents(spark, sf)
+    val segs = Packing.packSegments(docs, "doc_id", "text", capacity = 100L,
+      bucketWidth = 7L)
+    val perDoc = segs.groupBy("id").agg(sum("seg_len").as("tot"))
+      .join(Packing.packSequences(docs, "doc_id", "text", 100L, 7L)
+        .select(col("id"), col("n_tokens")), Seq("id"))
+      .filter(col("tot") =!= col("n_tokens")).count()
+    assert(perDoc == 0, "per-doc segment lengths must sum to the token count")
+    val overflow = segs.groupBy("bin").agg(sum("seg_len").as("fill"))
+      .filter(col("fill") > 100L).count()
+    assert(overflow == 0, "a window must never exceed its capacity")
+    // windows are DENSE except the last: every bin but max(bin) is full
+    val dense = segs.groupBy("bin").agg(sum("seg_len").as("fill"))
+    val maxBin = dense.agg(max("bin")).head().getLong(0)
+    assert(dense.filter(col("bin") < maxBin && col("fill") =!= 100L).count() == 0,
+      "interior windows must be exactly full (concatenation packing)")
+  }
+
   test("decontamination flags exactly the docs sharing a probe shingle") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),   // probe
