@@ -132,8 +132,66 @@ object MultimodalQueries {
           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    m06, m07
   )
+
+  /** m06: fixed-grid nearest-neighbor resize (8×8 thumbnail) in the
+    * batched decode stage — real ImageIO raster sampling for PNG/JPEG
+    * (spec'd in MultimodalSpec), the GIMG payload grid here, same index
+    * map, so DuckDB replays every sampled byte: thumbnail mean and the
+    * first-row corner pack are value-checked. Oracle assumes non-empty
+    * payloads (true of the synthetic table at every SF). */
+  private lazy val m06 = QueryDef(
+    "m06_image_resize",
+    (s, d) => {
+      val imgs = Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.stubImage(col("text")).as("img"))
+      Multimodal.resizeImages(imgs, "doc_id", "img")
+        .select(col("id").as("doc_id"), col("outW").as("out_w"),
+          col("outH").as("out_h"),
+          round(col("meanPixel"), 9).as("mean_pixel"), col("corner"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS n,
+          octet_length(encode(text)) % 251 + 1 AS sw FROM documents),
+      g AS (SELECT doc_id, sw, hx, least(sw, n) AS w,
+          greatest(1, n // sw) AS h FROM b),
+      s AS (SELECT doc_id,
+          [CAST(concat('0x', substring(hx,
+             2 * ((((i // 8) * h) // 8) * sw + (((i % 8) * w) // 8)) + 1, 2)) AS BIGINT)
+           for i in range(0, 64)] AS px FROM g)
+      SELECT doc_id, 8 AS out_w, 8 AS out_h,
+        ROUND(CAST(list_sum(px) AS DOUBLE) / 64, 9) AS mean_pixel,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), px[1:8]),
+          (a, x) -> a * 256 + x) AS corner
+      FROM s ORDER BY doc_id"""))
+
+  /** m07: uniform frame sampling over a "video" binary — the frame split
+    * is the documented deterministic stub (no codecs in the container);
+    * the uniform pick math, batch shape, and per-frame md5 identity are
+    * real and fully SQL-replayed. */
+  private lazy val m07 = QueryDef(
+    "m07_frame_sample",
+    (s, d) => {
+      val clips = Tables.documents(s, d)
+        .select(col("doc_id"), Multimodal.stubImage(col("text")).as("clip"))
+      Multimodal.sampleFrames(clips, "doc_id", "clip", k = 4, frameBytes = 16)
+        .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("frameHash").as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH b AS (SELECT doc_id, encode(text) AS p,
+          octet_length(encode(text)) // 16 AS nf FROM documents),
+      f AS (SELECT doc_id, p, nf FROM b WHERE nf > 0),
+      pick AS (SELECT doc_id, p,
+          unnest(list_distinct([(i * nf) // least(4, nf)
+            for i in range(0, least(4, nf))])) AS fi FROM f)
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        md5(lower(substring(hex(p), fi * 32 + 1, 32))) AS frame_hash
+      FROM pick ORDER BY doc_id, frame_idx"""))
 
   /** CTE chain recomputing [[Multimodal.imageAHash]]'s 60-bit fingerprint
     * from the GIMG payload bytes (hex-pair parse → chunked integer mean

@@ -234,6 +234,109 @@ object Multimodal {
     }(Encoders.product[Decoded]).toDF()
   }
 
+  /** One resized-thumbnail record from [[resizeImages]]. */
+  final case class Resized(id: Long, outW: Int, outH: Int, meanPixel: Double,
+      corner: Long)
+
+  /** Batched resize to a fixed `outW`×`outH` thumbnail — the
+    * normalization step before a vision encoder. Real for PNG/JPEG:
+    * decode via ImageIO, nearest-neighbor sample the raster's first band
+    * (deterministic — no interpolation filter variance across JVMs); the
+    * GIMG container nearest-neighbor samples its payload bytes through
+    * the SAME index map, so the synthetic table's thumbnails are exactly
+    * SQL-reproducible. Emits the thumbnail's mean pixel and its first
+    * 8 samples packed big-endian (`corner`) — the verifiable summary of
+    * the resampled grid (a full pixel array would bloat the oracle).
+    * Same mapPartitions batch shape as [[decodeImages]]. */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        // source sample grid: (w, h, sample accessor)
+        val (w, h, at): (Int, Int, (Int, Int) => Int) =
+          if (isPng(bytes) || isJpeg(bytes)) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"ImageIO failed to decode image id=$id")
+            val r = img.getRaster
+            (img.getWidth, img.getHeight, (x, y) => r.getSample(x, y, 0))
+          } else if (isStub(bytes)) {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val sw = math.max(1, bb.getShort(4) & 0xffff)
+            val n = bytes.length - 9
+            if (n <= 0) (0, 0, (_, _) => 0)
+            else {
+              // payload laid out row-major at the header width; height =
+              // ceil(n / w), truncated grid (last partial row dropped)
+              val sh = math.max(1, n / sw)
+              (math.min(sw, n), sh, (x, y) => bytes(9 + y * sw + x) & 0xff)
+            }
+          } else (0, 0, (_, _) => 0)
+        if (w == 0 || h == 0) Resized(id, outW, outH, 0.0, 0L)
+        else {
+          var sum = 0L
+          var corner = 0L
+          var k = 0
+          var oy = 0
+          while (oy < outH) {
+            val sy = (oy.toLong * h / outH).toInt
+            var ox = 0
+            while (ox < outW) {
+              val sx = (ox.toLong * w / outW).toInt
+              val v = at(sx, sy)
+              sum += v
+              if (k < 8) corner = (corner << 8) | (v & 0xff)
+              k += 1
+              ox += 1
+            }
+            oy += 1
+          }
+          Resized(id, outW, outH, sum.toDouble / (outW * outH), corner)
+        }
+      }
+    }(Encoders.product[Resized]).toDF()
+  }
+
+  /** One sampled-frame record from [[sampleFrames]]. */
+  final case class Frame(id: Long, frameIdx: Int, frameHash: String)
+
+  /** Batched frame sampling over a "video" binary — uniformly pick
+    * `k` frames. No video codecs ship in this container (documented
+    * honest stub), so the frame SPLIT is the deterministic fake: the
+    * payload divides into fixed `frameBytes` frames; the SAMPLING math
+    * (uniform index map i ↦ ⌊i·nFrames/k⌋) and the batch shape are the
+    * real thing, and each emitted frame is identified by its md5 — all
+    * SQL-reproducible. Emits fewer rows when the clip has < k frames. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      k: Int = 4, frameBytes: Int = 16): DataFrame = {
+    val ds = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        val payloadOff = if (isStub(bytes)) 9 else 0
+        val n = (bytes.length - payloadOff) / frameBytes
+        if (n <= 0) Iterator.empty
+        else {
+          val picks = (0 until math.min(k, n))
+            .map(i => (i.toLong * n / math.min(k, n)).toInt).distinct
+          picks.iterator.map { f =>
+            // frame identity = md5 of the frame's LOWERCASE HEX (the
+            // contentHash convention — SQL engines can't slice blobs
+            // portably, hex text they can)
+            val off = payloadOff + f * frameBytes
+            val hx = bytes.slice(off, off + frameBytes)
+              .map(b => f"${b & 0xff}%02x").mkString
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(hx.getBytes("US-ASCII"))
+            Frame(id, f, md.digest().map(b => f"${b & 0xff}%02x").mkString)
+          }
+        }
+      }
+    }(Encoders.product[Frame]).toDF()
+  }
+
   /** Batched feature extraction: normalized 16-bin byte histogram of the
     * payload — a deterministic stand-in for an embedding model, with the
     * real output shape (fixed-size float vector per item). */

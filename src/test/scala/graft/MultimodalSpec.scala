@@ -99,6 +99,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3).getString(1) == "unknown" && got(3).getInt(2) == 0)
   }
 
+  test("real PNG resize: nearest-neighbor thumbnail matches closed-form samples") {
+    import java.awt.image.BufferedImage
+    // 16×16 gray gradient v(x,y) = x*10 + y: nearest-neighbor 8×8 picks
+    // source (2x, 2y), so thumb(x,y) = 20x + 2y exactly
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = x * 10 + y
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "img")
+    val got = Multimodal.resizeImages(df, "id", "img").collect().head
+    // expectations from independent raster reads at the nearest-neighbor
+    // source coordinates (2x, 2y) — setRGB's gray conversion is not the
+    // identity, so closed-form v(x,y) values would not match the codec
+    val r = img.getRaster
+    val exp = for (y <- 0 until 8; x <- 0 until 8) yield r.getSample(2 * x, 2 * y, 0)
+    assert(math.abs(got.getDouble(3) - exp.sum.toDouble / 64) < 1e-12)
+    // corner = first 8 thumbnail samples of row 0 packed big-endian
+    val corner = (0 until 8).foldLeft(0L)((a, x) =>
+      (a << 8) | (r.getSample(2 * x, 0, 0) & 0xff).toLong)
+    assert(got.getLong(4) == corner)
+  }
+
+  test("frame sampling picks uniform, deterministic frame indices") {
+    // 64-byte payload → 4 frames of 16; k=4 picks all of 0..3; a stub
+    // header must be skipped
+    val payload = Array.tabulate[Byte](64)(i => i.toByte)
+    val stub = "GIMG".getBytes("US-ASCII") ++
+      Array[Byte](0, 4, 0, 4, 1) ++ payload
+    val df = Seq((1L, stub), (2L, payload ++ payload)).toDF("id", "clip")
+    val got = Multimodal.sampleFrames(df, "id", "clip", k = 4, frameBytes = 16)
+      .select("id", "frameIdx").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(got(1L) == List(0, 1, 2, 3))
+    // 128-byte raw clip → 8 frames, uniform pick 0,2,4,6
+    assert(got(2L) == List(0, 2, 4, 6))
+  }
+
   test("aHash: identical PNGs collide, one-pixel edit stays near, inverse is far") {
     import java.awt.image.BufferedImage
     def png(px: (Int, Int) => Int): Array[Byte] = {
