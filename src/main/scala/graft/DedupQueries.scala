@@ -286,8 +286,11 @@ object DedupQueries {
 
     // ---- d08: cross-doc duplicated-span ratio — the inverted-index
     // contamination signal (fraction of a doc's distinct 3-gram spans
-    // that exist in another doc). One span-hash shuffle, no pair join;
-    // integer-ratio math ⇒ bit-exact.
+    // that exist in another doc). Two partial-aggregable hash aggs via the
+    // shared = total − unique identity (r8: no per-span window, so a hot
+    // boilerplate span combines map-side instead of landing in one task);
+    // integer-ratio math ⇒ bit-exact. Every doc gets a row (span-less docs
+    // emit n_shingles = 0, shared_frac NULL).
     QueryDef(
       "d08_shared_spans",
       (s, d) => Dedup.crossDocSharedShingles(Tables.documents(s, d),
@@ -298,11 +301,15 @@ object DedupQueries {
         SELECT doc_id, $shinglesSql AS sh
         FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
         e AS (SELECT doc_id, unnest(sh) AS g FROM t),
-        c AS (SELECT g, COUNT(*) AS ndocs FROM e GROUP BY 1)
-        SELECT e.doc_id, COUNT(*) AS n_shingles,
-          ROUND(CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-            / COUNT(*), 9) AS shared_frac
-        FROM e JOIN c USING (g)
-        GROUP BY e.doc_id ORDER BY e.doc_id"""))
+        pd AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+        u AS (SELECT g, COUNT(*) AS ndocs, MIN(doc_id) AS owner FROM e GROUP BY 1),
+        uq AS (SELECT owner AS doc_id, COUNT(*) AS n_unique FROM u
+               WHERE ndocs = 1 GROUP BY 1)
+        SELECT d.doc_id, COALESCE(pd.n, 0) AS n_shingles,
+          CASE WHEN pd.n > 0 THEN
+            ROUND(CAST(pd.n - COALESCE(uq.n_unique, 0) AS DOUBLE) / pd.n, 9)
+          END AS shared_frac
+        FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN uq USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

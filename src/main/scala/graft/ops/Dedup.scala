@@ -278,10 +278,23 @@ object Dedup {
     * a larger nlist; seeded centroids keep the whole pipeline (argmax,
     * pair set, min-id pick) exactly SQL-reproducible for the oracle.
     *
+    * Hot-cell bound: a boilerplate-heavy corpus concentrates the near-dup
+    * mass in FEW cells — exactly the rows this operator exists to find —
+    * and an unblocked within-cell self-join would turn each hot cell into
+    * one quadratic task. Cells larger than `cellCap` are therefore
+    * triangle-block-partitioned ([[blockCells]]): the hot cell's pair work
+    * spreads over B·(B+1)/2 tasks of ≤ ~2·cellCap input rows each
+    * (B = ⌈|cell|/cellCap⌉), and the pair SET is provably identical to
+    * the plain self-join — this is an exact load-balancing rewrite (the
+    * SemDeDup paper caps cluster sizes for the same reason, but its cap
+    * drops pairs; this one drops none). Balanced cells (B = 1) take the
+    * exact r7 plan plus one broadcast join against the ≤ nlist-row
+    * cell-size frame.
+    *
     * Returns one row per vector: (id, cell, dup_of, is_dup) with
     * dup_of = min lower-id cell-mate at cosine ≥ minCos (NULL ⇒ kept). */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[Seq[Double]], minCos: Double): DataFrame = {
+      cents: Seq[Seq[Double]], minCos: Double, cellCap: Int = 4096): DataFrame = {
     val dim = Similarity.vecDim(embs, vecCol)
     def cellScores(v: Column): Column =
       array(cents.map(cv => Similarity.dotFlat(v, typedlit(cv), dim)): _*)
@@ -293,12 +306,18 @@ object Dedup {
       .withColumn("cell",
         array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
       .drop("_scores")
-    // co-partitioned within-cell self-join (pinned: a broadcast build side
-    // would redo the whole assignment pipeline in one task)
-    val byCell = assigned.repartition(par(embs), col("cell")).hint("shuffle_hash")
-    val dupOf = byCell.as("a")
-      .join(byCell.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    // co-partitioned blocked self-join (pinned: a broadcast build side
+    // would redo the whole assignment pipeline in one task). The join key
+    // carries the block-pair (kx, ky) so a hot cell's quadratic output is
+    // spread across its block-pair tasks; the extra predicate keeps
+    // same-block pairs on the diagonal task only (they'd otherwise match
+    // on every (blk, t) replica key — B duplicates per pair).
+    val blocked = blockCells(assigned, par(embs), cellCap).hint("shuffle_hash")
+    val dupOf = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
+          col("a.ky") === col("b.ky") && col("a.id") < col("b.id") &&
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
       .filter(round(Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
         (col("a.norm") * col("b.norm")), 9) >= minCos)
       .groupBy(col("b.id").as("id"))
@@ -312,6 +331,38 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Triangle block-partitioning of a celled frame for a bounded
+    * within-cell self-join (the 1-bucket-theta layout of Okcan &
+    * Riedewald, SIGMOD'11, restricted to the per-cell triangle): each
+    * cell gets B = ⌈|cell|/cellCap⌉ id-hash blocks, and every row
+    * replicates to the B unordered block-pair keys (kx, ky) its block
+    * participates in. Joining on (cell, kx, ky) with
+    * `a.blk ≠ b.blk OR kx = ky` then yields EVERY within-cell pair
+    * exactly once — cross-block pairs share exactly one replica key
+    * {min, max}, same-block pairs match on all B of their keys but pass
+    * the predicate only on the diagonal (p, p) — while no single task
+    * reads more than ~2·cellCap rows. B = 1 (cell within cap) degenerates
+    * to the unblocked self-join with a constant (0, 0) key.
+    *
+    * Cost: replication factor B on oversized cells only — shuffle volume
+    * |cell|²/cellCap ≤ the pair comparisons the join must do anyway. The
+    * cell-size frame is ≤ nlist rows (one per non-empty cell), hence the
+    * explicit broadcast. */
+  private[graft] def blockCells(assigned: DataFrame, par: Int,
+      cellCap: Int): DataFrame = {
+    require(cellCap > 0, "cellCap must be positive")
+    val nblocks = assigned.groupBy("cell")
+      .agg(ceil(count(lit(1)).cast("double") / cellCap).cast("int").as("nb"))
+    assigned
+      .join(broadcast(nblocks), Seq("cell"))
+      .withColumn("blk", pmod(hash(col("id")), col("nb")))
+      .select(col("*"), explode(expr("sequence(0, nb - 1)")).as("t"))
+      .withColumn("kx", least(col("blk"), col("t")))
+      .withColumn("ky", greatest(col("blk"), col("t")))
+      .drop("t", "nb")
+      .repartition(par, col("cell"), col("kx"), col("ky"))
+  }
+
   /** Cross-document duplicated-span ratio: for every document, the
     * fraction of its distinct word `shingleN`-gram spans that also occur
     * in at least one OTHER document. The corpus-level contamination /
@@ -319,27 +370,51 @@ object Dedup {
     * pipelines) — a doc with a high shared fraction is mostly made of
     * text that exists elsewhere.
     *
-    * Scale shape: this is an inverted-index pass, not a pair join —
-    * distinct spans explode to (span, doc) rows, ONE shuffle on the span
-    * hash feeds an unordered per-span window count (no re-join of the
-    * explode pipeline against its own aggregate, which would compute the
-    * shingle expansion twice), then one narrow shuffle back to the doc
-    * key. Cost is O(total spans), never O(docs²); skew is bounded because
-    * per-doc spans are DISTINCT (a span repeats at most once per doc). */
+    * Scale shape: this is an inverted-index pass, not a pair join — and,
+    * critically, NOTHING ever materializes a hot span's full posting list
+    * in one task. The identity n_shared = n_shingles − n_unique (a span is
+    * either shared or unique to its doc, since per-doc spans are DISTINCT)
+    * turns the count into two hash AGGREGATIONS, both of which Spark
+    * partial-aggregates map-side: a boilerplate span occurring in half the
+    * corpus contributes one (g, partial_count) row per map task, never
+    * O(n_docs) rows in one reduce partition (the r7 formulation's
+    * `Window.partitionBy(g)` could not combine — WindowExec has no partial
+    * aggregation — so one hot span meant one hot task; this one bounds the
+    * reduce-side rows per span at #map-tasks). Unique spans re-key by
+    * their single owning doc (ndocs = 1 ⇒ min(id) IS the owner), so the
+    * only joins are narrow one-row-per-doc frames on the doc key. The
+    * exploded span frame is persisted so the shingle expansion evaluates
+    * ONCE for both aggregations (MEMORY_AND_DISK: at corpus scale it
+    * spills rather than recomputing the text scan; Spark evicts it LRU —
+    * call `spark.catalog.clearCache()` to drop it eagerly).
+    *
+    * Every input doc gets a row: docs with fewer than `shingleN` tokens
+    * (no spans) emit (n_shingles = 0, shared_frac = NULL). */
   def crossDocSharedShingles(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
+    val spans = docs
       .repartition(par(docs)) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("g"))
-      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("g")))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
-      .select(col("id"), col("n_shingles"),
-        round(col("n_shared").cast("double") / col("n_shingles"), 9)
-          .as("shared_frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    // ndocs = 1 ⇒ the span's min(id) is its only owner: unique-span counts
+    // re-aggregate on the owner, skew-free (both aggs partial-combine)
+    val uniq = spans.groupBy("g")
+      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("owner"))
+      .filter(col("ndocs") === 1)
+      .groupBy(col("owner").as("id")).agg(count(lit(1)).as("n_unique"))
+    // narrow one-row-per-doc joins on the doc key; pinned shuffle-hash
+    // (agg-derived stats would otherwise sort both sides into a SMJ)
+    docs.select(col(idCol).as("id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("id"), "left")
+      .join(uniq.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        // explicit NULL for span-less docs (a bare 0/0 would be NaN)
+        when(col("n_shingles") > 0,
+          round((col("n_shingles") - coalesce(col("n_unique"), lit(0L)))
+            .cast("double") / col("n_shingles"), 9)).as("shared_frac"))
   }
 
   /** Exact embedding-cosine near-dup pairs (brute force; verification path).

@@ -65,6 +65,10 @@ object Packing {
   def packSegments(docs: DataFrame, idCol: String, textCol: String,
       capacity: Long, bucketWidth: Long = 500L): DataFrame =
     packSequences(docs, idCol, textCol, capacity, bucketWidth)
+      // a NULL/empty doc would make `sequence(bin, bin_last)` descend
+      // (bin_last < bin) and emit bogus segments — zero-token docs have no
+      // segments by definition, so drop them before the interval math
+      .filter(col("n_tokens") > 0)
       .withColumn("bin_last",
         expr(s"(cum_before + n_tokens - 1) div $capacity"))
       .select(col("id"), col("cum_before"), col("n_tokens"),
@@ -95,8 +99,13 @@ object Packing {
     val hits = sh
       .join(broadcast(probes.select(col("g")).distinct()), Seq("g"))
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    // `hits` is corpus-derived (one row per contaminated doc) — on a
+    // contamination-heavy corpus it is UNBOUNDED, so it must NOT
+    // broadcast; the narrow id-key shuffle join scales with the corpus.
+    // Pin shuffle-hash: hits' stats come from a join pipeline and would
+    // otherwise plan a pointless sort-merge.
     docs.select(col(idCol).as("id"))
-      .join(broadcast(hits), Seq("id"), "left")
+      .join(hits.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_hits").isNotNull.as("contaminated"))
   }

@@ -135,18 +135,81 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: hot-cell triangle blocking is exact and bounds task input") {
+    // a deliberately skewed corpus: every vector points the same way, so
+    // ONE cell holds all 300 rows — the shape that turns the unblocked
+    // within-cell self-join into a single quadratic task
+    val n = 300
+    val embs = (1L to n).map(i => (i,
+      Array(1.0f, (i % 7) * 0.01f, (i % 11) * 0.01f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", 4)
+    def run(cap: Int) =
+      Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
+          minCos = 0.9, cellCap = cap)
+        .select("id", "cell", "dup_of", "is_dup")
+        .as[(Long, Int, Option[Long], Boolean)].collect().toSet
+    val capped = run(32)            // forces B = ⌈300/32⌉ = 10 blocks
+    val plain = run(Int.MaxValue)   // B = 1 everywhere (the r7 plan)
+    assert(capped == plain, "blocking must not change the dedup result")
+    assert(capped.count(_._4) > n / 2, "the planted near-dups should be marked")
+
+    // the blocking layout itself: every pair exactly once, and no join
+    // key collects more than ~2·cap rows (block size ≈ n/B, two blocks
+    // per off-diagonal key, plus hash-imbalance slack)
+    val assigned = (1L to n).toDF("id").withColumn("cell", lit(1))
+    val blocked = Dedup.blockCells(assigned, 8, 32).persist()
+    val keySizes = blocked.groupBy("cell", "kx", "ky").count()
+      .select("count").as[Long].collect()
+    assert(keySizes.max <= 2 * 32 + 32,
+      s"hot-cell join key holds ${keySizes.max} rows (cap 32)")
+    val pairs = blocked.as("a").join(blocked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
+          col("a.ky") === col("b.ky") && col("a.id") < col("b.id") &&
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
+      .select(col("a.id"), col("b.id"))
+    assert(pairs.count() == n.toLong * (n - 1) / 2,
+      "triangle blocking must yield every within-cell pair exactly once")
+    blocked.unpersist()
+  }
+
   test("cross-doc shared-shingle ratio on constructed overlap") {
     val df = Seq(
       (1L, "a b c d e"),   // shingles: {a b c, b c d, c d e}
       (2L, "a b c x y"),   // shingles: {a b c, b c x, c x y} — shares "a b c"
-      (3L, "p q r s t")    // fully unique
+      (3L, "p q r s t"),   // fully unique
+      (4L, "a b")          // too short for a 3-shingle → (0, NULL) row
     ).toDF("doc_id", "text")
     val got = Dedup.crossDocSharedShingles(df, "doc_id", "text")
       .select("id", "n_shingles", "shared_frac")
-      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got(1L) == ((3L, 0.333333333)))
-    assert(got(2L) == ((3L, 0.333333333)))
-    assert(got(3L) == ((3L, 0.0)))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, Some(0.333333333))))
+    assert(got(2L) == ((3L, Some(0.333333333))))
+    assert(got(3L) == ((3L, Some(0.0))))
+    // every input doc gets a row — span-less docs are not silently dropped
+    assert(got(4L) == ((0L, None)))
+  }
+
+  test("cross-doc shared-shingle ratio under a hot boilerplate span") {
+    // one span planted in 50% of 200 docs — the shape that melts a
+    // per-span window partition; the two-agg formulation must stay exact
+    val docs = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, s"shared boiler plate u$i v$i w$i") // hot "shared boiler plate"
+      else (i, s"x$i y$i z$i q$i")                           // fully unique
+    }
+    val got = Dedup.crossDocSharedShingles(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("id", "n_shingles", "shared_frac")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 200)
+    docs.foreach { case (i, _) =>
+      if (i % 2 == 0)
+        // 4 shingles, only "shared boiler plate" occurs elsewhere
+        assert(got(i) == ((4L, Some(0.25))), s"doc $i: ${got(i)}")
+      else assert(got(i) == ((2L, Some(0.0))), s"doc $i: ${got(i)}")
+    }
   }
 
   test("repetition stats kernel: counts, duplicated occurrences, tiny-doc nulls") {

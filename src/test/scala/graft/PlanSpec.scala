@@ -81,12 +81,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "d07 fell back to sort-merge")
   }
 
-  test("d08 shared spans: single-pipeline window count, no self-join of the explode") {
-    val p = finalPlan("d08_shared_spans")
-    assert(!Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
-      "CartesianProduct").exists(p.contains),
-      "d08 should need no join at all (window count over the span shuffle)")
-    assert(p.contains("Window"), "d08 lost its per-span window count")
+  test("d08 shared spans: partial-agg span counts, no window, explode cached once") {
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+    // walk the EXECUTING tree (through AQE stages, NOT into cached plans —
+    // an InMemoryTableScan's subtree does not re-execute); string matching
+    // would mis-count here because the cached relation nests its own
+    // AdaptiveSparkPlan printout
+    def flatten(plan: SparkPlan): Seq[SparkPlan] = plan +: (plan match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => plan.children.flatMap(flatten)
+    })
+    val df = Queries.byName("d08_shared_spans").run(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the r7 Window.partitionBy(g) could not partial-aggregate (one hot
+    // boilerplate span = one hot task); the r8 shape is hash aggs that
+    // combine map-side, with no window and no join on the span key
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "d08 regressed to the per-span window")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "d08 planned a cartesian or sort-merge join")
+    assert(nodes.exists(n => n.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec] &&
+        n.toString.contains("partial_count")),
+      "d08 span counts lost their map-side partial aggregation")
+    // both aggregations must read the PERSISTED explode, not re-expand it
+    assert(nodes.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2,
+      "the exploded span frame should be cached and read by both aggs")
+    assert(!nodes.exists(_.isInstanceOf[GenerateExec]),
+      "the shingle explode re-evaluated outside the cache")
+    spark.catalog.clearCache()
   }
 
   test("map-only encodings plan no exchange beyond the input spread") {
@@ -109,8 +139,15 @@ class PlanSpec extends AnyFunSuite {
   test("t09 decontamination broadcasts the probe set, never shuffles content") {
     val p = finalPlan("t09_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "the corpus must not shuffle on span content")
+    assert(!p.contains("SortMergeJoin"), "t09 fell back to sort-merge")
+    // the hits join-back is corpus-derived (unbounded) — it must be the
+    // narrow id-key shuffle join, NOT a broadcast; the span-content join
+    // against the probe set is the only broadcast
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!"(ShuffledHashJoin|SortMergeJoin) \\[g".r
+      .findFirstIn(fin).isDefined, "the corpus must not shuffle on span content")
+    assert("ShuffledHashJoin \\[id".r.findFirstIn(fin).isDefined,
+      "the hits join-back must be the id-key shuffle join (hits is unbounded)")
   }
 
   test("t10 packing windows are bucket-partitioned except the tiny base scan") {
