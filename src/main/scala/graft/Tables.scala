@@ -56,5 +56,20 @@ object Tables {
           .withColumn("ts", ts)
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Per-path memo of the embedding width: parquet list columns carry no
+    * length in their schema, so the width is probed ONCE per table path
+    * per JVM and then travels as column metadata
+    * ([[graft.ops.Similarity.VecDimKey]]) — constructing an ANN plan
+    * never triggers a driver-side job after the first table load. */
+  private val vecDimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    val dim: Int = vecDimCache.computeIfAbsent(s"$d/embeddings.parquet",
+      _ => df.select(size(col("embedding"))).first().getInt(0))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.ops.Similarity.VecDimKey, dim.toLong).build()
+    df.withColumn("embedding", col("embedding").as("embedding", meta))
+  }
 }

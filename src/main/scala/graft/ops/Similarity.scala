@@ -22,9 +22,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Vector dimension, resolved once at plan-build time. */
-  def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).first().getInt(0)
+  /** Column-metadata key carrying a vector column's fixed width. Sources
+    * that know their embedding dimension (e.g. [[graft.Tables.embeddings]])
+    * tag the column once; every ANN plan construction then reads the tag
+    * instead of running a driver-side probe job. */
+  val VecDimKey = "graft.vecDim"
+
+  /** Vector dimension, resolved once at plan-build time: from the
+    * column's `graft.vecDim` metadata when the source tagged it (zero
+    * Spark jobs — the path every registered query takes), falling back to
+    * a one-row probe action for untagged ad-hoc frames. */
+  def vecDim(df: DataFrame, vecCol: String): Int = {
+    val field = df.schema(df.schema.fieldIndex(vecCol))
+    if (field.metadata.contains(VecDimKey)) field.metadata.getLong(VecDimKey).toInt
+    else df.select(size(col(vecCol))).first().getInt(0)
+  }
 
   /** Codegen'd dot product / norm (native [[graft.functions.VecDot]]
     * expression — a tight loop, sequential addition order matching the

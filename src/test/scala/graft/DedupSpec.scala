@@ -111,6 +111,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connected components: pointer jumping converges a 200-vertex chain in O(log n) rounds") {
+    // a pure path graph is the worst case for plain min-propagation
+    // (needs ~n rounds); pointer doubling must land under 2·log2(200) ≈ 15
+    // — maxIter = 16 would THROW under the O(diameter) algorithm
+    val n = 200
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(vertices, edges, maxIter = 16)
+    val labels = got.as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 1L),
+      "every chain vertex must label to the component minimum")
+    got.unpersist()
+  }
+
   test("semantic dedup marks within-cell near-dups against exact cosine") {
     val embs = Tables.embeddings(spark, sf)
     val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", 16)

@@ -164,6 +164,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "p01 fell back to sort-merge")
   }
 
+  test("ANN plan construction triggers zero Spark jobs (vecDim from metadata)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val embs = Tables.embeddings(spark, sf) // warms the per-path width memo
+    // seedCentroids intentionally collects (driver-side literals) — fetch
+    // before arming the listener; plan CONSTRUCTION itself must be job-free
+    val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", 4)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.lshNeighbors(embs, "vec_id", "embedding")
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 4),
+        "vec_id", "embedding", k = 3)
+      Similarity.randomProject(embs, "vec_id", "embedding", dimOut = 8)
+      graft.ops.Dedup.semanticDedup(embs, "vec_id", "embedding", cents, 0.4)
+      Thread.sleep(2000) // listener bus delivery is asynchronous
+      assert(jobs.get() == 0,
+        s"building ANN plans ran ${jobs.get()} Spark job(s) — vecDim probed eagerly")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q04's dimension joins broadcast the small side") {
     assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
   }
