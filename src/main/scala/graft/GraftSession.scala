@@ -13,8 +13,20 @@ import org.apache.spark.sql.SparkSession
   * read as a timestamp.
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  /** RocksDB state store provider — the streaming-state-at-scale option.
+    * The default HDFSBackedStateStore keeps every key on the executor
+    * HEAP; a corpus-scale dedup stream holds billions of fingerprints and
+    * dies there first. RocksDB keeps state off-heap with disk spill and
+    * incremental (changelog) checkpoints. Gated by
+    * `SPARK_GRAFT_STATESTORE=rocksdb` rather than default-on: the heap
+    * store is faster for the small bounded states of most RaQL commit
+    * groups, and flipping the provider of an existing checkpointed query
+    * is not supported by Spark. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,6 +38,10 @@ object GraftSession {
       // distinct queries run interleaved (Bench round-robins ~20 queries ×
       // several codegen units each); evictions force recompile + re-JIT
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b
+  }
 
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -56,7 +56,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1) == WinOut("", 60L, 1L, 5.0, 3.0))    // second; previous=3.0
   }
 
-  test("CommitHarness streams grouped count-based COMMIT AFTER sum 1 >= k") {
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"CommitHarness streams grouped count-based COMMIT AFTER sum 1 >= k ($provider state store)") {
+    withStateStore(provider) {
     // the reference's count-commit (check_commit_for_all shape,
     // CodeGenLib_Skeletons.ml:814-876) over a live grouped stream: each
     // key emits a row every k tuples and flushes. Batch handles this via
@@ -77,7 +79,7 @@ class StreamingSpec extends AnyFunSuite {
           prev.map(_.sum).getOrElse(0.0)),
         keepOnCommit = false,
         emitOnTimeout = false))
-    val q = out.writeStream.format("memory").queryName("cntcommit")
+    val q = out.writeStream.format("memory").queryName(s"cntcommit_$provider")
       .outputMode("append").start()
     // a: 7 events → windows of 3, 3 (one pending); b: 3 events → one window
     mem.addData(Ev("a", 1, 1.0), Ev("a", 2, 2.0), Ev("b", 1, 10.0))
@@ -87,13 +89,14 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(Ev("a", 5, 5.0), Ev("a", 6, 6.0), Ev("a", 7, 7.0),
       Ev("b", 3, 30.0))
     q.processAllAvailable()
-    val rows = spark.table("cntcommit").as[WinOut].collect()
+    val rows = spark.table(s"cntcommit_$provider").as[WinOut].collect()
     q.stop()
     val sums = rows.map(_.sum).sorted.toSeq
     // a's windows: 1+2+3=6 and 4+5+6=15 (7 pending); b's: 10+20+30=60
     assert(sums == Seq(6.0, 15.0, 60.0), rows.mkString(", "))
     // previous carries each key's last committed sum
     assert(rows.exists(r => r.sum == 15.0 && r.prevSum == 6.0))
+    }
   }
 
   test("RaQL-text count-based COMMIT streams through the CommitHarness") {
@@ -241,7 +244,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerter.currentlyFiring.isEmpty)
   }
 
-  test("streaming exact dedup on the content fingerprint matches batch survivors") {
+  /** Run `body` with the streaming state store swapped to `provider`
+    * ("default" keeps Spark's HDFSBackedStateStore; "rocksdb" proves the
+    * at-scale option GraftSession gates behind SPARK_GRAFT_STATESTORE —
+    * a 100 TB dedup stream's fingerprint state must live off-heap). The
+    * conf is read at query START, so setting it per-test is enough. */
+  private def withStateStore[A](provider: String)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    if (provider == "rocksdb") spark.conf.set(key, GraftSession.RocksDbProvider)
+    else spark.conf.unset(key)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"streaming exact dedup on the content fingerprint matches batch survivors ($provider state store)") {
+    withStateStore(provider) {
     // the d01 ingestion-time shape: fingerprint is map-only, the dedup
     // state is keyed by the 16-byte fingerprint (at scale:
     // dropDuplicatesWithinWatermark bounds that state by event time; here
@@ -252,7 +274,7 @@ class StreamingSpec extends AnyFunSuite {
     val fp = docs.select(col("doc_id"),
       graft.functions.TextFunctions.bagFingerprint(col("text")).as("fp"))
     val q = fp.dropDuplicates("fp")
-      .writeStream.format("memory").queryName("stream_dedup")
+      .writeStream.format("memory").queryName(s"stream_dedup_$provider")
       .outputMode("append").start()
     mem.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"),
       (3L, "unique words here"))
@@ -263,7 +285,7 @@ class StreamingSpec extends AnyFunSuite {
       (6L, "fresh content now"))
     q.processAllAvailable()
     q.stop()
-    val kept = spark.table("stream_dedup").select("doc_id")
+    val kept = spark.table(s"stream_dedup_$provider").select("doc_id")
       .as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L, 6L))
     // the batch operator agrees: in-arrival-order ids make first-arrival
@@ -274,6 +296,7 @@ class StreamingSpec extends AnyFunSuite {
     val batchKeep = graft.ops.Dedup.exactDedup(all, "doc_id", "text")
       .select("keep_id").as[Long].collect().toSet
     assert(batchKeep == kept)
+    }
   }
 
   test("UDP netflow → RaQL NOTIFY fires incidents end-to-end") {
