@@ -134,7 +134,7 @@ object MultimodalQueries {
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
         ORDER BY id_a, id_b""")),
 
-    m06, m07
+    m06, m06b, m07
   )
 
   /** m06: fixed-grid nearest-neighbor resize (8×8 thumbnail) in the
@@ -168,6 +168,55 @@ object MultimodalQueries {
         list_reduce(list_prepend(CAST(0 AS BIGINT), px[1:8]),
           (a, x) -> a * 256 + x) AS corner
       FROM s ORDER BY doc_id"""))
+
+  /** m06b: the REAL-codec path at oracle breadth — 48 actual PNGs
+    * (deterministic grayscale pixel formula, encoded by the real ImageIO
+    * PNG writer in [[graft.ops.Multimodal.syntheticPngs]]) run through the
+    * PRODUCTION ImageIO DECODE branches of resizeImages (8×8 nearest-
+    * neighbor thumbnail) and imageAHash (60-bit chunked-mean fingerprint).
+    * PNG is lossless, so the DuckDB oracle replays the pixel FORMULA at
+    * the sampled coordinates — it never sees a PNG byte — which makes
+    * this an independent end-to-end check of encode → decode → resample →
+    * hash, not a golden-file comparison. (The corner pack can set bit 63:
+    * the oracle folds in HUGEINT and converts to the signed-64 wrap the
+    * Scala `<< 8 |` accumulator produces.) */
+  private lazy val m06b = QueryDef(
+    "m06b_real_png_resize",
+    (s, d) => {
+      val pngs = Multimodal.syntheticPngs(
+        Tables.documents(s, d).filter(col("doc_id") < 48), "doc_id")
+      val rs = Multimodal.resizeImages(pngs, "id", "img")
+        .select(col("id").as("doc_id"),
+          round(col("meanPixel"), 9).as("mean_pixel"), col("corner"))
+      val ah = Multimodal.imageAHash(pngs, "id", "img")
+        .select(col("id").as("doc_id"), col("fp"))
+      rs.join(ah, Seq("doc_id")).orderBy("doc_id")
+    },
+    Some("""WITH ids AS (SELECT doc_id, 16 + doc_id % 17 AS w,
+          16 + doc_id % 13 AS h FROM documents WHERE doc_id < 48),
+      thumb AS (SELECT doc_id,
+          [ (doc_id*5 + (((i % 8) * w) // 8) * 7 + (((i // 8) * h) // 8) * 11
+             + (((i % 8) * w) // 8) * (((i // 8) * h) // 8)) % 256
+            for i in range(0, 64)] AS px FROM ids),
+      pix AS (SELECT doc_id, w * h AS n,
+          [ (doc_id*5 + (i % w) * 7 + (i // w) * 11 + (i % w) * (i // w)) % 256
+            for i in range(0, w * h)] AS arr FROM ids),
+      t AS (SELECT doc_id, n, arr, list_sum(arr) AS total FROM pix),
+      f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), c ->
+          CASE WHEN ((c+1)*n)//60 - (c*n)//60 > 0
+            AND COALESCE(list_sum(arr[(c*n)//60 + 1 : ((c+1)*n)//60]), 0) * n
+                >= total * (((c+1)*n)//60 - (c*n)//60)
+          THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)) AS BIGINT) AS fp FROM t),
+      rs AS (SELECT doc_id,
+          ROUND(CAST(list_sum(px) AS DOUBLE) / 64, 9) AS mean_pixel,
+          list_reduce(list_prepend(CAST(0 AS HUGEINT),
+            [CAST(x AS HUGEINT) for x in px[1:8]]),
+            (a, x) -> a * 256 + x) AS chuge FROM thumb)
+      SELECT rs.doc_id, rs.mean_pixel,
+        CAST(CASE WHEN chuge >= 9223372036854775808 THEN
+          chuge - 18446744073709551616 ELSE chuge END AS BIGINT) AS corner,
+        f.fp
+      FROM rs JOIN f USING (doc_id) ORDER BY rs.doc_id"""))
 
   /** m07: uniform frame sampling over a "video" binary — the frame split
     * is the documented deterministic stub (no codecs in the container);

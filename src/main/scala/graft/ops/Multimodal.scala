@@ -202,12 +202,60 @@ object Multimodal {
           var j = lo
           while (j < hi) { s += samples(j); j += 1 }
           val cnt = hi - lo
-          if (cnt > 0 && s * n >= total * cnt) fp |= 1L << c
+          if (cnt > 0 && mulCmpGE(s, n, total, cnt)) fp |= 1L << c
           c += 1
         }
         ImageHash(id, fp)
       }
     }(Encoders.product[ImageHash]).toDF()
+  }
+
+  /** 128-bit compare a·b ≥ c·d for non-negative longs. The aHash bit test
+    * cross-multiplies chunk sums against the total — at ~1.5e9 samples
+    * (a ≈ 500-megapixel RGB image) the 64-bit products would overflow and
+    * silently corrupt fingerprint bits, so compare the full 128-bit
+    * products via Math.multiplyHigh (one instruction on modern JVMs). */
+  private[graft] def mulCmpGE(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) >= 0
+  }
+
+  /** Deterministic synthetic REAL PNGs: for each id an 8-bit grayscale
+    * image of id-derived dims (w = 16 + id%17, h = 16 + id%13) whose pixel
+    * (x, y) is the pure integer formula (id·5 + x·7 + y·11 + x·y) mod 256,
+    * encoded through the actual `javax.imageio` PNG writer in the same
+    * batched mapPartitions stage the decoders use. PNG is lossless, so
+    * everything downstream of [[decodeImages]]/[[resizeImages]]/
+    * [[imageAHash]]'s ImageIO DECODE branch — the production path for
+    * real corpora — is value-checkable by a SQL oracle that replays the
+    * pixel formula and never touches a PNG byte (an encode→decode→
+    * resample loop check, not a golden-file check). */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val ds = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    ds.mapPartitions { ids =>
+      ids.map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id % 13).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            r.setSample(x, y, 0,
+              ((id * 5 + x * 7L + y * 11L + x.toLong * y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "img")
   }
 
   /** Batched "pixel decode" over partitions — the mapInPandas-shaped

@@ -170,4 +170,36 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.isStubImage(col("b"))).as[Boolean].head()
     assert(!not)
   }
+
+  test("aHash 128-bit compare is exact past the 64-bit product overflow") {
+    // the regime a ~500-megapixel image reaches: s·n and total·cnt exceed
+    // Long range, where the old `s * n >= total * cnt` wrapped negative
+    val big = 3_100_000_000L // s·n ≈ 9.61e18 > Long.MaxValue ≈ 9.22e18
+    assert(Multimodal.mulCmpGE(big, big, big, big))           // equal
+    assert(Multimodal.mulCmpGE(big, big, big - 1, big))       // strictly >
+    assert(!Multimodal.mulCmpGE(big - 1, big, big, big))      // strictly <
+    // naive comparison would get this one wrong: lhs wraps negative while
+    // rhs stays positive
+    assert(big * big < 0 && Multimodal.mulCmpGE(big, big, 2L, 3L))
+    // and the non-overflow regime is unchanged
+    assert(Multimodal.mulCmpGE(6L, 7L, 42L, 1L))
+    assert(!Multimodal.mulCmpGE(6L, 7L, 43L, 1L))
+  }
+
+  test("synthetic PNG encode→decode round-trips the pixel formula") {
+    // PNG is lossless: the decoded raster must equal the generator formula
+    // sample-for-sample (the independence claim m06b's oracle rests on)
+    val pngs = Multimodal.syntheticPngs(Seq(7L, 23L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    for ((id, bytes) <- pngs) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (16 + (id % 17).toInt, 16 + (id % 13).toInt)
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRaster.getNumBands == 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          ((id * 5 + x * 7L + y * 11L + x.toLong * y) % 256).toInt,
+          s"pixel ($x,$y) of image $id")
+    }
+  }
 }
