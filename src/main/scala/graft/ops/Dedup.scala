@@ -324,6 +324,10 @@ object Dedup {
     val dim = Similarity.vecDim(embs, vecCol)
     def cellScores(v: Column): Column =
       array(cents.map(cv => Similarity.dotFlat(v, typedlit(cv), dim)): _*)
+    // the assignment (nlist×dim dots per row) feeds THREE consumers — the
+    // cell-size aggregation, the blocked pair join, and the final
+    // join-back — persist it so the dot pipeline evaluates once
+    // (MEMORY_AND_DISK: spills at corpus scale; Spark evicts LRU)
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normFlat(col(vecCol), dim).as("norm"))
@@ -332,6 +336,7 @@ object Dedup {
       .withColumn("cell",
         array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
       .drop("_scores")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // co-partitioned blocked self-join (pinned: a broadcast build side
     // would redo the whole assignment pipeline in one task). The join key
     // carries the block-pair (kx, ky) so a hot cell's quadratic output is
