@@ -2607,6 +2607,185 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       Encoders.row(outSchema)).toDF()
   }
 
+  /** Streaming translation of an ARBITRARY `COMMIT AFTER/BEFORE cond` —
+    * the general per-tuple commit check of the reference
+    * (/root/reference/src/CodeGenLib_Skeletons.ml:433-930): group state
+    * folds the SELECT fields' decomposable aggregates in the state store,
+    * and the condition — any expression over `in.*` fields, `out.*`
+    * fields, literals, arithmetic/comparisons/boolean ops, and
+    * decomposable aggregates (which become hidden state slots) — is
+    * evaluated per input tuple by a serializable interpreter
+    * ([[CommitCond]]/[[ExprCommitRt]]). `COMMIT BEFORE` checks the
+    * PRE-update state against the incoming tuple and emits the previous
+    * window first (tumbling.ramen's shape); `KEEP` preserves state on
+    * commit. This closes the last streaming commit form: time-shaped
+    * bucket commits still take the window+watermark translation (bounded
+    * state — preferred where it applies), count-commits take the
+    * specialized fast path, and everything else lands here instead of a
+    * typed error.
+    *
+    * State lifetime caveat (documented, reference-identical): a group
+    * whose condition never fires holds its slots until it does — the
+    * reference keeps such groups in its worker hash just the same. At
+    * scale run under the RocksDB state store
+    * (`SPARK_GRAFT_STATESTORE=rocksdb`). */
+  private def compileStreamingExprCommit(src: DataFrame,
+      named: Seq[(Expr, String)], agg: Aggregate, params: Map[String, Expr],
+      splitCols: Map[FunCall, Column]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import graft.streaming.{CommitHarness, GroupSpec}
+    import CommitCond._
+
+    val decomp = Set("count", "sum", "min", "max", "avg", "first", "last")
+    val fieldPlans: Seq[(String, Column)] = named.map { case (e, _) =>
+      e match {
+        case _ if !hasAgg(e) =>
+          ("pass", compileExpr(e, params, splitCols))
+        case AggCall(fn, op, _, _) if decomp(fn) && !hasAgg(op) =>
+          (fn, compileExpr(op, params, splitCols))
+        case other => unsupported(
+          s"streaming expression-commit field $other (only decomposable " +
+          "aggregates over stateless operands stream through the harness)")
+      }
+    }
+    val nOut = named.length
+    val outIdx: Map[String, Int] = named.map(_._2).zipWithIndex.toMap
+    val srcCols = src.columns.toSet
+    val hidden = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    val inRefs = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    def mkIn(nm: String): Node = {
+      if (!inRefs.contains(nm))
+        inRefs(nm) = compileExpr(Ref(Seq(nm)), params, splitCols)
+      CIn(1 + nOut + /* placeholder, fixed below */ inRefs.keysIterator
+        .indexOf(nm))
+    }
+    def build(e: Expr): Node = e match {
+      case Lit(v) => CLit(v)
+      case Ref(Seq("out", nm)) => outIdx.get(nm).map(CSlot.apply).getOrElse(
+        unsupported(s"commit condition reads out.$nm which is not a SELECT field"))
+      case Ref(Seq("in", nm)) if srcCols(nm) => mkIn(nm)
+      case Ref(Seq(nm)) if srcCols(nm) => mkIn(nm)
+      case Ref(Seq(nm)) if outIdx.contains(nm) => CSlot(outIdx(nm))
+      case AggCall(fn, op, _, _) if decomp(fn) && !hasAgg(op) =>
+        hidden += ((fn, compileExpr(op, params, splitCols)))
+        CSlot(nOut + hidden.length - 1)
+      case Binop(op, l, r) if Set("and", "or", "=", "<>", "!=", ">", ">=",
+          "<", "<=", "+", "-", "*", "/", "//", "%", "^")(op) =>
+        CBin(op, build(l), build(r))
+      case Unop(op @ ("not" | "neg"), x) => CUn(op, build(x))
+      case IsNull(x, neg) => CIsNull(build(x), neg)
+      case other => unsupported(
+        s"streaming commit condition term $other (supported: in/out field " +
+        "refs, literals, arithmetic/comparison/boolean operators, " +
+        "decomposable aggregates)")
+    }
+    val condRaw = build(agg.commitCond.get)
+    // mkIn encoded each in-ref's first-use INDEX (hidden slots were still
+    // being discovered); the final row layout is [key, v0..v{nSlots-1},
+    // in0..], so rebase every CIn to 1 + nSlots + index
+    val nSlots = nOut + hidden.length
+    val inNames = inRefs.keys.toIndexedSeq
+    def reoffset(n: Node): Node = n match {
+      case CIn(pos) => CIn(pos - (1 + nOut) + (1 + nSlots))
+      case CBin(op, l, r) => CBin(op, reoffset(l), reoffset(r))
+      case CUn(op, x) => CUn(op, reoffset(x))
+      case CIsNull(x, neg) => CIsNull(reoffset(x), neg)
+      case other => other
+    }
+    val cond = reoffset(condRaw)
+
+    val keyCol =
+      if (agg.groupBy.isEmpty) lit("")
+      else to_json(struct(agg.groupBy.zipWithIndex.map { case (kE, i) =>
+        compileExpr(kE, params, splitCols).as(s"_k$i")
+      }: _*))
+    val allPlans = fieldPlans ++ hidden
+    val proj = src.select(
+      (keyCol.as("_gkey") +: allPlans.zipWithIndex.map { case ((_, c), i) =>
+        c.as(s"_v$i")
+      }) ++ inNames.zipWithIndex.map { case (nm, j) =>
+        inRefs(nm).as(s"_in$j")
+      }: _*)
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val vTypes = allPlans.indices.map(i => proj.schema.fields(i + 1).dataType)
+    val outSchema = StructType(named.zip(fieldPlans).zip(vTypes).map {
+      case (((_, name), ("count", _)), _) => StructField(name, LongType)
+      case (((_, name), ("sum", _)), dt) =>
+        StructField(name, if (integral(dt)) LongType else DoubleType)
+      case (((_, name), ("avg", _)), _) => StructField(name, DoubleType)
+      case (((_, name), _), dt) => StructField(name, dt)
+    })
+    val rt = new ExprCommitRt(allPlans.map(_._1).toArray,
+      vTypes.map(integral).toArray, nOut, outSchema, cond)
+    val before = agg.commitBefore
+    CommitHarness.run[String, Row, Array[Any], Row](
+      proj,
+      (r: Row) => r.getString(0),
+      GroupSpec[Row, Array[Any], Row](
+        init = () => rt.init(),
+        update = (s, r) => rt.update(s, r),
+        commitAfter =
+          if (before) (_: Array[Any], _: Row) => false
+          else (s, r) => rt.evalCond(s, r),
+        commitBefore =
+          if (before) (s, r) => rt.evalCond(s, r)
+          else (_: Array[Any], _: Row) => false,
+        emit = (s, _) => rt.emit(s),
+        keepOnCommit = agg.commitKeep,
+        // pending windows stay pending, like the reference on a live
+        // stream (batch has an end and emits the tail; a stream does not)
+        emitOnTimeout = false))(
+      Encoders.STRING, Encoders.row(proj.schema),
+      Encoders.kryo[CommitHarness.GState[Array[Any], Row]],
+      Encoders.row(outSchema)).toDF()
+  }
+
+  /** Does this (groupBy, commitCond) fit the streaming window+watermark
+    * translation? Mirrors the guard inside the grouped compile path: a
+    * `t // d` bucket key with a constant divisor AND a commit condition
+    * the lateness extraction understands (absent, or time-shaped
+    * `in.t >[=] time-shaped-base [+ slack]`). */
+  private def streamTimeTranslatable(agg: Aggregate,
+      params: Map[String, Expr], fields: Seq[(Expr, String)]): Boolean = {
+    val bucket = agg.groupBy.collectFirst {
+      case Binop("//", tE, dE) => (tE, dE)
+    }.filter { case (_, dE) =>
+      scala.util.Try(evalNum(dE, params)).isSuccess
+    }
+    bucket.exists { case (tE, _) =>
+      def refName(e: Expr): Option[String] = e match {
+        case Ref(Seq("in", n)) => Some(n)
+        case Ref(Seq(n)) => Some(n)
+        case _ => None
+      }
+      val tName = refName(tE)
+      val defs = fields.map { case (e0, n0) => n0 -> e0 }.toMap
+      def isT(r: Expr): Boolean = tName.isDefined && refName(r) == tName
+      def timeShapedDef(e0: Expr): Boolean = e0 match {
+        case FunCall("truncate", Seq(r, _)) => isT(r) || timeShapedDef(r)
+        case AggCall("min", r, _, _) => isT(r) || timeShapedDef(r)
+        case Binop(_, l0, r0) => timeShapedDef(l0) || timeShapedDef(r0)
+        case r => isT(r)
+      }
+      def timeShapedBase(base: Expr): Boolean = base match {
+        case Ref(Seq("out", n0)) => defs.get(n0).exists(timeShapedDef)
+        case Ref(Seq(n0)) => defs.get(n0).exists(timeShapedDef) || isT(base)
+        case _ => timeShapedDef(base)
+      }
+      agg.commitCond match {
+        case None => true
+        case Some(Binop(">" | ">=", inRef, Binop("+", baseRef,
+            (Lit(_) | Ref(_))))) if isT(inRef) && timeShapedBase(baseRef) => true
+        case Some(Binop(">" | ">=", inRef, baseRef))
+            if isT(inRef) && timeShapedBase(baseRef) => true
+        case Some(_) => false
+      }
+    }
+  }
+
   /** Substitute refs to earlier AGGREGATE-bearing output fields (bare when
     * no input column shadows them, always for `out.`-prefixed) with their
     * defining expressions, so the referencing field can evaluate inside
@@ -2652,6 +2831,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           return compileStreamingCountCommit(src, fields, agg, params,
             splitCols, k)
         }
+      // STREAMING arbitrary-expression COMMIT: any other commit condition
+      // on a streaming source routes to the general CommitHarness
+      // translation — per-key decomposable state + an interpreted
+      // condition over (in, out) — UNLESS the time-bucket window+watermark
+      // translation applies (bounded state; preferred where it fits).
+      if (src.isStreaming && agg.commitCond.nonEmpty &&
+          !streamTimeTranslatable(agg, params, fields))
+        return compileStreamingExprCommit(src, fields, agg, params, splitCols)
       if (agg.groupBy.nonEmpty) {
         // grouping columns come back from groupBy() itself; aggregate
         // fields go through agg(); other fields take the group's last
@@ -3278,6 +3465,29 @@ object RaqlCompiler {
   }
 }
 
+/** Serializable AST for streaming commit CONDITIONS (see
+  * RaqlCompiler.compileStreamingExprCommit): the arbitrary-expression
+  * `COMMIT AFTER/BEFORE cond` of the reference
+  * (/root/reference/src/CodeGenLib_Skeletons.ml:433-930, where the
+  * condition is an OCaml closure over (in-tuple, group state)) becomes a
+  * tiny interpreted tree over (group state slots, projected input row).
+  * Interpretation is fine here: the condition runs once per input tuple
+  * against a handful of scalars — the heavy per-field math stays in the
+  * codegen'd projection upstream. */
+private[raql] object CommitCond {
+  sealed trait Node extends Serializable
+  /** literal */
+  final case class CLit(v: Any) extends Node
+  /** the group's CURRENT value of out-field/hidden slot i (post-transform:
+    * counts are longs, avgs are ratios) */
+  final case class CSlot(i: Int) extends Node
+  /** projected input-row position (the in.* refs of the condition) */
+  final case class CIn(pos: Int) extends Node
+  final case class CBin(op: String, l: Node, r: Node) extends Node
+  final case class CUn(op: String, x: Node) extends Node
+  final case class CIsNull(x: Node, negated: Boolean) extends Node
+}
+
 /** Serializable fold runtime for the streaming count-commit translation
   * (see RaqlCompiler.compileStreamingCountCommit). One slot per SELECT
   * field plus a trailing row counter (the commit's `sum 1`); `kinds(i)` is
@@ -3361,6 +3571,168 @@ private[raql] final class CountCommitRt(
       }
       i += 1
     }
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      vals, schema)
+  }
+}
+
+/** Serializable fold runtime for the streaming ARBITRARY-expression commit
+  * translation (RaqlCompiler.compileStreamingExprCommit) — the general
+  * form of the reference's per-tuple commit check
+  * (/root/reference/src/CodeGenLib_Skeletons.ml:433-930): update the
+  * group's decomposable-aggregate slots, then evaluate the commit
+  * condition tree against (slots, input row). Slots 0..nOut-1 are the
+  * SELECT fields (emitted); slots nOut..nSlots-1 are HIDDEN aggregates
+  * the condition mentions (e.g. the `SUM 1` of `COMMIT AFTER SUM 1 >=
+  * out.n_max`) — same fold, never emitted. Kept top-level so CommitHarness
+  * closures capture ONLY this value, never the compiler. */
+private[raql] final class ExprCommitRt(
+    kinds: Array[String], integralSlot: Array[Boolean], nOut: Int,
+    schema: org.apache.spark.sql.types.StructType, cond: CommitCond.Node)
+    extends Serializable {
+  import org.apache.spark.sql.Row
+  import CommitCond._
+
+  private val nSlots = kinds.length
+
+  private def numD(a: Any): Double = a match {
+    case x: java.lang.Number => x.doubleValue
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case other => other.toString.toDouble
+  }
+  private def numL(a: Any): Long = a match {
+    case null => 0L
+    case x: java.lang.Number => x.longValue
+    case b: java.lang.Boolean => if (b) 1L else 0L
+    case other => other.toString.toLong
+  }
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+    case _ => 0
+  }
+  private def integralVal(a: Any): Boolean = a match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
+
+  def init(): Array[Any] = new Array[Any](nSlots)
+
+  def update(s: Array[Any], row: Row): Array[Any] = {
+    var i = 0
+    while (i < nSlots) {
+      val v = if (row.isNullAt(i + 1)) null else row.get(i + 1)
+      kinds(i) match {
+        case "pass" => s(i) = v // Spark `last` semantics: nulls overwrite
+        case fn => if (v != null) fn match {
+          case "count" => v match {
+            case b: java.lang.Boolean => if (b) s(i) = numL(s(i)) + 1L
+            case _ => s(i) = numL(s(i)) + 1L
+          }
+          case "sum" =>
+            if (integralSlot(i))
+              s(i) = (if (s(i) == null) 0L else numL(s(i))) + numL(v)
+            else s(i) = (if (s(i) == null) 0.0 else numD(s(i))) + numD(v)
+          case "min" => if (s(i) == null || cmp(v, s(i)) < 0) s(i) = v
+          case "max" => if (s(i) == null || cmp(v, s(i)) > 0) s(i) = v
+          case "avg" =>
+            val acc =
+              if (s(i) == null) Array[Any](0.0, 0L)
+              else s(i).asInstanceOf[Array[Any]]
+            s(i) = Array[Any](acc(0).asInstanceOf[Double] + numD(v),
+              acc(1).asInstanceOf[Long] + 1L)
+          case "first" => if (s(i) == null) s(i) = v
+          case "last" => s(i) = v
+        }
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Out-transformed value of slot i (what `out.x` reads). */
+  private def slotVal(s: Array[Any], i: Int): Any = kinds(i) match {
+    case "count" => numL(s(i))
+    case "avg" => s(i) match {
+      case null => null
+      case acc: Array[Any] =>
+        acc(0).asInstanceOf[Double] / acc(1).asInstanceOf[Long]
+    }
+    case _ => s(i)
+  }
+
+  private def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: java.lang.Boolean => b
+    case n: java.lang.Number => n.doubleValue != 0.0
+    case _ => false
+  }
+
+  private def eval(n: Node, s: Array[Any], row: Row): Any = n match {
+    case CLit(v) => v
+    case CSlot(i) => slotVal(s, i)
+    case CIn(p) => if (row.isNullAt(p)) null else row.get(p)
+    case CIsNull(x, neg) =>
+      java.lang.Boolean.valueOf((eval(x, s, row) == null) != neg)
+    case CUn("not", x) => eval(x, s, row) match {
+      case null => null
+      case v => java.lang.Boolean.valueOf(!truthy(v))
+    }
+    case CUn("neg", x) => eval(x, s, row) match {
+      case null => null
+      case v if integralVal(v) => java.lang.Long.valueOf(-numL(v))
+      case v => java.lang.Double.valueOf(-numD(v))
+    }
+    case CUn(op, _) => throw new IllegalStateException(s"commit unop $op")
+    case CBin("and", l, r) =>
+      java.lang.Boolean.valueOf(
+        truthy(eval(l, s, row)) && truthy(eval(r, s, row)))
+    case CBin("or", l, r) =>
+      java.lang.Boolean.valueOf(
+        truthy(eval(l, s, row)) || truthy(eval(r, s, row)))
+    case CBin(op, l, r) =>
+      val a = eval(l, s, row); val b = eval(r, s, row)
+      if (a == null || b == null) null
+      else op match {
+        case "=" => java.lang.Boolean.valueOf(cmp(a, b) == 0)
+        case "<>" | "!=" => java.lang.Boolean.valueOf(cmp(a, b) != 0)
+        case ">" => java.lang.Boolean.valueOf(cmp(a, b) > 0)
+        case ">=" => java.lang.Boolean.valueOf(cmp(a, b) >= 0)
+        case "<" => java.lang.Boolean.valueOf(cmp(a, b) < 0)
+        case "<=" => java.lang.Boolean.valueOf(cmp(a, b) <= 0)
+        case _ =>
+          val ints = integralVal(a) && integralVal(b)
+          op match {
+            case "+" =>
+              if (ints) java.lang.Long.valueOf(numL(a) + numL(b))
+              else java.lang.Double.valueOf(numD(a) + numD(b))
+            case "-" =>
+              if (ints) java.lang.Long.valueOf(numL(a) - numL(b))
+              else java.lang.Double.valueOf(numD(a) - numD(b))
+            case "*" =>
+              if (ints) java.lang.Long.valueOf(numL(a) * numL(b))
+              else java.lang.Double.valueOf(numD(a) * numD(b))
+            case "/" => java.lang.Double.valueOf(numD(a) / numD(b))
+            case "//" =>
+              if (ints) java.lang.Long.valueOf(Math.floorDiv(numL(a), numL(b)))
+              else java.lang.Double.valueOf(math.floor(numD(a) / numD(b)))
+            case "%" =>
+              if (ints) java.lang.Long.valueOf(Math.floorMod(numL(a), numL(b)))
+              else java.lang.Double.valueOf(numD(a) % numD(b))
+            case "^" => java.lang.Double.valueOf(math.pow(numD(a), numD(b)))
+            case other => throw new IllegalStateException(s"commit binop $other")
+          }
+      }
+  }
+
+  def evalCond(s: Array[Any], row: Row): Boolean = truthy(eval(cond, s, row))
+
+  def emit(s: Array[Any]): Row = {
+    val vals = new Array[Any](nOut)
+    var i = 0
+    while (i < nOut) { vals(i) = slotVal(s, i); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       vals, schema)
   }

@@ -579,10 +579,12 @@ class StreamingSpec extends AnyFunSuite {
       s"no window key in:\n$analyzed")
   }
 
-  test("a non-time COMMIT on a streaming time-bucket is a typed error") {
+  test("a non-time COMMIT on a streaming time-bucket routes to the expr-commit harness") {
     // COMMIT AFTER in.ets > out.n + 120 with n = SUM 1 is a COUNT-shaped
-    // commit: silently compiling it to event-time windowing would read
-    // 120 as an allowed lateness it does not mean — reject instead
+    // commit: compiling it to event-time windowing would read 120 as an
+    // allowed lateness it does not mean. Since r8 it routes to the
+    // general expression-commit harness (per-key state + interpreted
+    // condition) instead of the r7 typed error — NOT to a watermark.
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val ev = spark.readStream.schema(schema)
@@ -599,8 +601,78 @@ class StreamingSpec extends AnyFunSuite {
       case Right(p) => c.register("m2", p)
       case Left(e) => fail(s"parse: $e")
     }
-    val e = intercept[UnsupportedOperationException](c.compile("m2/q"))
-    assert(e.getMessage.contains("non-time COMMIT"), e.getMessage)
+    val sdf = c.compile("m2/q")
+    assert(sdf.isStreaming, "expr-commit must stay streaming")
+    val analyzed = sdf.queryExecution.analyzed.toString
+    assert(analyzed.contains("FlatMapGroupsWithState"),
+      s"expected the commit harness in:\n$analyzed")
+    assert(!analyzed.contains("EventTimeWatermark"),
+      "a non-time commit must NOT silently become event-time windowing")
+  }
+
+  test("RaQL value-threshold COMMIT streams through the expr-commit harness") {
+    // COMMIT AFTER out.total >= 10 — neither count- nor time-shaped: the
+    // reference evaluates the condition per tuple against the group state
+    // (CodeGenLib_Skeletons.ml:433-930); same here, in the state store
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM v AS total, SUM 1 AS n
+        GROUP BY user
+        COMMIT AFTER out.total >= 10;""") match {
+      case Right(p) => c.register("vt", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("vt/q")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("valcommit")
+      .outputMode("append").start()
+    // a: 3+4 (no commit) then 5 → commits 12 over 3 rows; then 8, 9 →
+    // commits 17 over 2 rows. b: 10 → commits immediately.
+    mem.addData(Ev("a", 1, 3.0), Ev("a", 2, 4.0), Ev("b", 1, 10.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 3, 5.0), Ev("a", 4, 8.0), Ev("a", 5, 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("valcommit").select("user", "total", "n")
+      .as[(String, Double, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 12.0, 3L), ("a", 17.0, 2L), ("b", 10.0, 1L)), rows)
+  }
+
+  test("RaQL tumbling COMMIT BEFORE streams through the expr-commit harness") {
+    // tumbling.ramen's shape without a `t // d` group key: COMMIT BEFORE
+    // in.t >= out.wstart + 60 — the incoming tuple closes the previous
+    // window (emitted WITHOUT it) and opens the next one
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, MIN t AS wstart, SUM 1 AS n, SUM v AS total
+        GROUP BY user
+        COMMIT BEFORE in.t >= out.wstart + 60;""") match {
+      case Right(p) => c.register("tb", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("tb/q")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("beforecommit")
+      .outputMode("append").start()
+    mem.addData(Ev("a", 10, 1.0), Ev("a", 20, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 75, 5.0)) // 75 >= 10+60 → emit [10,70) first
+    q.processAllAvailable()
+    mem.addData(Ev("a", 140, 7.0)) // 140 >= 75+60 → emit [75,135)
+    q.processAllAvailable()
+    val rows = spark.table("beforecommit")
+      .select("user", "wstart", "n", "total")
+      .as[(String, Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 10L, 2L, 3.0), ("a", 75L, 1L, 5.0)), rows)
   }
 
   test("UDP collectd -> hosts-style tumbling RaQL windows end-to-end") {
