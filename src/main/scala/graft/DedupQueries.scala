@@ -310,6 +310,39 @@ object DedupQueries {
             ROUND(CAST(pd.n - COALESCE(uq.n_unique, 0) AS DOUBLE) / pd.n, 9)
           END AS shared_frac
         FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN uq USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- d09: CROSS-corpus near-dup join — doc-level train-vs-benchmark
+    // contamination (t09 flags shared n-grams; this finds whole near-dup
+    // documents across the split). Train = doc_id % 7 ≠ 0, probe =
+    // doc_id % 7 = 0 (disjoint); LSH bucket join across the two corpora,
+    // verified by exact Jaccard ≥ 0.5, so the exact cross-pair oracle is
+    // an end-to-end recall check (same accepted-risk note as d02: recall
+    // 1.0 measured with the seeded 12/6 family at these SFs).
+    QueryDef(
+      "d09_cross_corpus_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        val probe = docs.filter(col("doc_id") % 7 === 0)
+        val cands = Dedup.minhashCandidatesCross(train, probe, "doc_id", "text")
+        Dedup.verifyJaccardCross(cands, train, probe, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a").as("train_id"), col("id_b").as("probe_id"),
+            col("jaccard"))
+          .orderBy("train_id", "probe_id")
+      },
+      Some(s"""WITH t AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
+        tr AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+        pr AS (SELECT * FROM t WHERE doc_id % 7 = 0)
+        SELECT tr.doc_id AS train_id, pr.doc_id AS probe_id,
+          CAST(len(list_intersect(tr.sh, pr.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(tr.sh, pr.sh))) AS jaccard
+        FROM tr JOIN pr ON TRUE
+        WHERE CAST(len(list_intersect(tr.sh, pr.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(tr.sh, pr.sh))) >= 0.5
+        ORDER BY train_id, probe_id"""))
   )
 }

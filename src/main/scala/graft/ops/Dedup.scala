@@ -36,38 +36,88 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Map-only LSH bucket frame: (id, band, bucket), partitioned by the
+    * narrow bucket key and shuffle-hash-pinned (a broadcast build side
+    * would recompute the full signature pipeline in one task). The native
+    * one-pass MinHashSig expression computes the k-slot signature per doc
+    * inside whole-stage codegen — the first exchange in the plan is the
+    * (band, bucket) partitioning. Shingle-less docs have a NULL sig →
+    * NULL bucket array → posexplode drops them (an explicit isNotNull
+    * filter would be PUSHED into the scan and evaluate the whole minhash
+    * twice per row). */
+  private def lshBucketFrame(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, p: Int): DataFrame = {
+    val r = k / bands
+    docs
+      .repartition(p) // single-file local input ⇒ force map parallelism
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
+      .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .repartition(p, col("band"), col("bucket"))
+      .hint("shuffle_hash")
+  }
+
   /** Candidate near-dup pairs from MinHash + banded LSH over word
     * `shingleN`-gram shingles. Probabilistic recall; verify candidates with
     * exact Jaccard before acting on them. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
-    val r = k / bands
-    // Map-only minhash: the native one-pass MinHashSig expression computes
-    // the k-slot signature per doc inside whole-stage codegen — same hash
-    // family as the earlier explode + k-column-min formulation, but with NO
-    // per-doc aggregation shuffle at all. The first exchange in the plan is
-    // the narrow (id, band, bucket) bucket partitioning.
-    val sigs = docs
-      .repartition(par(docs)) // single-file local input ⇒ force map parallelism
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
-    // shingle-less docs have a NULL sig → NULL bucket array → posexplode
-    // drops them (an explicit isNotNull filter would be PUSHED into the
-    // scan and evaluate the whole minhash twice per row)
-    val buckets = sigs
-      .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      .repartition(par(docs), col("band"), col("bucket"))
-      // self-join must stay co-partitioned: a broadcast build side would
-      // recompute the full signature pipeline in one task
-      .hint("shuffle_hash")
+    val buckets = lshBucketFrame(docs, idCol, textCol, shingleN, k, bands,
+      par(docs))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** CROSS-corpus candidate near-dup pairs: corpus A's LSH buckets joined
+    * against corpus B's (same seeded signature family as
+    * [[minhashCandidates]]) — the doc-level train-vs-benchmark
+    * contamination check ([[Packing.decontaminate]] flags shared n-grams;
+    * this finds whole near-duplicate DOCUMENTS across corpora, e.g. a
+    * benchmark answer paraphrased into the training set). Returns
+    * (id_a ∈ A, id_b ∈ B) candidates; verify with
+    * [[verifyJaccardCross]]. A doc present verbatim in both corpora
+    * surfaces as a (x, x) pair at jaccard 1.0.
+    *
+    * Scale shape: both sides are map-only codegen signatures shuffled on
+    * the narrow (band, bucket) key, co-partitioned and shuffle-hash-
+    * pinned — the same plan as the self-join, with the probe corpus
+    * typically orders of magnitude smaller so its bucket side is tiny. */
+  def minhashCandidatesCross(docsA: DataFrame, docsB: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 12,
+      bands: Int = 6): DataFrame = {
+    val p = par(docsA)
+    val ba = lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p)
+    val bb = lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p)
+    ba.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard for a CROSS-corpus pair frame (id_a from A,
+    * id_b from B) — the verification stage after
+    * [[minhashCandidatesCross]]. */
+  def verifyJaccardCross(pairs: DataFrame, docsA: DataFrame, docsB: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    def sh(docs: DataFrame) = docs
+      .repartition(par(docsA))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+      .hint("shuffle_hash") // keep the BIG shingle side streamed (see verifyJaccard)
+    pairs
+      .repartition(par(docsA))
+      .join(sh(docsA).withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh(docsB).withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
   /** Exact shingle-Jaccard for a pair frame (id_a, id_b) — the verification

@@ -102,6 +102,31 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal brute force")
   }
 
+  test("cross-corpus near-dup join finds planted contamination") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "machine learning models require large diverse training corpora"),
+      (3L, "completely unrelated content about cooking pasta dishes"),
+      (4L, "benchmark answers must never leak into the training data")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (101L, "machine learning models require large diverse training corpora"), // verbatim dup of 2
+      (102L, "benchmark answers must never leak into the training set"),        // last-word edit of 4 (jaccard 0.75)
+      (103L, "totally fresh probe document with no counterpart at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.verifyJaccardCross(
+        Dedup.minhashCandidatesCross(train, probe, "doc_id", "text"),
+        train, probe, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((2L, 101L)) && got((2L, 101L)) == 1.0,
+      s"verbatim contamination missed: $got")
+    assert(got.contains((4L, 102L)) && got((4L, 102L)) < 1.0,
+      s"near-dup contamination missed: $got")
+    assert(got.keySet == Set((2L, 101L), (4L, 102L)), s"false positives: $got")
+  }
+
   test("connected components merge pair chains transitively") {
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3 (no direct 1-3 edge), pair 4-5, isolated 6
