@@ -402,6 +402,32 @@ object TextQueries {
           FROM tf JOIN cnt USING (token) CROSS JOIN n)
         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
           ROUND(CAST(SUM(contrib) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
-        FROM c GROUP BY doc_id ORDER BY doc_id"""))
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- t14: vocabulary build + OOV coverage — the tokenizer-prep step:
+    // top-200 corpus-frequency vocabulary (ties on the token itself, so
+    // both engines select identically), then per-doc OOV counts against
+    // the broadcast vocab. Token counts partial-combine map-side; the
+    // top-k is a TakeOrdered over the bounded distinct-token frame.
+    QueryDef(
+      "t14_vocab_oov",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.ops.Vocabulary.build(docs, "doc_id", "text", 200)
+        graft.ops.Vocabulary.oovStats(docs, vocab, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+            col("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(toks) AS token
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents) a),
+        cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        v AS (SELECT token FROM cnt ORDER BY cnt DESC, token LIMIT 200)
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*), 9) AS oov_rate
+        FROM tok LEFT JOIN v USING (token)
+        GROUP BY tok.doc_id ORDER BY tok.doc_id"""))
   )
 }

@@ -75,6 +75,24 @@ class PackingSpec extends AnyFunSuite {
       "interior windows must be exactly full (concatenation packing)")
   }
 
+  test("vocabulary build ranks by frequency then token; OOV stats are exact") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "b c d d"),
+      (3L, "z z z z")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=2, d=2, z=4 → top-3 = z(4), a(3), b(3)
+    val vocab = graft.ops.Vocabulary.build(docs, "doc_id", "text", 3)
+      .select("token", "rank").as[(String, Int)].collect().toMap
+    assert(vocab == Map("z" -> 1, "a" -> 2, "b" -> 3), vocab)
+    val oov = graft.ops.Vocabulary.oovStats(docs,
+        graft.ops.Vocabulary.build(docs, "doc_id", "text", 3),
+        "doc_id", "text")
+      .select("id", "n_tokens", "n_oov")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(oov == Map(1L -> ((6L, 1L)), 2L -> ((4L, 3L)), 3L -> ((4L, 0L))), oov)
+  }
+
   test("decontamination flags exactly the docs sharing a probe shingle") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),   // probe
