@@ -87,3 +87,75 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** All of a random-hyperplane LSH family's band buckets in ONE kernel:
+  * for each of `bands`×`r` literal hyperplanes, the sign of the plane·x
+  * dot (accumulated left-to-right in element order, exactly like
+  * [[VecDot]] and the SQL oracle's list_reduce — the sign compare `>= 0`
+  * therefore sees bit-identical doubles), packed big-endian into one
+  * bucket long per band.
+  *
+  * Why a custom expression (the a08/t06 lesson): the Column formulation
+  * spells out bands×r separate `VecDot(v, typedlit(plane))` nodes — 96
+  * literal-array expressions for the 12×8 family — whose task
+  * deserialization and codegen compile time dwarf the actual math. Here
+  * the planes ride one reference object and the whole signature is one
+  * static-shaped call that stays inside whole-stage codegen. */
+case class LshSignBuckets(child: Expression, planes: Seq[Seq[Double]],
+    bands: Int, r: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.length == bands * r, "need bands*r hyperplanes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_sign_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName requires array<float|double>, got ${other.sql}")
+    }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val flat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var off = 0
+      while (off < r) {
+        val p = flat(b * r + off)
+        val n = math.min(arr.numElements(), p.length)
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+          acc += x * p(d)
+          d += 1
+        }
+        if (acc >= 0.0) bucket |= 1L << (r - 1 - off)
+        off += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lshBuckets", this, classOf[LshSignBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSignBuckets =
+    copy(child = c)
+}

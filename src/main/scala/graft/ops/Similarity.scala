@@ -370,22 +370,18 @@ object Similarity {
     val dim = vecDim(embs, vecCol)
     val planes = hyperplanes(dim, bands, r, seed)
     val v = withVec(embs, idCol, vecCol, dim).repartition(par(embs))
-    // Map-only bucket computation: each plane is a literal vector, each
-    // projection a codegen'd VecDot; bucket of band b packs the r sign
-    // bits big-endian. The only shuffle downstream carries the narrow
-    // (id, band, bucket) rows.
-    val dots = v.select(
-      col("id") +: planes.zipWithIndex.map { case (p, pid) =>
-        graft.functions.GraftFunctions.vecDot(col("v"), typedlit(p)).as(s"dot$pid")
-      }: _*)
-    val bucketArr = array((0 until bands).map { b =>
-      (0 until r).map { off =>
-        when(col(s"dot${b * r + off}") >= 0, lit(1L << (r - 1 - off)))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    val buckets = dots
-      .select(col("id"), posexplode(bucketArr))
+    // Map-only bucket computation — ONE native kernel for all bands×r
+    // plane dots + sign packing (graft.functions.LshSignBuckets): the
+    // spelled-out 96-VecDot-column formulation cost more in task
+    // deserialization and codegen compilation than in arithmetic (the a08
+    // lesson). Fold order per dot matches VecDot/the oracle's list_reduce
+    // exactly, so buckets are bit-identical to the spelled-out form. The
+    // only shuffle downstream carries the narrow (id, band, bucket) rows.
+    val sigCol = org.apache.spark.sql.GraftShims.column(
+      graft.functions.LshSignBuckets(
+        org.apache.spark.sql.GraftShims.expression(col("v")), planes, bands, r))
+    val buckets = v
+      .select(col("id"), posexplode(sigCol))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       .repartition(par(embs), col("band"), col("bucket"))
       // pin the co-partitioned self-join: a broadcast build side would
