@@ -372,20 +372,16 @@ object Dedup {
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], minCos: Double, cellCap: Int = 4096): DataFrame = {
     val dim = Similarity.vecDim(embs, vecCol)
-    def cellScores(v: Column): Column =
-      array(cents.map(cv => Similarity.dotFlat(v, typedlit(cv), dim)): _*)
-    // the assignment (nlist×dim dots per row) feeds THREE consumers — the
-    // cell-size aggregation, the blocked pair join, and the final
-    // join-back — persist it so the dot pipeline evaluates once
-    // (MEMORY_AND_DISK: spills at corpus scale; Spark evicts LRU)
+    // the assignment (nlist×dim dots per row, one argmax kernel call —
+    // Similarity.cellArgmax) feeds THREE consumers — the cell-size
+    // aggregation, the blocked pair join, and the final join-back —
+    // persist it so the dot pipeline evaluates once (MEMORY_AND_DISK:
+    // spills at corpus scale; Spark evicts LRU)
     val assigned = embs
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normFlat(col(vecCol), dim).as("norm"))
       .repartition(par(embs)) // spread the per-row nlist×dim dot products
-      .withColumn("_scores", cellScores(col("v")))
-      .withColumn("cell",
-        array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
-      .drop("_scores")
+      .withColumn("cell", Similarity.cellArgmax(col("v"), cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // co-partitioned blocked self-join (pinned: a broadcast build side
     // would redo the whole assignment pipeline in one task). The join key

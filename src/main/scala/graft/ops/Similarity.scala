@@ -53,6 +53,20 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("v"),
       normFlat(col(vecCol), dim).as("norm"))
 
+  /** Map-only argmax-dot cell assignment over literal centroids in ONE
+    * kernel call — [[graft.functions.PqEncode]] with a single
+    * whole-vector "subspace" returns exactly (1-based argmax code, dot),
+    * replacing the nlist separate literal-dot columns whose task
+    * deserialization dominated (the a08 lesson). First-wins ties and the
+    * per-dot fold order match the previous
+    * `array_position(scores, array_max(scores))` formulation and the SQL
+    * oracle's `row_number() OVER (ORDER BY dt DESC, cidx)` bit-for-bit. */
+  private[ops] def cellArgmax(v: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(org.apache.spark.sql.GraftShims.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftShims.expression(v), Seq(cents))), 1)
+      .getField("code")
+
   private def cosine(dim: Int) = round(
     dotFlat(col("q.v"), col("c.v"), dim) / (col("q.norm") * col("c.norm")), 9)
 
@@ -141,11 +155,10 @@ object Similarity {
     def cellScores(v: Column): Column =
       array(cents.map(cv => dotFlat(v, typedlit(cv), dim)): _*)
 
+    // corpus side needs only the ARGMAX cell — one kernel call; the query
+    // side below keeps the full score array (nprobe ranking needs it)
     val c = withVec(corpus, idCol, vecCol, dim).repartition(par(corpus))
-      .withColumn("_scores", cellScores(col("v")))
-      .withColumn("cell",
-        array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
-      .drop("_scores")
+      .withColumn("cell", cellArgmax(col("v"), cents))
     import org.apache.spark.sql.expressions.Window
     val q = withVec(queries, idCol, vecCol, dim)
       .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
@@ -187,15 +200,10 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     var cents = seedCentroids(corpus, idCol, vecCol, nlist)
     for (_ <- 1 to iters) {
-      def cellScores(v: Column): Column =
-        array(cents.map(cv => dotFlat(v, typedlit(cv), dim)): _*)
       val assigned = corpus
         .select(col(idCol).as("id"), col(vecCol).as("v"))
         .repartition(par(corpus))
-        .withColumn("_scores", cellScores(col("v")))
-        .withColumn("cell",
-          array_position(col("_scores"), array_max(col("_scores"))).cast("int"))
-        .drop("_scores")
+        .withColumn("cell", cellArgmax(col("v"), cents))
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .select(col("cell"), (col("pos") + 1).as("dim"),
