@@ -408,6 +408,85 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** STREAMING semantic dedup — the ingestion-time counterpart of
+    * [[semanticDedup]]: each incoming vector is coarse-assigned to its
+    * argmax-dot cell (map-only, the same [[Similarity.cellArgmax]] kernel
+    * over broadcast-literal centroids — works unchanged on a streaming
+    * frame), and compared against the cell's KEEPER set held in the state
+    * store; a vector with a keeper mate at cosine ≥ `minCos` emits as a
+    * duplicate of the LOWEST-id such keeper, otherwise it becomes a
+    * keeper itself. First-arrival-wins — when ids arrive in id order this
+    * is exactly the batch operator's min-id semantics (spec'd).
+    *
+    * Scale shape: state is sharded by cell across the state store (run
+    * under RocksDB — `SPARK_GRAFT_STATESTORE=rocksdb` — for corpus-scale
+    * keeper sets); each cell holds only its UNIQUE vectors, and
+    * `maxKeepersPerCell` bounds the hot-boilerplate cell: past the cap,
+    * new uniques still emit (as non-dups) but stop enrolling — a recall
+    * degradation, never a false duplicate (the same capped-cluster
+    * trade-off SemDeDup makes). Dimension comes from the centroids, so no
+    * probe action runs against the unbounded stream.
+    *
+    * Returns a streaming (id, cell, dup_of, is_dup) frame. */
+  def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], minCos: Double,
+      maxKeepersPerCell: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val assigned = embs
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"),
+        graft.functions.GraftFunctions.vecNorm(col("v")).as("norm"),
+        Similarity.cellArgmax(col("v"), cents).as("cell"))
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cell", IntegerType, nullable = false),
+      StructField("dup_of", LongType, nullable = true),
+      StructField("is_dup", BooleanType, nullable = false)))
+    val cap = maxKeepersPerCell
+    val cos = minCos
+    assigned
+      .as(Encoders.row(assigned.schema))
+      .groupByKey((r: Row) => r.getInt(3))(Encoders.scalaInt)
+      .flatMapGroupsWithState[List[(Long, Array[Double], Double)], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Int, rows: Iterator[Row],
+         gs: org.apache.spark.sql.streaming.GroupState[List[(Long, Array[Double], Double)]]) =>
+          var keepers = gs.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val v = r.getSeq[Double](1).toArray
+            val norm = r.getDouble(2)
+            var dupOf = -1L
+            keepers.foreach { case (kid, kv, knorm) =>
+              var acc = 0.0
+              var i = 0
+              val n = math.min(v.length, kv.length)
+              while (i < n) { acc += v(i) * kv(i); i += 1 }
+              // same round-9 boundary as the batch operator
+              if (BigDecimal(acc / (norm * knorm))
+                    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble >= cos
+                  && (dupOf < 0 || kid < dupOf)) dupOf = kid
+            }
+            if (dupOf >= 0)
+              out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                Array[Any](id, cell, dupOf, true), outSchema)
+            else {
+              if (keepers.size < cap) keepers = (id, v, norm) :: keepers
+              out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+                Array[Any](id, cell, null, false), outSchema)
+            }
+          }
+          gs.update(keepers)
+          out.iterator
+      }(Encoders.kryo[List[(Long, Array[Double], Double)]],
+        Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Triangle block-partitioning of a celled frame for a bounded
     * within-cell self-join (the 1-bucket-theta layout of Okcan &
     * Riedewald, SIGMOD'11, restricted to the per-cell triangle): each

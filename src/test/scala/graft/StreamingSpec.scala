@@ -299,6 +299,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming semantic dedup matches batch survivors when ids arrive in order") {
+    import graft.ops.{Dedup, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    // 15-periodic patterns ⇒ exact duplicates every 15 ids; distinct
+    // patterns stay far below the threshold, so at τ≈1 matching is an
+    // equivalence relation and first-arrival == batch min-id EXACTLY
+    // (with a non-transitive τ the two operators legitimately differ on
+    // dups-of-dups — that case is covered by the is_dup-only property in
+    // the batch spec)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array(1.0f, (i % 5) * 0.3f, (i % 3) * 0.4f, 0.1f)))
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(batchDf, "vec_id", "embedding", 4)
+    val expected = Dedup.semanticDedup(batchDf, "vec_id", "embedding",
+        cents, minCos = 0.9999)
+      .select("id", "cell", "dup_of", "is_dup")
+      .as[(Long, Int, Option[Long], Boolean)].collect().toSet
+    assert(expected.count(_._4) >= 15, "the planted periodicity should dup")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = Dedup.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, minCos = 0.9999)
+    val q = out.writeStream.format("memory").queryName("semstream")
+      .outputMode("append").start()
+    // one micro-batch per vector pins arrival order = id order
+    vecs.foreach { v => mem.addData(v); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("semstream").select("id", "cell", "dup_of", "is_dup")
+      .as[(Long, Int, Option[Long], Boolean)].collect().toSet
+    assert(got == expected,
+      s"stream/batch divergence:\n  only-stream: ${got -- expected}\n  only-batch: ${expected -- got}")
+  }
+
   test("UDP netflow → RaQL NOTIFY fires incidents end-to-end") {
     import java.net.{DatagramPacket, DatagramSocket, InetAddress}
     import java.nio.{ByteBuffer, ByteOrder}
