@@ -128,6 +128,8 @@ object Dedup {
     // and keep the BIG shingle side streamed: its parquet-stats size
     // estimate ignores the array blow-up, so the planner would otherwise
     // broadcast it — computing every doc's shingles in one task, twice.
+    // (Measured: PERSISTING this frame instead is a loss — columnar-caching
+    // the shingle arrays costs more than the second tokenize+shingle pass.)
     val sh = docs
       .repartition(par(docs))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
