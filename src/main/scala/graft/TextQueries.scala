@@ -428,6 +428,50 @@ object TextQueries {
           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
             AS DOUBLE) / COUNT(*), 9) AS oov_rate
         FROM tok LEFT JOIN v USING (token)
-        GROUP BY tok.doc_id ORDER BY tok.doc_id"""))
+        GROUP BY tok.doc_id ORDER BY tok.doc_id""")),
+
+    // ---- t15: PII scrubbing — the safety-filter pass of a training
+    // pipeline: count and mask email addresses and dotted-quad IPs.
+    // Map-only regex (codegen'd regexp_replace/regexp_count); the
+    // patterns avoid every Java-vs-RE2 divergence (no backrefs, no
+    // lookaround, explicit classes) so DuckDB replays them verbatim. The
+    // synthetic corpus is PII-free, so the query PLANTS deterministic PII
+    // on every 5th/7th doc (pure string concat both engines reproduce) —
+    // the oracle checks detection, counts, and the scrubbed text hash.
+    QueryDef(
+      "t15_pii_scrub",
+      (s, d) => {
+        val emailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
+        val ipRe = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+        Tables.documents(s, d)
+          .withColumn("t", concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".42 logged"))).otherwise(lit(""))))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+            md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>")).as("scrubbed_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t0 AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.42 logged' ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t,
+            '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS BIGINT) AS n_ips,
+          md5(regexp_replace(regexp_replace(t,
+            '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
+            '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g')) AS scrubbed_hash
+        FROM t0 ORDER BY doc_id"""))
   )
 }
