@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.ops.{Packing, Sampling}
+import graft.ops.{Dedup, Packing, Sampling}
 
 /** The end-to-end corpus-curation pipeline as ONE composed query — the
   * user story the individual operators exist for: rule-gate quality
@@ -77,6 +77,76 @@ object PipelineQueries {
         SELECT doc_id, lang, n AS n_tokens,
           cum // 256 AS bin, cum % 256 AS offset_in_bin
         FROM c ORDER BY doc_id"""
+      }),
+
+    // ---- p02: the contamination REPORT — every train-side doc scored on
+    // all three leakage signals at once: benchmark n-gram hits (t09's
+    // broadcast probe semi-join), within-train duplicated-span ratio
+    // (d08's two-agg inverted index), and whole-doc near-duplication to
+    // the probe corpus (d09's cross-corpus LSH + exact verify). Composing
+    // them adds only narrow doc-key joins; the doc-level frame joins back
+    // un-broadcast (corpus-derived, unbounded — the t09 lesson).
+    QueryDef(
+      "p02_contamination_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        val probe = docs.filter(col("doc_id") % 7 === 0)
+        val ngram = Packing.decontaminate(train,
+            Packing.probeShingles(probe, "text"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_hits"), col("contaminated"))
+        val spans = Dedup.crossDocSharedShingles(train, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("shared_frac"))
+        val docLvl = Dedup.verifyJaccardCross(
+            Dedup.minhashCandidatesCross(train, probe, "doc_id", "text"),
+            train, probe, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
+          .groupBy(col("id_a").as("doc_id"))
+          .agg(max("jaccard").as("best_probe_jaccard"))
+        ngram.join(spans, Seq("doc_id"))
+          .join(docLvl.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_hits"), col("contaminated"),
+            col("shared_frac"), col("best_probe_jaccard"),
+            (col("contaminated") || col("best_probe_jaccard").isNotNull)
+              .as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        val toksSql = s"string_split($normSql, ' ')"
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh5 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+              for i in range(1, greatest(len(toks) - 3, 1))]) AS sh FROM toks),
+          sh3 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+              for i in range(1, greatest(len(toks) - 1, 1))]) AS sh FROM toks),
+          p AS (SELECT DISTINCT unnest(sh) AS g FROM sh5 WHERE doc_id % 7 = 0),
+          e5 AS (SELECT doc_id, unnest(sh) AS g FROM sh5 WHERE doc_id % 7 <> 0),
+          h AS (SELECT e5.doc_id, COUNT(*) AS n_hits FROM e5 JOIN p USING (g)
+            GROUP BY 1),
+          e3 AS (SELECT doc_id, unnest(sh) AS g FROM sh3 WHERE doc_id % 7 <> 0),
+          pd AS (SELECT doc_id, COUNT(*) AS n FROM e3 GROUP BY 1),
+          u AS (SELECT g, COUNT(*) AS nd, MIN(doc_id) AS owner FROM e3 GROUP BY 1),
+          uq AS (SELECT owner AS doc_id, COUNT(*) AS nu FROM u WHERE nd = 1
+            GROUP BY 1),
+          bj AS (SELECT tr.doc_id,
+              MAX(CAST(len(list_intersect(tr.sh, pr.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(tr.sh, pr.sh)))) AS best
+            FROM (SELECT * FROM sh3 WHERE doc_id % 7 <> 0) tr
+            JOIN (SELECT * FROM sh3 WHERE doc_id % 7 = 0) pr ON TRUE
+            WHERE CAST(len(list_intersect(tr.sh, pr.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(tr.sh, pr.sh))) >= 0.5
+            GROUP BY 1)
+          SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+            h.n_hits IS NOT NULL AS contaminated,
+            CASE WHEN pd.n > 0 THEN
+              ROUND(CAST(pd.n - COALESCE(uq.nu, 0) AS DOUBLE) / pd.n, 9)
+            END AS shared_frac,
+            bj.best AS best_probe_jaccard,
+            (h.n_hits IS NOT NULL OR bj.best IS NOT NULL) AS flagged
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
+          LEFT JOIN h USING (doc_id) LEFT JOIN pd USING (doc_id)
+          LEFT JOIN uq USING (doc_id) LEFT JOIN bj USING (doc_id)
+          ORDER BY t.doc_id"""
       })
   )
 }

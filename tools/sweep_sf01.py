@@ -19,8 +19,8 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf01"
 SKIP = {"d02_minhash_lsh", "d02a_minhash_audit", "d03_jaccard_pairs",
         "d04a_simhash_audit", "d05_embedding_neardup", "d06_dedup_clusters",
         "a02a_lsh_audit",
-        # d09's ORACLE is the exact |train|x|probe| cross pair set
-        "d09_cross_corpus_neardup"}
+        # d09/p02 ORACLEs embed the exact |train|x|probe| cross pair set
+        "d09_cross_corpus_neardup", "p02_contamination_report"}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
