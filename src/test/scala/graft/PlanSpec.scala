@@ -190,6 +190,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("d09/p02 cross-corpus plans: no cartesian, no sort-merge, bucket join pinned") {
+    for (name <- Seq("d09_cross_corpus_neardup", "p02_contamination_report")) {
+      val p = finalPlan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("SortMergeJoin"), s"$name fell back to sort-merge")
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name lost its pinned co-partitioned join")
+    }
+  }
+
   test("q04's dimension joins broadcast the small side") {
     assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
   }
