@@ -2630,63 +2630,78 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * scale run under the RocksDB state store
     * (`SPARK_GRAFT_STATESTORE=rocksdb`). */
   private def compileStreamingExprCommit(src: DataFrame,
-      named: Seq[(Expr, String)], agg: Aggregate, params: Map[String, Expr],
+      named0: Seq[(Expr, String)], agg: Aggregate, params: Map[String, Expr],
       splitCols: Map[FunCall, Column]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import graft.streaming.{CommitHarness, GroupSpec}
     import CommitCond._
 
+    // substitute refs to earlier aggregate-bearing out fields with their
+    // defining expressions (the batch paths do the same), so compound
+    // fields like `out.start - _min_start AS duration` build as trees
+    // over aggregate slots
+    val named = subAggAliases(named0, src.columns.toSet,
+      scala.collection.mutable.Map.empty)
     val decomp = Set("count", "sum", "min", "max", "avg", "first", "last")
-    val fieldPlans: Seq[(String, Column)] = named.map { case (e, _) =>
-      e match {
-        case _ if !hasAgg(e) =>
-          ("pass", compileExpr(e, params, splitCols))
-        case AggCall(fn, op, _, _) if decomp(fn) && !hasAgg(op) =>
-          (fn, compileExpr(op, params, splitCols))
-        case other => unsupported(
-          s"streaming expression-commit field $other (only decomposable " +
-          "aggregates over stateless operands stream through the harness)")
-      }
+    val arith = Set("and", "or", "=", "<>", "!=", ">", ">=", "<", "<=",
+      "+", "-", "*", "/", "//", "%", "^")
+    val slots = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    def slotFor(kind: String, c: Column): Node = {
+      slots += ((kind, c)); CSlot(slots.length - 1)
     }
-    val nOut = named.length
+    // every SELECT field is a NODE over aggregate/pass slots: stateless
+    // subtrees take group-last semantics (one "pass" slot), decomposable
+    // aggregates fold in the state store, arithmetic combines at emit
+    def buildField(e: Expr): Node = e match {
+      case _ if !hasAgg(e) =>
+        slotFor("pass", compileExpr(e, params, splitCols))
+      case AggCall(fn, op, mods, _) if decomp(fn) && !hasAgg(op) =>
+        if (mods.contains("globally") && agg.groupBy.nonEmpty) unsupported(
+          "streaming expression-commit: GLOBALLY aggregates under GROUP BY " +
+          "would need cross-group state")
+        slotFor(fn, compileExpr(op, params, splitCols))
+      case Binop(op, l, r) if arith(op) => CBin(op, buildField(l), buildField(r))
+      case Unop(op @ ("not" | "neg"), x) => CUn(op, buildField(x))
+      case IsNull(x, neg) => CIsNull(buildField(x), neg)
+      case other => unsupported(
+        s"streaming expression-commit field $other (decomposable aggregates " +
+        "composed with arithmetic stream through the harness)")
+    }
+    val fieldNodes: Array[Node] = named.map(f => buildField(f._1)).toArray
     val outIdx: Map[String, Int] = named.map(_._2).zipWithIndex.toMap
     val srcCols = src.columns.toSet
-    val hidden = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
     val inRefs = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     def mkIn(nm: String): Node = {
       if (!inRefs.contains(nm))
         inRefs(nm) = compileExpr(Ref(Seq(nm)), params, splitCols)
-      CIn(1 + nOut + /* placeholder, fixed below */ inRefs.keysIterator
-        .indexOf(nm))
+      CIn(inRefs.keysIterator.indexOf(nm)) // index; rebased after slots final
     }
-    def build(e: Expr): Node = e match {
+    def buildCond(e: Expr): Node = e match {
       case Lit(v) => CLit(v)
-      case Ref(Seq("out", nm)) => outIdx.get(nm).map(CSlot.apply).getOrElse(
+      case Ref(Seq("out", nm)) => outIdx.get(nm).map(fieldNodes.apply).getOrElse(
         unsupported(s"commit condition reads out.$nm which is not a SELECT field"))
       case Ref(Seq("in", nm)) if srcCols(nm) => mkIn(nm)
       case Ref(Seq(nm)) if srcCols(nm) => mkIn(nm)
-      case Ref(Seq(nm)) if outIdx.contains(nm) => CSlot(outIdx(nm))
+      case Ref(Seq(nm)) if outIdx.contains(nm) => fieldNodes(outIdx(nm))
       case AggCall(fn, op, _, _) if decomp(fn) && !hasAgg(op) =>
-        hidden += ((fn, compileExpr(op, params, splitCols)))
-        CSlot(nOut + hidden.length - 1)
-      case Binop(op, l, r) if Set("and", "or", "=", "<>", "!=", ">", ">=",
-          "<", "<=", "+", "-", "*", "/", "//", "%", "^")(op) =>
-        CBin(op, build(l), build(r))
-      case Unop(op @ ("not" | "neg"), x) => CUn(op, build(x))
-      case IsNull(x, neg) => CIsNull(build(x), neg)
+        slotFor(fn, compileExpr(op, params, splitCols))
+      case Binop(op, l, r) if arith(op) => CBin(op, buildCond(l), buildCond(r))
+      case Unop(op @ ("not" | "neg"), x) => CUn(op, buildCond(x))
+      case IsNull(x, neg) => CIsNull(buildCond(x), neg)
       case other => unsupported(
         s"streaming commit condition term $other (supported: in/out field " +
         "refs, literals, arithmetic/comparison/boolean operators, " +
         "decomposable aggregates)")
     }
-    val condRaw = build(agg.commitCond.get)
-    // mkIn encoded each in-ref's first-use INDEX (hidden slots were still
-    // being discovered); the final row layout is [key, v0..v{nSlots-1},
-    // in0..], so rebase every CIn to 1 + nSlots + index
-    val nSlots = nOut + hidden.length
+    val condRaw = buildCond(agg.commitCond.get)
+    // mkIn encoded each in-ref's first-use INDEX (slots were still being
+    // discovered); the final row layout is [key, v0..v{nSlots-1}, in0..],
+    // so rebase every CIn to 1 + nSlots + index. Field nodes never
+    // contain CIn (stateless subtrees became pass slots).
+    val nSlots = slots.length
     val inNames = inRefs.keys.toIndexedSeq
     def reoffset(n: Node): Node = n match {
-      case CIn(pos) => CIn(pos - (1 + nOut) + (1 + nSlots))
+      case CIn(idx) => CIn(1 + nSlots + idx)
       case CBin(op, l, r) => CBin(op, reoffset(l), reoffset(r))
       case CUn(op, x) => CUn(op, reoffset(x))
       case CIsNull(x, neg) => CIsNull(reoffset(x), neg)
@@ -2699,9 +2714,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       else to_json(struct(agg.groupBy.zipWithIndex.map { case (kE, i) =>
         compileExpr(kE, params, splitCols).as(s"_k$i")
       }: _*))
-    val allPlans = fieldPlans ++ hidden
     val proj = src.select(
-      (keyCol.as("_gkey") +: allPlans.zipWithIndex.map { case ((_, c), i) =>
+      (keyCol.as("_gkey") +: slots.toSeq.zipWithIndex.map { case ((_, c), i) =>
         c.as(s"_v$i")
       }) ++ inNames.zipWithIndex.map { case (nm, j) =>
         inRefs(nm).as(s"_in$j")
@@ -2710,16 +2724,40 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    val vTypes = allPlans.indices.map(i => proj.schema.fields(i + 1).dataType)
-    val outSchema = StructType(named.zip(fieldPlans).zip(vTypes).map {
-      case (((_, name), ("count", _)), _) => StructField(name, LongType)
-      case (((_, name), ("sum", _)), dt) =>
-        StructField(name, if (integral(dt)) LongType else DoubleType)
-      case (((_, name), ("avg", _)), _) => StructField(name, DoubleType)
-      case (((_, name), _), dt) => StructField(name, dt)
+    val vTypes = slots.indices.map(i => proj.schema.fields(i + 1).dataType)
+    // static type of a node — mirrored EXACTLY by ExprCommitRt.eval's
+    // runtime behavior (integral arithmetic stays Long; /, ^ and any
+    // double operand widen to Double; comparisons/logic are Boolean)
+    def nodeType(n: Node): DataType = n match {
+      case CSlot(i) => slots(i)._1 match {
+        case "count" => LongType
+        case "sum" => if (integral(vTypes(i))) LongType else DoubleType
+        case "avg" => DoubleType
+        case _ => vTypes(i)
+      }
+      case CLit(v) => v match {
+        case _: Boolean => BooleanType
+        case _: Int | _: Long | _: Short | _: Byte => LongType
+        case _: Double | _: Float => DoubleType
+        case _ => StringType
+      }
+      case CIn(_) => throw new IllegalStateException("CIn in a field node")
+      case CIsNull(_, _) => BooleanType
+      case CUn("not", _) => BooleanType
+      case CUn(_, x) =>
+        if (integral(nodeType(x))) LongType else DoubleType
+      case CBin(op, l, r) =>
+        if (Set("and", "or", "=", "<>", "!=", ">", ">=", "<", "<=")(op))
+          BooleanType
+        else if (op == "/" || op == "^") DoubleType
+        else if (integral(nodeType(l)) && integral(nodeType(r))) LongType
+        else DoubleType
+    }
+    val outSchema = StructType(named.zip(fieldNodes).map {
+      case ((_, name), nd) => StructField(name, nodeType(nd))
     })
-    val rt = new ExprCommitRt(allPlans.map(_._1).toArray,
-      vTypes.map(integral).toArray, nOut, outSchema, cond)
+    val rt = new ExprCommitRt(slots.toSeq.map(_._1).toArray,
+      vTypes.map(integral).toArray, fieldNodes, outSchema, cond)
     val before = agg.commitBefore
     CommitHarness.run[String, Row, Array[Any], Row](
       proj,
@@ -3587,7 +3625,8 @@ private[raql] final class CountCommitRt(
   * out.n_max`) — same fold, never emitted. Kept top-level so CommitHarness
   * closures capture ONLY this value, never the compiler. */
 private[raql] final class ExprCommitRt(
-    kinds: Array[String], integralSlot: Array[Boolean], nOut: Int,
+    kinds: Array[String], integralSlot: Array[Boolean],
+    fieldNodes: Array[CommitCond.Node],
     schema: org.apache.spark.sql.types.StructType, cond: CommitCond.Node)
     extends Serializable {
   import org.apache.spark.sql.Row
@@ -3730,9 +3769,11 @@ private[raql] final class ExprCommitRt(
   def evalCond(s: Array[Any], row: Row): Boolean = truthy(eval(cond, s, row))
 
   def emit(s: Array[Any]): Row = {
-    val vals = new Array[Any](nOut)
+    val vals = new Array[Any](fieldNodes.length)
     var i = 0
-    while (i < nOut) { vals(i) = slotVal(s, i); i += 1 }
+    // field nodes never contain CIn (compile-time invariant), so the
+    // current-row argument is unused at emit
+    while (i < fieldNodes.length) { vals(i) = eval(fieldNodes(i), s, null); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       vals, schema)
   }

@@ -675,6 +675,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("a", 12.0, 3L), ("a", 17.0, 2L), ("b", 10.0, 1L)), rows)
   }
 
+  test("compound fields over aggregate slots stream (the comms/benchmark shape)") {
+    // the examples/benchmarks/comms.ramen benchmark function's shape:
+    // private min, compound `out.x - _y` fields, a derived ratio, and a
+    // COMMIT over the derived field — fields build as trees over
+    // decomposable slots and evaluate at emit
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, MIN t AS _tmin, MAX t AS tmax,
+          out.tmax - _tmin AS span, SUM v AS total,
+          out.total / out.span AS rate
+        GROUP BY user
+        COMMIT AFTER out.span >= 60;""") match {
+      case Right(p) => c.register("cf", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("cf/q")
+    assert(sdf.isStreaming)
+    assert(!sdf.columns.contains("_tmin"), "private fields must not emit")
+    val q = sdf.writeStream.format("memory").queryName("compound")
+      .outputMode("append").start()
+    mem.addData(Ev("a", 10, 1.0), Ev("a", 40, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 70, 5.0)) // span hits 60 → commit
+    q.processAllAvailable()
+    val rows = spark.table("compound")
+      .select("user", "tmax", "span", "total", "rate")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("a", 70L, 60L, 8.0, 8.0 / 60.0)), rows)
+  }
+
   test("RaQL tumbling COMMIT BEFORE streams through the expr-commit harness") {
     // tumbling.ramen's shape without a `t // d` group key: COMMIT BEFORE
     // in.t >= out.wstart + 60 — the incoming tuple closes the previous
