@@ -200,6 +200,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query plans a cartesian product (full board, plan-only)") {
+    // planning only — no execution, so this covers all 100+ queries in
+    // seconds. The allowlist is exactly the LABELED O(n²) verification
+    // oracles whose scaladoc says "brute force / audit only".
+    val quadraticOracles = Set("d03_jaccard_pairs", "d05_embedding_neardup",
+      "d02a_minhash_audit", "d04a_simhash_audit", "a02a_lsh_audit",
+      "d06_dedup_clusters") // d06's oracled entry feeds on d03's exact pairs
+    for (q <- Queries.all) {
+      val df = q.run(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      if (!quadraticOracles(q.name))
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} plans a cartesian product")
+    }
+  }
+
   test("q04's dimension joins broadcast the small side") {
     assert(headlinePlans("q04_subquery_join").contains("BroadcastHashJoin"))
   }
