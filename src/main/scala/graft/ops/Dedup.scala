@@ -103,39 +103,73 @@ object Dedup {
 
   /** Exact shingle-Jaccard for a CROSS-corpus pair frame (id_a from A,
     * id_b from B) — the verification stage after
-    * [[minhashCandidatesCross]]. */
+    * [[minhashCandidatesCross]]. `restrictToCandidates` as in
+    * [[verifyJaccard]] (same measured dense-vs-sparse trade-off). */
   def verifyJaccardCross(pairs: DataFrame, docsA: DataFrame, docsB: DataFrame,
-      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    def sh(docs: DataFrame) = docs
+      idCol: String, textCol: String, shingleN: Int = 3,
+      restrictToCandidates: Boolean = false): DataFrame = {
+    val p =
+      if (restrictToCandidates)
+        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs
+    def sh(docs: DataFrame, side: String) = {
+      val base =
+        if (restrictToCandidates)
+          docs.join(p.select(col(side).as(idCol)).distinct(), Seq(idCol), "left_semi")
+        else docs
+      base
+        .repartition(par(docsA))
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+        .hint("shuffle_hash") // keep the BIG shingle side streamed (see verifyJaccard)
+    }
+    p
       .repartition(par(docsA))
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
-      .hint("shuffle_hash") // keep the BIG shingle side streamed (see verifyJaccard)
-    pairs
-      .repartition(par(docsA))
-      .join(sh(docsA).withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
-      .join(sh(docsB).withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .join(sh(docsA, "id_a").withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh(docsB, "id_b").withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
   /** Exact shingle-Jaccard for a pair frame (id_a, id_b) — the verification
-    * stage after [[minhashCandidates]]. */
+    * stage after [[minhashCandidates]].
+    *
+    * `restrictToCandidates` picks the corpus-density trade-off for the
+    * shingle recompute (both MEASURED at bench scale):
+    *   - false (default): shingle the full corpus for each join side. The
+    *     right call when candidate pairs touch a large fraction of docs
+    *     (dup-dense corpora, and this synthetic benchmark) — persisting
+    *     the shingle arrays loses to recompute, and a semi-join saves
+    *     nothing when it keeps everything.
+    *   - true: PERSIST the (narrow, two-longs-a-row) pair frame and
+    *     semi-join its distinct ids into the corpus before shingling, so
+    *     exact shingles are computed only for docs that appear in some
+    *     candidate pair. The right call at 100 TB with SPARSE near-dups —
+    *     the semi-join broadcasts (AQE sees the cached pair count) and
+    *     the shingle cost scales with matches, not corpus. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int = 3): DataFrame = {
-    // parallelize the shingle computation (single-row-group local input)
-    // and keep the BIG shingle side streamed: its parquet-stats size
-    // estimate ignores the array blow-up, so the planner would otherwise
-    // broadcast it — computing every doc's shingles in one task, twice.
-    // (Measured: PERSISTING this frame instead is a loss — columnar-caching
-    // the shingle arrays costs more than the second tokenize+shingle pass.)
-    val sh = docs
+      textCol: String, shingleN: Int = 3,
+      restrictToCandidates: Boolean = false): DataFrame = {
+    val p =
+      if (restrictToCandidates)
+        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs
+    val base =
+      if (restrictToCandidates) {
+        val ids = p.select(col("id_a").as(idCol))
+          .unionByName(p.select(col("id_b").as(idCol))).distinct()
+        docs.join(ids, Seq(idCol), "left_semi")
+      } else docs
+    // keep the shingle side streamed in the pair joins: its stats-based
+    // size estimate ignores the array blow-up, so the planner would
+    // otherwise broadcast it — computing the shingles in one task, twice
+    val sh = base
       .repartition(par(docs))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
       .hint("shuffle_hash")
-    pairs
+    p
       .repartition(par(docs)) // spread the per-pair set intersections
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")

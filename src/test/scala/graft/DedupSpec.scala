@@ -102,6 +102,20 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal brute force")
   }
 
+  test("verifyJaccard restrictToCandidates mode is value-identical") {
+    // the sparse-corpus variant (persisted pairs + candidate semi-join)
+    // must produce exactly the dense-default's verified pairs
+    val docs = Tables.documents(spark, sf)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    def run(restrict: Boolean) =
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text",
+          restrictToCandidates = restrict)
+        .filter(col("jaccard") >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(true) == run(false))
+    spark.catalog.clearCache()
+  }
+
   test("cross-corpus near-dup join finds planted contamination") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
