@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Property tests for the round-8 algorithmic cores: randomized inputs
+  * against independently-computed ground truth (a driver-side union-find
+  * for connected components; exhaustive pair enumeration for the triangle
+  * blocking). Spark actions per case are expensive, so the case counts
+  * stay small — the point is shape coverage (random graphs / random cell
+  * sizes), not volume. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("pointer-doubling components equal union-find on random graphs") {
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(1, n); b <- Gen.choose(1, n) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n, edges.distinct)
+    check("cc", Prop.forAll(gen) { case (n, edges) =>
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map { v =>
+        // the component label is the MINIMUM member; path-compress by
+        // re-finding after all unions
+        v.toLong -> (1 to n).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+      val labels = Dedup.connectedComponents(
+        (1L to n.toLong).toDF("id"),
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b"))
+      val got = labels.as[(Long, Long)].collect().toMap
+      labels.unpersist()
+      got == want
+    }, n = 12)
+  }
+
+  test("triangle blocking covers every within-cell pair exactly once (random sizes)") {
+    val gen = for {
+      size <- Gen.choose(1, 60)
+      cap <- Gen.choose(1, 20)
+    } yield (size, cap)
+    check("blocking", Prop.forAll(gen) { case (size, cap) =>
+      val assigned = (1L to size.toLong).toDF("id").withColumn("cell", lit(1))
+      val blocked = Dedup.blockCells(assigned, 4, cap)
+      val pairs = blocked.as("a").join(blocked.as("b"),
+          col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
+            col("a.ky") === col("b.ky") && col("a.id") < col("b.id") &&
+            (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
+        .select(col("a.id"), col("b.id"))
+        .as[(Long, Long)].collect()
+      pairs.length == size * (size - 1) / 2 &&
+        pairs.distinct.length == pairs.length
+    }, n = 12)
+  }
+}
