@@ -643,7 +643,9 @@ class StreamingSpec extends AnyFunSuite {
       "a non-time commit must NOT silently become event-time windowing")
   }
 
-  test("RaQL value-threshold COMMIT streams through the expr-commit harness") {
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"RaQL value-threshold COMMIT streams through the expr-commit harness ($provider state store)") {
+    withStateStore(provider) {
     // COMMIT AFTER out.total >= 10 — neither count- nor time-shaped: the
     // reference evaluates the condition per tuple against the group state
     // (CodeGenLib_Skeletons.ml:433-930); same here, in the state store
@@ -661,7 +663,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     val sdf = c.compile("vt/q")
     assert(sdf.isStreaming)
-    val q = sdf.writeStream.format("memory").queryName("valcommit")
+    val q = sdf.writeStream.format("memory").queryName(s"valcommit_$provider")
       .outputMode("append").start()
     // a: 3+4 (no commit) then 5 → commits 12 over 3 rows; then 8, 9 →
     // commits 17 over 2 rows. b: 10 → commits immediately.
@@ -669,10 +671,11 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(Ev("a", 3, 5.0), Ev("a", 4, 8.0), Ev("a", 5, 9.0))
     q.processAllAvailable()
-    val rows = spark.table("valcommit").select("user", "total", "n")
+    val rows = spark.table(s"valcommit_$provider").select("user", "total", "n")
       .as[(String, Double, Long)].collect().toSet
     q.stop()
     assert(rows == Set(("a", 12.0, 3L), ("a", 17.0, 2L), ("b", 10.0, 1L)), rows)
+    }
   }
 
   test("compound fields over aggregate slots stream (the comms/benchmark shape)") {
