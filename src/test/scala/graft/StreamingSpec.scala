@@ -678,6 +678,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("comms consumer1's modulo commit on a private counter streams e2e") {
+    // the exact consumer1 text from examples/benchmarks/comms.ramen (the
+    // producers replaced by a feedable stream): ungrouped global counter,
+    // equality-shaped COMMIT every 10 tuples, private _my_s excluded
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/p", mem.toDF().toDF("s", "r"))
+    RaqlParser.parseProgram("""DEFINE consumer1 AS
+        FROM tables/p
+        SELECT sum globally 1 AS _my_s, "c1" AS me, min s, max s, min r, max r
+        COMMIT AFTER _my_s % 10 = 0;""") match {
+      case Right(p) => c.register("comms", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("comms/consumer1")
+    assert(sdf.isStreaming)
+    assert(!sdf.columns.contains("_my_s"), "private counter must not emit")
+    val q = sdf.writeStream.format("memory").queryName("comms_c1")
+      .outputMode("append").start()
+    mem.addData((1L to 25L).map(i => (i, i * 0.5)): _*)
+    q.processAllAvailable()
+    val rows = spark.table("comms_c1")
+      .select("me", "min_s", "max_s", "min_r", "max_r")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    q.stop()
+    // two full windows of 10 commit; rows 21-25 stay pending
+    assert(rows == Set(("c1", 1L, 10L, 0.5, 5.0), ("c1", 11L, 20L, 5.5, 10.0)),
+      rows)
+  }
+
   test("compound fields over aggregate slots stream (the comms/benchmark shape)") {
     // the examples/benchmarks/comms.ramen benchmark function's shape:
     // private min, compound `out.x - _y` fields, a derived ratio, and a
