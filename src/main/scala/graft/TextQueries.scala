@@ -472,6 +472,38 @@ object TextQueries {
           md5(regexp_replace(regexp_replace(t,
             '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
             '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g')) AS scrubbed_hash
-        FROM t0 ORDER BY doc_id"""))
+        FROM t0 ORDER BY doc_id""")),
+
+    // ---- t16: token-budget mixing — per-domain keep rates COMPUTED from
+    // a token budget (rate = min(1, budget/tokens), 'en' capped at 10k
+    // tokens here) instead of t05's fixed fractions; membership stays the
+    // deterministic md5 hash fraction, so both engines agree on every
+    // kept row. The per-domain totals frame broadcasts (bounded).
+    QueryDef(
+      "t16_token_budget_mix",
+      (s, d) => {
+        val docs = docsPar(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.ops.Sampling.tokenBudgetMix(docs, "doc_id", "lang",
+            "n_tokens", budgets = Map("en" -> 10000L))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("stratum_tokens"), round(col("keep_rate"), 9).as("keep_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dcs AS (SELECT doc_id, lang,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+        t AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens
+          FROM dcs GROUP BY 1),
+        r AS (SELECT lang, stratum_tokens,
+          CASE WHEN lang = 'en' AND stratum_tokens > 10000
+            THEN CAST(10000 AS DOUBLE) / stratum_tokens ELSE 1.0 END AS rate
+          FROM t)
+        SELECT dcs.doc_id, dcs.lang, dcs.n_tokens, r.stratum_tokens,
+          ROUND(r.rate, 9) AS keep_rate
+        FROM dcs JOIN r USING (lang)
+        WHERE CAST(CAST(concat('0x', substring(md5(CAST(dcs.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+            / 1152921504606846976.0 < r.rate
+        ORDER BY dcs.doc_id"""))
   )
 }

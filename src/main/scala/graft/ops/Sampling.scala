@@ -34,4 +34,33 @@ object Sampling {
     }
     df.filter(hashFraction(col(idCol)) < rateCol)
   }
+
+  /** Token-BUDGET mixing: per-stratum keep rates computed from a token
+    * budget instead of fixed fractions — rate = min(1, budget/tokens) —
+    * then the same deterministic hash-fraction membership as
+    * [[stratifiedSample]]. Under-budget strata keep everything;
+    * over-budget strata downsample to the budget IN EXPECTATION while
+    * membership stays a pure function of the data (stable across reruns
+    * and cluster sizes — the curriculum-mixing step of a training
+    * pipeline). Strata absent from `budgets` use `defaultBudget`
+    * (< 0 ⇒ unlimited).
+    *
+    * Scale shape: the per-stratum totals frame is one row per domain —
+    * bounded, hence the explicit broadcast — and the membership test is
+    * a map-only filter. `df` must carry an integer `nTokensCol`.
+    * Returns the kept rows plus (stratum_tokens, keep_rate). */
+  def tokenBudgetMix(df: DataFrame, idCol: String, stratumCol: String,
+      nTokensCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = -1L): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val rates = df.groupBy(stratumCol)
+      .agg(sum(nTokensCol).as("stratum_tokens"))
+      .withColumn("keep_rate",
+        when(budgetCol < 0 || col("stratum_tokens") <= budgetCol, lit(1.0))
+          .otherwise(budgetCol.cast("double") / col("stratum_tokens")))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashFraction(col(idCol)) < col("keep_rate"))
+  }
 }
