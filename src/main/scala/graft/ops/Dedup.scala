@@ -36,15 +36,14 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Map-only LSH bucket frame: (id, band, bucket), partitioned by the
-    * narrow bucket key and shuffle-hash-pinned (a broadcast build side
-    * would recompute the full signature pipeline in one task). The native
-    * one-pass MinHashSig expression computes the k-slot signature per doc
-    * inside whole-stage codegen — the first exchange in the plan is the
-    * (band, bucket) partitioning. Shingle-less docs have a NULL sig →
-    * NULL bucket array → posexplode drops them (an explicit isNotNull
-    * filter would be PUSHED into the scan and evaluate the whole minhash
-    * twice per row). */
+  /** Map-only LSH bucket frame: (id, band, bucket) — UNPARTITIONED; the
+    * caller picks the bucket-key partitioning (plain or triangle-blocked)
+    * and pins shuffle-hash (a broadcast build side would recompute the
+    * full signature pipeline in one task). The native one-pass MinHashSig
+    * expression computes the k-slot signature per doc inside whole-stage
+    * codegen. Shingle-less docs have a NULL sig → NULL bucket array →
+    * posexplode drops them (an explicit isNotNull filter would be PUSHED
+    * into the scan and evaluate the whole minhash twice per row). */
   private def lshBucketFrame(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, p: Int): DataFrame = {
     val r = k / bands
@@ -55,21 +54,29 @@ object Dedup {
         minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
       .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      .repartition(p, col("band"), col("bucket"))
-      .hint("shuffle_hash")
   }
 
   /** Candidate near-dup pairs from MinHash + banded LSH over word
     * `shingleN`-gram shingles. Probabilistic recall; verify candidates with
-    * exact Jaccard before acting on them. */
+    * exact Jaccard before acting on them.
+    *
+    * Hot-bucket bound: a boilerplate-heavy corpus concentrates thousands
+    * of identical-signature docs in ONE (band, bucket) — the same skew
+    * that motivated d07's cell cap — so buckets above `bucketCap` are
+    * triangle-block-split ([[blockKeyed]]): exact pair set, bounded
+    * per-task input, and only the few oversized buckets pay replication. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
-    val buckets = lshBucketFrame(docs, idCol, textCol, shingleN, k, bands,
-      par(docs))
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6,
+      bucketCap: Int = 4096): DataFrame = {
+    val buckets = blockKeyed(
+      lshBucketFrame(docs, idCol, textCol, shingleN, k, bands, par(docs)),
+      Seq("band", "bucket"), par(docs), bucketCap).hint("shuffle_hash")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
+          col("a.id") < col("b.id") &&
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -92,8 +99,10 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 12,
       bands: Int = 6): DataFrame = {
     val p = par(docsA)
-    val ba = lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p)
-    val bb = lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p)
+    def part(df: DataFrame) =
+      df.repartition(p, col("band"), col("bucket")).hint("shuffle_hash")
+    val ba = part(lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p))
+    val bb = part(lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p))
     ba.as("a")
       .join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -321,13 +330,18 @@ object Dedup {
              shiftleft(1L, b), 0L))""").as("fp"))
 
   /** Pigeonhole chunk join over a precomputed (id, fp) frame; the only
-    * exchange is the narrow (chunk, chunk_val) bucket partitioning. */
-  def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * exchange is the narrow (chunk, chunk_val) bucket partitioning.
+    * Chunk-value groups above `bucketCap` (a popular 16-bit chunk — near-
+    * identical boilerplate fingerprints) are triangle-block-split
+    * ([[blockKeyed]]): exact pair set, bounded per-task input. */
+  def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 4096): DataFrame = {
     require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
-    val chunks = fps.select(col("id"), col("fp"), posexplode(
-      expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
-      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-      .repartition(par(fps), col("chunk"), col("chunk_val"))
+    val chunks = blockKeyed(
+      fps.select(col("id"), col("fp"), posexplode(
+        expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
+        .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val")),
+      Seq("chunk", "chunk_val"), par(fps), bucketCap)
       // pin the co-partitioned self-join (same rationale as the LSH bucket
       // join): a broadcast build side would recompute the full fingerprint
       // pipeline in one task, and sort-merge adds a pointless sort
@@ -335,7 +349,9 @@ object Dedup {
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.id") < col("b.id"))
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
+          col("a.id") < col("b.id") &&
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
       .distinct()
@@ -523,37 +539,60 @@ object Dedup {
       .toDF()
   }
 
-  /** Triangle block-partitioning of a celled frame for a bounded
-    * within-cell self-join (the 1-bucket-theta layout of Okcan &
-    * Riedewald, SIGMOD'11, restricted to the per-cell triangle): each
-    * cell gets B = ⌈|cell|/cellCap⌉ id-hash blocks, and every row
+  /** Triangle block-partitioning of a keyed frame for a bounded
+    * within-group self-join (the 1-bucket-theta layout of Okcan &
+    * Riedewald, SIGMOD'11, restricted to the per-group triangle): each
+    * group gets B = ⌈|group|/cap⌉ id-hash blocks, and every row
     * replicates to the B unordered block-pair keys (kx, ky) its block
-    * participates in. Joining on (cell, kx, ky) with
-    * `a.blk ≠ b.blk OR kx = ky` then yields EVERY within-cell pair
+    * participates in. Joining on (keys…, kx, ky) with
+    * `a.blk ≠ b.blk OR kx = ky` then yields EVERY within-group pair
     * exactly once — cross-block pairs share exactly one replica key
     * {min, max}, same-block pairs match on all B of their keys but pass
     * the predicate only on the diagonal (p, p) — while no single task
-    * reads more than ~2·cellCap rows. B = 1 (cell within cap) degenerates
-    * to the unblocked self-join with a constant (0, 0) key.
+    * reads more than ~2·cap rows. Groups within the cap degenerate to the
+    * unblocked self-join with a constant (0, 0) key.
     *
-    * Cost: replication factor B on oversized cells only — shuffle volume
-    * |cell|²/cellCap ≤ the pair comparisons the join must do anyway. The
-    * cell-size frame is ≤ nlist rows (one per non-empty cell), hence the
-    * explicit broadcast. */
-  private[graft] def blockCells(assigned: DataFrame, par: Int,
-      cellCap: Int): DataFrame = {
-    require(cellCap > 0, "cellCap must be positive")
-    val nblocks = assigned.groupBy("cell")
-      .agg(ceil(count(lit(1)).cast("double") / cellCap).cast("int").as("nb"))
-    assigned
-      .join(broadcast(nblocks), Seq("cell"))
+    * Cost: replication factor B on oversized groups only — shuffle volume
+    * |group|²/cap ≤ the pair comparisons the join must do anyway. Only
+    * the OVERSIZED groups' sizes broadcast (hot groups are few by
+    * definition — broadcasting every group's count would be the unbounded
+    * broadcast this module bans); everyone else left-joins to nb = 1. */
+  /** Hot-group detection sample rate (1/HotSampleDiv of rows by id hash).
+    * The pair OUTPUT is exact for ANY nb assignment, so sampling only
+    * loosens the task-size bound probabilistically: a group of 2·cap rows
+    * evades detection with P ≈ e^(−cap/(2·HotSampleDiv)) — ~e⁻¹²⁸ at the
+    * default cap — while the detection pass costs 1/16 of the upstream
+    * map work (the id-hash filter pushes BELOW the signature compute). */
+  private val HotSampleDiv = 16
+
+  private[graft] def blockKeyed(df: DataFrame, keys: Seq[String], par: Int,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    // detect oversized groups on a deterministic id-hash sample: Catalyst
+    // pushes the filter past the projection, so the expensive upstream
+    // (minhash signatures, plane dots) runs on 1/16 of rows for this pass
+    // instead of recomputing — or caching — the whole frame
+    val hot = df
+      .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
+      .groupBy(keys.map(col): _*)
+      .agg((count(lit(1)) * HotSampleDiv).as("_est"))
+      .filter(col("_est") > cap)
+      .select(keys.map(col) :+
+        ceil(col("_est").cast("double") / cap).cast("int").as("nb"): _*)
+    df
+      .join(broadcast(hot), keys, "left")
+      .withColumn("nb", coalesce(col("nb"), lit(1)))
       .withColumn("blk", pmod(hash(col("id")), col("nb")))
       .select(col("*"), explode(expr("sequence(0, nb - 1)")).as("t"))
       .withColumn("kx", least(col("blk"), col("t")))
       .withColumn("ky", greatest(col("blk"), col("t")))
       .drop("t", "nb")
-      .repartition(par, col("cell"), col("kx"), col("ky"))
+      .repartition(par, keys.map(col) :+ col("kx") :+ col("ky"): _*)
   }
+
+  /** [[blockKeyed]] over a SemDeDup cell assignment. */
+  private[graft] def blockCells(assigned: DataFrame, par: Int,
+      cellCap: Int): DataFrame = blockKeyed(assigned, Seq("cell"), par, cellCap)
 
   /** Cross-document duplicated-span ratio: for every document, the
     * fraction of its distinct word `shingleN`-gram spans that also occur

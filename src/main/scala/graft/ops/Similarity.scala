@@ -374,7 +374,8 @@ object Similarity {
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
     * cos ≥ minCos. */
   def lshNeighbors(embs: DataFrame, idCol: String, vecCol: String,
-      bands: Int = 8, r: Int = 8, minCos: Double = 0.0, seed: Long = 42L): DataFrame = {
+      bands: Int = 8, r: Int = 8, minCos: Double = 0.0, seed: Long = 42L,
+      bucketCap: Int = 4096): DataFrame = {
     val dim = vecDim(embs, vecCol)
     val planes = hyperplanes(dim, bands, r, seed)
     val v = withVec(embs, idCol, vecCol, dim).repartition(par(embs))
@@ -388,10 +389,13 @@ object Similarity {
     val sigCol = org.apache.spark.sql.GraftShims.column(
       graft.functions.LshSignBuckets(
         org.apache.spark.sql.GraftShims.expression(col("v")), planes, bands, r))
-    val buckets = v
+    // hot buckets (a degenerate sign pattern collecting a large slice of
+    // the corpus — boilerplate embeddings) triangle-block-split above
+    // bucketCap, same exact rewrite as the text LSH / SemDeDup cells
+    val buckets = Dedup.blockKeyed(v
       .select(col("id"), posexplode(sigCol))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      .repartition(par(embs), col("band"), col("bucket"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+      Seq("band", "bucket"), par(embs), bucketCap)
       // pin the co-partitioned self-join: a broadcast build side would
       // recompute the whole projection pipeline in one task
       .hint("shuffle_hash")
@@ -403,7 +407,9 @@ object Similarity {
     // far cheaper than that exchange.
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
+          col("a.id") < col("b.id") &&
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")

@@ -102,6 +102,22 @@ class DedupSpec extends AnyFunSuite {
     assert(full == exact, "nprobe = nlist must equal brute force")
   }
 
+  test("hot LSH buckets triangle-split without changing the candidate set") {
+    // 300 identical docs ⇒ every band's bucket holds all 300 — the
+    // boilerplate worst case that melts an uncapped bucket self-join
+    val docs = ((1L to 300L).map(i =>
+      (i, "exact same boilerplate text everywhere repeated always")) :+
+      ((1000L, "something entirely different over here right now")))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashCandidates(docs, "doc_id", "text",
+        bucketCap = cap)
+      .as[(Long, Long)].collect().toSet
+    val capped = run(16) // forces ⌈300/16⌉ = 19 blocks per hot bucket
+    assert(capped == run(Int.MaxValue),
+      "bucket blocking must not change the candidate set")
+    assert(capped.size == 300 * 299 / 2, s"got ${capped.size} pairs")
+  }
+
   test("verifyJaccard restrictToCandidates mode is value-identical") {
     // the sparse-corpus variant (persisted pairs + candidate semi-join)
     // must produce exactly the dense-default's verified pairs
