@@ -147,6 +147,51 @@ object PipelineQueries {
           LEFT JOIN h USING (doc_id) LEFT JOIN pd USING (doc_id)
           LEFT JOIN uq USING (doc_id) LEFT JOIN bj USING (doc_id)
           ORDER BY t.doc_id"""
+      }),
+
+    // ---- p03: near-dup CONSOLIDATION through the PRODUCTION path —
+    // d06 oracles connected components over the O(n²) exact pair set;
+    // this row oracles the path a 100 TB pipeline actually runs: LSH
+    // candidates (capped buckets) → exact verify → pointer-doubling
+    // components → min-id canonical pick. The oracle recomputes the
+    // EXACT pair closure; equality is the end-to-end recall check (the
+    // seeded 12/6 family measures recall 1.0 at these SFs — same
+    // accepted-risk note as d02).
+    QueryDef(
+      "p03_neardup_consolidation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.verifyJaccard(
+            Dedup.minhashCandidates(docs, "doc_id", "text"),
+            docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            (col("id") === col("label")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        val shinglesSql =
+          """list_distinct([array_to_string(toks[i:i+2], ' ')
+             for i in range(1, greatest(len(toks) - 1, 1))])"""
+        s"""WITH RECURSIVE t AS (
+          SELECT doc_id, $shinglesSql AS sh
+          FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
+          p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+          e AS (SELECT id_a AS s, id_b AS d FROM p
+                UNION SELECT id_b, id_a FROM p),
+          reach(s, d) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+          SELECT s AS doc_id, MIN(d) AS cluster_id,
+            (s = MIN(d)) AS is_canonical
+          FROM reach GROUP BY s ORDER BY doc_id"""
       })
   )
 }

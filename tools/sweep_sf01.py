@@ -20,7 +20,9 @@ SKIP = {"d02_minhash_lsh", "d02a_minhash_audit", "d03_jaccard_pairs",
         "d04a_simhash_audit", "d05_embedding_neardup", "d06_dedup_clusters",
         "a02a_lsh_audit",
         # d09/p02 ORACLEs embed the exact |train|x|probe| cross pair set
-        "d09_cross_corpus_neardup", "p02_contamination_report"}
+        "d09_cross_corpus_neardup", "p02_contamination_report",
+        # p03 ORACLE embeds the recursive exact-pair closure
+        "p03_neardup_consolidation"}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
