@@ -2663,6 +2663,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Binop(op, l, r) if arith(op) => CBin(op, buildField(l), buildField(r))
       case Unop(op @ ("not" | "neg"), x) => CUn(op, buildField(x))
       case IsNull(x, neg) => CIsNull(buildField(x), neg)
+      case CaseExpr(br, el) => CCase(
+        br.map { case (c0, v) => (buildField(c0), buildField(v)) },
+        el.map(buildField))
+      case FunCall("coalesce", args) if args.nonEmpty =>
+        // a |? b ≡ CASE WHEN a IS NOT NULL THEN a ELSE b
+        args.map(buildField).reduceRight((a, b) =>
+          CCase(Seq((CIsNull(a, negated = true), a)), Some(b)))
       case other => unsupported(
         s"streaming expression-commit field $other (decomposable aggregates " +
         "composed with arithmetic stream through the harness)")
@@ -2688,10 +2695,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Binop(op, l, r) if arith(op) => CBin(op, buildCond(l), buildCond(r))
       case Unop(op @ ("not" | "neg"), x) => CUn(op, buildCond(x))
       case IsNull(x, neg) => CIsNull(buildCond(x), neg)
+      case CaseExpr(br, el) => CCase(
+        br.map { case (c0, v) => (buildCond(c0), buildCond(v)) },
+        el.map(buildCond))
+      case FunCall("coalesce", args) if args.nonEmpty =>
+        args.map(buildCond).reduceRight((a, b) =>
+          CCase(Seq((CIsNull(a, negated = true), a)), Some(b)))
       case other => unsupported(
         s"streaming commit condition term $other (supported: in/out field " +
-        "refs, literals, arithmetic/comparison/boolean operators, " +
-        "decomposable aggregates)")
+        "refs, literals, arithmetic/comparison/boolean/CASE/coalesce " +
+        "operators, decomposable aggregates)")
     }
     val condRaw = buildCond(agg.commitCond.get)
     // mkIn encoded each in-ref's first-use INDEX (slots were still being
@@ -2705,6 +2718,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case CBin(op, l, r) => CBin(op, reoffset(l), reoffset(r))
       case CUn(op, x) => CUn(op, reoffset(x))
       case CIsNull(x, neg) => CIsNull(reoffset(x), neg)
+      case CCase(br, el) => CCase(
+        br.map { case (c0, v) => (reoffset(c0), reoffset(v)) },
+        el.map(reoffset))
       case other => other
     }
     val cond = reoffset(condRaw)
@@ -2743,6 +2759,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       }
       case CIn(_) => throw new IllegalStateException("CIn in a field node")
       case CIsNull(_, _) => BooleanType
+      case CCase(br, el) =>
+        val ts = (br.map(_._2) ++ el.toSeq).map(nodeType)
+        if (ts.forall(integral)) LongType
+        else if (ts.exists(t => t == DoubleType || t == FloatType)) DoubleType
+        else ts.head
       case CUn("not", _) => BooleanType
       case CUn(_, x) =>
         if (integral(nodeType(x))) LongType else DoubleType
@@ -3524,6 +3545,9 @@ private[raql] object CommitCond {
   final case class CBin(op: String, l: Node, r: Node) extends Node
   final case class CUn(op: String, x: Node) extends Node
   final case class CIsNull(x: Node, negated: Boolean) extends Node
+  /** CASE WHEN chain; `coalesce`/`|?` lowers to IS-NOT-NULL branches. */
+  final case class CCase(branches: Seq[(Node, Node)], otherwise: Option[Node])
+      extends Node
 }
 
 /** Serializable fold runtime for the streaming count-commit translation
@@ -3715,6 +3739,10 @@ private[raql] final class ExprCommitRt(
     case CIn(p) => if (row.isNullAt(p)) null else row.get(p)
     case CIsNull(x, neg) =>
       java.lang.Boolean.valueOf((eval(x, s, row) == null) != neg)
+    case CCase(branches, otherwise) =>
+      branches.collectFirst {
+        case (c, v) if truthy(eval(c, s, row)) => eval(v, s, row)
+      }.orElse(otherwise.map(eval(_, s, row))).orNull
     case CUn("not", x) => eval(x, s, row) match {
       case null => null
       case v => java.lang.Boolean.valueOf(!truthy(v))
@@ -3772,8 +3800,19 @@ private[raql] final class ExprCommitRt(
     val vals = new Array[Any](fieldNodes.length)
     var i = 0
     // field nodes never contain CIn (compile-time invariant), so the
-    // current-row argument is unused at emit
-    while (i < fieldNodes.length) { vals(i) = eval(fieldNodes(i), s, null); i += 1 }
+    // current-row argument is unused at emit. Numeric values coerce to
+    // the declared field type (CASE branches / literals may carry a
+    // narrower runtime type than the statically-widened schema).
+    while (i < fieldNodes.length) {
+      vals(i) = (schema(i).dataType, eval(fieldNodes(i), s, null)) match {
+        case (org.apache.spark.sql.types.LongType, n: java.lang.Number) =>
+          java.lang.Long.valueOf(n.longValue)
+        case (org.apache.spark.sql.types.DoubleType, n: java.lang.Number) =>
+          java.lang.Double.valueOf(n.doubleValue)
+        case (_, raw) => raw
+      }
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       vals, schema)
   }

@@ -678,6 +678,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CASE/coalesce commit conditions stream through the expr-commit harness") {
+    // per-key commit cadence chosen by an IF over the group key, plus a
+    // |? (coalesce) guard — the arbitrary-expression surface of the
+    // reference's commit conditions beyond plain comparisons
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM 1 AS n, SUM v AS total
+        GROUP BY user
+        COMMIT AFTER (out.n |? 0) >= (IF user = "b" THEN 1 ELSE 3);""") match {
+      case Right(p) => c.register("cc2", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("cc2/q")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("casecommit")
+      .outputMode("append").start()
+    mem.addData(Ev("a", 1, 1.0), Ev("a", 2, 2.0), Ev("b", 1, 5.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 3, 3.0), Ev("b", 2, 7.0))
+    q.processAllAvailable()
+    val rows = spark.table("casecommit").select("user", "n", "total")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    // b commits every row; a commits on its 3rd
+    assert(rows == Set(("b", 1L, 5.0), ("b", 1L, 7.0), ("a", 3L, 6.0)), rows)
+  }
+
   test("comms consumer1's modulo commit on a private counter streams e2e") {
     // the exact consumer1 text from examples/benchmarks/comms.ramen (the
     // producers replaced by a feedable stream): ungrouped global counter,
