@@ -2642,6 +2642,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // over aggregate slots
     val named = subAggAliases(named0, src.columns.toSet,
       scala.collection.mutable.Map.empty)
+    // scalar compilation of condition subtrees (length, abs, …) may need
+    // the source schema for typing
+    typerDf = Some(src)
+    try {
     val decomp = Set("count", "sum", "min", "max", "avg", "first", "last")
     val arith = Set("and", "or", "=", "<>", "!=", ">", ">=", "<", "<=",
       "+", "-", "*", "/", "//", "%", "^")
@@ -2678,17 +2682,35 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     val outIdx: Map[String, Int] = named.map(_._2).zipWithIndex.toMap
     val srcCols = src.columns.toSet
     val inRefs = scala.collection.mutable.LinkedHashMap.empty[String, Column]
-    def mkIn(nm: String): Node = {
-      if (!inRefs.contains(nm))
-        inRefs(nm) = compileExpr(Ref(Seq(nm)), params, splitCols)
-      CIn(inRefs.keysIterator.indexOf(nm)) // index; rebased after slots final
+    // project a STATELESS in-field expression as an extra input column —
+    // bare refs and whole scalar subtrees (length(user), abs(x - y), …)
+    // alike; Catalyst codegens them, the interpreter just reads the value
+    def mkIn(e: Expr): Node = {
+      val k = e.toString
+      if (!inRefs.contains(k)) inRefs(k) = compileExpr(e, params, splitCols)
+      CIn(inRefs.keysIterator.indexOf(k)) // index; rebased after slots final
+    }
+    def inOnly(e: Expr): Boolean = e match {
+      case Ref(Seq("in", n)) => srcCols(n)
+      case Ref(Seq(n)) => srcCols(n)
+      case Ref(_) => false
+      case Lit(_) => true
+      case Binop(_, l, r) => inOnly(l) && inOnly(r)
+      case Unop(_, x) => inOnly(x)
+      case FunCall(_, as) => as.forall(inOnly)
+      case CaseExpr(br, el) =>
+        br.forall { case (c0, v) => inOnly(c0) && inOnly(v) } &&
+          el.forall(inOnly)
+      case IsNull(x, _) => inOnly(x)
+      case _ => false
     }
     def buildCond(e: Expr): Node = e match {
+      // a fully-stateless subtree over in-fields evaluates in the
+      // projection (one codegen'd column), not the interpreter
+      case e2 if !hasAgg(e2) && inOnly(e2) => mkIn(e2)
       case Lit(v) => CLit(v)
       case Ref(Seq("out", nm)) => outIdx.get(nm).map(fieldNodes.apply).getOrElse(
         unsupported(s"commit condition reads out.$nm which is not a SELECT field"))
-      case Ref(Seq("in", nm)) if srcCols(nm) => mkIn(nm)
-      case Ref(Seq(nm)) if srcCols(nm) => mkIn(nm)
       case Ref(Seq(nm)) if outIdx.contains(nm) => fieldNodes(outIdx(nm))
       case AggCall(fn, op, _, _) if decomp(fn) && !hasAgg(op) =>
         slotFor(fn, compileExpr(op, params, splitCols))
@@ -2702,9 +2724,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         args.map(buildCond).reduceRight((a, b) =>
           CCase(Seq((CIsNull(a, negated = true), a)), Some(b)))
       case other => unsupported(
-        s"streaming commit condition term $other (supported: in/out field " +
-        "refs, literals, arithmetic/comparison/boolean/CASE/coalesce " +
-        "operators, decomposable aggregates)")
+        s"streaming commit condition term $other (supported: stateless " +
+        "scalar expressions over in-fields, out-field refs, " +
+        "arithmetic/comparison/boolean/CASE/coalesce operators, " +
+        "decomposable aggregates)")
     }
     val condRaw = buildCond(agg.commitCond.get)
     // mkIn encoded each in-ref's first-use INDEX (slots were still being
@@ -2800,6 +2823,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       Encoders.STRING, Encoders.row(proj.schema),
       Encoders.kryo[CommitHarness.GState[Array[Any], Row]],
       Encoders.row(outSchema)).toDF()
+    } finally typerDf = None
   }
 
   /** Does this (groupBy, commitCond) fit the streaming window+watermark

@@ -709,6 +709,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("b", 1L, 5.0), ("b", 1L, 7.0), ("a", 3L, 6.0)), rows)
   }
 
+  test("stateless scalar functions in commit conditions project as input columns") {
+    // length(user) is not an interpreter op — the stateless subtree
+    // compiles through Catalyst into the projection and the interpreter
+    // reads the value: COMMIT AFTER out.n >= length(user)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM 1 AS n
+        GROUP BY user
+        COMMIT AFTER out.n >= length(user);""") match {
+      case Right(p) => c.register("fn", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val q = c.compile("fn/q").writeStream.format("memory")
+      .queryName("fncommit").outputMode("append").start()
+    // "x" commits every row (len 1); "yy" every 2nd row
+    mem.addData(Ev("x", 1, 0), Ev("yy", 1, 0), Ev("yy", 2, 0), Ev("yy", 3, 0))
+    q.processAllAvailable()
+    val rows = spark.table("fncommit").select("user", "n")
+      .as[(String, Long)].collect()
+    q.stop()
+    assert(rows.toSet == Set(("x", 1L), ("yy", 2L)), rows.toSeq)
+  }
+
   test("comms consumer1's modulo commit on a private counter streams e2e") {
     // the exact consumer1 text from examples/benchmarks/comms.ramen (the
     // producers replaced by a feedable stream): ungrouped global counter,
