@@ -2248,7 +2248,18 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // condition is `true` — every tuple commits, so plain aggregates are
       // RUNNING prefix aggregates (constructed_types.ramen mixes `sum tick`
       // with per-row fields in one tuple; final mode can't express that).
-      val runMode =
+      // STREAMING exception: when the ONLY "window-fn-ness" in the fields
+      // is previous/local_last_out refs and a real commit condition
+      // exists, the expr-commit harness serves those refs from the
+      // group's last committed row — running mode's batch machinery
+      // (monotonic ids) cannot run on a stream at all
+      val prevOnlyStreamCommit = base.isStreaming &&
+        agg.commitCond.nonEmpty && !agg.commitCond.contains(Lit(true)) &&
+        fields.exists(f => hasWindowFn(f.expr)) &&
+        !fields.exists(f => hasWindowFn(stripPrevRefs(f.expr))) &&
+        !agg.where.exists(hasWindowFn) &&
+        !agg.commitCond.exists(hasWindowFn)
+      val runMode = !prevOnlyStreamCommit && (
         fields.exists(f => hasWindowFn(f.expr)) ||
           agg.where.exists(hasWindowFn) ||
           // a stateful commit condition (COMMIT AFTER CHANGED x) is
@@ -2258,7 +2269,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           // running-snapshot stream (word_count counter1)
           agg.commitCond.contains(Lit(true)) ||
           (agg.commitCond.isEmpty && agg.groupBy.isEmpty &&
-            fields.exists(f => hasAgg(f.expr)))
+            fields.exists(f => hasAgg(f.expr))))
       val result =
         if (runMode) compileRunning(base, fields, agg, params)
         else compileFinal(base, fields, agg, params)
@@ -2284,6 +2295,25 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           .map(c => SelectField(Ref(Seq(c)), Some(c)))
       case f => Seq(f)
     }
+  }
+
+  /** Replace previous/local_last_out refs with a neutral literal — used
+    * to ask "does this field have any window-fn-ness BESIDES previous
+    * refs?" when deciding the streaming harness routing. */
+  private def stripPrevRefs(e: Expr): Expr = e match {
+    case Ref(Seq("previous" | "local_last_out", _)) => Lit(0L)
+    case Binop(o, l, r) => Binop(o, stripPrevRefs(l), stripPrevRefs(r))
+    case Unop(o, x) => Unop(o, stripPrevRefs(x))
+    case FunCall(f, as) => FunCall(f, as.map(stripPrevRefs))
+    case AggCall(f, op, m, ex) =>
+      AggCall(f, stripPrevRefs(op), m, ex.map(stripPrevRefs))
+    case PercentileCall(ps, op) => PercentileCall(ps, stripPrevRefs(op))
+    case CaseExpr(br, el) =>
+      CaseExpr(br.map { case (c0, v) => (stripPrevRefs(c0), stripPrevRefs(v)) },
+        el.map(stripPrevRefs))
+    case IsNull(x, ng) => IsNull(stripPrevRefs(x), ng)
+    case VectorLit(it) => VectorLit(it.map(stripPrevRefs))
+    case other => other
   }
 
   /** End-of-input commit semantics (explicit COMMIT clauses, GROUP BY):
@@ -2656,8 +2686,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // every SELECT field is a NODE over aggregate/pass slots: stateless
     // subtrees take group-last semantics (one "pass" slot), decomposable
     // aggregates fold in the state store, arithmetic combines at emit
+    val outIdx: Map[String, Int] = named.map(_._2).zipWithIndex.toMap
+    def hasPrev(e: Expr): Boolean = e match {
+      case Ref(Seq("previous", _)) => true
+      case Binop(_, l, r) => hasPrev(l) || hasPrev(r)
+      case Unop(_, x) => hasPrev(x)
+      case FunCall(_, as) => as.exists(hasPrev)
+      case AggCall(_, op, _, ex) => hasPrev(op) || ex.exists(hasPrev)
+      case CaseExpr(br, el) =>
+        br.exists { case (c0, v) => hasPrev(c0) || hasPrev(v) } ||
+          el.exists(hasPrev)
+      case IsNull(x, _) => hasPrev(x)
+      case _ => false
+    }
     def buildField(e: Expr): Node = e match {
-      case _ if !hasAgg(e) =>
+      case _ if !hasAgg(e) && !hasPrev(e) =>
         slotFor("pass", compileExpr(e, params, splitCols))
       case AggCall(fn, op, mods, _) if decomp(fn) && !hasAgg(op) =>
         if (mods.contains("globally") && agg.groupBy.nonEmpty) unsupported(
@@ -2674,12 +2717,17 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // a |? b ≡ CASE WHEN a IS NOT NULL THEN a ELSE b
         args.map(buildField).reduceRight((a, b) =>
           CCase(Seq((CIsNull(a, negated = true), a)), Some(b)))
+      // previous.x / local_last_out.x — the group's LAST COMMITTED value
+      // of out field x (NULL before the first commit); the harness hands
+      // the previous row to emit, the node just indexes it
+      case Ref(Seq("previous" | "local_last_out", nm)) =>
+        outIdx.get(nm).map(CPrev.apply).getOrElse(unsupported(
+          s"previous.$nm does not name a SELECT field"))
       case other => unsupported(
         s"streaming expression-commit field $other (decomposable aggregates " +
         "composed with arithmetic stream through the harness)")
     }
     val fieldNodes: Array[Node] = named.map(f => buildField(f._1)).toArray
-    val outIdx: Map[String, Int] = named.map(_._2).zipWithIndex.toMap
     val srcCols = src.columns.toSet
     val inRefs = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     // project a STATELESS in-field expression as an extra input column —
@@ -2764,6 +2812,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case _ => false
     }
     val vTypes = slots.indices.map(i => proj.schema.fields(i + 1).dataType)
+    val typingPrev = new Array[Boolean](named.length)
     // static type of a node — mirrored EXACTLY by ExprCommitRt.eval's
     // runtime behavior (integral arithmetic stays Long; /, ^ and any
     // double operand widen to Double; comparisons/logic are Boolean)
@@ -2781,6 +2830,13 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case _ => StringType
       }
       case CIn(_) => throw new IllegalStateException("CIn in a field node")
+      case CPrev(i) =>
+        if (typingPrev(i)) unsupported(
+          "self-recursive previous.* typing; give the field an explicit base")
+        else {
+          typingPrev(i) = true
+          try nodeType(fieldNodes(i)) finally typingPrev(i) = false
+        }
       case CIsNull(_, _) => BooleanType
       case CCase(br, el) =>
         val ts = (br.map(_._2) ++ el.toSeq).map(nodeType)
@@ -2815,7 +2871,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         commitBefore =
           if (before) (s, r) => rt.evalCond(s, r)
           else (_: Array[Any], _: Row) => false,
-        emit = (s, _) => rt.emit(s),
+        emit = (s, prev) => rt.emit(s, prev),
         keepOnCommit = agg.commitKeep,
         // pending windows stay pending, like the reference on a live
         // stream (batch has an end and emits the tail; a stream does not)
@@ -3572,6 +3628,10 @@ private[raql] object CommitCond {
   /** CASE WHEN chain; `coalesce`/`|?` lowers to IS-NOT-NULL branches. */
   final case class CCase(branches: Seq[(Node, Node)], otherwise: Option[Node])
       extends Node
+  /** field i of the group's PREVIOUS committed output row (RaQL
+    * `previous.x` — NULL before the first commit). Fields only: the
+    * commit-condition closures don't receive the previous row. */
+  final case class CPrev(i: Int) extends Node
 }
 
 /** Serializable fold runtime for the streaming count-commit translation
@@ -3757,21 +3817,23 @@ private[raql] final class ExprCommitRt(
     case _ => false
   }
 
-  private def eval(n: Node, s: Array[Any], row: Row): Any = n match {
+  private def eval(n: Node, s: Array[Any], row: Row, prev: Row): Any = n match {
     case CLit(v) => v
     case CSlot(i) => slotVal(s, i)
     case CIn(p) => if (row.isNullAt(p)) null else row.get(p)
+    case CPrev(i) =>
+      if (prev == null || prev.isNullAt(i)) null else prev.get(i)
     case CIsNull(x, neg) =>
-      java.lang.Boolean.valueOf((eval(x, s, row) == null) != neg)
+      java.lang.Boolean.valueOf((eval(x, s, row, prev) == null) != neg)
     case CCase(branches, otherwise) =>
       branches.collectFirst {
-        case (c, v) if truthy(eval(c, s, row)) => eval(v, s, row)
-      }.orElse(otherwise.map(eval(_, s, row))).orNull
-    case CUn("not", x) => eval(x, s, row) match {
+        case (c, v) if truthy(eval(c, s, row, prev)) => eval(v, s, row, prev)
+      }.orElse(otherwise.map(eval(_, s, row, prev))).orNull
+    case CUn("not", x) => eval(x, s, row, prev) match {
       case null => null
       case v => java.lang.Boolean.valueOf(!truthy(v))
     }
-    case CUn("neg", x) => eval(x, s, row) match {
+    case CUn("neg", x) => eval(x, s, row, prev) match {
       case null => null
       case v if integralVal(v) => java.lang.Long.valueOf(-numL(v))
       case v => java.lang.Double.valueOf(-numD(v))
@@ -3779,12 +3841,12 @@ private[raql] final class ExprCommitRt(
     case CUn(op, _) => throw new IllegalStateException(s"commit unop $op")
     case CBin("and", l, r) =>
       java.lang.Boolean.valueOf(
-        truthy(eval(l, s, row)) && truthy(eval(r, s, row)))
+        truthy(eval(l, s, row, prev)) && truthy(eval(r, s, row, prev)))
     case CBin("or", l, r) =>
       java.lang.Boolean.valueOf(
-        truthy(eval(l, s, row)) || truthy(eval(r, s, row)))
+        truthy(eval(l, s, row, prev)) || truthy(eval(r, s, row, prev)))
     case CBin(op, l, r) =>
-      val a = eval(l, s, row); val b = eval(r, s, row)
+      val a = eval(l, s, row, prev); val b = eval(r, s, row, prev)
       if (a == null || b == null) null
       else op match {
         case "=" => java.lang.Boolean.valueOf(cmp(a, b) == 0)
@@ -3818,9 +3880,11 @@ private[raql] final class ExprCommitRt(
       }
   }
 
-  def evalCond(s: Array[Any], row: Row): Boolean = truthy(eval(cond, s, row))
+  def evalCond(s: Array[Any], row: Row): Boolean =
+    truthy(eval(cond, s, row, null))
 
-  def emit(s: Array[Any]): Row = {
+  def emit(s: Array[Any], prev: Option[Row]): Row = {
+    val prevRow = prev.orNull
     val vals = new Array[Any](fieldNodes.length)
     var i = 0
     // field nodes never contain CIn (compile-time invariant), so the
@@ -3828,7 +3892,7 @@ private[raql] final class ExprCommitRt(
     // the declared field type (CASE branches / literals may carry a
     // narrower runtime type than the statically-widened schema).
     while (i < fieldNodes.length) {
-      vals(i) = (schema(i).dataType, eval(fieldNodes(i), s, null)) match {
+      vals(i) = (schema(i).dataType, eval(fieldNodes(i), s, null, prevRow)) match {
         case (org.apache.spark.sql.types.LongType, n: java.lang.Number) =>
           java.lang.Long.valueOf(n.longValue)
         case (org.apache.spark.sql.types.DoubleType, n: java.lang.Number) =>

@@ -802,6 +802,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 70L, 60L, 8.0, 8.0 / 60.0)), rows)
   }
 
+  test("previous.* fields carry the last committed output (expr-commit)") {
+    // RaQL `previous.x` = the group's LAST COMMITTED value of out field x
+    // (NULL before the first commit) — tumbling windows chaining their
+    // predecessor's total, the reference's feedback-variable shape
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, MIN t AS wstart, SUM v AS total,
+          previous.total AS prev_total
+        GROUP BY user
+        COMMIT BEFORE in.t >= out.wstart + 60;""") match {
+      case Right(p) => c.register("pv", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val q = c.compile("pv/q").writeStream.format("memory")
+      .queryName("prevcommit").outputMode("append").start()
+    mem.addData(Ev("a", 10, 1.0), Ev("a", 20, 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 75, 5.0))  // closes [10,70): total 3, prev NULL
+    q.processAllAvailable()
+    mem.addData(Ev("a", 140, 7.0)) // closes [75,135): total 5, prev 3
+    q.processAllAvailable()
+    val rows = spark.table("prevcommit")
+      .select("user", "wstart", "total", "prev_total")
+      .as[(String, Long, Double, Option[Double])].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 10L, 3.0, None), ("a", 75L, 5.0, Some(3.0))),
+      rows)
+  }
+
   test("RaQL tumbling COMMIT BEFORE streams through the expr-commit harness") {
     // tumbling.ramen's shape without a `t // d` group key: COMMIT BEFORE
     // in.t >= out.wstart + 60 — the incoming tuple closes the previous
