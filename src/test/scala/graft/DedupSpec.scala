@@ -118,6 +118,19 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.size == 300 * 299 / 2, s"got ${capped.size} pairs")
   }
 
+  test("hot simhash chunk-values triangle-split without changing the pair set") {
+    // identical fingerprints put all 300 ids in the same 4 chunk groups
+    val fps = ((1L to 300L).map(i => (i, 0x0123456789abcdL)) :+
+      ((999L, 0x7edcba987654321L))).toDF("id", "fp")
+    def run(cap: Int) = Dedup.simhashPairsOfFps(fps, maxHamming = 3,
+        bucketCap = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = run(16)
+    assert(capped == run(Int.MaxValue),
+      "chunk blocking must not change the pair set")
+    assert(capped.size == 300 * 299 / 2, s"got ${capped.size} pairs")
+  }
+
   test("verifyJaccard restrictToCandidates mode is value-identical") {
     // the sparse-corpus variant (persisted pairs + candidate semi-join)
     // must produce exactly the dense-default's verified pairs
