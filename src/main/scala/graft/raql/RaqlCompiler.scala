@@ -2255,10 +2255,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // (monotonic ids) cannot run on a stream at all
       val prevOnlyStreamCommit = base.isStreaming &&
         agg.commitCond.nonEmpty && !agg.commitCond.contains(Lit(true)) &&
-        fields.exists(f => hasWindowFn(f.expr)) &&
+        (fields.exists(f => hasWindowFn(f.expr)) ||
+          agg.commitCond.exists(hasWindowFn)) &&
         !fields.exists(f => hasWindowFn(stripPrevRefs(f.expr))) &&
         !agg.where.exists(hasWindowFn) &&
-        !agg.commitCond.exists(hasWindowFn)
+        !agg.commitCond.exists(e => hasWindowFn(stripPrevRefs(e)))
       val runMode = !prevOnlyStreamCommit && (
         fields.exists(f => hasWindowFn(f.expr)) ||
           agg.where.exists(hasWindowFn) ||
@@ -2626,7 +2627,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       GroupSpec[Row, Array[Any], Row](
         init = () => rt.init(),
         update = (s, r) => rt.update(s, r),
-        commitAfter = (s, _) => rt.commitAfter(s),
+        commitAfter = (s, _, _) => rt.commitAfter(s),
         emit = (s, _) => rt.emit(s),
         keepOnCommit = false,
         // partial windows stay pending, like the reference's (batch has an
@@ -2760,6 +2761,12 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Ref(Seq("out", nm)) => outIdx.get(nm).map(fieldNodes.apply).getOrElse(
         unsupported(s"commit condition reads out.$nm which is not a SELECT field"))
       case Ref(Seq(nm)) if outIdx.contains(nm) => fieldNodes(outIdx(nm))
+      // previous.x in a COMMIT condition — the group's last committed value
+      // of out field x (NULL before the first commit, so comparisons are
+      // false until then, matching the reference's uninitialized previous)
+      case Ref(Seq("previous" | "local_last_out", nm)) =>
+        outIdx.get(nm).map(CPrev.apply).getOrElse(unsupported(
+          s"previous.$nm does not name a SELECT field"))
       case AggCall(fn, op, _, _) if decomp(fn) && !hasAgg(op) =>
         slotFor(fn, compileExpr(op, params, splitCols))
       case Binop(op, l, r) if arith(op) => CBin(op, buildCond(l), buildCond(r))
@@ -2840,9 +2847,16 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case CIsNull(_, _) => BooleanType
       case CCase(br, el) =>
         val ts = (br.map(_._2) ++ el.toSeq).map(nodeType)
+        def numeric(t: DataType) =
+          integral(t) || t == DoubleType || t == FloatType
         if (ts.forall(integral)) LongType
-        else if (ts.exists(t => t == DoubleType || t == FloatType)) DoubleType
-        else ts.head
+        else if (ts.forall(numeric)) DoubleType
+        // after numeric widening, branches must agree — a stray string or
+        // boolean branch under a numeric schema would reach the row
+        // encoder unconverted and fail at runtime; reject at compile time
+        else if (ts.distinct.size == 1) ts.head
+        else unsupported("streaming expression-commit CASE with " +
+          s"incompatible branch types ${ts.distinct.mkString(", ")}")
       case CUn("not", _) => BooleanType
       case CUn(_, x) =>
         if (integral(nodeType(x))) LongType else DoubleType
@@ -2866,11 +2880,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         init = () => rt.init(),
         update = (s, r) => rt.update(s, r),
         commitAfter =
-          if (before) (_: Array[Any], _: Row) => false
-          else (s, r) => rt.evalCond(s, r),
+          if (before) (_: Array[Any], _: Row, _: Option[Row]) => false
+          else (s, r, p) => rt.evalCond(s, r, p.orNull),
         commitBefore =
-          if (before) (s, r) => rt.evalCond(s, r)
-          else (_: Array[Any], _: Row) => false,
+          if (before) (s, r, p) => rt.evalCond(s, r, p.orNull)
+          else (_: Array[Any], _: Row, _: Option[Row]) => false,
         emit = (s, prev) => rt.emit(s, prev),
         keepOnCommit = agg.commitKeep,
         // pending windows stay pending, like the reference on a live
@@ -3629,8 +3643,9 @@ private[raql] object CommitCond {
   final case class CCase(branches: Seq[(Node, Node)], otherwise: Option[Node])
       extends Node
   /** field i of the group's PREVIOUS committed output row (RaQL
-    * `previous.x` — NULL before the first commit). Fields only: the
-    * commit-condition closures don't receive the previous row. */
+    * `previous.x` — NULL before the first commit). Valid in fields AND in
+    * commit conditions: the harness threads the last committed row into
+    * both emit and the condition closures. */
   final case class CPrev(i: Int) extends Node
 }
 
@@ -3880,8 +3895,12 @@ private[raql] final class ExprCommitRt(
       }
   }
 
-  def evalCond(s: Array[Any], row: Row): Boolean =
-    truthy(eval(cond, s, row, null))
+  /** Commit-condition check. `prev` is the group's last committed output
+    * row (RaQL `previous.*` — null before the first commit), threaded from
+    * the harness so conditions (and out-field refs whose definitions embed
+    * previous.*) read real feedback values instead of eternal NULLs. */
+  def evalCond(s: Array[Any], row: Row, prev: Row): Boolean =
+    truthy(eval(cond, s, row, prev))
 
   def emit(s: Array[Any], prev: Option[Row]): Row = {
     val prevRow = prev.orNull

@@ -27,11 +27,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class GroupSpec[I, S, O](
     init: () => S,
     update: (S, I) => S,
-    /** COMMIT AFTER: checked on the post-update state; emit then keep/flush. */
-    commitAfter: (S, I) => Boolean = (_: S, _: I) => false,
+    /** COMMIT AFTER: checked on the post-update state; emit then keep/flush.
+      * The third argument is the group's last committed output (RaQL
+      * `previous.*` — None before the first commit), so conditions may read
+      * feedback values exactly like the reference's commit clause. */
+    commitAfter: (S, I, Option[O]) => Boolean = (_: S, _: I, _: Option[O]) => false,
     /** COMMIT BEFORE: checked against the pre-update state with the incoming
-      * tuple; emits the previous state, flushes, then applies the update. */
-    commitBefore: (S, I) => Boolean = (_: S, _: I) => false,
+      * tuple (and the last committed output); emits the previous state,
+      * flushes, then applies the update. */
+    commitBefore: (S, I, Option[O]) => Boolean = (_: S, _: I, _: Option[O]) => false,
     emit: (S, Option[O]) => O,
     /** KEEP (true) or FLUSH (false) the state on commit. */
     keepOnCommit: Boolean = false,
@@ -90,7 +94,7 @@ object CommitHarness {
           rows.foreach { row =>
             eventTimeMs.foreach(f => maxEventMs = math.max(maxEventMs, f(row)))
             // COMMIT BEFORE: emit prior state, flush, then update
-            if (st.hasData && spec.commitBefore(st.state, row)) {
+            if (st.hasData && spec.commitBefore(st.state, row, st.previous)) {
               val o = spec.emit(st.state, st.previous)
               out += o
               st = GState(
@@ -100,7 +104,7 @@ object CommitHarness {
             val updated = spec.update(st.state, row)
             st = st.copy(state = updated, hasData = true)
             // COMMIT AFTER: emit the post-update state
-            if (spec.commitAfter(st.state, row)) {
+            if (spec.commitAfter(st.state, row, st.previous)) {
               val o = spec.emit(st.state, st.previous)
               out += o
               st = GState(

@@ -92,6 +92,26 @@ class ArchiveSpec extends AnyFunSuite {
     val window = Archive.read(spark, dir,
       from = Some(7200.0), until = Some(7250.0), format = "orc")
     assert(window.count() == 50)
+    // the replay must be PARTITION-pruned, not filter-everything: the
+    // bucket predicate lands in the scan's PartitionFilters and only the
+    // t=7200 bucket directory is actually read
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    window.collect() // execute so the scan's file metrics are populated
+    val scan = scans(window.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "no file scan in the ORC replay plan")
+    assert(scan.head.partitionFilters.nonEmpty,
+      "bucket predicate did not reach PartitionFilters")
+    val totalFiles = window.inputFiles.length // unpruned relation listing
+    val readFiles = scan.head.metrics("numFiles").value
+    assert(readFiles < totalFiles && readFiles > 0,
+      s"expected a pruned scan, read $readFiles of $totalFiles files")
   }
 
   test("PERSIST FOR / BEST AFTER parse and surface through the compiler") {

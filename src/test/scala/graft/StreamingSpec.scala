@@ -34,7 +34,7 @@ class StreamingSpec extends AnyFunSuite {
           WinState(if (s.winStart < 0) ws else s.winStart, s.n + 1, s.sum + e.v)
         },
         // COMMIT BEFORE in.start >= out.stop (tumbling.ramen semantics)
-        commitBefore = (s, e) => s.winStart >= 0 && e.t >= s.winStart + win,
+        commitBefore = (s, e, _) => s.winStart >= 0 && e.t >= s.winStart + win,
         emit = (s, prev) => WinOut("", s.winStart, s.n, s.sum,
           prev.map(_.sum).getOrElse(0.0)),
         keepOnCommit = false))
@@ -74,7 +74,7 @@ class StreamingSpec extends AnyFunSuite {
         init = () => WinState(-1L, 0L, 0.0),
         update = (s, e) => WinState(s.winStart, s.n + 1, s.sum + e.v),
         // COMMIT AFTER SUM 1 >= k: post-update count reaches k → emit+flush
-        commitAfter = (s, _) => s.n >= k,
+        commitAfter = (s, _, _) => s.n >= k,
         emit = (s, prev) => WinOut("", s.winStart, s.n, s.sum,
           prev.map(_.sum).getOrElse(0.0)),
         keepOnCommit = false,
@@ -174,7 +174,7 @@ class StreamingSpec extends AnyFunSuite {
       GroupSpec[Ev, WinState, WinOut](
         init = () => WinState(0L, 0L, 0.0),
         update = (s, e) => s.copy(n = s.n + 1, sum = s.sum + e.v),
-        commitAfter = (s, _) => s.n % 2 == 0,
+        commitAfter = (s, _, _) => s.n % 2 == 0,
         emit = (s, _) => WinOut("", 0L, s.n, s.sum, 0.0),
         keepOnCommit = true))
     val q = out.writeStream.format("memory").queryName("keepout")
@@ -204,7 +204,7 @@ class StreamingSpec extends AnyFunSuite {
           val ws = e.t / win * win
           WinState(if (s.winStart < 0) ws else s.winStart, s.n + 1, s.sum + e.v)
         },
-        commitBefore = (s, e) => s.winStart >= 0 && e.t >= s.winStart + win,
+        commitBefore = (s, e, _) => s.winStart >= 0 && e.t >= s.winStart + win,
         emit = (s, prev) => WinOut("", s.winStart, s.n, s.sum,
           prev.map(_.sum).getOrElse(0.0)),
         keepOnCommit = false),
@@ -707,6 +707,99 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     // b commits every row; a commits on its 3rd
     assert(rows == Set(("b", 1L, 5.0), ("b", 1L, 7.0), ("a", 3L, 6.0)), rows)
+  }
+
+  test("previous.* in a streaming COMMIT condition reads the last committed row") {
+    // COMMIT AFTER out.total >= (previous.total |? 0) + 10 — the condition
+    // itself reads feedback state: each window closes when the fresh sum
+    // exceeds the LAST COMMITTED total by 10. The reference evaluates
+    // commit conditions with the group's last output in scope
+    // (CodeGenLib_Skeletons.ml:433-930 `previous`); the harness threads
+    // GState.previous into the condition interpreter.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM v AS total
+        GROUP BY user
+        COMMIT AFTER out.total >= (previous.total |? 0) + 10;""") match {
+      case Right(p) => c.register("pvc", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("pvc/q")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("prevcond")
+      .outputMode("append").start()
+    // a: 4 (no), +7 = 11 >= 0+10 → commit 11; fresh 12 >= 11+10=21? no;
+    // +10 = 22 >= 21 → commit 22. Without threading, prev stays NULL and
+    // the second window would wrongly commit at 12.
+    mem.addData(Ev("a", 1, 4.0), Ev("a", 2, 7.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 3, 12.0), Ev("a", 4, 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("prevcond").select("user", "total")
+      .as[(String, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 11.0), ("a", 22.0)), rows)
+  }
+
+  test("out-field indirection to previous.* in a commit condition is threaded too") {
+    // The ADVICE-flagged shape: the condition references out.thresh whose
+    // DEFINITION embeds previous.total — buildCond inlines the field node,
+    // so the condition tree contains CPrev reached only indirectly. It
+    // must see the committed row, not eternal NULL (which would freeze
+    // thresh at 10 and wrongly commit the second window at 12).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM v AS total, (previous.total |? 0.0) + 10 AS thresh
+        GROUP BY user
+        COMMIT AFTER out.total >= out.thresh;""") match {
+      case Right(p) => c.register("pvi", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("pvi/q")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("previndir")
+      .outputMode("append").start()
+    mem.addData(Ev("a", 1, 4.0), Ev("a", 2, 7.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 3, 12.0), Ev("a", 4, 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("previndir").select("user", "total", "thresh")
+      .as[(String, Double, Double)].collect().toSet
+    q.stop()
+    // emit evaluates thresh against the same previous row the condition
+    // saw: first window 0+10, second 11+10
+    assert(rows == Set(("a", 11.0, 10.0), ("a", 22.0, 21.0)), rows)
+  }
+
+  test("mixed-type CASE branches in an expr-commit field are a typed error") {
+    // a CASE mixing string and numeric branches cannot be given one field
+    // type — must fail at compile with a typed error, not at the row
+    // encoder mid-stream. (A fully-stateless CASE compiles through
+    // Catalyst which coerces; only an interpreter-resident CASE — one
+    // referencing previous.*/aggregates — carries the hazard.)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM 1 AS n,
+               (IF previous.n IS NULL THEN "first" ELSE 0) AS label
+        GROUP BY user
+        COMMIT AFTER out.n >= 2;""") match {
+      case Right(p) => c.register("mx", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val ex = intercept[UnsupportedOperationException] { c.compile("mx/q") }
+    assert(ex.getMessage.contains("incompatible branch types"), ex.getMessage)
   }
 
   test("stateless scalar functions in commit conditions project as input columns") {
