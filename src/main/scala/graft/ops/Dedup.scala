@@ -68,9 +68,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6,
       bucketCap: Int = 4096): DataFrame = {
+    // a (band, bucket) group holds ≤ one row per doc, so the doc-table
+    // row bound (parquet footers) is a group bound: when it proves no
+    // group can exceed the cap, blockKeyed skips its detection pass
     val buckets = blockKeyed(
       lshBucketFrame(docs, idCol, textCol, shingleN, k, bands, par(docs)),
-      Seq("band", "bucket"), par(docs), bucketCap).hint("shuffle_hash")
+      Seq("band", "bucket"), par(docs), bucketCap,
+      maxGroupBound = leafRowBound(docs)).hint("shuffle_hash")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -94,18 +98,26 @@ object Dedup {
     * Scale shape: both sides are map-only codegen signatures shuffled on
     * the narrow (band, bucket) key, co-partitioned and shuffle-hash-
     * pinned — the same plan as the self-join, with the probe corpus
-    * typically orders of magnitude smaller so its bucket side is tiny. */
+    * typically orders of magnitude smaller so its bucket side is tiny.
+    * A bucket hot on BOTH sides (boilerplate shared by train AND probe —
+    * e.g. a benchmark's license header pasted through the training set)
+    * would still be one |A∩g|×|B∩g| rectangle in a single task, so
+    * oversized buckets are rectangle-block-split per side
+    * ([[blockKeyedCross]], cap `bucketCap`): exact pair set, each task
+    * bounded at ~2·cap rows of one bucket. */
   def minhashCandidatesCross(docsA: DataFrame, docsB: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 12,
-      bands: Int = 6): DataFrame = {
+      bands: Int = 6, bucketCap: Int = 4096): DataFrame = {
     val p = par(docsA)
-    def part(df: DataFrame) =
-      df.repartition(p, col("band"), col("bucket")).hint("shuffle_hash")
-    val ba = part(lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p))
-    val bb = part(lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p))
-    ba.as("a")
-      .join(bb.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+    val (ba, bb) = blockKeyedCross(
+      lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p),
+      lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p),
+      Seq("band", "bucket"), p, bucketCap,
+      boundA = leafRowBound(docsA), boundB = leafRowBound(docsB))
+    ba.hint("shuffle_hash").as("a")
+      .join(bb.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -337,11 +349,15 @@ object Dedup {
   def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = 4096): DataFrame = {
     require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
+    // a (chunk, chunk_val) group holds ≤ one row per fingerprint (groups
+    // live within one chunk position), so the fp-frame row bound is a
+    // group bound — skips detection when metadata proves it under the cap
     val chunks = blockKeyed(
       fps.select(col("id"), col("fp"), posexplode(
         expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
         .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val")),
-      Seq("chunk", "chunk_val"), par(fps), bucketCap)
+      Seq("chunk", "chunk_val"), par(fps), bucketCap,
+      maxGroupBound = leafRowBound(fps))
       // pin the co-partitioned self-join (same rationale as the LSH bucket
       // join): a broadcast build side would recompute the full fingerprint
       // pipeline in one task, and sort-merge adds a pointless sort
@@ -441,7 +457,8 @@ object Dedup {
     // spread across its block-pair tasks; the extra predicate keeps
     // same-block pairs on the diagonal task only (they'd otherwise match
     // on every (blk, t) replica key — B duplicates per pair).
-    val blocked = blockCells(assigned, par(embs), cellCap).hint("shuffle_hash")
+    val blocked = blockCells(assigned, par(embs), cellCap,
+      maxGroupBound = leafRowBound(embs)).hint("shuffle_hash")
     val dupOf = blocked.as("a")
       .join(blocked.as("b"),
         col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
@@ -479,10 +496,28 @@ object Dedup {
     * trade-off SemDeDup makes). Dimension comes from the centroids, so no
     * probe action runs against the unbounded stream.
     *
+    * Per-arrival cost: with `signPrefilter` on (default), each keeper
+    * carries a 32-bit sign signature (4 bands × 8 seeded hyperplane
+    * signs), the cell's keepers index by their 4 band bytes, and an
+    * arrival runs exact cosine ONLY against keepers sharing ≥ 1 band —
+    * ~4/256 of a diverse cell instead of all of it. This is the same
+    * pigeonhole recall trade as banded LSH: a pair at cosine c shares a
+    * band with probability 1−(1−(1−θ/π)⁸)⁴ (θ = arccos c) — ≥ 0.999998
+    * for near-identical vectors (c ≥ 0.999), dropping for barely-over-
+    * threshold pairs (~0.74 at c = 0.9) — a recall-only degradation,
+    * never a false duplicate, and `dup_of` is the lowest-id SURFACED
+    * keeper. Pass `signPrefilter = false` for the exact full-scan
+    * semantics. Out-of-order arrival is first-wins either way: an id
+    * arriving before a lower-id near-mate enrolls as the keeper and the
+    * lower id emits as ITS dup — batch min-id equality holds only for
+    * in-id-order arrival (spec'd).
+    *
     * Returns a streaming (id, cell, dup_of, is_dup) frame. */
   def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], minCos: Double,
-      maxKeepersPerCell: Int = 100000): DataFrame = {
+      maxKeepersPerCell: Int = 100000,
+      signPrefilter: Boolean = true,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types._
@@ -499,21 +534,66 @@ object Dedup {
       StructField("is_dup", BooleanType, nullable = false)))
     val cap = maxKeepersPerCell
     val cos = minCos
+    val pre = signPrefilter
+    val cmpAcc = comparisons
+    // seeded sign planes (dim from the centroids — no stream probe); the
+    // same hyperplane family the batch LSH path uses
+    val planes: Array[Array[Double]] =
+      Similarity.hyperplanes(cents.head.length, 4, 8, seed = 42L)
+        .map(_.toArray).toArray
+    def sigOf(v: Array[Double]): Int = {
+      var sig = 0; var p = 0
+      while (p < 32) {
+        val pl = planes(p)
+        var acc = 0.0; var i = 0
+        val n = math.min(v.length, pl.length)
+        while (i < n) { acc += v(i) * pl(i); i += 1 }
+        if (acc >= 0) sig |= 1 << p
+        p += 1
+      }
+      sig
+    }
+    // a keeper: (id, vector, norm, 32-bit sign signature)
+    type Keeper = (Long, Array[Double], Double, Int)
     assigned
       .as(Encoders.row(assigned.schema))
       .groupByKey((r: Row) => r.getInt(3))(Encoders.scalaInt)
-      .flatMapGroupsWithState[List[(Long, Array[Double], Double)], Row](
+      .flatMapGroupsWithState[List[Keeper], Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (cell: Int, rows: Iterator[Row],
-         gs: org.apache.spark.sql.streaming.GroupState[List[(Long, Array[Double], Double)]]) =>
+         gs: org.apache.spark.sql.streaming.GroupState[List[Keeper]]) =>
           var keepers = gs.getOption.getOrElse(Nil)
+          var nKeepers = keepers.size // counted once; List.size is O(n)
+          // per-batch band index: (band << 8 | byte) → keepers; O(4)
+          // inserts per keeper, amortized over the batch's arrivals
+          val index = scala.collection.mutable.HashMap
+            .empty[Int, List[Keeper]].withDefaultValue(Nil)
+          def enroll(k: Keeper): Unit = {
+            var b = 0
+            while (b < 4) {
+              val key = b << 8 | ((k._4 >>> (b * 8)) & 0xff)
+              index(key) = k :: index(key)
+              b += 1
+            }
+          }
+          if (pre) keepers.foreach(enroll)
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           rows.foreach { r =>
             val id = r.getLong(0)
             val v = r.getSeq[Double](1).toArray
             val norm = r.getDouble(2)
+            val sig = if (pre) sigOf(v) else 0
+            val candidates: Iterator[Keeper] =
+              if (!pre) keepers.iterator
+              else {
+                val seen = scala.collection.mutable.LongMap.empty[Boolean]
+                (0 until 4).iterator.flatMap { b =>
+                  index(b << 8 | ((sig >>> (b * 8)) & 0xff)).iterator
+                }.filter(k => seen.put(k._1, true).isEmpty)
+              }
             var dupOf = -1L
-            keepers.foreach { case (kid, kv, knorm) =>
+            candidates.foreach { case (kid, kv, knorm, _) =>
+              cmpAcc.foreach(_.add(1L))
               var acc = 0.0
               var i = 0
               val n = math.min(v.length, kv.length)
@@ -527,14 +607,19 @@ object Dedup {
               out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
                 Array[Any](id, cell, dupOf, true), outSchema)
             else {
-              if (keepers.size < cap) keepers = (id, v, norm) :: keepers
+              if (nKeepers < cap) {
+                val k = (id, v, norm, sig)
+                keepers = k :: keepers
+                nKeepers += 1
+                if (pre) enroll(k)
+              }
               out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
                 Array[Any](id, cell, null, false), outSchema)
             }
           }
           gs.update(keepers)
           out.iterator
-      }(Encoders.kryo[List[(Long, Array[Double], Double)]],
+      }(Encoders.kryo[List[Keeper]],
         Encoders.row(outSchema))
       .toDF()
   }
@@ -565,9 +650,101 @@ object Dedup {
     * map work (the id-hash filter pushes BELOW the signature compute). */
   private val HotSampleDiv = 16
 
+  /** Max number of files whose parquet/orc footers [[leafRowBound]] will
+    * read on the driver — metadata-only, but O(#files) round-trips; past
+    * this the caller should supply a bound from table-level knowledge. */
+  private val FooterScanMaxFiles = 64
+
+  /** A provable UPPER BOUND on `df`'s row count from metadata alone, or
+    * None. Walks the analyzed plan accepting only row-preserving or
+    * row-reducing 1:1 nodes (project/filter/limit/repartition/sample/
+    * dedup/sort) down to leaves whose cardinality is knowable without a
+    * job: file footers (parquet/orc, ≤ [[FooterScanMaxFiles]] files),
+    * local relations, and ranges. Joins, explodes, aggregates, unions ⇒
+    * None (their output cardinality isn't boundable by metadata).
+    *
+    * Used to SKIP [[blockKeyed]]'s hot-group detection when no group can
+    * possibly exceed the cap: each group of the frames this module blocks
+    * holds at most one row per upstream document/vector, so the upstream
+    * row bound IS a group-size bound. */
+  private[graft] def leafRowBound(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    def footerRows(files: Seq[org.apache.hadoop.fs.Path]): Option[Long] =
+      if (files.isEmpty || files.length > FooterScanMaxFiles) None
+      else scala.util.Try {
+        files.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      }.toOption
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case Project(_, c) => walk(c)
+      case Filter(_, c) => walk(c)
+      case SubqueryAlias(_, c) => walk(c)
+      case Sort(_, _, c, _) => walk(c)
+      case Distinct(c) => walk(c)
+      case Deduplicate(_, c) => walk(c)
+      case Repartition(_, _, c) => walk(c)
+      case RepartitionByExpression(_, c, _, _) => walk(c)
+      case GlobalLimit(_, c) => walk(c) // limit ≤ child bound
+      case LocalLimit(_, c) => walk(c)
+      case Sample(_, _, _, _, c) => walk(c)
+      case l: LocalRelation => Some(l.data.length.toLong)
+      case r: Range => Some(r.numElements.toLong)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+          footerRows(fs.location.inputFiles.toSeq
+            .map(new org.apache.hadoop.fs.Path(_)))
+        case _ => None
+      }
+      case _ => None
+    }
+    scala.util.Try(walk(df.queryExecution.analyzed)).toOption.flatten
+  }
+
+  /** Max uniform block count for [[blockKeyed]]'s static (detection-free)
+    * path: nb* = ⌈bound/cap⌉ ≤ this ⟺ bound ≤ 4·cap rows — an input that
+    * small makes ≤ 4× replication of narrow key rows cheaper than the
+    * sampled detection aggregate + broadcast join it replaces. Large
+    * inputs (the 100 TB case) always take the sampled-detection path,
+    * where replication is paid only by provably-hot groups. */
+  private val StaticNbMax = 4
+
   private[graft] def blockKeyed(df: DataFrame, keys: Seq[String], par: Int,
-      cap: Int): DataFrame = {
+      cap: Int, maxGroupBound: Option[Long] = None): DataFrame = {
     require(cap > 0, "cap must be positive")
+    // a metadata-proven group bound within the cap makes detection (and
+    // blocking) provably a no-op: emit the degenerate constant block key
+    // directly and reclaim the sample-scan stage — caps stay default-on,
+    // the skip only fires when it cannot change the output
+    // partition on the REAL keys only: the downstream join's kx/ky
+    // equalities fold away as constants, so its requirement is
+    // hashpartitioning(keys…) — including the literals here would read
+    // as a different partitioning and buy a second, useless exchange
+    if (maxGroupBound.exists(_ <= cap))
+      return df
+        .withColumn("blk", lit(0)).withColumn("kx", lit(0))
+        .withColumn("ky", lit(0))
+        .repartition(par, keys.map(col): _*)
+    // bound slightly over the cap (⌈bound/cap⌉ ≤ StaticNbMax, i.e. a
+    // provably SMALL input): the triangle partitioning is exact for ANY
+    // block count, so apply a uniform static nb to every group and skip
+    // detection entirely — the ≤ 4× replication of these few narrow rows
+    // costs less than the sample aggregate + broadcast join
+    maxGroupBound.map(b => ((b + cap - 1) / cap).toInt)
+        .filter(_ <= StaticNbMax).foreach { nb =>
+      return df
+        .withColumn("blk", pmod(hash(col("id")), lit(nb)))
+        .select(col("*"), explode(expr(s"sequence(0, ${nb - 1})")).as("t"))
+        .withColumn("kx", least(col("blk"), col("t")))
+        .withColumn("ky", greatest(col("blk"), col("t")))
+        .drop("t")
+        .repartition(par, keys.map(col) :+ col("kx") :+ col("ky"): _*)
+    }
     // detect oversized groups on a deterministic id-hash sample: Catalyst
     // pushes the filter past the projection, so the expensive upstream
     // (minhash signatures, plane dots) runs on 1/16 of rows for this pass
@@ -590,9 +767,64 @@ object Dedup {
       .repartition(par, keys.map(col) :+ col("kx") :+ col("ky"): _*)
   }
 
+  /** Rectangular analogue of [[blockKeyed]] for a CROSS-frame keyed join
+    * (the A×B rectangle of Okcan & Riedewald's 1-bucket-theta): within
+    * each shared group, side A splits into nbA = ⌈|A∩g|/cap⌉ id-hash
+    * blocks and side B into nbB; an A row in block i replicates to the
+    * nbB keys (i, 0..nbB−1) and a B row in block j to the nbA keys
+    * (0..nbA−1, j), so every cross pair meets on EXACTLY ONE (kx, ky) —
+    * no diagonal predicate needed — and no task reads more than
+    * ~cap + cap rows of one group. Balanced groups keep nb = 1 on both
+    * sides (constant key, zero replication). Detection is the same
+    * 1/16 id-hash sample per side; `boundA`/`boundB` skip a side's
+    * detection when a metadata row bound proves it under the cap. */
+  private[graft] def blockKeyedCross(dfA: DataFrame, dfB: DataFrame,
+      keys: Seq[String], par: Int, cap: Int,
+      boundA: Option[Long] = None, boundB: Option[Long] = None):
+      (DataFrame, DataFrame) = {
+    require(cap > 0, "cap must be positive")
+    def hotOf(df: DataFrame, skip: Boolean, nbName: String): DataFrame = {
+      val spark = df.sparkSession
+      if (skip)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            df.select(keys.map(col): _*).schema.fields :+
+              org.apache.spark.sql.types.StructField(nbName,
+                org.apache.spark.sql.types.IntegerType)))
+      else df
+        .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
+        .groupBy(keys.map(col): _*)
+        .agg((count(lit(1)) * HotSampleDiv).as("_est"))
+        .filter(col("_est") > cap)
+        .select(keys.map(col) :+
+          ceil(col("_est").cast("double") / cap).cast("int").as(nbName): _*)
+    }
+    val hotA = hotOf(dfA, boundA.exists(_ <= cap), "nbA")
+    val hotB = hotOf(dfB, boundB.exists(_ <= cap), "nbB")
+    def side(df: DataFrame, ownHot: DataFrame, otherHot: DataFrame,
+        ownNb: String, otherNb: String, ownIsKx: Boolean): DataFrame = {
+      val rep = df
+        .join(broadcast(ownHot), keys, "left")
+        .join(broadcast(otherHot), keys, "left")
+        .withColumn(ownNb, coalesce(col(ownNb), lit(1)))
+        .withColumn(otherNb, coalesce(col(otherNb), lit(1)))
+        .withColumn("blk", pmod(hash(col("id")), col(ownNb)))
+        .select(col("*"),
+          explode(expr(s"sequence(0, $otherNb - 1)")).as("t"))
+      val withKeys =
+        if (ownIsKx) rep.withColumn("kx", col("blk")).withColumn("ky", col("t"))
+        else rep.withColumn("kx", col("t")).withColumn("ky", col("blk"))
+      withKeys.drop("t", ownNb, otherNb)
+        .repartition(par, keys.map(col) :+ col("kx") :+ col("ky"): _*)
+    }
+    (side(dfA, hotA, hotB, "nbA", "nbB", ownIsKx = true),
+      side(dfB, hotB, hotA, "nbB", "nbA", ownIsKx = false))
+  }
+
   /** [[blockKeyed]] over a SemDeDup cell assignment. */
   private[graft] def blockCells(assigned: DataFrame, par: Int,
-      cellCap: Int): DataFrame = blockKeyed(assigned, Seq("cell"), par, cellCap)
+      cellCap: Int, maxGroupBound: Option[Long] = None): DataFrame =
+    blockKeyed(assigned, Seq("cell"), par, cellCap, maxGroupBound)
 
   /** Cross-document duplicated-span ratio: for every document, the
     * fraction of its distinct word `shingleN`-gram spans that also occur

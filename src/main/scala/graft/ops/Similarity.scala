@@ -395,7 +395,10 @@ object Similarity {
     val buckets = Dedup.blockKeyed(v
       .select(col("id"), posexplode(sigCol))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
-      Seq("band", "bucket"), par(embs), bucketCap)
+      Seq("band", "bucket"), par(embs), bucketCap,
+      // ≤ one row per embedding per (band, bucket) group: the embedding
+      // table's metadata row bound skips detection when provably small
+      maxGroupBound = Dedup.leafRowBound(embs))
       // pin the co-partitioned self-join: a broadcast build side would
       // recompute the whole projection pipeline in one task
       .hint("shuffle_hash")

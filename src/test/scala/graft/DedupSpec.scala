@@ -118,6 +118,91 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.size == 300 * 299 / 2, s"got ${capped.size} pairs")
   }
 
+  test("leafRowBound: parquet footers bound scans; expansions are unbounded") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(Dedup.leafRowBound(docs).contains(n))
+    // projections/filters keep (or tighten) the bound
+    assert(Dedup.leafRowBound(
+      docs.select("doc_id", "text").filter(col("doc_id") > 10)).contains(n))
+    // explode can multiply rows — no metadata bound
+    assert(Dedup.leafRowBound(
+      docs.select(explode(split(col("text"), " ")))).isEmpty)
+    // joins too
+    assert(Dedup.leafRowBound(docs.as("a").crossJoin(docs.as("b"))).isEmpty)
+    // local relations are bounded by their literal size
+    assert(Dedup.leafRowBound(Seq((1L, "x"), (2L, "y")).toDF("id", "t"))
+      .contains(2L))
+  }
+
+  test("a proven group bound skips hot-bucket detection without changing pairs") {
+    // bound ≤ cap ⇒ blockKeyed's constant-key fast path: no sampled
+    // detection aggregate (no xxhash64 in the plan), degenerate (0,0)
+    // block keys, and — trivially — the same pair set
+    val df = (1L to 50L).map(i => (i, i % 5)).toDF("id", "g")
+    val skipped = Dedup.blockKeyed(df, Seq("g"), 4, cap = 64,
+      maxGroupBound = Some(50L))
+    // assert on the ANALYZED plan: the optimizer may constant-fold a tiny
+    // local input's whole detection subtree into a LocalTableScan
+    assert(!skipped.queryExecution.analyzed.toString.contains("xxhash64"),
+      "fast path must not run the sampled detection pass")
+    assert(skipped.select("kx", "ky").distinct().collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1))) == Seq((0, 0)))
+    val detected = Dedup.blockKeyed(df, Seq("g"), 4, cap = 64,
+      maxGroupBound = None)
+    assert(detected.queryExecution.analyzed.toString.contains("xxhash64"),
+      "without a bound the sampled detection pass must run")
+    // both paths carry every row exactly once (balanced groups, nb = 1)
+    assert(skipped.select("id").as[Long].collect().sorted.toSeq ==
+      detected.select("id").as[Long].collect().sorted.toSeq)
+    // bound a bit over the cap (⌈b/cap⌉ ≤ 4): static uniform nb, still
+    // no detection pass, every row replicated to its nb triangle keys
+    val static2 = Dedup.blockKeyed(df, Seq("g"), 4, cap = 30,
+      maxGroupBound = Some(50L)) // nb* = 2
+    assert(!static2.queryExecution.analyzed.toString.contains("xxhash64"),
+      "static path must not run the sampled detection pass")
+    assert(static2.count() == 2 * 50, "each row on its 2 triangle keys")
+    assert(static2.select("kx", "ky").distinct().count() == 3) // (0,0)(0,1)(1,1)
+  }
+
+  test("static-nb blocking keeps the LSH candidate set exact") {
+    // parquet-backed docs whose footer bound exceeds the cap but stays
+    // within StaticNbMax blocks: minhashCandidates takes the static path
+    // (no detection aggregate) and must produce the identical pair set
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val cap = (n / 2 + 1).toInt // nb* = 2
+    val static = Dedup.minhashCandidates(docs, "doc_id", "text",
+      bucketCap = cap)
+    // marker: the detection pass aggregates a sampled count into `_est`
+    // (xxhash64 can't be the marker — the LSH bucket hash uses it too)
+    assert(!static.queryExecution.analyzed.toString.contains("_est"))
+    val full = Dedup.minhashCandidates(docs, "doc_id", "text",
+      bucketCap = Int.MaxValue)
+    assert(static.as[(Long, Long)].collect().toSet ==
+      full.as[(Long, Long)].collect().toSet)
+  }
+
+  test("cross-corpus rectangle blocking is exact under a hot shared bucket") {
+    // the same boilerplate text dominates BOTH corpora: one (band, bucket)
+    // holds 200 train × 150 probe rows — the quadratic rectangle the
+    // unblocked cross join would run in a single task
+    val boiler = "exact same boilerplate text everywhere repeated always"
+    val train = ((1L to 200L).map(i => (i, boiler)) :+
+      ((901L, "unique training document about something else entirely")))
+      .toDF("doc_id", "text")
+    val probe = ((1001L to 1150L).map(i => (i, boiler)) :+
+      ((1901L, "unique probe document with no training counterpart here")))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashCandidatesCross(train, probe,
+        "doc_id", "text", bucketCap = cap)
+      .as[(Long, Long)].collect().toSet
+    val capped = run(16) // 200/16 = 13 A-blocks × 150/16 = 10 B-blocks
+    assert(capped == run(Int.MaxValue),
+      "rectangle blocking must not change the cross-candidate set")
+    assert(capped.size == 200 * 150, s"got ${capped.size} pairs")
+  }
+
   test("hot simhash chunk-values triangle-split without changing the pair set") {
     // identical fingerprints put all 300 ids in the same 4 chunk groups
     val fps = ((1L to 300L).map(i => (i, 0x0123456789abcdL)) :+

@@ -299,6 +299,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupStream sign-prefilter bounds hot-cell comparisons") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // ONE cell (single centroid), 200 mutually-distant keepers (random
+    // unit-ish vectors land in scattered sign buckets), then 50 probes.
+    // The full-scan path pays ~200 comparisons per probe; the banded
+    // index must surface only same-band keepers — assert the total is a
+    // small fraction of the full-scan cost.
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    val vecs = (1L to 250L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val cents = Seq(Seq.fill(dim)(1.0 / math.sqrt(dim)))
+    val acc = spark.sparkContext.longAccumulator("semdedup_cmps")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = Dedup.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, minCos = 0.95, comparisons = Some(acc))
+    val q = out.writeStream.format("memory").queryName("semprefilter")
+      .outputMode("append").start()
+    mem.addData(vecs.take(200): _*)
+    q.processAllAvailable()
+    val afterEnroll = acc.value
+    mem.addData(vecs.drop(200): _*)
+    q.processAllAvailable()
+    q.stop()
+    val probeCmps = acc.value - afterEnroll
+    // full scan would be 50 × 200 = 10 000; banded probes surface ~4/256
+    // of a scattered cell — leave generous headroom for collisions
+    assert(probeCmps < 2500,
+      s"prefilter should cut comparisons well below full-scan: $probeCmps")
+    assert(spark.table("semprefilter").count() == 250)
+  }
+
   test("streaming semantic dedup matches batch survivors when ids arrive in order") {
     import graft.ops.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext
