@@ -68,14 +68,6 @@ object AlertApi {
     case _ => Nil
   }
 
-  private def quoteRhs(rhs: String): String =
-    if (rhs.matches("""-?\d+(\.\d+)?""") || rhs == "true" || rhs == "false") rhs
-    else "\"" + rhs.replace("\"", "\\\"") + "\""
-
-  private def filterRaql(fs: Seq[SimpleFilter]): String =
-    if (fs.isEmpty) "true"
-    else fs.map(f => s"${f.lhs} ${f.op} ${quoteRhs(f.rhs)}").mkString(" AND ")
-
   private def fmt(d: Double): String =
     if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
 
@@ -85,7 +77,13 @@ object AlertApi {
     * batch mode commits end-of-input). Returns RaQL source text accepted by
     * [[graft.raql.RaqlParser]]. */
   def toRaql(table: String, column: String, a: AlertV1,
-      tableCols: Seq[String], groupKeys: Seq[String]): String = {
+      schema: org.apache.spark.sql.types.StructType,
+      groupKeys: Seq[String]): String = {
+    val tableCols = schema.fieldNames.toSeq
+    // typed WHERE/HAVING printing (the reference's Alert2RaQL shares
+    // CodeGen_SimpleFilter2RaQL with the pivot transpiler — so do we)
+    def filterRaql(fs: Seq[SimpleFilter]): String =
+      PivotApi.printFilter(schema, fs)
     // one alert context per group not pinned by an equality filter
     val groupBy = groupKeys.filterNot(k =>
       a.where.exists(w => w.op == "=" && w.lhs == k))
@@ -164,7 +162,7 @@ object AlertApi {
 
   final class BadRequest(msg: String) extends Exception(msg)
 
-  private def parseFilters(n: JsonNode): Seq[SimpleFilter] =
+  private[service] def parseFilters(n: JsonNode): Seq[SimpleFilter] =
     Option(n).toSeq.flatMap(_.elements().asScala).map { f =>
       SimpleFilter(
         Option(f.get("lhs")).map(_.asText).getOrElse(
@@ -279,7 +277,8 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
     val (pn, func) = funcOf(table).getOrElse(
       throw new BadRequest(s"Program for table $table does not exist"))
     val fq = s"$pn/${func.name}"
-    val cols = compiler.compile(fq).columns.toSeq
+    val schema = compiler.compile(fq).schema
+    val cols = schema.fieldNames.toSeq
     if (!cols.contains(column))
       throw new BadRequest(s"No column $column in table $table")
     val bad = as.flatMap(a => a.where ++ a.having).map(_.lhs)
@@ -292,7 +291,7 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
     val keys = groupKeysOf(func.op)
     val registered = as.zipWithIndex.map { case (a, i) =>
       val progName = s"api/alerts/${if (a.id.nonEmpty) a.id else s"$fq/$column/$i"}"
-      val src = toRaql(fq, column, a, cols, keys)
+      val src = toRaql(fq, column, a, schema, keys)
       RaqlParser.parseProgram(src) match {
         case Right(p) => compiler.register(progName, p)
         case Left(e) => throw new BadRequest(
@@ -302,6 +301,30 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
     }
     alerts((table, column)) = registered
     registered.map(_._1)
+  }
+
+  /** Register (or replace) one pivot under `api/pivots/<name>`: transpile
+    * to RaQL (the reference's `RamenMake.ml:149-170` "pivot" build rule
+    * driving `CodeGen_Pivot2RaQL`) and register with the compiler; the
+    * `pivot` function then compiles/runs like any user program. Returns the
+    * program key. */
+  def setPivot(name: String, p: PivotApi.Pivot): String = {
+    val (pn, func) = funcOf(p.from).getOrElse(
+      throw new BadRequest(s"Program for table ${p.from} does not exist"))
+    val fq = s"$pn/${func.name}"
+    val schema = compiler.compile(fq).schema
+    if (!schema.fieldNames.contains("start"))
+      throw new BadRequest(s"table ${p.from} has no start column")
+    val src = PivotApi.toRaql(p.copy(from = fq), schema)
+    val progName = s"api/pivots/$name"
+    RaqlParser.parseProgram(src) match {
+      case Right(prog) =>
+        compiler.unregister(progName)
+        compiler.register(progName, prog)
+      case Left(e) => throw new BadRequest(
+        s"generated pivot program does not parse: $e\n$src")
+    }
+    progName
   }
 
   /** The NOTIFY stream of a registered alert: compile + run its `notif`. */
@@ -458,6 +481,17 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
                   case None => fa.addNull()
                 }
               }
+            }
+          }
+          o
+        case "set-pivots" =>
+          // graft extension: the reference ships pivots as source files
+          // through confserver (RamenMake's "pivot" rule); here the same
+          // JSON payloads register through the RPC surface
+          val o = F.objectNode()
+          Option(params).foreach { p =>
+            p.properties().asScala.foreach { e =>
+              o.put(e.getKey, setPivot(e.getKey, PivotApi.parsePivot(e.getValue)))
             }
           }
           o
