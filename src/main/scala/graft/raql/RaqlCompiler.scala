@@ -2201,10 +2201,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case (n, _) => col(n)
       }: _*)
 
-    case agg: Aggregate =>
+    case agg0: Aggregate =>
       val parents =
-        agg.from.map(resolveFrom(_, progName)) ++
-          agg.fromSub.map(compileOp(_, progName, params))
+        agg0.from.map(resolveFrom(_, progName)) ++
+          agg0.fromSub.map(compileOp(_, progName, params))
       val base0: DataFrame = parents match {
         case Nil =>
           // YIELD / EVERY generator: unbounded in the reference, bounded in
@@ -2213,7 +2213,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           // produced (t0 + i·EVERY — once_every.ramen measures intervals)
           val n = spark.conf.getOption("graft.raql.everyRows")
             .map(_.toLong).getOrElse(1L)
-          val d = agg.every.map(e => evalNum(e, params)).getOrElse(0.0)
+          val d = agg0.every.map(e => evalNum(e, params)).getOrElse(0.0)
           // whole-second origin: ONCE-EVERY bucket boundaries then align
           // with tick instants, so measured intervals are exact
           // (once_every.ramen asserts |interval − 1s| ≤ 0.1)
@@ -2222,6 +2222,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             (lit(t0) + col("id") * d).as("_graft_gen_time"))
         case dfs => dfs.reduce(_.unionByName(_, allowMissingColumns = true))
       }
+      // global_last_out on a STREAM has no batch global-order lag to fall
+      // back to: ungrouped it coincides with local_last_out (rewrite);
+      // grouped it would need cross-group state — typed error instead of
+      // compiling a plan Structured Streaming rejects (or worse, serving
+      // per-group values as if they were global)
+      val agg =
+        if (base0.isStreaming &&
+            (agg0.fields.map(_.expr) ++ agg0.commitCond ++ agg0.where ++
+              agg0.notifyName).exists(hasGlobalLastOut)) {
+          if (agg0.groupBy.nonEmpty) unsupported(
+            "global_last_out under GROUP BY on a streaming source (the " +
+            "last output across ALL groups is cross-group state); use " +
+            "previous/local_last_out for the group's own last output")
+          agg0.copy(
+            fields = agg0.fields.map(f =>
+              f.copy(expr = substGlobalLastOut(f.expr))),
+            commitCond = agg0.commitCond.map(substGlobalLastOut),
+            where = agg0.where.map(substGlobalLastOut),
+            notifyName = agg0.notifyName.map(substGlobalLastOut))
+        } else agg0
       // SORT LAST n BY k…: bounded reorder buffer ahead of the operation
       val base = agg.sortLast match {
         case Some((n, by)) =>
@@ -2316,6 +2336,32 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     case VectorLit(it) => VectorLit(it.map(stripPrevRefs))
     case other => other
   }
+
+  /** `global_last_out.x` → `local_last_out.x`: on an UNGROUPED stream the
+    * two coincide (a single global group — the reference's one worker per
+    * function), letting the expr-commit harness serve the ref from the
+    * last committed row. */
+  private def substGlobalLastOut(e: Expr): Expr = e match {
+    case Ref(Seq("global_last_out", rest @ _*)) =>
+      Ref("local_last_out" +: rest.toSeq)
+    case Binop(o, l, r) =>
+      Binop(o, substGlobalLastOut(l), substGlobalLastOut(r))
+    case Unop(o, x) => Unop(o, substGlobalLastOut(x))
+    case FunCall(f, as) => FunCall(f, as.map(substGlobalLastOut))
+    case AggCall(f, op, m, ex) =>
+      AggCall(f, substGlobalLastOut(op), m, ex.map(substGlobalLastOut))
+    case PercentileCall(ps, op) => PercentileCall(ps, substGlobalLastOut(op))
+    case CaseExpr(br, el) =>
+      CaseExpr(br.map { case (c, v) =>
+        (substGlobalLastOut(c), substGlobalLastOut(v)) },
+        el.map(substGlobalLastOut))
+    case IsNull(x, ng) => IsNull(substGlobalLastOut(x), ng)
+    case VectorLit(it) => VectorLit(it.map(substGlobalLastOut))
+    case other => other
+  }
+  /** Structural-equality detection: the substitution touched the tree iff
+    * a global_last_out ref is present. */
+  private def hasGlobalLastOut(e: Expr): Boolean = substGlobalLastOut(e) != e
 
   /** End-of-input commit semantics (explicit COMMIT clauses, GROUP BY):
     * the original batch translation. */
@@ -2689,7 +2735,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     // aggregates fold in the state store, arithmetic combines at emit
     val outIdx: Map[String, Int] = named.map(_._2).zipWithIndex.toMap
     def hasPrev(e: Expr): Boolean = e match {
-      case Ref(Seq("previous", _)) => true
+      case Ref(Seq("previous" | "local_last_out", _)) => true
       case Binop(_, l, r) => hasPrev(l) || hasPrev(r)
       case Unop(_, x) => hasPrev(x)
       case FunCall(_, as) => as.exists(hasPrev)

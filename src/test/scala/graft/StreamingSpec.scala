@@ -962,6 +962,57 @@ class StreamingSpec extends AnyFunSuite {
       rows)
   }
 
+  test("global_last_out on a stream: ungrouped works, grouped is typed error") {
+    // UNGROUPED: one global group, so global_last_out IS local_last_out
+    // (the reference runs one worker per function — its global last output
+    // is that worker's last output); the compiler rewrites the ref and the
+    // expr-commit harness serves it from the last committed row.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT SUM v AS total, (global_last_out.total |? 0.0) AS base
+        COMMIT AFTER out.total >= (global_last_out.total |? 0) + 10;""") match {
+      case Right(p) => c.register("glo", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("glo/q")
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("glotest")
+      .outputMode("append").start()
+    // window 1: 4+7 = 11 >= 0+10 → commit (base 0); window 2: 12 >= 21?
+    // no; +10 = 22 >= 21 → commit (base 11). A per-key-served value would
+    // be identical here ONLY because there is a single group — which is
+    // exactly why the grouped form must not compile.
+    mem.addData(Ev("a", 1, 4.0), Ev("b", 2, 7.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 3, 12.0), Ev("b", 4, 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("glotest").select("total", "base")
+      .as[(Double, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((11.0, 0.0), (22.0, 11.0)), rows)
+
+    // GROUPED: the last output across ALL groups is cross-group state the
+    // sharded harness cannot see — a typed compile error, not silently
+    // per-key values masquerading as global
+    val c2 = new RaqlCompiler(spark, "/tmp")
+    c2.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM v AS total
+        GROUP BY user
+        COMMIT AFTER out.total >= (global_last_out.total |? 0) + 10;""") match {
+      case Right(p) => c2.register("glog", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val ex = intercept[UnsupportedOperationException] { c2.compile("glog/q") }
+    assert(ex.getMessage.contains("global_last_out under GROUP BY"),
+      ex.getMessage)
+  }
+
   test("RaQL tumbling COMMIT BEFORE streams through the expr-commit harness") {
     // tumbling.ramen's shape without a `t // d` group key: COMMIT BEFORE
     // in.t >= out.wstart + 60 — the incoming tuple closes the previous
