@@ -28,18 +28,21 @@ final case class QueryDef(
 object Det {
   /** Exact sum of a double column — order-free, engine-portable.
     *
-    * Implementation: each value quantizes to 1e-4 units as a LONG
-    * (`round(x·10⁴)`, HALF_UP — the same quantization `CAST(x AS
-    * DECIMAL(18,4))` performs), longs sum exactly, and the total scales
-    * back. Numerically identical to the previous decimal-sum formulation
-    * (both sum the same integers), but the aggregation buffer stays a
-    * PRIMITIVE long inside whole-stage codegen — the decimal version's
-    * sum buffer is DecimalType(28,4), which exceeds Spark's 18-digit
-    * compact-long representation and falls back to BigDecimal objects in
-    * the hot loop. Capacity is the same class as the decimal it
-    * replaces (~9.2e14 units vs DECIMAL(18,4)'s 1e14). */
+    * Implementation: each value quantizes to 1e-4 units as a LONG via the
+    * SAME `CAST(x AS DECIMAL(18,4))` the oracle performs (decimal HALF_UP
+    * — a plain `round(x·10⁴)` in doubles can quantize a value sitting
+    * within 1 ulp of a .5 boundary differently than the decimal cast),
+    * then `·10⁴` in exact decimal arithmetic yields the integral unit
+    * count, longs sum exactly, and the total scales back. The per-row
+    * decimal work is projection-side only; the aggregation buffer stays a
+    * PRIMITIVE long inside whole-stage codegen — a decimal SUM's buffer
+    * is DecimalType(28,4), which exceeds Spark's 18-digit compact-long
+    * representation and falls back to BigDecimal objects in the hot loop.
+    * Capacity is the same class as the decimal it replaces (~9.2e14 units
+    * vs DECIMAL(18,4)'s 1e14). */
   def dsum(c: Column): Column =
-    (sum(round(c * 10000).cast(LongType)).cast(DoubleType) / 10000.0)
+    (sum((c.cast(DecimalType(18, 4)) * 10000).cast(LongType))
+      .cast(DoubleType) / 10000.0)
   /** Deterministic mean: exact decimal sum divided by count, in doubles. */
   def davg(c: Column): Column = dsum(c) / count(c)
   /** Oracle-side SQL for [[dsum]]. */

@@ -261,6 +261,28 @@ class AggregatesSpec extends AnyFunSuite {
     assert(fps < 200, s"false-positive count $fps too high")
   }
 
+  test("dsum quantizes .00005-boundary values exactly like DECIMAL(18,4)") {
+    // values whose shortest decimal rendering sits ON a .5 boundary:
+    // 2.00005's nearest binary64 is 2.0000499999999999545…, so a double
+    // round(x*1e4) lands at 20000 — but BOTH engines' double→DECIMAL cast
+    // quantizes the SHORTEST decimal representation ("2.00005", Spark via
+    // BigDecimal.valueOf/Double.toString, DuckDB verified by probe) and
+    // HALF_UP gives 20001. dsum must take the cast path to match the
+    // oracle's CAST(x AS DECIMAL(18,4)).
+    val vals = Seq(2.00005, 1.00015, 0.00005, -2.00005, 7.33335, 123.45675)
+    val expected = vals.map(v => java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP))
+      .reduce(_ add _)
+    val got = vals.toDF("x").agg(Det.dsum(col("x")).as("s")).head().getDouble(0)
+    assert(got == expected.doubleValue,
+      s"dsum=$got expected=${expected.doubleValue}")
+    // the single boundary value lands UP like the oracle (DuckDB probe:
+    // CAST(CAST(2.00005 AS DOUBLE) AS DECIMAL(18,4)) = 2.0001), where
+    // round(x*1e4) in doubles would have landed DOWN at 2.0
+    val one = Seq(2.00005).toDF("x").agg(Det.dsum(col("x"))).head().getDouble(0)
+    assert(one == 2.0001, s"boundary value quantized to $one")
+  }
+
   test("events table exposes both ts (micros) and ts_ns (exact nanos)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val row = ev.select(unix_micros(col("ts")).as("us"), col("ts_ns")).head()
