@@ -231,7 +231,15 @@ object Dedup {
     * Ownership: the RETURNED frame is persisted (unpersisting before
     * handing it back would recompute the whole fixpoint — and the O(n²)
     * edge generation — on first use); call `.unpersist()` on it when
-    * done. */
+    * done.
+    *
+    * Fault tolerance: per-round lineage truncation uses
+    * `localCheckpoint()` (executor-resident blocks — fast, but a lost
+    * executor makes the fixpoint unrecoverable since there is no lineage
+    * to recompute from) UNLESS the session has a reliable checkpoint dir
+    * configured (`sc.setCheckpointDir`), in which case each round writes
+    * a reliable `checkpoint()` instead. Long cluster runs should set a
+    * checkpoint dir; single-node benches keep the fast path. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
     // the edge frame is consumed TWICE per iteration (propagation join +
@@ -263,11 +271,16 @@ object Dedup {
       // the logical plan doubles per round (exponential analyzer cost by
       // ~round 8); an eager local checkpoint keeps every round's plan a
       // constant-size tree over the previous round's materialized blocks.
-      val next = prop.as("x")
+      val jumped = prop.as("x")
         .join(prop.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
           col("x.label") === col("p.pid"))
         .select(col("x.id").as("id"), col("plabel").as("label"))
-        .localCheckpoint()
+      // reliable checkpoint when a dir is configured (survives executor
+      // loss on a cluster); executor-local blocks otherwise (fast path)
+      val next =
+        if (vertices.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          jumped.checkpoint()
+        else jumped.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       prop.unpersist()

@@ -278,6 +278,31 @@ class DedupSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("connected components use reliable checkpoints when a dir is set") {
+    // with sc.setCheckpointDir configured, each round writes a RELIABLE
+    // checkpoint (recoverable after executor loss) instead of
+    // executor-local blocks; the fixpoint answer is identical
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+      // the rounds really did write reliable checkpoint data
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, "no reliable checkpoint data written")
+    } finally {
+      // reset to the fast localCheckpoint path for the rest of the suite
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("semantic dedup marks within-cell near-dups against exact cosine") {
     val embs = Tables.embeddings(spark, sf)
     val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", 16)
