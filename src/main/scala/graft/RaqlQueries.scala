@@ -309,6 +309,59 @@ object RaqlQueries {
                   PARTITION BY FLOOR(epoch(ts) / 3600), user_id
                   ORDER BY event_id) AS prev
               FROM events)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef(
+      "r13_raql_pivot",
+      // the PRODUCTION pivot path end-to-end: a Pivot description
+      // (`/root/reference/src/pivot.type`) transpiles to RaQL
+      // (graft.service.PivotApi mirroring CodeGen_Pivot2RaQL.ml),
+      // registers through the API, and compiles to one hash-agg plan.
+      // The value column is integerized (u64(floor(value*100))) so
+      // SUM/MIN/MAX are exact on both engines (a double SUM is
+      // order-dependent); FLOOR is bit-stable where ROUND's
+      // double-vs-decimal boundary is not.
+      (s, d) => {
+        import graft.service.{AlertApi, PivotApi}
+        import graft.service.AlertApi.SimpleFilter
+        import graft.service.PivotApi.{Pivot, PivotField}
+        val c = new RaqlCompiler(s, d)
+        c.registerTable("tables/events", Tables.events(s, d))
+        RaqlParser.parseProgram("""DEFINE events AS
+            FROM tables/events
+            SELECT user_id, event_type,
+                   u64(floor(value * 100)) AS cval,
+                   float(ts) AS start;""") match {
+          case Right(p) => c.register("base", p)
+          case Left(e) => throw new IllegalArgumentException(s"parse: $e")
+        }
+        new AlertApi(s, c).setPivot("bench", Pivot(
+          from = "base/events",
+          where = Seq(SimpleFilter("event_type", "[signup]", "not in")),
+          typeField = "event_type", valueField = "cval",
+          fields = Seq(
+            PivotField("click", avg = false, count = true, sum = true),
+            PivotField("purchase", avg = false, sum = true, max = true),
+            PivotField("errv", types = Seq("error"), avg = false,
+              min = true, max = true)),
+          groupBy = Seq("user_id"),
+          duration = 86400))
+        c.compile("api/pivots/bench/pivot").orderBy("user_id", "start")
+      },
+      Some("""SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) * 86400 AS start,
+          user_id,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS count_click,
+          CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT) AS sum_click,
+          CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT) AS sum_purchase,
+          MAX(CASE WHEN event_type = 'purchase'
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS max_purchase,
+          MIN(CASE WHEN event_type = 'error'
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS min_errv,
+          MAX(CASE WHEN event_type = 'error'
+            THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS max_errv
+        FROM events WHERE event_type <> 'signup'
+        GROUP BY 1, 2 ORDER BY user_id, start"""))
   )
 }
