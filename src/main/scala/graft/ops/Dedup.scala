@@ -477,8 +477,12 @@ object Dedup {
         col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
           col("a.ky") === col("b.ky") && col("a.id") < col("b.id") &&
           (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
-      .filter(round(Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
-        (col("a.norm") * col("b.norm")), 9) >= minCos)
+      // banded threshold: round-9 BigDecimal only inside the ±1e-9
+      // boundary band (Similarity.roundedAtLeast) — identical accept set,
+      // ~10× the combos/s of the always-round form
+      .filter(Similarity.roundedAtLeast(
+        Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
+          (col("a.norm") * col("b.norm")), minCos, 9))
       .groupBy(col("b.id").as("id"))
       .agg(min(col("a.id")).as("dup_of"))
     // the (id → dup_of) frame is narrow but its row-count estimate comes
@@ -640,7 +644,9 @@ object Dedup {
   /** Triangle block-partitioning of a keyed frame for a bounded
     * within-group self-join (the 1-bucket-theta layout of Okcan &
     * Riedewald, SIGMOD'11, restricted to the per-group triangle): each
-    * group gets B = ⌈|group|/cap⌉ id-hash blocks, and every row
+    * oversized group gets B = max(⌈|group|/cap⌉, minNb) id-hash blocks
+    * (minNb makes B(B+1)/2 cover the reduce slots — see the inline
+    * note), and every row
     * replicates to the B unordered block-pair keys (kx, ky) its block
     * participates in. Joining on (keys…, kx, ky) with
     * `a.blk ≠ b.blk OR kx = ky` then yields EVERY within-group pair
@@ -762,13 +768,25 @@ object Dedup {
     // pushes the filter past the projection, so the expensive upstream
     // (minhash signatures, plane dots) runs on 1/16 of rows for this pass
     // instead of recomputing — or caching — the whole frame
+    //
+    // a hot group's block count must also COVER the reduce slots, not just
+    // meet the cap: ceil(est/cap) alone can be tiny (a 16k group at cap
+    // 4096 → nb 4 → 10 block-pair keys), and 10 deterministic join keys
+    // hash into few partitions — the quadratic work re-serializes on the
+    // exact corpora the caps target. Total join work is INVARIANT in nb
+    // (Σ over block pairs |Aᵢ∪Aⱼ|² = 2·|group|² for any nb), so raising
+    // nb until nb(nb+1)/2 ≥ par buys pure parallelism; the price is
+    // replication nb on the hot group's rows only.
+    val minNb = math.max(1,
+      math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt)
     val hot = df
       .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
       .groupBy(keys.map(col): _*)
       .agg((count(lit(1)) * HotSampleDiv).as("_est"))
       .filter(col("_est") > cap)
       .select(keys.map(col) :+
-        ceil(col("_est").cast("double") / cap).cast("int").as("nb"): _*)
+        greatest(ceil(col("_est").cast("double") / cap).cast("int"),
+          lit(minNb)).as("nb"): _*)
     df
       .join(broadcast(hot), keys, "left")
       .withColumn("nb", coalesce(col("nb"), lit(1)))
@@ -903,8 +921,11 @@ object Dedup {
       .repartition(par(embs)) // streamed side of the nested-loop pair join
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Similarity.dotFlat(col("a.v"), col("b.v"), dim)
-          / (col("a.norm") * col("b.norm")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        (Similarity.dotFlat(col("a.v"), col("b.v"), dim)
+          / (col("a.norm") * col("b.norm"))).as("_c"))
+      // banded filter first (no per-combo BigDecimal); survivors — linear
+      // in the true near-dup count — pay the oracle's round-6 once
+      .filter(Similarity.roundedAtLeast(col("_c"), threshold, 6))
+      .select(col("id_a"), col("id_b"), round(col("_c"), 6).as("cosine"))
   }
 }

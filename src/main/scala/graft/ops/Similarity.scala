@@ -70,6 +70,19 @@ object Similarity {
   private def cosine(dim: Int) = round(
     dotFlat(col("q.v"), col("c.v"), dim) / (col("q.norm") * col("c.norm")), 9)
 
+  /** `round(c, d) >= t` without a per-combo BigDecimal: Spark's Round on
+    * doubles allocates a java.math.BigDecimal PER EVALUATION (~0.5 µs) —
+    * measured as the dominant cost of a pair join's cosine filter (~2 M
+    * combos/s where the dot itself runs ~30 ns). Outside the ±10^-d band
+    * around t the raw compare is decisive (rounding at scale d moves a
+    * value by ≤ 5·10^-(d+1)); only band combos pay Round. The accept set
+    * is IDENTICAL to `round(c, d) >= t` — the oracle-boundary semantics
+    * are preserved bit-for-bit. */
+  private[ops] def roundedAtLeast(c: Column, t: Double, d: Int): Column = {
+    val eps = math.pow(10.0, -d)
+    c >= t + eps || (c > t - eps && round(c, d) >= t)
+  }
+
   /** Cores to spread pair-expansion work over (small-input row stats
     * undersell a join with quadratic output — force the parallelism). */
   private def par(df: DataFrame): Int =
@@ -417,9 +430,12 @@ object Similarity {
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dotFlat(col("va"), col("vb"), dim) / (col("na") * col("nb")), 9)
-          .as("cos"))
-      .filter(col("cos") >= minCos)
+        (dotFlat(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+          .as("_c"))
+      // banded filter first (no per-combo BigDecimal); survivors pay the
+      // oracle's round-9 once each
+      .filter(roundedAtLeast(col("_c"), minCos, 9))
+      .select(col("id_a"), col("id_b"), round(col("_c"), 9).as("cos"))
       .distinct()
   }
 
