@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scaling probe: replicate the sf0.1 documents/embeddings
+  * corpus ×k (default 10 ≈ "sf1") and time the production dedup/ANN/text
+  * headliners at both scales. The 100 TB claims extrapolate from sf0.1
+  * plan shapes; one measured decade catches anything super-linear
+  * (bucket-cap replication, CC round growth, agg fan-in) before a real
+  * cluster does. Results are recorded in COVERAGE.md; not part of the
+  * driver contract. Run: `runMain graft.ScaleProbe [k]`.
+  *
+  * Replication must scale the PAIR STRUCTURE ~linearly, not quadratically
+  * — naive copies would make every doc a 10-clique of exact dups and the
+  * workload 100× (measuring output explosion, not engine scaling):
+  *  - documents: replica j suffixes every word with a tag, so shingle
+  *    sets are renamed BIJECTIVELY (intra-replica Jaccard/minhash/simhash
+  *    structure is exactly sf0.1's) while cross-replica shingle overlap
+  *    is zero;
+  *  - embeddings: replica j applies one random ORTHOGONAL rotation Q_j
+  *    (Gram-Schmidt over a seeded Gaussian matrix): intra-replica
+  *    cosines/cells/neighborhoods are exactly sf0.1's, cross-replica
+  *    pairs decorrelate to near-orthogonal (random direction in R^64).
+  *
+  * Excluded by design: d03/d05/d06 (labeled O(n²) verification paths —
+  * d06 clusters over BRUTE-FORCE exact pairs so its DuckDB
+  * transitive-closure oracle is deterministic; at ×10 data these cost
+  * ×100 and would only measure their own docstring). The production
+  * clustering path is p03 (capped LSH → verify → pointer-doubling CC),
+  * which IS probed.
+  */
+object ScaleProbe {
+
+  /** Random orthogonal dim×dim matrix via Gram-Schmidt, seeded. */
+  private def orthogonal(dim: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new scala.util.Random(seed)
+    val q = Array.fill(dim)(Array.fill(dim)(rng.nextGaussian()))
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(c => q(i)(c) * q(j)(c)).sum
+        for (c <- 0 until dim) q(i)(c) -= d * q(j)(c)
+      }
+      val n = math.sqrt((0 until dim).map(c => q(i)(c) * q(i)(c)).sum)
+      for (c <- 0 until dim) q(i)(c) /= n
+    }
+    q.map(_.map(_.toFloat))
+  }
+
+  private def build(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
+    val docs = Tables.documents(spark, src)
+    val reps = (0 until k).map { j =>
+      val tagged =
+        if (j == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        else docs.select(
+          (col("doc_id") + lit(j * 10_000_000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"zq$j"))), " ").as("text"),
+          col("lang"), col("source"), lit(0L).as("n_chars"))
+      tagged.withColumn("n_chars",
+        when(col("n_chars") === 0, length(col("text")))
+          .otherwise(col("n_chars")))
+    }
+    reps.reduce(_ unionByName _).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+
+    val embs = Tables.embeddings(spark, src)
+    val dim = embs.select(size(col("embedding"))).first().getInt(0)
+    val rotated = (0 until k).map { j =>
+      if (j == 0) embs.select(col("vec_id"), col("embedding"), col("label"))
+      else {
+        val q = orthogonal(dim, seed = 1000 + j)
+        val rot = udf { (v: Seq[Float]) =>
+          Array.tabulate(dim)(r =>
+            (0 until dim).map(c => q(r)(c) * v(c)).sum)
+        }
+        embs.select((col("vec_id") + lit(j * 10_000_000L)).as("vec_id"),
+          rot(col("embedding")).as("embedding"), col("label"))
+      }
+    }
+    rotated.reduce(_ unionByName _).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get()
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = s"/tmp/graft_scale_x$k"
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+      build(spark, src, dir, k)
+
+    val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",
+      "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
+      "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf",
+      "t01_tokstats", "t08_bpe_tokens")
+    val qs = Queries.all.filter(q => names.contains(q.name))
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time(q: QueryDef, d: String): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      q.run(spark, d).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    qs.foreach { q =>
+      val base = math.min(time(q, src), time(q, src))
+      val big = time(q, dir)
+      println(f"[scale] ${q.name}%-22s sf0.1 $base%6.2f s  x$k ${big}%7.2f s" +
+        f"  growth ${big / base}%5.1fx")
+      rows += ((q.name, base, big))
+    }
+    // d07 again with nlist SCALED to the corpus (SemDeDup practice: the
+    // cluster count grows with n so E[|cell|] stays constant and the
+    // Σ|cell|² pair cost stays linear). The registered query pins
+    // nlist = 16 for its DuckDB oracle, so its probe growth above
+    // measures 10× cells of 10× size (~100× pairs) — a configuration
+    // artifact this variant removes.
+    def semdedupScaled(d: String): Double = {
+      val embs = Tables.embeddings(spark, d)
+      val n = embs.count()
+      val nlist = math.max(16, (n / 125).toInt)
+      val cents = ops.Similarity.seedCentroids(embs, "vec_id", "embedding", nlist)
+      System.gc()
+      val t0 = System.nanoTime()
+      ops.Dedup.semanticDedup(embs, "vec_id", "embedding", cents, minCos = 0.4)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    {
+      val base = math.min(semdedupScaled(src), semdedupScaled(src))
+      val big = semdedupScaled(dir)
+      println(f"[scale] ${"d07_scaled_nlist"}%-22s sf0.1 $base%6.2f s  " +
+        f"x$k ${big}%7.2f s  growth ${big / base}%5.1fx")
+      rows += (("d07_scaled_nlist", base, big))
+    }
+    println("{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"queries\":{" +
+      rows.map { case (n, b, g) =>
+        s""""$n":{"base":$b,"scaled":$g}""" }.mkString(",") + "}}")
+    spark.stop()
+  }
+}
