@@ -136,6 +136,29 @@ object ScaleProbe {
         f"x$k ${big}%7.2f s  growth ${big / base}%5.1fx")
       rows += (("d07_scaled_nlist", base, big))
     }
+    // a02 with the sign-bit width r SCALED to the corpus (r ~ log2 n):
+    // fixed r means 2^r buckets per band and Σ|bucket|² ~ n²/2^r
+    // comparisons — the registered query's r = 8 is flagged quadratic by
+    // the fixed-config probe above; +log2(k) bits keeps E[|bucket|]
+    // constant so comparisons scale linearly (the standard LSH sizing).
+    def lshScaledR(d: String): Double = {
+      val embs = Tables.embeddings(spark, d)
+      val n = embs.count()
+      val r = math.max(8, (math.log(n / 8.0) / math.log(2)).round.toInt)
+      System.gc()
+      val t0 = System.nanoTime()
+      ops.Similarity.lshNeighbors(embs, "vec_id", "embedding",
+          bands = 8, r = r, minCos = 0.9)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    {
+      val base = math.min(lshScaledR(src), lshScaledR(src))
+      val big = lshScaledR(dir)
+      println(f"[scale] ${"a02_scaled_r"}%-22s sf0.1 $base%6.2f s  " +
+        f"x$k ${big}%7.2f s  growth ${big / base}%5.1fx")
+      rows += (("a02_scaled_r", base, big))
+    }
     println("{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"queries\":{" +
       rows.map { case (n, b, g) =>
         s""""$n":{"base":$b,"scaled":$g}""" }.mkString(",") + "}}")

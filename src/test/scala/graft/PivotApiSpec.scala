@@ -189,4 +189,29 @@ class PivotApiSpec extends AnyFunSuite {
         "value-field":"value","fields":[{"name":"view"}],"duration":3600}""")))
     assert(c.compile("api/pivots/daily/pivot").columns.contains("view"))
   }
+
+  test("percentile and LIST TOP pivot aggregates compile and run") {
+    val (c, api) = mkApi()
+    api.setPivot("pct", Pivot(
+      from = "test/events",
+      typeField = "event_type", valueField = "value",
+      fields = Seq(PivotField("click", avg = false,
+        percentiles = Seq(95), tops = Seq(TopSpec(3)))),
+      duration = 7 * 86400))
+    val got = c.compile("api/pivots/pct/pivot")
+    assert(got.columns.toSet == Set("start", "perc_click", "top_click"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // the 95th percentile of click values sits inside the value range,
+    // and the top list holds at most 3 entries
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").agg(
+        org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value")).head()
+    rows.foreach { r =>
+      val p = r.getAs[Double]("perc_click")
+      assert(p >= ev.getDouble(0) && p <= ev.getDouble(1), s"p95 $p")
+      assert(r.getAs[Seq[Any]]("top_click").size <= 3)
+    }
+  }
 }
