@@ -88,7 +88,9 @@ object ScaleProbe {
     val spark = GraftSession.get()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir = s"/tmp/graft_scale_x$k"
-    if (!new java.io.File(s"$dir/embeddings.parquet").exists())
+    // gate on the final write's _SUCCESS marker — a killed build leaves a
+    // partial directory that a bare exists() would silently probe
+    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
       build(spark, src, dir, k)
 
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",

@@ -93,7 +93,10 @@ object SkewBench {
     val hotDir = s"$dir/hotcell"
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    if (!new java.io.File(s"$hotDir/embeddings.parquet").exists()) {
+    // gate on the LAST table's _SUCCESS marker, not directory existence —
+    // a killed build leaves a partial directory that would silently skew
+    // every subsequent measurement
+    if (!new java.io.File(s"$hotDir/embeddings.parquet/_SUCCESS").exists()) {
       val base = Tables.documents(spark, srcDir)
         .select(col("doc_id"), col("text")).collect()
       val boiler = "this content is provided as is without warranty of " +

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -529,6 +530,13 @@ object Dedup {
     * lower id emits as ITS dup — batch min-id equality holds only for
     * in-id-order arrival (spec'd).
     *
+    * State compatibility: the keeper tuple gained its sign-signature
+    * field when the prefilter landed — the Kryo-encoded GroupState is
+    * NOT readable by a checkpoint written under the older 3-field shape
+    * (streaming state is unversioned here, as in Spark generally);
+    * restart such queries from a fresh checkpoint and re-feed, or keep
+    * running the old build for the old checkpoint.
+    *
     * Returns a streaming (id, cell, dup_of, is_dup) frame. */
   def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], minCos: Double,
@@ -710,7 +718,9 @@ object Dedup {
       case RepartitionByExpression(_, c, _, _) => walk(c)
       case GlobalLimit(_, c) => walk(c) // limit ≤ child bound
       case LocalLimit(_, c) => walk(c)
-      case Sample(_, _, _, _, c) => walk(c)
+      // with-replacement sampling can EXCEED the child count — only the
+      // without-replacement form keeps the child bound valid
+      case Sample(_, _, false, _, c) => walk(c)
       case l: LocalRelation => Some(l.data.length.toLong)
       case r: Range => Some(r.numElements.toLong)
       case lr: LogicalRelation => lr.relation match {
@@ -775,18 +785,23 @@ object Dedup {
     // hash into few partitions — the quadratic work re-serializes on the
     // exact corpora the caps target. Total join work is INVARIANT in nb
     // (Σ over block pairs |Aᵢ∪Aⱼ|² = 2·|group|² for any nb), so raising
-    // nb until nb(nb+1)/2 ≥ par buys pure parallelism; the price is
-    // replication nb on the hot group's rows only.
-    val minNb = math.max(1,
-      math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt)
-    val hot = df
+    // nb until the hot groups TOGETHER cover the slots —
+    // nHot·nb(nb+1)/2 ≥ par — buys pure parallelism; the price is
+    // replication nb on the hot groups' rows only, and the damping by
+    // nHot keeps a many-hot-groups corpus (already parallel by count)
+    // from paying replication for slots it cannot use. nHot is a
+    // window count over the (tiny, broadcast-bound) hot frame.
+    val hot0 = df
       .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
       .groupBy(keys.map(col): _*)
       .agg((count(lit(1)) * HotSampleDiv).as("_est"))
       .filter(col("_est") > cap)
-      .select(keys.map(col) :+
-        greatest(ceil(col("_est").cast("double") / cap).cast("int"),
-          lit(minNb)).as("nb"): _*)
+    val nHot = count(lit(1)).over(Window.partitionBy())
+    val minNb = greatest(lit(1),
+      ceil((sqrt(lit(8.0) * par / nHot + 1) - 1) / 2).cast("int"))
+    val hot = hot0.select(keys.map(col) :+
+      greatest(ceil(col("_est").cast("double") / cap).cast("int"),
+        minNb).as("nb"): _*)
     df
       .join(broadcast(hot), keys, "left")
       .withColumn("nb", coalesce(col("nb"), lit(1)))
@@ -822,13 +837,24 @@ object Dedup {
             df.select(keys.map(col): _*).schema.fields :+
               org.apache.spark.sql.types.StructField(nbName,
                 org.apache.spark.sql.types.IntegerType)))
-      else df
-        .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
-        .groupBy(keys.map(col): _*)
-        .agg((count(lit(1)) * HotSampleDiv).as("_est"))
-        .filter(col("_est") > cap)
-        .select(keys.map(col) :+
-          ceil(col("_est").cast("double") / cap).cast("int").as(nbName): _*)
+      else {
+        // same damped parallelism floor as blockKeyed's: an oversized
+        // shared group must spread over enough (kx, ky) keys to use the
+        // reduce slots; per side the floor is √(par/nHot) so a
+        // both-sides-hot group covers par/nHot tasks (single-sided hot
+        // keeps √ coverage — its rectangle is thin by construction)
+        val hot0 = df
+          .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
+          .groupBy(keys.map(col): _*)
+          .agg((count(lit(1)) * HotSampleDiv).as("_est"))
+          .filter(col("_est") > cap)
+        val nHot = count(lit(1)).over(Window.partitionBy())
+        val minNb = greatest(lit(1),
+          ceil(sqrt(lit(par).cast("double") / nHot)).cast("int"))
+        hot0.select(keys.map(col) :+
+          greatest(ceil(col("_est").cast("double") / cap).cast("int"),
+            minNb).as(nbName): _*)
+      }
     }
     val hotA = hotOf(dfA, boundA.exists(_ <= cap), "nbA")
     val hotB = hotOf(dfB, boundB.exists(_ <= cap), "nbB")

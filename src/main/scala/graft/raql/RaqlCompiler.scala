@@ -2877,6 +2877,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         case _ => vTypes(i)
       }
       case CLit(v) => v match {
+        case null => NullType // typeless: compatible with any branch
         case _: Boolean => BooleanType
         case _: Int | _: Long | _: Short | _: Byte => LongType
         case _: Double | _: Float => DoubleType
@@ -2892,10 +2893,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         }
       case CIsNull(_, _) => BooleanType
       case CCase(br, el) =>
+        // NULL-literal branches (the parser's nullLit) are typeless and
+        // take whatever the other branches agree on — `IF c THEN NULL
+        // ELSE x` is a legitimate nullable field, not a type mismatch
         val ts = (br.map(_._2) ++ el.toSeq).map(nodeType)
+          .filter(_ != NullType)
         def numeric(t: DataType) =
           integral(t) || t == DoubleType || t == FloatType
-        if (ts.forall(integral)) LongType
+        if (ts.isEmpty) NullType // every branch NULL: a constant-null field
+        else if (ts.forall(integral)) LongType
         else if (ts.forall(numeric)) DoubleType
         // after numeric widening, branches must agree — a stray string or
         // boolean branch under a numeric schema would reach the row
@@ -2914,7 +2920,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         else DoubleType
     }
     val outSchema = StructType(named.zip(fieldNodes).map {
-      case ((_, name), nd) => StructField(name, nodeType(nd))
+      case ((_, name), nd) => StructField(name, nodeType(nd) match {
+        // a constant-NULL field still needs an encodable column type
+        case NullType => StringType
+        case t => t
+      })
     })
     val rt = new ExprCommitRt(slots.toSeq.map(_._1).toArray,
       vTypes.map(integral).toArray, fieldNodes, outSchema, cond)

@@ -68,7 +68,15 @@ object PivotApi {
       if (s.matches("""-?\d+(\.\d+)?([eE][-+]?\d+)?"""))
         s
       else throw new BadRequest(s"'$s' is not a numeric literal")
-    case _ => s // booleans etc. pass through as RaQL source
+    case org.apache.spark.sql.types.BooleanType =>
+      s.trim.toLowerCase match {
+        case b @ ("true" | "false") => b
+        case _ => throw new BadRequest(s"'$s' is not a boolean literal")
+      }
+    // anything else (timestamps, dates, …) is QUOTED — a raw passthrough
+    // would let an rhs string inject arbitrary RaQL into the generated
+    // program
+    case _ => strLit(s)
   }
 
   /** The typed WHERE printer (CodeGen_SimpleFilter2RaQL.ml:15-40): rhs
@@ -157,9 +165,10 @@ object PivotApi {
         sb ++= s"    ${pctSpec(field.percentiles)} PERCENTILE " +
           s"(_${field.name}) AS ${alias("perc")},\n"
       field.tops.zipWithIndex.foreach { case (t, i) =>
-        // the reference aliases every top `top_<field>`; index the 2nd+ so
-        // multiple tops per field stay distinct output columns
-        val a = if (field.tops.sizeIs == 1) alias("top") else s"${alias("top")}_$i"
+        // the reference aliases every top `top_<field>` (colliding for 2+
+        // tops on one field); keep its name for the first and suffix only
+        // the 2nd+ so multiple tops stay distinct output columns
+        val a = if (i == 0) alias("top") else s"${alias("top")}_$i"
         val by = t.by.map(b => s" BY $b").getOrElse("")
         sb ++= s"    LIST TOP ${t.n} (_${field.name})$by AS $a,\n"
       }

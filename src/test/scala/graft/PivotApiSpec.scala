@@ -75,6 +75,24 @@ class PivotApiSpec extends AnyFunSuite {
       Seq(SimpleFilter("note", "x"))) == """COALESCE(note = "x", false)""")
   }
 
+  test("printFilter: non-string/numeric rhs never passes through raw") {
+    import org.apache.spark.sql.types.{BooleanType, TimestampType}
+    val s2 = StructType(Seq(
+      StructField("ok", BooleanType, nullable = false),
+      StructField("at", TimestampType, nullable = false)))
+    assert(PivotApi.printFilter(s2, Seq(SimpleFilter("ok", "TRUE"))) ==
+      "ok = true")
+    // an rhs that is not a boolean literal is a typed error, not RaQL
+    // source injection into the generated program
+    intercept[AlertApi.BadRequest] {
+      PivotApi.printFilter(s2, Seq(SimpleFilter("ok", "true OR 1 = 1")))
+    }
+    // unknown-typed columns quote the rhs (never raw passthrough)
+    assert(PivotApi.printFilter(s2,
+      Seq(SimpleFilter("at", "2024-01-01 00:00:00", ">="))) ==
+      """at >= "2024-01-01 00:00:00"""")
+  }
+
   // --- pivot generation (CodeGen_Pivot2RaQL.ml:34-124) ------------------
 
   private val evSchema = StructType(Seq(

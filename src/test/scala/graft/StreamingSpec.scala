@@ -962,6 +962,38 @@ class StreamingSpec extends AnyFunSuite {
       rows)
   }
 
+  test("NULL-literal CASE branches are typeless, not a branch-type mismatch") {
+    // `IF previous.total IS NULL THEN NULL ELSE …` is the idiomatic
+    // nullable first-window field; NULL branches must take the other
+    // branches' type instead of tripping the mixed-type rejection
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/ev", mem.toDS().toDF())
+    RaqlParser.parseProgram("""DEFINE q AS
+        FROM tables/ev
+        SELECT user, SUM v AS total,
+               (IF previous.total IS NULL THEN NULL
+                ELSE previous.total * 2) AS dbl
+        GROUP BY user
+        COMMIT AFTER out.total >= 10;""") match {
+      case Right(p) => c.register("nullbr", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val sdf = c.compile("nullbr/q") // previously: incompatible branch types
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("nullbr")
+      .outputMode("append").start()
+    mem.addData(Ev("a", 1, 11.0))
+    q.processAllAvailable()
+    mem.addData(Ev("a", 2, 12.0))
+    q.processAllAvailable()
+    val rows = spark.table("nullbr").select("total", "dbl")
+      .collect().map(r => (r.getDouble(0), Option(r.get(1)))).toSet
+    q.stop()
+    assert(rows == Set((11.0, None), (12.0, Some(22.0))), rows)
+  }
+
   test("global_last_out on a stream: ungrouped works, grouped is typed error") {
     // UNGROUPED: one global group, so global_last_out IS local_last_out
     // (the reference runs one worker per function — its global last output
