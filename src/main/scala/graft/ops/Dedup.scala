@@ -786,11 +786,15 @@ object Dedup {
     // exact corpora the caps target. Total join work is INVARIANT in nb
     // (Σ over block pairs |Aᵢ∪Aⱼ|² = 2·|group|² for any nb), so raising
     // nb until the hot groups TOGETHER cover the slots —
-    // nHot·nb(nb+1)/2 ≥ par — buys pure parallelism; the price is
+    // nHot·nb(nb+1)/2 ≥ 4·par — buys pure parallelism; the price is
     // replication nb on the hot groups' rows only, and the damping by
     // nHot keeps a many-hot-groups corpus (already parallel by count)
-    // from paying replication for slots it cannot use. nHot is a
-    // window count over the (tiny, broadcast-bound) hot frame.
+    // from paying replication for slots it cannot use. The 4×
+    // oversubscription absorbs hash-collision imbalance (exact coverage
+    // leaves ~2× variance when few deterministic keys hash into the
+    // partition space; 2–4 tasks per slot is standard straggler
+    // smoothing). nHot is a window count over the (tiny,
+    // broadcast-bound) hot frame.
     val hot0 = df
       .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
       .groupBy(keys.map(col): _*)
@@ -798,7 +802,7 @@ object Dedup {
       .filter(col("_est") > cap)
     val nHot = count(lit(1)).over(Window.partitionBy())
     val minNb = greatest(lit(1),
-      ceil((sqrt(lit(8.0) * par / nHot + 1) - 1) / 2).cast("int"))
+      ceil((sqrt(lit(32.0) * par / nHot + 1) - 1) / 2).cast("int"))
     val hot = hot0.select(keys.map(col) :+
       greatest(ceil(col("_est").cast("double") / cap).cast("int"),
         minNb).as("nb"): _*)
@@ -838,11 +842,12 @@ object Dedup {
               org.apache.spark.sql.types.StructField(nbName,
                 org.apache.spark.sql.types.IntegerType)))
       else {
-        // same damped parallelism floor as blockKeyed's: an oversized
-        // shared group must spread over enough (kx, ky) keys to use the
-        // reduce slots; per side the floor is √(par/nHot) so a
-        // both-sides-hot group covers par/nHot tasks (single-sided hot
-        // keeps √ coverage — its rectangle is thin by construction)
+        // same damped parallelism floor as blockKeyed's (incl. the 4×
+        // oversubscription): an oversized shared group must spread over
+        // enough (kx, ky) keys to use the reduce slots; per side the
+        // floor is √(4·par/nHot) so a both-sides-hot group covers
+        // 4·par/nHot tasks (single-sided hot keeps √ coverage — its
+        // rectangle is thin by construction)
         val hot0 = df
           .filter(pmod(xxhash64(col("id")), lit(HotSampleDiv.toLong)) === 0L)
           .groupBy(keys.map(col): _*)
@@ -850,7 +855,7 @@ object Dedup {
           .filter(col("_est") > cap)
         val nHot = count(lit(1)).over(Window.partitionBy())
         val minNb = greatest(lit(1),
-          ceil(sqrt(lit(par).cast("double") / nHot)).cast("int"))
+          ceil(sqrt(lit(4.0) * par / nHot)).cast("int"))
         hot0.select(keys.map(col) :+
           greatest(ceil(col("_est").cast("double") / cap).cast("int"),
             minNb).as(nbName): _*)
