@@ -383,3 +383,61 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
+
+/** Banded LSH bucket keys from a minhash signature, one kernel call:
+  * `bands` values, band b = XXH64-fold of signature slots
+  * [b·r, b·r+r) seeded with b — bit-identical to the Column form
+  * `xxhash64(slice(sig, b*r+1, r), b)` (Spark's xxhash64 folds array
+  * elements through `XXH64.hashLong`).
+  *
+  * Why an expression and not the transform/slice Column form: the bucket
+  * frame must carry BOTH the whole bucket array (for first-shared-band
+  * pair suppression) and its explosion, which takes two projections —
+  * and CollapseProject inlines a 1-ref signature INTO the transform's
+  * lambda, where it re-evaluates once PER BAND (a 6× minhash recompute
+  * measured as ~2× on d02's wall). A unary expression evaluates its
+  * child exactly once per row, whatever the optimizer does around it. */
+case class BandBuckets(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1 && r >= 1, "bands and r must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  def compute(sig: ArrayData): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var i = 0
+      val base = b * r
+      val n = math.min(r, math.max(0, sig.numElements() - base))
+      while (i < n) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig.getLong(base + i), acc)
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bandBuckets", this, classOf[BandBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BandBuckets =
+    copy(child = c)
+}

@@ -42,10 +42,14 @@ object TextFunctions {
     org.apache.spark.sql.GraftShims.column(
       MinHashSig(org.apache.spark.sql.GraftShims.expression(shingles), k))
 
-  /** LSH bucket keys: one hash per band of `r` consecutive signature slots. */
+  /** LSH bucket keys: one hash per band of `r` consecutive signature
+    * slots. One kernel call ([[graft.functions.BandBuckets]], bit-identical
+    * to the previous `transform(…, b -> xxhash64(slice(sig…), b))` Column
+    * form) so the signature child evaluates ONCE per row — the lambda form
+    * re-evaluated an optimizer-inlined signature once per band. */
   def lshBuckets(sig: Column, bands: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sig, b * lit(r) + 1, lit(r)), b))
+    org.apache.spark.sql.GraftShims.column(BandBuckets(
+      org.apache.spark.sql.GraftShims.expression(sig), bands, r))
 
   // --- language ID ------------------------------------------------------
   // Stopword-profile scoring over the most frequent function words of each

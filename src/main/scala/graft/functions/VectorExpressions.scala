@@ -159,3 +159,64 @@ case class LshSignBuckets(child: Expression, planes: Seq[Seq[Double]],
   override protected def withNewChildInternal(c: Expression): LshSignBuckets =
     copy(child = c)
 }
+
+/** Index of the FIRST band where two LSH bucket arrays agree, −1 if none.
+  *
+  * The duplicate-suppression primitive of banded LSH pair generation: a
+  * candidate pair sharing m of the `bands` buckets would otherwise be
+  * emitted m times and deduplicated by a full `distinct()` exchange over
+  * the (quadratic) raw pair stream — the measured dominant cost of the
+  * hot-bucket joins (each reduce task wrote ~2M pair rows for ~5k inputs).
+  * With every bucket row carrying its full bucket array, the join adds
+  * `band === first_shared_band(a.bkts, b.bkts)` and each pair survives in
+  * EXACTLY one band's bucket group: no duplicate emissions, no distinct,
+  * cosine/verify evaluated once per pair.
+  *
+  * A higher-order-function form (`exists(zip_with(slice…)))`) allocates
+  * per evaluation; this is a tight codegen'd loop over the two ArrayData
+  * (bands ≈ 6–8 longs), a few ns per combo. */
+case class FirstSharedBand(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_shared_band"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      ${ev.value} = -1;
+      for (int $i = 0; $i < $n; $i++) {
+        if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FirstSharedBand = copy(left = l, right = r)
+}

@@ -53,9 +53,22 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
-      .select(col("id"), posexplode(lshBuckets(col("sig"), bands, r)))
+      // every bucket row carries the FULL bucket array: the pair joins
+      // emit a pair only from its first shared band
+      // ([[graft.functions.FirstSharedBand]]), which needs both sides'
+      // arrays in the join condition. bands longs per row — noise next
+      // to the duplicate pair emissions it eliminates.
+      .select(col("id"), lshBuckets(col("sig"), bands, r).as("bkts"))
+      .select(col("id"), col("bkts"), posexplode(col("bkts")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
+
+  /** First index where two bucket arrays agree (codegen'd loop) — see
+    * [[graft.functions.FirstSharedBand]]. */
+  private[ops] def firstSharedBand(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.FirstSharedBand(
+      org.apache.spark.sql.GraftShims.expression(a),
+      org.apache.spark.sql.GraftShims.expression(b)))
 
   /** Candidate near-dup pairs from MinHash + banded LSH over word
     * `shingleN`-gram shingles. Probabilistic recall; verify candidates with
@@ -76,14 +89,18 @@ object Dedup {
       lshBucketFrame(docs, idCol, textCol, shingleN, k, bands, par(docs)),
       Seq("band", "bucket"), par(docs), bucketCap,
       maxGroupBound = leafRowBound(docs)).hint("shuffle_hash")
+    // a pair sharing m bands survives ONLY in its first shared band's
+    // bucket group: no duplicate emissions, and the raw-pair `distinct()`
+    // exchange (the measured dominant cost on hot corpora — each reduce
+    // task wrote ~2M pair rows) disappears entirely
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           col("a.id") < col("b.id") &&
-          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
+          col("a.band") === firstSharedBand(col("a.bkts"), col("b.bkts")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** CROSS-corpus candidate near-dup pairs: corpus A's LSH buckets joined
@@ -118,9 +135,11 @@ object Dedup {
     ba.hint("shuffle_hash").as("a")
       .join(bb.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky"))
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
+          // emit each cross pair from its first shared band only (see
+          // [[minhashCandidates]]) — replaces the raw-pair distinct()
+          col("a.band") === firstSharedBand(col("a.bkts"), col("b.bkts")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** Exact shingle-Jaccard for a CROSS-corpus pair frame (id_a from A,
@@ -376,15 +395,27 @@ object Dedup {
       // join): a broadcast build side would recompute the full fingerprint
       // pipeline in one task, and sort-merge adds a pointless sort
       .hint("shuffle_hash")
+    // emit each pair from its FIRST shared chunk only (the same
+    // duplicate-suppression as the LSH joins' FirstSharedBand — here the
+    // chunk values derive from the carried fingerprints, so a when-cascade
+    // over fp⊕fp replaces the array kernel): no duplicate emissions, no
+    // raw-pair distinct() exchange. The otherwise(3) branch is only
+    // reachable inside chunk-3 groups where chunks 0–2 all differ.
+    val x = col("a.fp").bitwiseXOR(col("b.fp"))
+    val firstSharedChunk =
+      when(x.bitwiseAND(lit(0xFFFFL)) === 0, 0)
+        .when(x.bitwiseAND(lit(0xFFFF0000L)) === 0, 1)
+        .when(x.bitwiseAND(lit(0xFFFF00000000L)) === 0, 2)
+        .otherwise(3)
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           col("a.id") < col("b.id") &&
-          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
+          col("a.chunk") === firstSharedChunk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -406,7 +406,8 @@ object Similarity {
     // the corpus — boilerplate embeddings) triangle-block-split above
     // bucketCap, same exact rewrite as the text LSH / SemDeDup cells
     val buckets = Dedup.blockKeyed(v
-      .select(col("id"), posexplode(sigCol))
+      .select(col("id"), sigCol.as("sigs"))
+      .select(col("id"), col("sigs"), posexplode(col("sigs")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
       Seq("band", "bucket"), par(embs), bucketCap,
       // ≤ one row per embedding per (band, bucket) group: the embedding
@@ -415,17 +416,19 @@ object Similarity {
       // pin the co-partitioned self-join: a broadcast build side would
       // recompute the whole projection pipeline in one task
       .hint("shuffle_hash")
-    // One pipelined codegen stage per bucket partition: generate pairs,
-    // probe the (broadcast) vector table twice, flat-dot cosine, filter —
-    // THEN dedup the (now small) surviving pairs. Dedup-before-cosine reads
-    // nicer but forces a full shuffle of every raw candidate pair; with the
-    // codegen'd dot product the re-scored duplicates (≤ bands per pair) are
-    // far cheaper than that exchange.
+    // One pipelined codegen stage per bucket partition: generate pairs —
+    // each pair ONLY from its first shared band (the codegen'd
+    // FirstSharedBand over the carried signature arrays), so there are no
+    // duplicate emissions and no raw-pair distinct() exchange (previously
+    // the measured dominant cost on hot corpora: reduce tasks wrote ~2M
+    // pair rows each) — probe the vector table twice, flat-dot cosine
+    // once per unique pair, filter.
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           col("a.id") < col("b.id") &&
-          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
+          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
+          col("a.band") === Dedup.firstSharedBand(col("a.sigs"), col("b.sigs")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
@@ -436,7 +439,6 @@ object Similarity {
       // oracle's round-9 once each
       .filter(roundedAtLeast(col("_c"), minCos, 9))
       .select(col("id_a"), col("id_b"), round(col("_c"), 9).as("cos"))
-      .distinct()
   }
 
   /** Per-query-point recall audit of [[lshNeighbors]]: for each query id
