@@ -72,4 +72,43 @@ class PropertySpec extends AnyFunSuite {
         pairs.distinct.length == pairs.length
     }, n = 12)
   }
+
+  test("FirstSharedBand equals the naive first-agreeing index") {
+    import graft.functions.FirstSharedBand
+    import org.apache.spark.sql.GraftShims
+    val gen = for {
+      n <- Gen.choose(0, 10)
+      a <- Gen.listOfN(n, Gen.choose(0L, 3L)) // small range forces agreements
+      b <- Gen.listOfN(n, Gen.choose(0L, 3L))
+    } yield (a, b)
+    check("fsb", Prop.forAll(gen) { case (a, b) =>
+      val want = a.zip(b).indexWhere { case (x, y) => x == y }
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(GraftShims.column(FirstSharedBand(
+        GraftShims.expression(col("a")), GraftShims.expression(col("b")))))
+        .head().getInt(0)
+      got == want // indexWhere returns -1 on no agreement, same convention
+    }, n = 30)
+  }
+
+  test("pair joins emit every multi-band-sharing pair exactly once") {
+    // near-identical docs share ALL bands; the first-shared-band predicate
+    // must still yield each pair once (previously distinct() cleaned up
+    // bands-many duplicates). Same check for the simhash chunk join,
+    // where identical fingerprints share all 4 chunks.
+    val docs = (1L to 30L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa" +
+        (if (i % 3 == 0) " lambda" else ""))).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(cands.nonEmpty)
+    assert(cands.distinct.length == cands.length,
+      "a pair sharing several bands must emit exactly once")
+    val fps = Dedup.simhashFps(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairsOfFps(fps)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.distinct.length == pairs.length,
+      "a pair sharing several chunks must emit exactly once")
+  }
 }
