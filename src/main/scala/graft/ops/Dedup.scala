@@ -78,7 +78,12 @@ object Dedup {
     * of identical-signature docs in ONE (band, bucket) — the same skew
     * that motivated d07's cell cap — so buckets above `bucketCap` are
     * triangle-block-split ([[blockKeyed]]): exact pair set, bounded
-    * per-task input, and only the few oversized buckets pay replication. */
+    * per-task input, and only the few oversized buckets pay replication.
+    *
+    * PRECONDITION: `idCol` values must be UNIQUE. Pairs are emitted from
+    * their first shared band with no downstream `distinct()`, so a
+    * duplicated id yields duplicated (id_a, id_b) rows (under the old
+    * distinct() they collapsed — at the cost of the dominant exchange). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6,
       bucketCap: Int = 4096): DataFrame = {
@@ -122,7 +127,10 @@ object Dedup {
     * would still be one |A∩g|×|B∩g| rectangle in a single task, so
     * oversized buckets are rectangle-block-split per side
     * ([[blockKeyedCross]], cap `bucketCap`): exact pair set, each task
-    * bounded at ~2·cap rows of one bucket. */
+    * bounded at ~2·cap rows of one bucket.
+    *
+    * PRECONDITION: ids must be UNIQUE within each corpus (first-shared-
+    * band emission, no distinct() — duplicate ids duplicate pair rows). */
   def minhashCandidatesCross(docsA: DataFrame, docsB: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 12,
       bands: Int = 6, bucketCap: Int = 4096): DataFrame = {
@@ -378,7 +386,11 @@ object Dedup {
     * exchange is the narrow (chunk, chunk_val) bucket partitioning.
     * Chunk-value groups above `bucketCap` (a popular 16-bit chunk — near-
     * identical boilerplate fingerprints) are triangle-block-split
-    * ([[blockKeyed]]): exact pair set, bounded per-task input. */
+    * ([[blockKeyed]]): exact pair set, bounded per-task input.
+    *
+    * PRECONDITION: `id` values must be UNIQUE (pairs emit from their
+    * first shared chunk with no distinct() — duplicate ids duplicate
+    * pair rows). */
   def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = 4096): DataFrame = {
     require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
@@ -545,34 +557,40 @@ object Dedup {
     * trade-off SemDeDup makes). Dimension comes from the centroids, so no
     * probe action runs against the unbounded stream.
     *
-    * Per-arrival cost: with `signPrefilter` on (default), each keeper
-    * carries a 32-bit sign signature (4 bands × 8 seeded hyperplane
-    * signs), the cell's keepers index by their 4 band bytes, and an
-    * arrival runs exact cosine ONLY against keepers sharing ≥ 1 band —
-    * ~4/256 of a diverse cell instead of all of it. This is the same
-    * pigeonhole recall trade as banded LSH: a pair at cosine c shares a
-    * band with probability 1−(1−(1−θ/π)⁸)⁴ (θ = arccos c) — ≥ 0.999998
-    * for near-identical vectors (c ≥ 0.999), dropping for barely-over-
-    * threshold pairs (~0.74 at c = 0.9) — a recall-only degradation,
-    * never a false duplicate, and `dup_of` is the lowest-id SURFACED
-    * keeper. Pass `signPrefilter = false` for the exact full-scan
-    * semantics. Out-of-order arrival is first-wins either way: an id
-    * arriving before a lower-id near-mate enrolls as the keeper and the
-    * lower id emits as ITS dup — batch min-id equality holds only for
-    * in-id-order arrival (spec'd).
+    * Per-arrival cost: the default (`signPrefilter = false`) runs exact
+    * cosine against EVERY keeper in the cell — within-cell dedup is
+    * exact, at up to `maxKeepersPerCell` dot products per arrival in a
+    * hot cell. Opting into `signPrefilter = true` gives each keeper a
+    * 32-bit sign signature (4 bands × 8 seeded hyperplane signs),
+    * indexes the cell's keepers by their 4 band bytes, and runs exact
+    * cosine ONLY against keepers sharing ≥ 1 band — ~4/256 of a diverse
+    * cell instead of all of it. That is the same pigeonhole recall trade
+    * as banded LSH: a pair at cosine c shares a band with probability
+    * 1−(1−(1−θ/π)⁸)⁴ (θ = arccos c) — ≥ 0.999998 for near-identical
+    * vectors (c ≥ 0.999), dropping for barely-over-threshold pairs
+    * (~0.74 at c = 0.9) — a recall-only degradation, never a false
+    * duplicate, and `dup_of` is the lowest-id SURFACED keeper. The
+    * prefilter is OPT-IN precisely because it changes result semantics:
+    * hot-cell throughput is its only upside. Out-of-order arrival is
+    * first-wins either way: an id arriving before a lower-id near-mate
+    * enrolls as the keeper and the lower id emits as ITS dup — batch
+    * min-id equality holds only for in-id-order arrival (spec'd).
     *
     * State compatibility: the keeper tuple gained its sign-signature
     * field when the prefilter landed — the Kryo-encoded GroupState is
     * NOT readable by a checkpoint written under the older 3-field shape
     * (streaming state is unversioned here, as in Spark generally);
     * restart such queries from a fresh checkpoint and re-feed, or keep
-    * running the old build for the old checkpoint.
+    * running the old build for the old checkpoint. Both prefilter modes
+    * of THIS build share the 4-field encoding (the signature is stored
+    * but unused when `signPrefilter = false`), so toggling the flag
+    * across a restart is safe.
     *
     * Returns a streaming (id, cell, dup_of, is_dup) frame. */
   def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], minCos: Double,
       maxKeepersPerCell: Int = 100000,
-      signPrefilter: Boolean = true,
+      signPrefilter: Boolean = false,
       comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -664,7 +682,10 @@ object Dedup {
                 Array[Any](id, cell, dupOf, true), outSchema)
             else {
               if (nKeepers < cap) {
-                val k = (id, v, norm, sig)
+                // enroll with a REAL signature in both modes (32 plane
+                // dots per new unique only) so toggling signPrefilter
+                // across a restart finds indexable keepers
+                val k = (id, v, norm, if (pre) sig else sigOf(v))
                 keepers = k :: keepers
                 nKeepers += 1
                 if (pre) enroll(k)
@@ -725,19 +746,43 @@ object Dedup {
     * possibly exceed the cap: each group of the frames this module blocks
     * holds at most one row per upstream document/vector, so the upstream
     * row bound IS a group-size bound. */
+  /** Per-file footer row counts, memoized across calls: columnar lake
+    * files are write-once, so a path's count never changes while it
+    * exists; a path rewritten in place would at worst stale the
+    * OPTIMIZATION bound (pair-set output is exact for any bound). */
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val FooterCacheMax = 4096
+
   private[graft] def leafRowBound(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    def footerRows(files: Seq[org.apache.hadoop.fs.Path]): Option[Long] =
+    def cached(p: org.apache.hadoop.fs.Path, read: () => Long): Long = {
+      val k = p.toString
+      val hit = footerRowCache.get(k)
+      if (hit ne null) hit.longValue()
+      else {
+        val n = read()
+        if (footerRowCache.size >= FooterCacheMax) footerRowCache.clear()
+        footerRowCache.put(k, java.lang.Long.valueOf(n))
+        n
+      }
+    }
+    def parquetRows(p: org.apache.hadoop.fs.Path): Long = cached(p, { () =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    })
+    def orcRows(p: org.apache.hadoop.fs.Path): Long = cached(p, { () =>
+      val r = org.apache.orc.OrcFile.createReader(
+        p, org.apache.orc.OrcFile.readerOptions(conf))
+      try r.getNumberOfRows finally r.close()
+    })
+    def footerRows(files: Seq[org.apache.hadoop.fs.Path],
+        rows: org.apache.hadoop.fs.Path => Long): Option[Long] =
       if (files.isEmpty || files.length > FooterScanMaxFiles) None
-      else scala.util.Try {
-        files.map { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
-      }.toOption
+      else scala.util.Try(files.map(rows).sum).toOption
     def walk(p: LogicalPlan): Option[Long] = p match {
       case Project(_, c) => walk(c)
       case Filter(_, c) => walk(c)
@@ -755,10 +800,18 @@ object Dedup {
       case l: LocalRelation => Some(l.data.length.toLong)
       case r: Range => Some(r.numElements.toLong)
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation
-            if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
-          footerRows(fs.location.inputFiles.toSeq
-            .map(new org.apache.hadoop.fs.Path(_)))
+        // match the format by CLASS, not toString (fragile), and
+        // dispatch the right footer reader
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles.toSeq
+            .map(new org.apache.hadoop.fs.Path(_))
+          fs.fileFormat match {
+            case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat =>
+              footerRows(files, parquetRows)
+            case _: org.apache.spark.sql.execution.datasources.orc.OrcFileFormat =>
+              footerRows(files, orcRows)
+            case _ => None
+          }
         case _ => None
       }
       case _ => None

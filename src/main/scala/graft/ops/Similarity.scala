@@ -385,7 +385,11 @@ object Similarity {
 
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
-    * cos ≥ minCos. */
+    * cos ≥ minCos.
+    *
+    * PRECONDITION: `idCol` values must be UNIQUE (pairs emit from their
+    * first shared band with no distinct() — duplicate ids duplicate pair
+    * rows). */
   def lshNeighbors(embs: DataFrame, idCol: String, vecCol: String,
       bands: Int = 8, r: Int = 8, minCos: Double = 0.0, seed: Long = 42L,
       bucketCap: Int = 4096): DataFrame = {

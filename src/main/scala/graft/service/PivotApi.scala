@@ -56,6 +56,11 @@ object PivotApi {
       duration: Double,
       maxLateness: Double = 0.0)
 
+  /** Comparison ops a simple filter may carry — anything else is rejected
+    * rather than interpolated into the generated program. */
+  private[service] val FilterOps: Set[String] =
+    Set("=", "!=", "<>", "<", "<=", ">", ">=", "like")
+
   private def fmt(d: Double): String =
     if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
 
@@ -101,7 +106,13 @@ object PivotApi {
           else (o.toUpperCase,
             items.map(valueLit(f.dataType, _)).mkString("[", "; ", "]"))
         case (o, r) =>
-          (if (o.isEmpty) "=" else o, valueLit(f.dataType, r))
+          // the op string is interpolated into generated RaQL — anything
+          // outside the comparison whitelist is an injection vector (the
+          // rhs quoting above is bypassable via op = "= 0 OR 1 =")
+          val safe = if (o.isEmpty) "=" else o
+          if (!PivotApi.FilterOps.contains(safe))
+            throw new BadRequest(s"unsupported filter op '${w.op}'")
+          (safe.toUpperCase, valueLit(f.dataType, r))
       }
       val s = s"${w.lhs} $op $rhs"
       if (f.nullable) s"COALESCE($s, false)" else s

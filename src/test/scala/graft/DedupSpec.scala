@@ -135,6 +135,21 @@ class DedupSpec extends AnyFunSuite {
       .contains(2L))
   }
 
+  test("leafRowBound: ORC-backed frames bound from ORC footers") {
+    val d = java.nio.file.Files.createTempDirectory("graft_orc_bound").toFile
+    d.deleteOnExit()
+    val dir = d.getPath
+    val docs = Tables.documents(spark, sf).limit(37)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    val n = back.count()
+    // first call reads footers, second hits the memo cache — both
+    // must agree with the actual count
+    assert(Dedup.leafRowBound(back).contains(n))
+    assert(Dedup.leafRowBound(back.filter(col("doc_id") >= 0))
+      .contains(n))
+  }
+
   test("a proven group bound skips hot-bucket detection without changing pairs") {
     // bound ≤ cap ⇒ blockKeyed's constant-key fast path: no sampled
     // detection aggregate (no xxhash64 in the plan), degenerate (0,0)

@@ -70,6 +70,20 @@ class PivotApiSpec extends AnyFunSuite {
       """name IN ["a"; "b"]""")
   }
 
+  test("printFilter: ops outside the whitelist are rejected, not interpolated") {
+    // the typed-rhs quoting is bypassable through the op field — an op
+    // like "= 0 OR 1 =" must be a typed error, never generated source
+    for (bad <- Seq("= 0 OR 1 =", "<> x; NOTIFY", "is", "between"))
+      intercept[AlertApi.BadRequest] {
+        PivotApi.printFilter(schema, Seq(SimpleFilter("score", "3", bad)))
+      }
+    // every whitelisted op still prints
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("score", "3", "!="))) == "score != 3")
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("name", "b%", "LIKE"))) == """name LIKE "b%"""")
+  }
+
   test("printFilter: nullable lhs wraps in COALESCE(…, false)") {
     assert(PivotApi.printFilter(schema,
       Seq(SimpleFilter("note", "x"))) == """COALESCE(note = "x", false)""")

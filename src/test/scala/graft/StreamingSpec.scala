@@ -316,7 +316,7 @@ class StreamingSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, Array[Float])]
     val out = Dedup.semanticDedupStream(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      cents, minCos = 0.95, comparisons = Some(acc))
+      cents, minCos = 0.95, signPrefilter = true, comparisons = Some(acc))
     val q = out.writeStream.format("memory").queryName("semprefilter")
       .outputMode("append").start()
     mem.addData(vecs.take(200): _*)
@@ -364,6 +364,52 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, Option[Long], Boolean)].collect().toSet
     assert(got == expected,
       s"stream/batch divergence:\n  only-stream: ${got -- expected}\n  only-batch: ${expected -- got}")
+  }
+
+  test("streaming semantic dedup: batch parity at a boundary cosine (default exact; prefilter never false-positives)") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // Pairs sitting JUST over a 0.9 threshold (cosine ≈ 0.905) — the
+    // regime where the opt-in sign prefilter's recall drops to ~0.74.
+    // The default (exact) mode must match the batch operator EXACTLY
+    // here; the prefilter mode may miss dups but must never invent one.
+    val dim = 16
+    val th = math.acos(0.905)
+    val vecs: Seq[(Long, Array[Float])] = (0 until 12).flatMap { p =>
+      val u = Array.fill(dim)(0.0f)
+      u(p % (dim - 1)) = 1.0f
+      val v = Array.fill(dim)(0.0f)
+      v(p % (dim - 1)) = math.cos(th).toFloat
+      v(dim - 1) = math.sin(th).toFloat * (if (p % 2 == 0) 1f else -1f)
+      Seq((p * 2 + 1L, u), (p * 2 + 2L, v))
+    }
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    val cents = Seq(Seq.fill(dim)(1.0 / math.sqrt(dim)))
+    val expected = Dedup.semanticDedup(batchDf, "vec_id", "embedding",
+        cents, minCos = 0.9)
+      .select("id", "dup_of", "is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    assert(expected.count(_._3) >= 10, "planted boundary pairs should dup")
+    def runStream(pre: Boolean, name: String): Set[(Long, Option[Long], Boolean)] = {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = Dedup.semanticDedupStream(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          cents, minCos = 0.9, signPrefilter = pre)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      vecs.foreach { v => mem.addData(v); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).select("id", "dup_of", "is_dup")
+        .as[(Long, Option[Long], Boolean)].collect().toSet
+    }
+    // default mode: exact parity, boundary pairs included
+    assert(runStream(pre = false, "semboundary_exact") == expected)
+    // opt-in prefilter: recall-only degradation — every surfaced dup is
+    // a batch dup with the same survivor
+    val approx = runStream(pre = true, "semboundary_pre")
+    approx.filter(_._3).foreach { d =>
+      assert(expected.contains(d), s"prefilter invented a duplicate: $d")
+    }
   }
 
   test("UDP netflow → RaQL NOTIFY fires incidents end-to-end") {
