@@ -28,20 +28,23 @@ final case class QueryDef(
 object Det {
   /** Exact sum of a double column — order-free, engine-portable.
     *
-    * Implementation: each value quantizes to 1e-4 units as a LONG via the
-    * SAME `CAST(x AS DECIMAL(18,4))` the oracle performs (decimal HALF_UP
-    * — a plain `round(x·10⁴)` in doubles can quantize a value sitting
-    * within 1 ulp of a .5 boundary differently than the decimal cast),
-    * then `·10⁴` in exact decimal arithmetic yields the integral unit
-    * count, longs sum exactly, and the total scales back. The per-row
-    * decimal work is projection-side only; the aggregation buffer stays a
-    * PRIMITIVE long inside whole-stage codegen — a decimal SUM's buffer
-    * is DecimalType(28,4), which exceeds Spark's 18-digit compact-long
-    * representation and falls back to BigDecimal objects in the hot loop.
-    * Capacity is the same class as the decimal it replaces (~9.2e14 units
-    * vs DECIMAL(18,4)'s 1e14). */
+    * Implementation: each value quantizes to 1e-4 units as a LONG with
+    * the SAME semantics as the oracle's `CAST(x AS DECIMAL(18,4))`
+    * (shortest-rendering parse, HALF_UP — a plain `round(x·10⁴)` in
+    * doubles can quantize a value sitting within 1 ulp of a .5 boundary
+    * differently than the decimal cast). The quantizer is the codegen'd
+    * [[graft.functions.QuantizeE4]]: primitive multiply-floor outside the
+    * provable boundary band, exact BigDecimal only inside it — decimal-
+    * cast-identical output without per-row decimal objects. Longs sum
+    * exactly; the aggregation buffer stays a PRIMITIVE long inside
+    * whole-stage codegen — a decimal SUM's buffer is DecimalType(28,4),
+    * which exceeds Spark's 18-digit compact-long representation and
+    * falls back to BigDecimal objects in the hot loop. Capacity is the
+    * same class as the decimal it replaces (~9.2e14 units vs
+    * DECIMAL(18,4)'s 1e14). */
   def dsum(c: Column): Column =
-    (sum((c.cast(DecimalType(18, 4)) * 10000).cast(LongType))
+    (sum(org.apache.spark.sql.GraftShims.column(graft.functions.QuantizeE4(
+        org.apache.spark.sql.GraftShims.expression(c.cast(DoubleType)))))
       .cast(DoubleType) / 10000.0)
   /** Deterministic mean: exact decimal sum divided by count, in doubles. */
   def davg(c: Column): Column = dsum(c) / count(c)

@@ -111,4 +111,42 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length,
       "a pair sharing several chunks must emit exactly once")
   }
+
+  test("QuantizeE4 is bit-identical to the DECIMAL(18,4) cast chain") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    // adversarial set: exact .00005 boundaries at many magnitudes and
+    // signs (the case that forced the decimal cast in the first place),
+    // the nearest doubles on either side of them, huge values near the
+    // fast-path cutoff and past DECIMAL(18,4) capacity, NaN/Inf
+    val planted: Seq[Double] = (for {
+      k <- -40L to 40L
+      base = k / 2.0 * 1e-4
+      d <- Seq(base, Math.nextUp(base), Math.nextDown(base))
+    } yield d) ++
+      Seq(0.0, -0.0, 1.00005, -1.00005, 123.45675, -123.45675,
+        0.00004999999999, 9.999e11, 1.0001e12, 9.99e13, 1.0e14, -1.0e14,
+        1.0e15, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.MinPositiveValue)
+    val rng = new scala.util.Random(11)
+    val random = Seq.fill(4000) {
+      val mag = math.pow(10.0, rng.nextInt(18) - 6)
+      (rng.nextDouble() - 0.5) * mag
+    }
+    // compare under non-ANSI casts: QuantizeE4 nulls on NaN/Inf/overflow
+    // like the non-ANSI cast chain (ANSI mode makes the chain THROW on
+    // those inputs instead — outside dsum's green domain either way)
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = (planted ++ random).toDF("x")
+        .withColumn("dec", (col("x").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType))
+        .withColumn("fast", org.apache.spark.sql.GraftShims.column(
+          graft.functions.QuantizeE4(org.apache.spark.sql.GraftShims
+            .expression(col("x").cast(DoubleType)))))
+      val bad = df.filter(!(col("dec") <=> col("fast"))).collect()
+      assert(bad.isEmpty,
+        s"quantization divergence on: ${bad.take(10).mkString(", ")}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+  }
 }
