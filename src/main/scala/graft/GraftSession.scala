@@ -38,6 +38,15 @@ object GraftSession {
       // distinct queries run interleaved (Bench round-robins ~20 queries ×
       // several codegen units each); evictions force recompile + re-JIT
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // InferFiltersFromGenerate turns `posexplode(kernel(x))` into a
+      // pre-exchange `size(kernel(x)) > 0` filter that pushdown inlines
+      // into the SCAN — the whole signature kernel evaluates twice per
+      // row (measured 2.1× on the d02 map stage). The generator already
+      // drops empty/null inputs itself, so the inferred filter only
+      // re-prices rows the generate would skip for free; none of this
+      // engine's generators sit above a shuffle that could profit
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
       b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     else b

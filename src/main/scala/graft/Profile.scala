@@ -45,6 +45,58 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("plan")) {
+      // EXECUTED plan (post-AQE): shows whether self-join sides reused
+      // one exchange or each recomputed their upstream. Must run THIS
+      // queryExecution (toRdd), not a noop write (separate execution
+      // whose adaptive plan would stay isFinalPlan=false)
+      for (q <- args.drop(1)) {
+        val df = Queries.byName(q).run(spark, d)
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        val s = df.queryExecution.executedPlan.toString
+        println(s"===== $q executed plan")
+        println(s)
+        println(s"[reuse] ReusedExchange=${"ReusedExchange".r.findAllIn(s).length} " +
+          s"Exchange=${"Exchange".r.findAllIn(s).length}")
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("infergen")) {
+      // A/B: InferFiltersFromGenerate duplicates the signature kernel
+      // into a pre-exchange filter — measure with and without
+      for (q <- args.drop(1); pass <- Seq("on", "off", "on2", "off2")) {
+        if (pass.startsWith("off"))
+          spark.conf.set("spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        else spark.conf.unset("spark.sql.optimizer.excludedRules")
+        val df = Queries.byName(q).run(spark, d)
+        time(s"$q infer=$pass")(mat(df))
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("probe")) {
+      // why doesn't the bucket self-join reuse one exchange?
+      println("exchange.reuse=" + spark.conf.getOption("spark.sql.exchange.reuse"))
+      val base = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), expr("length(text) % 64").as("k"))
+      def reuse(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        val s = df.queryExecution.executedPlan.toString
+        println(s"[$tag] ReusedExchange=${"ReusedExchange".r.findAllIn(s).length} " +
+          s"Exchange=${"Exchange".r.findAllIn(s).length}")
+      }
+      val plain = base.repartition(32, col("k"))
+      val pj = plain.as("a").join(plain.as("b"), Seq("k")).groupBy("k").count()
+      reuse("plain-self-join")(pj)
+      println(pj.queryExecution.executedPlan.toString)
+      val pinned = base.repartition(32, col("k")).hint("shuffle_hash")
+      reuse("pinned-self-join")(pinned.as("a").join(pinned.as("b"), Seq("k"))
+        .groupBy("k").count())
+      val rr = base.repartition(32).repartition(32, col("k")).hint("shuffle_hash")
+      reuse("rr-then-keyed")(rr.as("a").join(rr.as("b"), Seq("k"))
+        .groupBy("k").count())
+      spark.stop(); return
+    }
     if (args.headOption.contains("stages")) {
       for (q <- args.drop(1)) {
         stages.clear()

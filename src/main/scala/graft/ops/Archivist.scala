@@ -1,0 +1,219 @@
+package graft.ops
+
+/** Disk-budget allocation across archived functions — the optimizing
+  * counterpart of [[Archive.enforceRetention]]'s per-function policies.
+  *
+  * The reference formulates this as an SMT optimization
+  * (`/root/reference/src/RamenArchivist.ml:214-260` states the model,
+  * `:330-470` emits it for Z3): each function worker gets a share of the
+  * global byte budget; querying a function's history of duration d costs
+  * either the IO of reading it back (`recall_cost · bytes/s · d`, when its
+  * archive covers d) or the CPU of recomputing it from its parents
+  * (`cpu/s · d` plus the parents' own query costs for d, recursively —
+  * infinite for sources, whose input cannot be replayed). The solver picks
+  * the shares minimizing total daily query cost, then (lexicographically)
+  * the archived footprint.
+  *
+  * This module solves the same model without an SMT engine: for a fixed
+  * assignment (which functions archive, and for how long) the cost is a
+  * simple bottom-up DAG evaluation, and the useful assignments per function
+  * are few — nothing, or exactly one of the distinct retention durations
+  * (any other share either fails the coverage test, costing the same as
+  * none, or over-covers, costing the same as the next duration down — the
+  * footprint objective prunes both). The assignment space is searched
+  * exhaustively when small (exact optimum, same argument as the SMT's), and
+  * by steepest-descent local search over per-function moves from the
+  * all-archived start when large. Cluster scale is irrelevant here: this is
+  * driver-side metadata math over the function graph (hundreds of nodes),
+  * not a data job.
+  *
+  * The output plugs straight into [[Archive.enforceRetention]]: each
+  * function's allocated bytes become its `Retention.sizeLimitBytes`, so the
+  * GC deletes oldest buckets down to the optimized share.
+  */
+object Archivist {
+
+  /** Per-function stats the allocator needs — the Spark analog of the
+    * reference's `arc_stats` (RamenArchivist.ml:73-80), sourced from
+    * whatever metrics store the deployment keeps (instrumentation rows,
+    * Spark metrics, parquet footers). */
+  final case class FnStats(
+      fq: String,
+      parents: Seq[String] = Nil,
+      /** archive bytes produced per second of event time (recall size) */
+      bytesPerSec: Double,
+      /** CPU seconds to recompute one second of output (compute cost) */
+      cpuPerSec: Double,
+      retention: Option[Ret] = None)
+
+  /** `PERSIST FOR duration`, queried every `queryPeriodSecs`
+    * (RamenRetention.ml: duration + period). */
+  final case class Ret(durationSecs: Double, queryPeriodSecs: Double)
+
+  /** One function's slice of the plan. */
+  final case class Alloc(
+      fq: String,
+      /** archived history length (0 = not archived) */
+      durationSecs: Double,
+      /** byte budget handed to [[Archive.enforceRetention]] */
+      bytes: Long)
+
+  final case class Plan(
+      allocs: Map[String, Alloc],
+      /** expected total query cost per day (recall_cost units) */
+      dailyCost: Double,
+      totalBytes: Long)
+
+  private val Invalid = Double.PositiveInfinity
+
+  /** Allocate `sizeLimitBytes` across `fns`, minimizing daily query cost
+    * then footprint. `recallCost` prices reading one byte back relative to
+    * one CPU-second (the reference's user_conf.recall_cost).
+    *
+    * Exact (exhaustive over per-function duration choices) when the
+    * search space is ≤ `exactLimit` states; steepest-descent local search
+    * from the all-archived corner otherwise. Throws if no feasible
+    * assignment exists (a retained source lineage cannot fit the budget —
+    * same condition the reference flags as invalid-cost). */
+  def allocate(fns: Seq[FnStats], sizeLimitBytes: Long,
+      recallCost: Double = 1e-6, exactLimit: Long = 300000L): Plan = {
+    require(fns.map(_.fq).distinct.size == fns.size, "duplicate fq")
+    val byFq = fns.map(f => f.fq -> f).toMap
+    fns.foreach(f => f.parents.foreach(p => require(byFq.contains(p),
+      s"${f.fq} has unknown parent $p")))
+    val durations = fns.flatMap(_.retention).map(_.durationSecs)
+      .filter(_ > 0).distinct.sorted
+    if (durations.isEmpty)
+      return Plan(fns.map(f => f.fq -> Alloc(f.fq, 0.0, 0L)).toMap, 0.0, 0L)
+
+    // only ancestors-of-retained can ever be worth archiving: anything
+    // else is never queried, directly or through a recompute chain
+    val candidates: Seq[FnStats] = {
+      val wanted = collection.mutable.Set.empty[String]
+      def mark(fq: String): Unit =
+        if (wanted.add(fq)) byFq(fq).parents.foreach(mark)
+      fns.filter(_.retention.exists(_.durationSecs > 0)).foreach(f => mark(f.fq))
+      fns.filter(f => wanted(f.fq))
+    }
+    val n = candidates.length
+    val idxOf = candidates.map(_.fq).zipWithIndex.toMap
+    val queriesPerDay = candidates.map(_.retention match {
+      case Some(r) if r.durationSecs > 0 =>
+        math.ceil(86400.0 / math.max(1.0, r.queryPeriodSecs))
+      case _ => 0.0
+    }).toArray
+    val retainedDur = candidates.map(_.retention.map(_.durationSecs)
+      .getOrElse(0.0)).toArray
+    def bytesFor(f: FnStats, d: Double): Long =
+      math.ceil(f.bytesPerSec * d).toLong
+
+    // assignment: per candidate, -1 = no archive, else index into durations
+    // (archive exactly that much history)
+    def evaluate(assign: Array[Int]): (Double, Long) = {
+      val totalBytes = candidates.indices.map { i =>
+        val a = assign(i)
+        if (a < 0) 0L else bytesFor(candidates(i), durations(a))
+      }.sum
+      if (totalBytes > sizeLimitBytes) return (Invalid, totalBytes)
+      // cost(i)(di): query cost of candidate i for duration index di —
+      // bottom-up over the DAG (parents are upstream, recursion is finite)
+      val memo = Array.fill(n, durations.length)(-1.0)
+      def cost(i: Int, di: Int): Double = {
+        if (memo(i)(di) >= 0) return memo(i)(di)
+        val f = candidates(i)
+        val d = durations(di)
+        val covered = assign(i) >= 0 && durations(assign(i)) >= d
+        val c =
+          if (covered) recallCost * f.bytesPerSec * d
+          else if (f.parents.isEmpty) Invalid
+          else f.cpuPerSec * d +
+            f.parents.map(p => cost(idxOf(p), di)).sum
+        memo(i)(di) = c
+        c
+      }
+      var total = 0.0
+      for (i <- candidates.indices if queriesPerDay(i) > 0) {
+        val di = durations.indexOf(retainedDur(i))
+        total += queriesPerDay(i) * cost(i, di)
+      }
+      (total, totalBytes)
+    }
+
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    val opts = durations.length + 1
+    val states = math.pow(opts.toDouble, n.toDouble)
+    var best: Array[Int] = null
+    var bestScore: (Double, Long) = (Invalid, Long.MaxValue)
+    if (states <= exactLimit.toDouble) {
+      // exhaustive — exact optimum over the same space the SMT searches
+      val assign = Array.fill(n)(-1)
+      def rec(i: Int): Unit =
+        if (i == n) {
+          val s = evaluate(assign)
+          if (s._1 < Invalid && better(s, bestScore)) {
+            bestScore = s; best = assign.clone()
+          }
+        } else {
+          var a = -1
+          while (a < durations.length) {
+            assign(i) = a; rec(i + 1); a += 1
+          }
+          assign(i) = -1
+        }
+      rec(0)
+    } else {
+      // all-archived-at-longest start (feasible whenever anything is,
+      // modulo budget — trimmed by the descent), then steepest descent
+      // over single-function moves
+      val assign = Array.fill(n)(durations.length - 1)
+      var cur = evaluate(assign)
+      var improved = true
+      while (improved) {
+        improved = false
+        var bi = -1; var ba = 0; var bs = cur
+        for (i <- 0 until n; a <- -1 until durations.length
+             if a != assign(i)) {
+          val old = assign(i)
+          assign(i) = a
+          val s = evaluate(assign)
+          if (s._1 < Invalid && better(s, bs)) { bi = i; ba = a; bs = s }
+          assign(i) = old
+        }
+        if (bi >= 0) { assign(bi) = ba; cur = bs; improved = true }
+        else if (cur._1 == Invalid) {
+          // over budget and no single move fixes it: drop the least
+          // valuable archive outright and keep going
+          val i = (0 until n).filter(assign(_) >= 0)
+            .maxByOption(i => bytesFor(candidates(i), durations(assign(i))))
+            .getOrElse(throw new IllegalArgumentException(
+              "no feasible archival plan fits the budget"))
+          assign(i) = -1
+          cur = evaluate(assign)
+          improved = true
+        }
+      }
+      if (cur._1 == Invalid) throw new IllegalArgumentException(
+        "no feasible archival plan fits the budget")
+      best = assign; bestScore = cur
+    }
+    if (best == null) throw new IllegalArgumentException(
+      "no feasible archival plan fits the budget")
+    val allocs = fns.map { f =>
+      val a = idxOf.get(f.fq).map(best(_)).getOrElse(-1)
+      val d = if (a < 0) 0.0 else durations(a)
+      f.fq -> Alloc(f.fq, d, if (a < 0) 0L else bytesFor(f, d))
+    }.toMap
+    Plan(allocs, bestScore._1, bestScore._2)
+  }
+
+  /** The per-function retention policies of a plan — feed each into
+    * [[Archive.enforceRetention]] on that function's archive directory. */
+  def retentions(plan: Plan): Map[String, Archive.Retention] =
+    plan.allocs.collect { case (fq, a) if a.bytes > 0 =>
+      fq -> Archive.Retention(
+        maxAgeSecs = Some(a.durationSecs),
+        sizeLimitBytes = Some(a.bytes))
+    }
+  }

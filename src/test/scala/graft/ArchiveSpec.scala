@@ -122,4 +122,127 @@ class ArchiveSpec extends AnyFunSuite {
     assert(c.persistence("arch/f") == (Some(3 * 3600.0), Some(10.0)))
     assert(c.compile("arch/f").collect().head.getLong(0) == 1L)
   }
+
+  import graft.ops.Archivist
+  import graft.ops.Archivist.{Alloc, FnStats, Ret}
+
+  /** Independent brute-force oracle for the allocation model: enumerate
+    * every per-function duration choice, cost by direct recursion. */
+  private def bruteForce(fns: Seq[FnStats], limit: Long,
+      recallCost: Double): (Double, Long) = {
+    val byFq = fns.map(f => f.fq -> f).toMap
+    val ds = fns.flatMap(_.retention).map(_.durationSecs).filter(_ > 0)
+      .distinct.sorted
+    val opts: Seq[Seq[(String, Double)]] = fns.map(f =>
+      (0.0 +: ds).map(d => f.fq -> d))
+    def cost(archived: Map[String, Double], fq: String, d: Double): Double = {
+      val f = byFq(fq)
+      if (archived(fq) >= d) recallCost * f.bytesPerSec * d
+      else if (f.parents.isEmpty) Double.PositiveInfinity
+      else f.cpuPerSec * d + f.parents.map(cost(archived, _, d)).sum
+    }
+    val all = opts.foldLeft(Seq(Map.empty[String, Double])) { (acc, o) =>
+      acc.flatMap(m => o.map(m + _))
+    }
+    all.flatMap { m =>
+      val bytes = m.map { case (fq, d) =>
+        math.ceil(byFq(fq).bytesPerSec * d).toLong }.sum
+      if (bytes > limit) None
+      else {
+        val c = fns.flatMap(f => f.retention.filter(_.durationSecs > 0)
+          .map { r =>
+            math.ceil(86400.0 / math.max(1.0, r.queryPeriodSecs)) *
+              cost(m, f.fq, r.durationSecs)
+          }).sum
+        if (c.isInfinity) None else Some((c, bytes))
+      }
+    }.sortBy(identity).headOption.getOrElse(
+      throw new IllegalArgumentException("infeasible"))
+  }
+
+  test("archivist allocation: exhaustive solver matches the brute-force oracle") {
+    // raw source -> per-min agg -> per-hour agg, only the aggs queried:
+    // with a roomy budget the optimizer must find the same optimum as
+    // blind enumeration (archive the queried aggs; raw only if cheaper)
+    val fns = Seq(
+      FnStats("raw", Nil, bytesPerSec = 1000.0, cpuPerSec = 0.0,
+        retention = None),
+      FnStats("agg1m", Seq("raw"), bytesPerSec = 50.0, cpuPerSec = 0.02,
+        retention = Some(Ret(86400.0 * 7, 3600.0))),
+      FnStats("agg1h", Seq("agg1m"), bytesPerSec = 2.0, cpuPerSec = 0.001,
+        retention = Some(Ret(86400.0 * 30, 600.0))))
+    for (limit <- Seq(200_000_000L, 40_000_000L, 36_000_000L)) {
+      val plan = Archivist.allocate(fns, limit, recallCost = 1e-6)
+      val (oc, ob) = bruteForce(fns, limit, 1e-6)
+      assert(math.abs(plan.dailyCost - oc) < 1e-6 * math.max(1.0, oc),
+        s"limit=$limit: ${plan.dailyCost} vs oracle $oc")
+      assert(plan.totalBytes == ob, s"limit=$limit footprint")
+      assert(plan.totalBytes <= limit)
+    }
+  }
+
+  test("archivist allocation: shared parent archived once beats two child archives") {
+    // two heavy children recompute cheaply from one small parent: under a
+    // budget that cannot hold both children, the optimum archives the
+    // parent and recomputes both
+    val fns = Seq(
+      FnStats("src", Nil, bytesPerSec = 10.0, cpuPerSec = 0.0, None),
+      FnStats("mid", Seq("src"), bytesPerSec = 5.0, cpuPerSec = 0.001,
+        retention = None),
+      FnStats("a", Seq("mid"), bytesPerSec = 100.0, cpuPerSec = 0.0001,
+        retention = Some(Ret(86400.0, 3600.0))),
+      FnStats("b", Seq("mid"), bytesPerSec = 100.0, cpuPerSec = 0.0001,
+        retention = Some(Ret(86400.0, 3600.0))))
+    // budget fits mid (5 B/s x 1 d ~ 432 kB) but not one child (8.6 MB)
+    val plan = Archivist.allocate(fns, 2_000_000L, recallCost = 1e-6)
+    assert(plan.allocs("mid").bytes > 0, "shared parent should archive")
+    assert(plan.allocs("a").bytes == 0 && plan.allocs("b").bytes == 0)
+    val (oc, ob) = bruteForce(fns, 2_000_000L, 1e-6)
+    assert(math.abs(plan.dailyCost - oc) < 1e-6 * oc && plan.totalBytes == ob)
+  }
+
+  test("archivist allocation: sources must archive (no recompute path)") {
+    val fns = Seq(
+      FnStats("src", Nil, bytesPerSec = 100.0, cpuPerSec = 0.0,
+        retention = Some(Ret(3600.0, 60.0))))
+    val plan = Archivist.allocate(fns, 1_000_000L)
+    assert(plan.allocs("src").bytes == 360000L)
+    // and an impossible budget is a typed error, not a silent drop
+    intercept[IllegalArgumentException] {
+      Archivist.allocate(fns, 100L)
+    }
+  }
+
+  test("archivist allocation: local-search path stays feasible and near the oracle") {
+    // force the descent path (exactLimit = 1) on seeds the exhaustive
+    // solver can still oracle; the descent must land feasible and match
+    // the optimum on these instances
+    val rng = new scala.util.Random(5)
+    for (seed <- 1 to 4) {
+      val n = 5
+      val fns = (0 until n).map { i =>
+        FnStats(s"f$i", if (i == 0) Nil else Seq(s"f${rng.nextInt(i)}"),
+          bytesPerSec = 1.0 + rng.nextInt(100),
+          cpuPerSec = rng.nextDouble() * 0.01,
+          retention = if (i >= n - 2)
+            Some(Ret(3600.0 * (1 + rng.nextInt(4)), 60.0)) else None)
+      }
+      val limit = 3_000_000L
+      val plan = Archivist.allocate(fns, limit, exactLimit = 1L)
+      val exact = Archivist.allocate(fns, limit)
+      assert(plan.totalBytes <= limit)
+      assert(plan.dailyCost <= exact.dailyCost * 1.000001 + 1e-9,
+        s"seed=$seed: descent ${plan.dailyCost} vs exact ${exact.dailyCost}")
+    }
+  }
+
+  test("archivist plan feeds enforceRetention as per-function policies") {
+    val fns = Seq(
+      FnStats("src", Nil, bytesPerSec = 100.0, cpuPerSec = 0.0,
+        retention = Some(Ret(3600.0, 60.0))))
+    val plan = Archivist.allocate(fns, 1_000_000L)
+    val pol = Archivist.retentions(plan)("src")
+    assert(pol.sizeLimitBytes.contains(360000L))
+    assert(pol.maxAgeSecs.contains(3600.0))
+  }
 }
