@@ -139,6 +139,9 @@ object RaqlParser extends RegexParsers {
     val cmpTail: Parser[Either[Boolean, (String, Expr)]] =
       ("<=" | ">=" | "<>" | "!=" | "=" | kw("like") | kw("in") |
         (kw("not") ~ kw("in")) ^^^ "not_in" |
+        (kw("not") ~ kw("case") ~ kw("sensitive") ~ kw("like")) ^^^
+          "not_cs_like" |
+        (kw("not") ~ kw("like")) ^^^ "not_like" |
         (kw("case") ~ kw("sensitive") ~ kw("like")) ^^^ "cs_like" |
         ((kw("starts") | kw("ends")) <~ kw("with")) ^^ (_ + "_with") |
         """<(?!<)""".r | """>(?!>)""".r) ~ bitExpr ^^ {
@@ -148,6 +151,10 @@ object RaqlParser extends RegexParsers {
       case l ~ None => l
       case l ~ Some(Left(neg)) => IsNull(l, negated = neg)
       case l ~ Some(Right(("not_in", r))) => Unop("not", Binop("in", l, r))
+      case l ~ Some(Right(("not_like", r))) =>
+        Unop("not", Binop("like", l, r))
+      case l ~ Some(Right(("not_cs_like", r))) =>
+        Unop("not", Binop("cs_like", l, r))
       case l ~ Some(Right((op, r))) => Binop(op, l, r)
     }
   }

@@ -57,9 +57,24 @@ object PivotApi {
       maxLateness: Double = 0.0)
 
   /** Comparison ops a simple filter may carry — anything else is rejected
-    * rather than interpolated into the generated program. */
+    * rather than interpolated into the generated program. The LIKE family
+    * matches the reference grammar (RamenExpr.ml:1078-1112): `like`,
+    * `not like`, and the case-sensitive variants, whose canonical op
+    * strings are `cs-like` / `not cs-like` but whose RaQL surface syntax
+    * is `[NOT] CASE SENSITIVE LIKE`. */
   private[service] val FilterOps: Set[String] =
-    Set("=", "!=", "<>", "<", "<=", ">", ">=", "like")
+    Set("=", "!=", "<>", "<", "<=", ">", ">=",
+      "like", "not like", "cs-like", "not cs-like")
+
+  /** Canonical op → RaQL surface syntax (identity except the LIKE family,
+    * whose canonical `cs-like` spellings are not themselves parseable). */
+  private def opSurface(op: String): String = op match {
+    case "like"        => "LIKE"
+    case "not like"    => "NOT LIKE"
+    case "cs-like"     => "CASE SENSITIVE LIKE"
+    case "not cs-like" => "NOT CASE SENSITIVE LIKE"
+    case o             => o.toUpperCase
+  }
 
   private def fmt(d: Double): String =
     if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
@@ -109,10 +124,16 @@ object PivotApi {
           // the op string is interpolated into generated RaQL — anything
           // outside the comparison whitelist is an injection vector (the
           // rhs quoting above is bypassable via op = "= 0 OR 1 =")
-          val safe = if (o.isEmpty) "=" else o
+          val safe =
+            if (o.isEmpty) "=" else o.replaceAll("\\s+", " ")
           if (!PivotApi.FilterOps.contains(safe))
             throw new BadRequest(s"unsupported filter op '${w.op}'")
-          (safe.toUpperCase, valueLit(f.dataType, r))
+          // LIKE patterns are string constants whatever the lhs type
+          // (RamenExpr.ml:1067 rejects non-string patterns)
+          val rhs =
+            if (safe.endsWith("like")) strLit(r)
+            else valueLit(f.dataType, r)
+          (opSurface(safe), rhs)
       }
       val s = s"${w.lhs} $op $rhs"
       if (f.nullable) s"COALESCE($s, false)" else s

@@ -84,6 +84,31 @@ class PivotApiSpec extends AnyFunSuite {
       Seq(SimpleFilter("name", "b%", "LIKE"))) == """name LIKE "b%"""")
   }
 
+  test("printFilter: LIKE family (RamenExpr.ml:1078-1112 ops) prints surface syntax") {
+    // canonical op strings from the reference grammar map to parseable
+    // RaQL surface forms; patterns are string constants whatever the lhs
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("name", "b%", "not like"))) ==
+      """name NOT LIKE "b%"""")
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("name", "B%", "cs-like"))) ==
+      """name CASE SENSITIVE LIKE "B%"""")
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("name", "B%", "not cs-like"))) ==
+      """name NOT CASE SENSITIVE LIKE "B%"""")
+    // internal-whitespace variants normalize rather than 400
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("name", "b%", "NOT  LIKE"))) ==
+      """name NOT LIKE "b%"""")
+    // and the generated forms parse as RaQL expressions
+    for (src <- Seq("""name NOT LIKE "b%"""",
+        """name CASE SENSITIVE LIKE "B%"""",
+        """name NOT CASE SENSITIVE LIKE "B%"""",
+        """COALESCE(note NOT LIKE "x%", false)"""))
+      graft.raql.RaqlParser.parseExpr(src).fold(
+        e => fail(s"'$src' did not parse: $e"), _ => ())
+  }
+
   test("printFilter: nullable lhs wraps in COALESCE(…, false)") {
     assert(PivotApi.printFilter(schema,
       Seq(SimpleFilter("note", "x"))) == """COALESCE(note = "x", false)""")

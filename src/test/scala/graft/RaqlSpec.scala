@@ -267,6 +267,25 @@ class RaqlSpec extends AnyFunSuite {
     assert(byYear(1951) == List(7, 11))  // n(1952), n(1951)
   }
 
+  test("infix NOT LIKE / NOT CASE SENSITIVE LIKE (RamenExpr.ml:1080)") {
+    val src = Map("nl" -> """DEFINE f AS YIELD
+        "pas glop" NOT LIKE "zz%" AS t1,
+        "pas glop" NOT LIKE "pas%" AS t2,
+        "Pas" CASE SENSITIVE LIKE "Pas%" AS t3,
+        "Pas" NOT CASE SENSITIVE LIKE "pas%" AS t4,
+        "Pas" NOT LIKE "pas%" AS t5;""")
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    val row = c.compile("nl/f").collect().head
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    def b(n: String): Boolean = row.getBoolean(byName(n))
+    assert(b("t1"))           // no match ⇒ NOT LIKE true
+    assert(!b("t2"))          // match ⇒ NOT LIKE false
+    assert(b("t3"))           // exact case matches
+    assert(b("t4"))           // cs mismatch ⇒ NOT cs-like true
+    assert(!b("t5"))          // plain LIKE is case-insensitive ⇒ NOT false
+  }
+
   test("pipeline-primitive extension functions compile from RaQL text") {
     val src = Map("pipe" -> """DEFINE f AS YIELD
         simhash("the quick brown fox") AS fp,
