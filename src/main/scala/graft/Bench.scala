@@ -8,10 +8,27 @@ package graft
   * action runs untimed so JVM/session startup isn't billed to the first
   * query.
   *
+  * Reported time is the MEDIAN over the round-robin reps (min kept as the
+  * secondary `queries_min`/`isolated_min` fields): a min-of-3 is an
+  * order statistic of the machine's BEST coincidence, so cross-round
+  * deltas on sub-second queries were dominated by whether one lucky rep
+  * landed — the round-10 "+9 % total drift" on untouched queries was
+  * exactly that artifact. Medians of ≥5 are stable against one stall AND
+  * one lucky rep.
+  *
   * Args (local profiling only): `all` → every registered query;
   * `name1,name2` → just those.
   */
 object Bench {
+
+  /** Median of a non-empty sample: middle element, or mean of the two
+    * middles on even sizes. */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -27,16 +44,15 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // min-of-3 per query — one environmental stall (page cache, CPU
-    // contention, JIT) must not be recorded as the query's cost. Reps run
-    // ROUND-ROBIN (rep 1 of every query, then rep 2, …) so a contention
-    // window mid-suite cannot hit all of one query's reps at once — the
-    // round-4 d01/d02 "regressions" were exactly that artifact.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // ≥5 reps per query, run ROUND-ROBIN (rep 1 of every query, then rep
+    // 2, …) so a contention window mid-suite cannot hit all of one query's
+    // reps at once — the round-4 d01/d02 "regressions" were exactly that
+    // artifact.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val failed = scala.collection.mutable.Set.empty[String]
     // a rep that throws (analysis error, missing input) must NOT count as a
-    // timing sample — a fast failure would otherwise report a tiny min with
-    // only a stderr note (round-6 advisory)
+    // timing sample — a fast failure would otherwise report a tiny sample
+    // with only a stderr note (round-6 advisory)
     def timeRep(q: QueryDef, tag: String): Option[Double] = {
       System.gc() // don't bill query N for query N-1's garbage
       val t0 = System.nanoTime()
@@ -57,22 +73,23 @@ object Bench {
       }
     }
     // a query with zero successful reps reports -1 (never a plausible time)
-    val results = selected.map(q =>
-      q.name -> times(q.name).minOption.getOrElse(-1.0))
+    def stat(f: Seq[Double] => Double)(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0 else f(ts)
+    val results = selected.map(q => q.name -> stat(median)(times(q.name)))
+    val mins = selected.map(q => q.name -> stat(_.min)(times(q.name)))
     // isolated pass: back-to-back reps per query AFTER the round-robin
-    // suite, so each query also gets a warm, contention-free minimum.
-    // Round-robin minima absorb suite-order effects; isolated minima are
+    // suite, so each query also gets a warm, contention-free sample.
+    // Round-robin medians absorb suite-order effects; isolated medians are
     // the number to bisect against when a query drifts across rounds
     // (round-5 verdict: q01/n01/r01 swung ±20% between same-day suites).
-    val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "2").toInt
-    val isolated = selected.map { q =>
-      val ts = (1 to isoReps).flatMap(_ => timeRep(q, " isolated"))
-      q.name -> ts.minOption.getOrElse(-1.0)
+    val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "3").toInt
+    val isoTimes = selected.map { q =>
+      q.name -> (1 to isoReps).flatMap(_ => timeRep(q, " isolated"))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val isolated = isoTimes.map { case (n, ts) => n -> stat(median)(ts) }
+    val isolatedMin = isoTimes.map { case (n, ts) => n -> stat(_.min)(ts) }
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // sustained streaming throughput vs BASELINE.md's ~0.5M tuples/s —
@@ -88,7 +105,7 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming_tuples_per_s":-1"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"failed":$failedArr$streaming,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
