@@ -112,21 +112,22 @@ object DedupQueries {
 
     // ---- d04: SimHash near-dup, the PRODUCTION plan (8-byte fingerprint,
     // pigeonhole 16-bit chunk join — the only exchange is the narrow
-    // (chunk, chunk_val) bucket partitioning). The pair VALUES are
-    // hash-function-specific (xxh64 — SQL cannot recompute them), so this
-    // entry carries no SQL oracle (driver rows-only): its values are
-    // certified by d04a's oracled pigeonhole identity — the chunk-join
-    // pair set provably equals the exhaustive Hamming set — plus
-    // DedupSpec's fingerprint ground-truth tests. The r6 bench timed the
-    // O(n²)-bearing audit under this name; splitting restores cross-round
-    // tracking of the production plan.
+    // (chunk, chunk_val) bucket partitioning). BENCH-ONLY: the pair
+    // VALUES are hash-function-specific (xxh64 — SQL cannot recompute
+    // them), so the operator's correctness board entry is d04b — the
+    // IDENTICAL chunk-join code over the SQL-reproducible md5 family,
+    // fully value-oracled — plus d04a's oracled pigeonhole identity and
+    // DedupSpec's xxh64 fingerprint ground-truth tests. This entry keeps
+    // the xxh64 production plan timed per-round under its historical
+    // bench name.
     QueryDef(
       "d04_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)
         .orderBy("id_a", "id_b"),
       None,
-      headline = true),
+      headline = true,
+      benchOnly = true),
 
     // ---- d04b: the SAME production pigeonhole chunk-join operator over
     // the SQL-reproducible md5 simhash family — a FULL value oracle for

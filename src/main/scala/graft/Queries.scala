@@ -22,7 +22,12 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** included in the Bench headline set */
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** timed by Bench but NOT registered for the correctness dump — for a
+      * production variant whose VALUES are not SQL-expressible while an
+      * identically-coded, fully-oracled sibling certifies the operator
+      * (d04's xxh64 fingerprints vs d04b's md5 family) */
+    benchOnly: Boolean = false)
 
 /** Deterministic-aggregation helpers (shared Spark side). */
 object Det {
@@ -41,7 +46,16 @@ object Det {
     * which exceeds Spark's 18-digit compact-long representation and
     * falls back to BigDecimal objects in the hot loop. Capacity is the
     * same class as the decimal it replaces (~9.2e14 units vs
-    * DECIMAL(18,4)'s 1e14). */
+    * DECIMAL(18,4)'s 1e14).
+    *
+    * Invalid-domain semantics are the NON-ANSI cast's: NaN, ±Infinity,
+    * and DECIMAL(18,4) overflow (|x| ≥ 1e14) quantize to NULL and the
+    * row silently drops from the sum — matching DuckDB's and Spark's
+    * default-mode cast chain. Under `spark.sql.ansi.enabled=true` the
+    * decimal cast this replaces would instead THROW on those inputs;
+    * QuantizeE4 stays null-on-invalid, so dsum's behavior is independent
+    * of the ANSI flag. Callers needing ANSI-style failure must validate
+    * the domain upstream. */
   def dsum(c: Column): Column =
     (sum(org.apache.spark.sql.GraftShims.column(graft.functions.QuantizeE4(
         org.apache.spark.sql.GraftShims.expression(c.cast(DoubleType)))))

@@ -20,9 +20,11 @@ object SparkEntry {
       .orderBy("wstart", "event_type")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Bench-only
+    * timing variants (oracle-less by nature, operator certified by an
+    * oracled sibling — see [[QueryDef.benchOnly]]) are not registered. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.run).toMap
+    Queries.all.filterNot(_.benchOnly).map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

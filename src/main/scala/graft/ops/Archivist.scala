@@ -81,6 +81,23 @@ object Archivist {
     val byFq = fns.map(f => f.fq -> f).toMap
     fns.foreach(f => f.parents.foreach(p => require(byFq.contains(p),
       s"${f.fq} has unknown parent $p")))
+    // reject cyclic parent graphs up front: cost() recurses parent-first
+    // and memoizes only on return, so a cycle would be a StackOverflow
+    // instead of a typed error
+    locally {
+      val state = collection.mutable.Map.empty[String, Int] // 1=open 2=done
+      def visit(fq: String, path: List[String]): Unit = state.get(fq) match {
+        case Some(2) => ()
+        case Some(1) =>
+          throw new IllegalArgumentException(
+            s"cycle in parents graph: ${(fq :: path.takeWhile(_ != fq)).reverse.mkString(" -> ")} -> $fq")
+        case _ =>
+          state(fq) = 1
+          byFq(fq).parents.foreach(visit(_, fq :: path))
+          state(fq) = 2
+      }
+      fns.foreach(f => visit(f.fq, Nil))
+    }
     val durations = fns.flatMap(_.retention).map(_.durationSecs)
       .filter(_ > 0).distinct.sorted
     if (durations.isEmpty)
@@ -216,4 +233,87 @@ object Archivist {
         maxAgeSecs = Some(a.durationSecs),
         sizeLimitBytes = Some(a.bytes))
     }
+
+  /** Default per-second costs for a worker with no usable stats yet
+    * (RamenConstsDefault.ml:93-94) — archival stays an option so that once
+    * it runs, real stats replace the guess on the next reallocation. */
+  val DefaultComputeCost = 0.5
+  val DefaultRecallSize = 100.0
+
+  /** [[FnStats]] from a batch of `runtime_stats` rows (the shape the
+    * [[graft.streaming.Instrumentation]] stream republishes) — the Spark
+    * analog of the reference's stats ingestion
+    * (`arc_stats_of_runtime_stats` + `compute_cost` + `recall_size`,
+    * RamenArchivist.ml:73-91,278-316): keep the LATEST row per worker
+    * (counters are cumulative-since-startup), estimate total output bytes
+    * as avg-sampled-tuple-size × tot_out_tuples, and divide bytes/cpu by
+    * the EVENT-time span to get per-second rates; a worker with no etimes
+    * or an empty span falls back to the defaults. Workers named in
+    * `parents`/`retention` but absent from `stats` get default-cost
+    * entries (same as the reference's stats-less placeholder, :597-600).
+    *
+    * Driver-side metadata math: `stats` collects (one row per worker —
+    * bounded by the function graph, not the data). */
+  def fnStatsOfRuntimeStats(stats: org.apache.spark.sql.DataFrame,
+      parents: Map[String, Seq[String]] = Map.empty,
+      retention: Map[String, Ret] = Map.empty): Seq[FnStats] = {
+    import org.apache.spark.sql.functions._
+    val latest = stats
+      .groupBy(col("worker"))
+      .agg(max_by(struct(col("min_etime"), col("max_etime"),
+        col("tot_out_tuples"), col("tot_full_bytes"),
+        col("tot_full_bytes_samples"), col("tot_cpu")),
+        col("stats_time")).as("s"))
+      .select(col("worker"), col("s.*"))
+      .collect()
+    val observed = latest.map { r =>
+      val fq = r.getString(0)
+      def optD(i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val span = for (mi <- optD(1); ma <- optD(2) if ma > mi) yield ma - mi
+      val outTuples = r.getLong(3)
+      val fullBytes = r.getLong(4)
+      val samples = r.getLong(5)
+      val cpu = r.getDouble(6)
+      val totalBytes =
+        if (samples > 0) fullBytes.toDouble / samples * outTuples else 0.0
+      fq -> FnStats(fq,
+        parents = parents.getOrElse(fq, Nil),
+        bytesPerSec = span.map(totalBytes / _).getOrElse(DefaultRecallSize),
+        cpuPerSec = span.map(cpu / _).getOrElse(DefaultComputeCost),
+        retention = retention.get(fq))
+    }.toMap
+    val known = parents.keySet ++ parents.values.flatten ++ retention.keySet
+    val missing = (known -- observed.keySet).toSeq.sorted.map(fq =>
+      FnStats(fq, parents.getOrElse(fq, Nil),
+        DefaultRecallSize, DefaultComputeCost, retention.get(fq)))
+    observed.values.toSeq.sortBy(_.fq) ++ missing
+  }
+
+  /** One tick of the archivist loop, end-to-end: runtime stats →
+    * [[fnStatsOfRuntimeStats]] → [[allocate]] → [[retentions]] →
+    * [[Archive.enforceRetention]] on each function's archive directory
+    * (the reference's realloc + GC cycle, RamenArchivist.ml:660-700 +
+    * RamenGc). A function present in `archiveDirs` but allocated ZERO
+    * bytes is GC'd down to its newest bucket (budget 0) — its history no
+    * longer earns its disk, but the live bucket is never deleted.
+    * Returns the plan and the dropped bucket ids per function. */
+  def reallocate(stats: org.apache.spark.sql.DataFrame,
+      parents: Map[String, Seq[String]],
+      retention: Map[String, Ret],
+      sizeLimitBytes: Long,
+      archiveDirs: Map[String, String],
+      recallCost: Double = 1e-6,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): (Plan, Map[String, Seq[Long]]) = {
+    val fns = fnStatsOfRuntimeStats(stats, parents, retention)
+    val plan = allocate(fns, sizeLimitBytes, recallCost)
+    val policies = retentions(plan)
+    val dropped = archiveDirs.map { case (fq, dir) =>
+      val policy = policies.getOrElse(fq,
+        Archive.Retention(sizeLimitBytes = Some(0L)))
+      fq -> Archive.enforceRetention(dir, policy, conf)
+    }
+    (plan, dropped)
+  }
   }

@@ -538,6 +538,66 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Versioned binary codec for [[semanticDedupStream]]'s per-cell keeper
+    * state. Layout: magic (4) | version (4) | count (4) | per keeper
+    * id (8), dim (4), dim doubles, norm (8), sig (4). An explicit header
+    * turns a checkpoint written under a DIFFERENT keeper shape into a
+    * typed error at the first loaded group — Spark's state store hands
+    * back raw bytes and an unversioned (e.g. Kryo) decode of an old blob
+    * is undefined garbage. Bumping [[KeeperState.Version]] is the
+    * contract for any future keeper-field change. */
+  private[graft] object KeeperState {
+    type Keeper = (Long, Array[Double], Double, Int)
+    val Magic = 0x4B505253 // "KPRS"
+    val Version = 2 // v1 = the (id, vec, norm) pre-prefilter shape
+
+    def encode(keepers: List[Keeper]): Array[Byte] = {
+      var bytes = 12
+      keepers.foreach(k => bytes += 8 + 4 + 8 * k._2.length + 8 + 4)
+      val bb = java.nio.ByteBuffer.allocate(bytes)
+      bb.putInt(Magic).putInt(Version).putInt(keepers.length)
+      keepers.foreach { case (id, v, norm, sig) =>
+        bb.putLong(id).putInt(v.length)
+        var i = 0
+        while (i < v.length) { bb.putDouble(v(i)); i += 1 }
+        bb.putDouble(norm).putInt(sig)
+      }
+      bb.array()
+    }
+
+    /** @throws IllegalStateException on a foreign or wrong-version blob */
+    def decode(bytes: Array[Byte]): List[Keeper] = {
+      if (bytes.length < 12)
+        throw new IllegalStateException(
+          s"keeper state version mismatch: blob of ${bytes.length} bytes has no header — " +
+            "checkpoint written by an incompatible build; restart from a fresh checkpoint")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val magic = bb.getInt
+      if (magic != Magic)
+        throw new IllegalStateException(
+          f"keeper state version mismatch: bad magic 0x$magic%08x (expected 0x$Magic%08x) — " +
+            "checkpoint written by an incompatible build; restart from a fresh checkpoint")
+      val ver = bb.getInt
+      if (ver != Version)
+        throw new IllegalStateException(
+          s"keeper state version mismatch: checkpoint has v$ver, this build reads v$Version — " +
+            "restart from a fresh checkpoint and re-feed, or run the matching build")
+      val n = bb.getInt
+      var out = List.empty[Keeper]
+      var k = 0
+      while (k < n) {
+        val id = bb.getLong
+        val dim = bb.getInt
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { v(i) = bb.getDouble; i += 1 }
+        out = (id, v, bb.getDouble, bb.getInt) :: out
+        k += 1
+      }
+      out.reverse
+    }
+  }
+
   /** STREAMING semantic dedup — the ingestion-time counterpart of
     * [[semanticDedup]]: each incoming vector is coarse-assigned to its
     * argmax-dot cell (map-only, the same [[Similarity.cellArgmax]] kernel
@@ -576,15 +636,15 @@ object Dedup {
     * enrolls as the keeper and the lower id emits as ITS dup — batch
     * min-id equality holds only for in-id-order arrival (spec'd).
     *
-    * State compatibility: the keeper tuple gained its sign-signature
-    * field when the prefilter landed — the Kryo-encoded GroupState is
-    * NOT readable by a checkpoint written under the older 3-field shape
-    * (streaming state is unversioned here, as in Spark generally);
-    * restart such queries from a fresh checkpoint and re-feed, or keep
-    * running the old build for the old checkpoint. Both prefilter modes
-    * of THIS build share the 4-field encoding (the signature is stored
-    * but unused when `signPrefilter = false`), so toggling the flag
-    * across a restart is safe.
+    * State compatibility: the keeper set is stored as an explicitly
+    * VERSIONED binary blob ([[KeeperState]], magic + version header) —
+    * a checkpoint written under a different keeper shape (e.g. the
+    * pre-prefilter 3-field tuples, or a future 5-field one) fails at
+    * the first loaded group with a typed "keeper state version
+    * mismatch" IllegalStateException instead of Kryo garbage. Both
+    * prefilter modes share one encoding (the signature is stored but
+    * unused when `signPrefilter = false`), so toggling the flag across
+    * a restart is safe.
     *
     * Returns a streaming (id, cell, dup_of, is_dup) frame. */
   def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
@@ -628,15 +688,15 @@ object Dedup {
       sig
     }
     // a keeper: (id, vector, norm, 32-bit sign signature)
-    type Keeper = (Long, Array[Double], Double, Int)
+    type Keeper = KeeperState.Keeper
     assigned
       .as(Encoders.row(assigned.schema))
       .groupByKey((r: Row) => r.getInt(3))(Encoders.scalaInt)
-      .flatMapGroupsWithState[List[Keeper], Row](
+      .flatMapGroupsWithState[Array[Byte], Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (cell: Int, rows: Iterator[Row],
-         gs: org.apache.spark.sql.streaming.GroupState[List[Keeper]]) =>
-          var keepers = gs.getOption.getOrElse(Nil)
+         gs: org.apache.spark.sql.streaming.GroupState[Array[Byte]]) =>
+          var keepers = gs.getOption.map(KeeperState.decode).getOrElse(Nil)
           var nKeepers = keepers.size // counted once; List.size is O(n)
           // per-batch band index: (band << 8 | byte) → keepers; O(4)
           // inserts per keeper, amortized over the batch's arrivals
@@ -694,10 +754,9 @@ object Dedup {
                 Array[Any](id, cell, null, false), outSchema)
             }
           }
-          gs.update(keepers)
+          gs.update(KeeperState.encode(keepers))
           out.iterator
-      }(Encoders.kryo[List[Keeper]],
-        Encoders.row(outSchema))
+      }(Encoders.BINARY, Encoders.row(outSchema))
       .toDF()
   }
 
@@ -746,41 +805,48 @@ object Dedup {
     * possibly exceed the cap: each group of the frames this module blocks
     * holds at most one row per upstream document/vector, so the upstream
     * row bound IS a group-size bound. */
-  /** Per-file footer row counts, memoized across calls: columnar lake
-    * files are write-once, so a path's count never changes while it
-    * exists; a path rewritten in place would at worst stale the
-    * OPTIMIZATION bound (pair-set output is exact for any bound). */
-  private val footerRowCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Per-file footer row counts, memoized across calls. Keyed on
+    * (path, modificationTime, length) — the FileStatus already in the
+    * file index — so a file rewritten in place misses instead of
+    * returning a stale bound; evicted LRU per-entry at [[FooterCacheMax]]. */
   private val FooterCacheMax = 4096
+  private val footerRowCache: java.util.Map[(String, Long, Long), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), java.lang.Long](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), java.lang.Long]): Boolean =
+          size() > FooterCacheMax
+      })
 
   private[graft] def leafRowBound(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    def cached(p: org.apache.hadoop.fs.Path, read: () => Long): Long = {
-      val k = p.toString
+    import org.apache.spark.sql.execution.datasources.FileStatusWithMetadata
+    def cached(f: FileStatusWithMetadata, read: () => Long): Long = {
+      val k = (f.getPath.toString, f.getModificationTime, f.getLen)
       val hit = footerRowCache.get(k)
       if (hit ne null) hit.longValue()
       else {
         val n = read()
-        if (footerRowCache.size >= FooterCacheMax) footerRowCache.clear()
         footerRowCache.put(k, java.lang.Long.valueOf(n))
         n
       }
     }
-    def parquetRows(p: org.apache.hadoop.fs.Path): Long = cached(p, { () =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    def parquetRows(f: FileStatusWithMetadata): Long = cached(f, { () =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f.getPath, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     })
-    def orcRows(p: org.apache.hadoop.fs.Path): Long = cached(p, { () =>
+    def orcRows(f: FileStatusWithMetadata): Long = cached(f, { () =>
       val r = org.apache.orc.OrcFile.createReader(
-        p, org.apache.orc.OrcFile.readerOptions(conf))
+        f.getPath, org.apache.orc.OrcFile.readerOptions(conf))
       try r.getNumberOfRows finally r.close()
     })
-    def footerRows(files: Seq[org.apache.hadoop.fs.Path],
-        rows: org.apache.hadoop.fs.Path => Long): Option[Long] =
+    def footerRows(files: Seq[FileStatusWithMetadata],
+        rows: FileStatusWithMetadata => Long): Option[Long] =
       if (files.isEmpty || files.length > FooterScanMaxFiles) None
       else scala.util.Try(files.map(rows).sum).toOption
     def walk(p: LogicalPlan): Option[Long] = p match {
@@ -803,8 +869,7 @@ object Dedup {
         // match the format by CLASS, not toString (fragile), and
         // dispatch the right footer reader
         case fs: HadoopFsRelation =>
-          val files = fs.location.inputFiles.toSeq
-            .map(new org.apache.hadoop.fs.Path(_))
+          val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
           fs.fileFormat match {
             case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat =>
               footerRows(files, parquetRows)

@@ -236,6 +236,89 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("archivist allocation: cyclic parents graph is a typed error") {
+    // cost() recurses parent-first; without the check a cycle would be a
+    // StackOverflowError instead of IllegalArgumentException
+    val fns = Seq(
+      FnStats("a", Seq("b"), bytesPerSec = 1.0, cpuPerSec = 0.01,
+        retention = Some(Ret(3600.0, 60.0))),
+      FnStats("b", Seq("a"), bytesPerSec = 1.0, cpuPerSec = 0.01,
+        retention = None))
+    val e = intercept[IllegalArgumentException] {
+      Archivist.allocate(fns, 1_000_000L)
+    }
+    assert(e.getMessage.contains("cycle"))
+    // self-loop too
+    val e2 = intercept[IllegalArgumentException] {
+      Archivist.allocate(Seq(FnStats("s", Seq("s"), 1.0, 0.0,
+        Some(Ret(60.0, 60.0)))), 1_000_000L)
+    }
+    assert(e2.getMessage.contains("cycle"))
+  }
+
+  test("archivist e2e: runtime_stats rows → FnStats → allocate → GC'd archive dirs") {
+    // the full tick of the reference's archivist loop: stats ingestion
+    // (arc_stats_of_runtime_stats + compute_cost + recall_size,
+    // RamenArchivist.ml:73-91,278-316), allocation, then GC on real dirs
+    val stats = Seq(
+      // latest-wins: an older src row with absurd counters must be ignored
+      ("pipe/src", 10.0, Some(0.0), Some(1000.0), 999999999L, 999999L, 1L, 99999.0),
+      ("pipe/src", 20.0, Some(0.0), Some(1000.0), 10000L, 1000L, 10L, 100.0),
+      // agg: avg sampled tuple 2 B × 10 000 out = 20 000 B over a 1 000 s
+      // event span → 20 B/s recall size; cpu 200 s / 1 000 s = 0.2 cpu/s
+      ("pipe/agg", 20.0, Some(0.0), Some(1000.0), 10000L, 20L, 10L, 200.0),
+      // no-etime worker → default costs (RamenConstsDefault.ml:93-94)
+      ("pipe/cold", 20.0, None, None, 5L, 0L, 0L, 1.0))
+      .toDF("worker", "stats_time", "min_etime", "max_etime",
+        "tot_out_tuples", "tot_full_bytes", "tot_full_bytes_samples", "tot_cpu")
+    val parents = Map("pipe/agg" -> Seq("pipe/src"))
+    val retention = Map("pipe/agg" -> graft.ops.Archivist.Ret(7200.0, 60.0))
+
+    val fns = graft.ops.Archivist.fnStatsOfRuntimeStats(stats, parents, retention)
+      .map(f => f.fq -> f).toMap
+    assert(fns("pipe/src").bytesPerSec == 1000.0) // 100 B avg × 10 000 / 1 000 s
+    assert(fns("pipe/src").cpuPerSec == 0.1)
+    assert(fns("pipe/agg").bytesPerSec == 20.0)
+    assert(fns("pipe/agg").cpuPerSec == 0.2)
+    assert(fns("pipe/cold").bytesPerSec == graft.ops.Archivist.DefaultRecallSize)
+    assert(fns("pipe/cold").cpuPerSec == graft.ops.Archivist.DefaultComputeCost)
+
+    // budget fits agg's 7 200 s share (144 000 B) but not src's (7.2 MB):
+    // the plan must archive agg, leave src unarchived
+    val srcDir = freshDir(); val aggDir = freshDir()
+    // 4 hourly buckets each — agg's total comfortably exceeds its share so
+    // the GC must delete oldest buckets down to it
+    val rnd = new scala.util.Random(3)
+    val aggDf = spark.createDataFrame(
+      (0 until 24000).map(i => (i.toLong / 6000 * 3600, rnd.nextDouble())))
+      .toDF("start", "v")
+    Archive.write(aggDf, aggDir, "start", bucketSecs = 3600)
+    val srcDf = spark.range(400).select(
+      (col("id") / 100).cast("long") * 3600 as "start", col("id").as("v"))
+    Archive.write(srcDf, srcDir, "start", bucketSecs = 3600)
+
+    val (plan, dropped) = graft.ops.Archivist.reallocate(
+      stats, parents, retention, sizeLimitBytes = 150000L,
+      archiveDirs = Map("pipe/src" -> srcDir, "pipe/agg" -> aggDir))
+    assert(plan.allocs("pipe/agg").bytes == 144000L)
+    assert(plan.allocs("pipe/src").bytes == 0L)
+
+    // agg GC'd down to its byte share (oldest first), never emptied
+    def dirSize(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getContentSummary(p).getLength
+    }
+    assert(dropped("pipe/agg").nonEmpty)
+    assert(dropped("pipe/agg").sorted == dropped("pipe/agg")) // oldest first
+    assert(dirSize(aggDir) <= 144000L)
+    // un-allocated src GC'd to its single newest bucket (history no longer
+    // earns its disk; the live bucket survives)
+    assert(dropped("pipe/src").sorted == Seq(0L, 3600L, 7200L))
+    // replay inside agg's retained window still reads
+    assert(Archive.read(spark, aggDir).count() > 0)
+  }
+
   test("archivist plan feeds enforceRetention as per-function policies") {
     val fns = Seq(
       FnStats("src", Nil, bytesPerSec = 100.0, cpuPerSec = 0.0,

@@ -484,4 +484,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == 2L)
     assert(out(3L) == 1L)
   }
+
+  test("keeper state codec: round-trip, and foreign/old blobs are typed errors") {
+    import Dedup.KeeperState
+    val keepers: List[KeeperState.Keeper] = List(
+      (7L, Array(0.1, -0.2, 0.3), 0.374165738, 0x0A0B0C0D),
+      (42L, Array.empty[Double], 0.0, -1),
+      (1L, Array(1.0), 1.0, 0))
+    val rt = KeeperState.decode(KeeperState.encode(keepers))
+    assert(rt.map(_._1) == keepers.map(_._1))
+    assert(rt.map(_._3) == keepers.map(_._3))
+    assert(rt.map(_._4) == keepers.map(_._4))
+    assert(rt.map(_._2.toSeq) == keepers.map(_._2.toSeq))
+
+    // a checkpoint from a build with a DIFFERENT keeper shape: same magic,
+    // wrong version → typed mismatch naming both versions
+    val wrongVer = KeeperState.encode(keepers)
+    java.nio.ByteBuffer.wrap(wrongVer).putInt(4, KeeperState.Version + 1)
+    val e1 = intercept[IllegalStateException](KeeperState.decode(wrongVer))
+    assert(e1.getMessage.contains("version mismatch") &&
+      e1.getMessage.contains(s"v${KeeperState.Version + 1}"))
+
+    // an UNVERSIONED blob (e.g. Kryo bytes from the pre-codec build):
+    // magic check fires, never a garbage decode
+    val kryoish = Array.fill[Byte](64)(0x5A)
+    val e2 = intercept[IllegalStateException](KeeperState.decode(kryoish))
+    assert(e2.getMessage.contains("version mismatch"))
+    // and a truncated/empty blob is typed too, not a BufferUnderflow
+    val e3 = intercept[IllegalStateException](KeeperState.decode(Array[Byte](1, 2)))
+    assert(e3.getMessage.contains("version mismatch"))
+  }
 }
