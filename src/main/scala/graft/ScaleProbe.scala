@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * plan shapes; one measured decade catches anything super-linear
   * (bucket-cap replication, CC round growth, agg fan-in) before a real
   * cluster does. Results are recorded in COVERAGE.md; not part of the
-  * driver contract. Run: `runMain graft.ScaleProbe [k]`.
+  * driver contract. Run: `runMain graft.ScaleProbe [k] [name,name,…]`
+  * (the name list restricts the probe — the ×100 decade re-measures only
+  * the configs ×10 flagged or certified).
   *
   * Replication must scale the PAIR STRUCTURE ~linearly, not quadratically
   * — naive copies would make every doc a 10-clique of exact dups and the
@@ -93,10 +95,14 @@ object ScaleProbe {
     if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
       build(spark, src, dir, k)
 
+    // optional 2nd arg: comma-list restricting the probe (the ×100 decade
+    // re-measures only the configs the ×10 one flagged or certified)
+    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",
       "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf",
-      "t01_tokstats", "t08_bpe_tokens")
+      "t01_tokstats", "t08_bpe_tokens").filter(wanted)
     val qs = Queries.all.filter(q => names.contains(q.name))
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -131,7 +137,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    {
+    if (wanted("d07_scaled_nlist")) {
       val base = math.min(semdedupScaled(src), semdedupScaled(src))
       val big = semdedupScaled(dir)
       println(f"[scale] ${"d07_scaled_nlist"}%-22s sf0.1 $base%6.2f s  " +
@@ -154,7 +160,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    {
+    if (wanted("a02_scaled_r")) {
       val base = math.min(lshScaledR(src), lshScaledR(src))
       val big = lshScaledR(dir)
       println(f"[scale] ${"a02_scaled_r"}%-22s sf0.1 $base%6.2f s  " +
