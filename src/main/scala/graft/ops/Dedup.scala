@@ -32,7 +32,7 @@ object Dedup {
   /** Exact dedup on an order-insensitive content fingerprint: one surviving
     * (minimum) id per fingerprint group plus the duplicate count. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.repartition(par(docs)) // spread the per-doc sort+md5 map work
+    spreadInput(docs, par(docs)) // spread the per-doc sort+md5 map work
       .select(col(idCol), bagFingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -48,8 +48,7 @@ object Dedup {
   private def lshBucketFrame(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, p: Int): DataFrame = {
     val r = k / bands
-    docs
-      .repartition(p) // single-file local input ⇒ force map parallelism
+    spreadInput(docs, p) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
@@ -166,8 +165,7 @@ object Dedup {
         if (restrictToCandidates)
           docs.join(p.select(col(side).as(idCol)).distinct(), Seq(idCol), "left_semi")
         else docs
-      base
-        .repartition(par(docsA))
+      spreadInput(base, par(docsA))
         .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
         .hint("shuffle_hash") // keep the BIG shingle side streamed (see verifyJaccard)
@@ -213,8 +211,7 @@ object Dedup {
     // keep the shingle side streamed in the pair joins: its stats-based
     // size estimate ignores the array blow-up, so the planner would
     // otherwise broadcast it — computing the shingles in one task, twice
-    val sh = base
-      .repartition(par(docs))
+    val sh = spreadInput(base, par(docs))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
       .hint("shuffle_hash")
@@ -332,10 +329,10 @@ object Dedup {
     * only; use [[minhashCandidates]] + [[verifyJaccard]] at scale. */
   def jaccardPairsBruteForce(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs
+    val sh = spreadInput(docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
-      .repartition(par(docs)) // streamed side of the nested-loop pair join
+      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh")),
+      par(docs)) // streamed side of the nested-loop pair join
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
@@ -354,8 +351,7 @@ object Dedup {
     * explode + 64-vote-column aggregation) computes the fingerprint inside
     * whole-stage codegen with NO per-doc shuffle. */
   def simhashFps(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(par(docs))
+    spreadInput(docs, par(docs))
       .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
 
   /** SQL-reproducible simhash family: 60-bit fingerprint from md5-derived
@@ -367,8 +363,7 @@ object Dedup {
     * hashes, votes, fingerprints, and brute-force Hamming pairs
     * bit-identically (d04b). Still map-only whole-stage codegen. */
   def simhashFpsMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(par(docs))
+    spreadInput(docs, par(docs))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), expr(
         "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
@@ -445,7 +440,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val fps = simhashFps(docs, idCol, textCol)
     val viaChunks = simhashPairsOfFps(fps, maxHamming).select("id_a", "id_b")
-    val f = fps.repartition(par(fps))
+    val f = spreadInput(fps, par(fps))
     val bruteForce = f.as("a").join(f.as("b"), col("a.id") < col("b.id"))
       .filter(hamming64(col("a.fp"), col("b.fp")) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -502,10 +497,10 @@ object Dedup {
     // aggregation, the blocked pair join, and the final join-back —
     // persist it so the dot pipeline evaluates once (MEMORY_AND_DISK:
     // spills at corpus scale; Spark evicts LRU)
-    val assigned = embs
+    val assigned = spreadInput(embs
       .select(col(idCol).as("id"), col(vecCol).as("v"),
-        Similarity.normFlat(col(vecCol), dim).as("norm"))
-      .repartition(par(embs)) // spread the per-row nlist×dim dot products
+        Similarity.normFlat(col(vecCol), dim).as("norm")),
+      par(embs)) // spread the per-row nlist×dim dot products
       .withColumn("cell", Similarity.cellArgmax(col("v"), cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // co-partitioned blocked self-join (pinned: a broadcast build side
@@ -818,6 +813,46 @@ object Dedup {
             e: java.util.Map.Entry[(String, Long, Long), java.lang.Long]): Boolean =
           size() > FooterCacheMax
       })
+
+  /** Spread heavy map work over the cluster ONLY when the source scan is
+    * less parallel than the target — the single/few-file LOCAL input case,
+    * where Spark plans the whole kernel into one or two tasks. On a lake
+    * scan the file splits already exceed the core count, and the
+    * unconditional `repartition(p)` this replaces would round-robin the
+    * RAW corpus bytes through a full shuffle for nothing — at 100 TB that
+    * exchange costs more than the map work it spreads. Planning-time
+    * metadata check only: leaf scan bytes / `maxPartitionBytes` ≈ the
+    * scan's task count (an UNDERESTIMATE — many small files each get ≥ 1
+    * split — so the fallback direction is the safe one: when unsure,
+    * spread). Frames whose lineage isn't a 1:1 view of a file scan
+    * (post-join/aggregate frames, local relations) keep the explicit
+    * repartition — for those the stats undersell output skew, which is
+    * why the spread exists. */
+  private[graft] def spreadInput(df: DataFrame, p: Int): DataFrame = {
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val scanTasks = leafScanBytes(df).map(b => b / math.max(1L, maxSplit))
+    if (scanTasks.exists(_ >= p)) df else df.repartition(p)
+  }
+
+  /** Total file bytes under `df`'s leaf scan, when the plan is a 1:1
+    * row-preserving view of a single file relation — None otherwise.
+    * Same plan walk as [[leafRowBound]] but metadata-only (no footer
+    * reads). */
+  private[graft] def leafScanBytes(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case Project(_, c) => walk(c)
+      case Filter(_, c) => walk(c)
+      case SubqueryAlias(_, c) => walk(c)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.sizeInBytes)
+        case _ => None
+      }
+      case _ => None
+    }
+    scala.util.Try(walk(df.queryExecution.analyzed)).toOption.flatten
+  }
 
   private[graft] def leafRowBound(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._

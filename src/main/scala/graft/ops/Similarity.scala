@@ -92,7 +92,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val dim = vecDim(corpus, vecCol)
-    val c = withVec(corpus, idCol, vecCol, dim).repartition(par(corpus)).as("c")
+    val c = Dedup.spreadInput(withVec(corpus, idCol, vecCol, dim), par(corpus)).as("c")
     // pin the broadcast on the QUERY side: stats at small SF would happily
     // build/broadcast the corpus (judge's r1 explain showed BuildRight) —
     // at 100 TB that's the wrong side by ~6 orders of magnitude
@@ -170,7 +170,7 @@ object Similarity {
 
     // corpus side needs only the ARGMAX cell — one kernel call; the query
     // side below keeps the full score array (nprobe ranking needs it)
-    val c = withVec(corpus, idCol, vecCol, dim).repartition(par(corpus))
+    val c = Dedup.spreadInput(withVec(corpus, idCol, vecCol, dim), par(corpus))
       .withColumn("cell", cellArgmax(col("v"), cents))
     import org.apache.spark.sql.expressions.Window
     val q = withVec(queries, idCol, vecCol, dim)
@@ -213,9 +213,8 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     var cents = seedCentroids(corpus, idCol, vecCol, nlist)
     for (_ <- 1 to iters) {
-      val assigned = corpus
-        .select(col(idCol).as("id"), col(vecCol).as("v"))
-        .repartition(par(corpus))
+      val assigned = Dedup.spreadInput(corpus
+        .select(col(idCol).as("id"), col(vecCol).as("v")), par(corpus))
         .withColumn("cell", cellArgmax(col("v"), cents))
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
@@ -258,8 +257,7 @@ object Similarity {
       dimOut: Int, seed: Long = 7L): DataFrame = {
     val dim = vecDim(embs, vecCol)
     val m = projectionMatrix(dim, dimOut, seed)
-    embs
-      .repartition(par(embs)) // single-file local input ⇒ force map parallelism
+    Dedup.spreadInput(embs, par(embs)) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"),
         posexplode(array(m.map(p => dotFlat(col(vecCol), typedlit(p), dim)): _*)))
       .select(col("id"), (col("pos") + 1).as("dim"),
@@ -275,8 +273,7 @@ object Similarity {
     * value bit-for-bit. Returns (id, scale, q_sum, q_l1, q_max) — the
     * quantized vector summarized by deterministic integer reductions. */
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embs
-      .repartition(par(embs))
+    Dedup.spreadInput(embs, par(embs))
       .select(col(idCol).as("id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("vd"))
       .withColumn("amax",
@@ -336,8 +333,7 @@ object Similarity {
     val enc = org.apache.spark.sql.GraftShims.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.GraftShims.expression(col(vecCol)), books))
-    embs
-      .repartition(par(embs)) // single-file local input ⇒ force map parallelism
+    Dedup.spreadInput(embs, par(embs)) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), posexplode(enc))
       .select(col("id"), (col("pos") + 1).as("sub"),
         col("col.code").as("code"), round(col("col.score"), 9).as("score"))
@@ -395,7 +391,7 @@ object Similarity {
       bucketCap: Int = 4096): DataFrame = {
     val dim = vecDim(embs, vecCol)
     val planes = hyperplanes(dim, bands, r, seed)
-    val v = withVec(embs, idCol, vecCol, dim).repartition(par(embs))
+    val v = Dedup.spreadInput(withVec(embs, idCol, vecCol, dim), par(embs))
     // Map-only bucket computation — ONE native kernel for all bands×r
     // plane dots + sign packing (graft.functions.LshSignBuckets): the
     // spelled-out 96-VecDot-column formulation cost more in task

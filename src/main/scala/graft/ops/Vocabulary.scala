@@ -26,8 +26,7 @@ object Vocabulary {
   def build(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .repartition(par(docs)) // single-file local input ⇒ force map parallelism
+    Dedup.spreadInput(docs, par(docs)) // single-file local input ⇒ force map parallelism
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token")).limit(vocabSize)
@@ -43,8 +42,7 @@ object Vocabulary {
     * check is a map-side join plus one per-doc aggregation. */
   def oovStats(docs: DataFrame, vocab: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs
-      .repartition(par(docs))
+    Dedup.spreadInput(docs, par(docs))
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
       .join(broadcast(vocab.select(col("token"), lit(true).as("_inv"))),
         Seq("token"), "left")

@@ -226,4 +226,27 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"), "tail should be a bounded top-n")
   }
+
+  test("input spread is conditional: local scans repartition, lake-scale scans don't") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+    // a 1:1 view of a file scan exposes its byte size; a join does not
+    val bytes = Dedup.leafScanBytes(docs.select("doc_id", "text"))
+    assert(bytes.exists(_ > 0))
+    assert(Dedup.leafScanBytes(docs.as("x").join(docs.as("y"), "doc_id")).isEmpty)
+    // tiny local file → fewer scan splits than cores → the spread fires
+    val spread = Dedup.spreadInput(docs, 8)
+    assert(spread.queryExecution.analyzed.toString.contains("Repartition"),
+      "local single-file input must still be spread")
+    // simulate a lake-scale scan: shrink maxPartitionBytes until the scan
+    // alone yields ≥ p splits — the raw-bytes round-robin must disappear
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (bytes.get / 16).max(1L).toString)
+      val noSpread = Dedup.spreadInput(docs, 8)
+      assert(!noSpread.queryExecution.analyzed.toString.contains("Repartition"),
+        "a scan with enough splits must not re-shuffle the raw input")
+    } finally spark.conf.set(key, old)
+  }
 }
