@@ -170,8 +170,8 @@ object Dedup {
         .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
         .hint("shuffle_hash") // keep the BIG shingle side streamed (see verifyJaccard)
     }
+    // the id_a join hash-exchanges the pair stream; see verifyJaccard
     p
-      .repartition(par(docsA))
       .join(sh(docsA, "id_a").withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh(docsB, "id_b").withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -215,8 +215,11 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
       .hint("shuffle_hash")
+    // no explicit repartition of the pair stream: the id_a equi-join right
+    // below hash-exchanges it anyway (a round-robin first would be a
+    // second full shuffle of every candidate pair that changes neither
+    // placement nor skew — the post-AQE plan showed both stacked)
     p
-      .repartition(par(docs)) // spread the per-pair set intersections
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
