@@ -827,10 +827,13 @@ object Dedup {
     * metadata check only: leaf scan bytes / `maxPartitionBytes` ≈ the
     * scan's task count (an UNDERESTIMATE — many small files each get ≥ 1
     * split — so the fallback direction is the safe one: when unsure,
-    * spread). Frames whose lineage isn't a 1:1 view of a file scan
-    * (post-join/aggregate frames, local relations) keep the explicit
-    * repartition — for those the stats undersell output skew, which is
-    * why the spread exists. */
+    * spread). One OVER-estimate exists: partition pruning applies below
+    * the FileIndex, so a pruned scan of a huge table reports full-table
+    * bytes and skips the spread — acceptable, because a scan pruned down
+    * to little data has little kernel work to spread. Frames whose
+    * lineage isn't a 1:1 view of a file scan (post-join/aggregate frames,
+    * local relations) keep the explicit repartition — for those the
+    * stats undersell output skew, which is why the spread exists. */
   private[graft] def spreadInput(df: DataFrame, p: Int): DataFrame = {
     val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val scanTasks = leafScanBytes(df).map(b => b / math.max(1L, maxSplit))
