@@ -89,8 +89,10 @@ object Archivist {
       def visit(fq: String, path: List[String]): Unit = state.get(fq) match {
         case Some(2) => ()
         case Some(1) =>
+          // path is most-recent-first; render the cycle forward: fq -> … -> fq
+          val cycle = ((path.takeWhile(_ != fq) :+ fq).reverse :+ fq)
           throw new IllegalArgumentException(
-            s"cycle in parents graph: ${(fq :: path.takeWhile(_ != fq)).reverse.mkString(" -> ")} -> $fq")
+            s"cycle in parents graph: ${cycle.mkString(" -> ")}")
         case _ =>
           state(fq) = 1
           byFq(fq).parents.foreach(visit(_, fq :: path))
@@ -228,10 +230,13 @@ object Archivist {
   /** The per-function retention policies of a plan — feed each into
     * [[Archive.enforceRetention]] on that function's archive directory. */
   def retentions(plan: Plan): Map[String, Archive.Retention] =
-    plan.allocs.collect { case (fq, a) if a.bytes > 0 =>
+    plan.allocs.collect { case (fq, a) if a.durationSecs > 0 =>
+      // keyed on ARCHIVED (duration > 0), not bytes > 0: a function whose
+      // modeled write rate is 0 is still archived — a 0-byte size limit
+      // would GC the history the plan just decided to keep
       fq -> Archive.Retention(
         maxAgeSecs = Some(a.durationSecs),
-        sizeLimitBytes = Some(a.bytes))
+        sizeLimitBytes = Some(a.bytes).filter(_ > 0))
     }
 
   /** Default per-second costs for a worker with no usable stats yet
@@ -275,11 +280,20 @@ object Archivist {
       val fullBytes = r.getLong(4)
       val samples = r.getLong(5)
       val cpu = r.getDouble(6)
+      // no sampled tuple sizes (the Spark Instrumentation stream cannot
+      // observe serialized output bytes and reports samples = 0) ⇒ the
+      // DEFAULT recall size, never 0.0: a zero bytes/s model makes every
+      // archive free to keep — and free to recall — so the allocator
+      // would assign everyone 0 bytes and the GC tick would delete all
+      // history on the first wired run. (The reference hits the same
+      // degenerate stats only for never-run workers, :597-600, and uses
+      // its defaults there too.)
       val totalBytes =
         if (samples > 0) fullBytes.toDouble / samples * outTuples else 0.0
       fq -> FnStats(fq,
         parents = parents.getOrElse(fq, Nil),
-        bytesPerSec = span.map(totalBytes / _).getOrElse(DefaultRecallSize),
+        bytesPerSec = span.filter(_ => totalBytes > 0)
+          .map(totalBytes / _).getOrElse(DefaultRecallSize),
         cpuPerSec = span.map(cpu / _).getOrElse(DefaultComputeCost),
         retention = retention.get(fq))
     }.toMap

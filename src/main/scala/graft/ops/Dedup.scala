@@ -581,11 +581,23 @@ object Dedup {
           s"keeper state version mismatch: checkpoint has v$ver, this build reads v$Version — " +
             "restart from a fresh checkpoint and re-feed, or run the matching build")
       val n = bb.getInt
+      // body-level damage (truncation mid-keeper, corrupted count/dim)
+      // must be the same typed error as header damage — never a raw
+      // BufferUnderflow or a negative/multi-GB array allocation in the
+      // state-load path
+      def corrupt(what: String): Nothing =
+        throw new IllegalStateException(
+          s"keeper state version mismatch: v$Version blob is corrupt ($what) — " +
+            "restart from a fresh checkpoint")
+      if (n < 0) corrupt(s"negative keeper count $n")
       var out = List.empty[Keeper]
       var k = 0
       while (k < n) {
+        if (bb.remaining < 12) corrupt(s"truncated at keeper $k")
         val id = bb.getLong
         val dim = bb.getInt
+        if (dim < 0 || bb.remaining < 8L * dim + 12)
+          corrupt(s"keeper $k dim $dim exceeds blob")
         val v = new Array[Double](dim)
         var i = 0
         while (i < dim) { v(i) = bb.getDouble; i += 1 }
@@ -824,10 +836,13 @@ object Dedup {
     * unconditional `repartition(p)` this replaces would round-robin the
     * RAW corpus bytes through a full shuffle for nothing — at 100 TB that
     * exchange costs more than the map work it spreads. Planning-time
-    * metadata check only: leaf scan bytes / `maxPartitionBytes` ≈ the
-    * scan's task count (an UNDERESTIMATE — many small files each get ≥ 1
-    * split — so the fallback direction is the safe one: when unsure,
-    * spread). One OVER-estimate exists: partition pruning applies below
+    * metadata check only, with the task count UNDER-estimated so the
+    * fallback direction is the safe one (when unsure, spread): for
+    * splittable columnar formats (parquet/orc) bytes/`maxPartitionBytes`
+    * (many small files each get ≥ 1 split on top); for row formats the
+    * FILE count (a gzip'd file is never split, whatever its size); a
+    * stats-less relation (sizeInBytes ≈ defaultSizeInBytes) counts as
+    * unknown, not huge. One OVER-estimate exists: partition pruning applies below
     * the FileIndex, so a pruned scan of a huge table reports full-table
     * bytes and skips the spread — acceptable, because a scan pruned down
     * to little data has little kernel work to spread. Frames whose
@@ -836,23 +851,44 @@ object Dedup {
     * stats undersell output skew, which is why the spread exists. */
   private[graft] def spreadInput(df: DataFrame, p: Int): DataFrame = {
     val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-    val scanTasks = leafScanBytes(df).map(b => b / math.max(1L, maxSplit))
-    if (scanTasks.exists(_ >= p)) df else df.repartition(p)
+    val enough = leafFsRelation(df).exists { fs =>
+      val bytes = scala.util.Try(fs.location.sizeInBytes).getOrElse(-1L)
+      // a stats-less relation reports defaultSizeInBytes (~Long.MaxValue):
+      // that is UNKNOWN, not huge — spread
+      if (bytes <= 0 || bytes >= Long.MaxValue / 4) false
+      else fs.fileFormat match {
+        // splittable columnar formats: tasks ≈ bytes / maxPartitionBytes
+        case _: org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat |
+             _: org.apache.spark.sql.execution.datasources.orc.OrcFileFormat =>
+          bytes / math.max(1L, maxSplit) >= p
+        // row formats may be gzip'd etc. — never more than one task per
+        // FILE, whatever the byte count (one 10 GB .json.gz is ONE task)
+        case _ =>
+          scala.util.Try(fs.location.inputFiles.length).getOrElse(0) >= p
+      }
+    }
+    if (enough) df else df.repartition(p)
   }
 
   /** Total file bytes under `df`'s leaf scan, when the plan is a 1:1
-    * row-preserving view of a single file relation — None otherwise.
-    * Same plan walk as [[leafRowBound]] but metadata-only (no footer
-    * reads). */
-  private[graft] def leafScanBytes(df: DataFrame): Option[Long] = {
+    * row-preserving view of a single file relation — None otherwise. */
+  private[graft] def leafScanBytes(df: DataFrame): Option[Long] =
+    leafFsRelation(df).flatMap(fs =>
+      scala.util.Try(fs.location.sizeInBytes).toOption)
+
+  /** The file relation under `df`, when the plan is a 1:1 row-preserving
+    * view of exactly one — None otherwise. Same plan walk as
+    * [[leafRowBound]] but metadata-only (no footer reads). */
+  private[graft] def leafFsRelation(df: DataFrame)
+      : Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    def walk(p: LogicalPlan): Option[Long] = p match {
+    def walk(p: LogicalPlan): Option[HadoopFsRelation] = p match {
       case Project(_, c) => walk(c)
       case Filter(_, c) => walk(c)
       case SubqueryAlias(_, c) => walk(c)
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fs.location.sizeInBytes)
+        case fs: HadoopFsRelation => Some(fs)
         case _ => None
       }
       case _ => None

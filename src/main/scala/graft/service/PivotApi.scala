@@ -108,7 +108,11 @@ object PivotApi {
     else filters.map { w =>
       val f = schema.fields.find(_.name == w.lhs).getOrElse(
         throw new BadRequest(s"no column ${w.lhs} in parent output"))
-      val (op, rhs) = (w.op.toLowerCase.trim, w.rhs.trim) match {
+      // normalize internal whitespace BEFORE the in/not-in match so
+      // "not  in" takes the vector-rhs branch like "not in" (and not the
+      // general branch's scalar printer)
+      val (op, rhs) = (w.op.toLowerCase.trim.replaceAll("\\s+", " "),
+          w.rhs.trim) match {
         case (o @ ("in" | "not in"), r) =>
           val items =
             (if (r.startsWith("[") && r.endsWith("]"))
@@ -124,8 +128,7 @@ object PivotApi {
           // the op string is interpolated into generated RaQL — anything
           // outside the comparison whitelist is an injection vector (the
           // rhs quoting above is bypassable via op = "= 0 OR 1 =")
-          val safe =
-            if (o.isEmpty) "=" else o.replaceAll("\\s+", " ")
+          val safe = if (o.isEmpty) "=" else o
           if (!PivotApi.FilterOps.contains(safe))
             throw new BadRequest(s"unsupported filter op '${w.op}'")
           // LIKE patterns are string constants whatever the lhs type

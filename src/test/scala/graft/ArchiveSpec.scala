@@ -247,7 +247,9 @@ class ArchiveSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Archivist.allocate(fns, 1_000_000L)
     }
-    assert(e.getMessage.contains("cycle"))
+    // the path renders FORWARD along real edges (a -> b -> a, not b -> a -> a)
+    assert(e.getMessage.contains("cycle") &&
+      e.getMessage.contains("a -> b -> a"), e.getMessage)
     // self-loop too
     val e2 = intercept[IllegalArgumentException] {
       Archivist.allocate(Seq(FnStats("s", Seq("s"), 1.0, 0.0,
@@ -282,6 +284,17 @@ class ArchiveSpec extends AnyFunSuite {
     assert(fns("pipe/agg").cpuPerSec == 0.2)
     assert(fns("pipe/cold").bytesPerSec == graft.ops.Archivist.DefaultRecallSize)
     assert(fns("pipe/cold").cpuPerSec == graft.ops.Archivist.DefaultComputeCost)
+    // a worker WITH etimes but no sampled output sizes (the Spark
+    // instrumentation stream can't observe serialized bytes — samples = 0)
+    // must ALSO get the default recall size, never 0 B/s: a zero-cost
+    // model would archive everything for free and the GC tick would then
+    // delete all real history (allocs 0 bytes everywhere)
+    val noSamples = graft.ops.Archivist.fnStatsOfRuntimeStats(
+      Seq(("pipe/agg", 20.0, Some(0.0), Some(1000.0), 10000L, 0L, 0L, 200.0))
+        .toDF("worker", "stats_time", "min_etime", "max_etime",
+          "tot_out_tuples", "tot_full_bytes", "tot_full_bytes_samples", "tot_cpu"))
+    assert(noSamples.head.bytesPerSec == graft.ops.Archivist.DefaultRecallSize)
+    assert(noSamples.head.cpuPerSec == 0.2) // cpu/span still real
 
     // budget fits agg's 7 200 s share (144 000 B) but not src's (7.2 MB):
     // the plan must archive agg, leave src unarchived

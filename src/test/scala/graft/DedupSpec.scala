@@ -513,5 +513,21 @@ class DedupSpec extends AnyFunSuite {
     // and a truncated/empty blob is typed too, not a BufferUnderflow
     val e3 = intercept[IllegalStateException](KeeperState.decode(Array[Byte](1, 2)))
     assert(e3.getMessage.contains("version mismatch"))
+    // body-level damage: truncation mid-keeper and corrupted dim/count
+    // are ALSO typed (never BufferUnderflow / NegativeArraySize / a
+    // multi-GB allocation in the state-load path)
+    val good = KeeperState.encode(keepers)
+    val cut = java.util.Arrays.copyOf(good, good.length - 5)
+    assert(intercept[IllegalStateException](KeeperState.decode(cut))
+      .getMessage.contains("corrupt"))
+    val badDim = good.clone()
+    // first keeper's dim: magic(4) + version(4) + count(4) + id(8) = offset 20
+    java.nio.ByteBuffer.wrap(badDim).putInt(20, Int.MaxValue)
+    assert(intercept[IllegalStateException](KeeperState.decode(badDim))
+      .getMessage.contains("corrupt"))
+    val negCount = good.clone()
+    java.nio.ByteBuffer.wrap(negCount).putInt(8, -3)
+    assert(intercept[IllegalStateException](KeeperState.decode(negCount))
+      .getMessage.contains("corrupt"))
   }
 }

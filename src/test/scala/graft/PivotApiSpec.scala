@@ -96,10 +96,17 @@ class PivotApiSpec extends AnyFunSuite {
     assert(PivotApi.printFilter(schema,
       Seq(SimpleFilter("name", "B%", "not cs-like"))) ==
       """name NOT CASE SENSITIVE LIKE "B%"""")
-    // internal-whitespace variants normalize rather than 400
+    // internal-whitespace variants normalize rather than 400 — for the
+    // IN family too (a "not  in" must take the vector-rhs branch, not the
+    // general scalar printer)
     assert(PivotApi.printFilter(schema,
       Seq(SimpleFilter("name", "b%", "NOT  LIKE"))) ==
       """name NOT LIKE "b%"""")
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("score", "[4; 5]", "not  in"))) ==
+      "score NOT IN [4; 5]")
+    assert(PivotApi.printFilter(schema,
+      Seq(SimpleFilter("score", "[4]", "NOT  IN"))) == "score <> 4")
     // and the generated forms parse as RaQL expressions
     for (src <- Seq("""name NOT LIKE "b%"""",
         """name CASE SENSITIVE LIKE "B%"""",

@@ -247,6 +247,17 @@ class PlanSpec extends AnyFunSuite {
       val noSpread = Dedup.spreadInput(docs, 8)
       assert(!noSpread.queryExecution.analyzed.toString.contains("Repartition"),
         "a scan with enough splits must not re-shuffle the raw input")
+      // a NON-splittable row format is bounded by its FILE count, not its
+      // byte count — one big json/gz file still plans one task, so the
+      // spread must fire however small maxPartitionBytes is
+      val dir = java.nio.file.Files.createTempDirectory("graft_json").toFile
+      dir.deleteOnExit()
+      docs.select("doc_id", "text").limit(50).coalesce(1)
+        .write.mode("overwrite").json("file:" + dir.getPath)
+      val json = spark.read.json("file:" + dir.getPath)
+      assert(Dedup.spreadInput(json, 8)
+        .queryExecution.analyzed.toString.contains("Repartition"),
+        "single-file row-format input must be spread whatever its bytes")
     } finally spark.conf.set(key, old)
   }
 }
