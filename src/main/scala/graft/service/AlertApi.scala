@@ -331,6 +331,17 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
   def notifications(progName: String): Option[DataFrame] =
     compiler.notifications(s"$progName/notif")
 
+  /** Compiler-backed graphite tree (see [[GraphiteTree]]) — the httpd's
+    * `/metrics/find` and `/render` when no external metrics frame is
+    * bound. */
+  def graphiteFind(query: String, since: Option[Double] = None,
+      until: Option[Double] = None): Seq[GraphiteTree.Node] =
+    GraphiteTree.find(compiler, query, since, until)
+
+  def graphiteRender(target: String, since: Double, until: Double,
+      maxDataPoints: Int): Seq[(String, Seq[(Long, Option[Double])])] =
+    GraphiteTree.render(compiler, target, since, until, maxDataPoints)
+
   /** `get-timeseries` (RamenApi.ml:436-533): per table, the selected
     * fields bucketized over [since, until) with optional simple filters
     * and factor grouping. One hash aggregation per table — the q17

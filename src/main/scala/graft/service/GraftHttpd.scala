@@ -104,11 +104,27 @@ final class GraftHttpd(
           } else respond(ex, 400,
             s"""{"error":"Bad HTTP API version: \\"$n\\" (must be between 1 and $apiVersion)"}""")
         case "/metrics/find" =>
-          val q = query(ex).getOrElse("query", "*")
+          val p = query(ex)
+          val q = p.getOrElse("query", "*")
           metrics() match {
             case Some(df) =>
               respond(ex, 200, rowsToJson(GraphiteApi.find(df, pathCol, q)))
-            case None => respond(ex, 404, """{"error":"no metrics source"}""")
+            case None =>
+              // no external metrics frame: the compiler-backed tree over
+              // the registered programs (reference find JSON shape —
+              // RamenGraphite.ml:272-275, int flags)
+              val nodes = api.graphiteFind(q,
+                p.get("from").map(_.toDouble), p.get("until").map(_.toDouble))
+              val arr = F.arrayNode()
+              nodes.foreach { n =>
+                val o = arr.addObject()
+                o.put("text", n.text)
+                o.put("id", n.id)
+                o.put("expandable", if (n.expandable) 1 else 0)
+                o.put("leaf", if (n.leaf) 1 else 0)
+                o.put("allowChildren", if (n.expandable) 1 else 0)
+              }
+              respond(ex, 200, M.writeValueAsString(arr))
           }
         case "/render" =>
           val p = query(ex)
@@ -135,7 +151,22 @@ final class GraftHttpd(
                   }
               }
               respond(ex, 200, M.writeValueAsString(arr))
-            case None => respond(ex, 404, """{"error":"no metrics source"}""")
+            case None =>
+              // compiler-backed render: [{target, datapoints: [[v, t], …]}]
+              // with null points where no rows landed (graphite nulls)
+              val arr = F.arrayNode()
+              api.graphiteRender(target, since, until, n).foreach {
+                case (tgt, pts) =>
+                  val o = arr.addObject()
+                  o.put("target", tgt)
+                  val dp = o.putArray("datapoints")
+                  pts.foreach { case (ts, v) =>
+                    val pt = dp.addArray()
+                    v.fold[Unit] { pt.addNull(); () } { x => pt.add(x); () }
+                    pt.add(ts)
+                  }
+              }
+              respond(ex, 200, M.writeValueAsString(arr))
           }
         case t if t.startsWith("/tail/") =>
           val name = t.stripPrefix("/tail/")

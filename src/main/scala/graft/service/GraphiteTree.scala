@@ -1,0 +1,216 @@
+package graft.service
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+import graft.raql.{Ast, RaqlCompiler}
+import graft.raql.Ast.{Aggregate, ReadCsv}
+
+/** The graphite impersonator's VIRTUAL metrics tree over the REGISTERED
+  * programs (`RamenGraphite.ml:95-193`): a metric path is the program
+  * name's `/`-components, then the function name, then ONE component per
+  * declared FACTOR (enumerating its distinct values over the queried
+  * range), then each public numeric non-factor output field as a leaf.
+  * Only functions with an event time (start/ts column convention) appear.
+  *
+  * `find` expands only down to the query's depth (the reference's
+  * `end_of_filters` cut — never the full value product); `expandTarget`
+  * expands fully, and `render` batches all series of one function into a
+  * single scan (time filter + factor-value filters + one hash aggregation
+  * on (bucket, factors…) — `RamenGraphite.ml:461-476`'s scan merging).
+  *
+  * Scale: the tree math is driver-side over the function graph; the only
+  * data work is per-factor distinct values (factors are low-cardinality
+  * by contract — capped at [[GraphiteTree.MaxFactorValues]]) and the
+  * render scans, which aggregate map-side per (bucket, factors) before
+  * the collect of ≤ maxDataPoints × Π|values| rows. */
+object GraphiteTree {
+
+  /** One `/metrics/find` entry (reference `metric` record,
+    * RamenGraphite.ml:272-275: int flags, allowChildren = expandable). */
+  final case class Node(id: String, leaf: Boolean, expandable: Boolean) {
+    def text: String = id.substring(id.lastIndexOf('.') + 1)
+  }
+
+  /** One fully-expanded render target. */
+  final case class Series(fq: String, factorVals: Seq[(String, String)],
+      field: String, path: String)
+
+  /** Factors are enumerable by contract; a runaway high-cardinality column
+    * declared as a factor is capped rather than collected unbounded. */
+  val MaxFactorValues = 1000
+
+  private def matches(glob: String, v: String): Boolean =
+    v.matches(GraphiteApi.globToRegex(glob))
+
+  /** (progName, func, path head = program components :+ function name) for
+    * every table-like registered function with an event time. */
+  private def heads(c: RaqlCompiler): Seq[(String, Ast.Func, Vector[String])] =
+    c.registeredPrograms.toSeq.sortBy(_._1).flatMap { case (pn, prog) =>
+      prog.funcs.collect {
+        // LISTEN/Kafka funcs never compile here (compiling opens sockets)
+        case f if (f.op match {
+          case _: Aggregate | _: ReadCsv => true
+          case _ => false
+        }) => (pn, f, pn.split("/").filterNot(_.isEmpty).toVector :+ f.name)
+      }
+    }.filter { case (pn, f, _) =>
+      scala.util.Try(c.compile(s"$pn/${f.name}").columns.toSet).toOption
+        .exists(cols => cols("start") || cols("ts"))
+    }
+
+  private def factorsOf(f: Ast.Func): Seq[String] = f.op match {
+    case a: Aggregate => a.factors
+    case _ => Nil
+  }
+
+  private def timeCol(df: DataFrame) = {
+    val cols = df.columns.toSet
+    if (cols("start")) Some(col("start").cast("double"))
+    else if (cols("ts")) Some(unix_micros(col("ts")) / 1e6)
+    else None
+  }
+
+  /** Distinct values of a factor over the (optional) time range — the
+    * reference's `RamenTimeseries.possible_values`, computed from the
+    * function's frame instead of a persisted tracking file. */
+  def possibleValues(c: RaqlCompiler, fq: String, factor: String,
+      since: Option[Double] = None, until: Option[Double] = None): Seq[String] = {
+    val df = c.compile(fq)
+    val ranged = timeCol(df) match {
+      case Some(t) =>
+        val s = since.map(v => t >= v).getOrElse(lit(true))
+        val u = until.map(v => t < v).getOrElse(lit(true))
+        df.filter(s && u)
+      case None => df
+    }
+    ranged.select(col(factor).cast("string")).na.drop().distinct()
+      .limit(MaxFactorValues).collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  private def numericFields(df: DataFrame, factors: Set[String]): Seq[String] =
+    df.schema.fields.toSeq
+      .filterNot(_.name.startsWith("_"))
+      .filter(f => f.dataType.isInstanceOf[NumericType] && !factors(f.name))
+      .map(_.name)
+
+  /** `/metrics/find?query=…`: tree nodes at the query's depth. */
+  def find(c: RaqlCompiler, query: String,
+      since: Option[Double] = None, until: Option[Double] = None): Seq[Node] = {
+    val comps = query.split("\\.", -1).toIndexedSeq
+    val nodes = heads(c).flatMap { case (pn, f, head) =>
+      val fq = s"$pn/${f.name}"
+      if (comps.length <= head.length) {
+        // the query ends inside the program/function components
+        if (comps.indices.forall(i => matches(comps(i), head(i))))
+          Seq(Node(head.take(comps.length).mkString("."),
+            leaf = false, expandable = true))
+        else Nil
+      } else if (!head.indices.forall(i => matches(comps(i), head(i)))) Nil
+      else {
+        val rest = comps.drop(head.length)
+        val factors = factorsOf(f)
+        lazy val fields = numericFields(c.compile(fq), factors.toSet)
+        def walk(fi: Int, ri: Int, prefix: Vector[String]): Seq[Node] = {
+          val last = ri == rest.length - 1
+          if (fi < factors.length) {
+            val vals0 = possibleValues(c, fq, factors(fi), since, until)
+            // no values yet → one empty component so deeper levels stay
+            // reachable (the reference's FactorAll, :130-140)
+            val vals = if (vals0.isEmpty) Seq("") else vals0
+            val m = vals.filter(matches(rest(ri), _))
+            if (last) m.map(v => Node((head ++ prefix :+ v).mkString("."),
+              leaf = false, expandable = true))
+            else m.flatMap(v => walk(fi + 1, ri + 1, prefix :+ v))
+          } else if (last)
+            fields.filter(matches(rest(ri), _)).map(fd =>
+              Node((head ++ prefix :+ fd).mkString("."),
+                leaf = true, expandable = false))
+          else Nil
+        }
+        walk(0, 0, Vector.empty)
+      }
+    }
+    nodes.groupBy(_.id).toSeq.sortBy(_._1).map { case (id, ns) =>
+      Node(id, ns.exists(_.leaf), ns.exists(_.expandable))
+    }
+  }
+
+  /** FULL expansion of a render target — every component expands, unlike
+    * find (`RamenGraphite.ml:425-430`). A target reaches a function only
+    * when its component count is exactly head + factors + field. */
+  def expandTarget(c: RaqlCompiler, target: String,
+      since: Option[Double] = None, until: Option[Double] = None): Seq[Series] = {
+    val comps = target.split("\\.", -1).toIndexedSeq
+    heads(c).flatMap { case (pn, f, head) =>
+      val fq = s"$pn/${f.name}"
+      val factors = factorsOf(f)
+      if (comps.length != head.length + factors.length + 1) Nil
+      else if (!head.indices.forall(i => matches(comps(i), head(i)))) Nil
+      else {
+        val fields = numericFields(c.compile(fq), factors.toSet)
+          .filter(matches(comps.last, _))
+        if (fields.isEmpty) Nil
+        else {
+          def walk(fi: Int, prefix: Vector[String]): Seq[Vector[String]] =
+            if (fi == factors.length) Seq(prefix)
+            else {
+              val vals0 = possibleValues(c, fq, factors(fi), since, until)
+              val vals = if (vals0.isEmpty) Seq("") else vals0
+              vals.filter(matches(comps(head.length + fi), _))
+                .flatMap(v => walk(fi + 1, prefix :+ v))
+            }
+          for (fvals <- walk(0, Vector.empty); fd <- fields)
+            yield Series(fq, factors.zip(fvals), fd,
+              (head ++ fvals :+ fd).mkString("."))
+        }
+      }
+    }
+  }
+
+  /** Graphite `/render` over the virtual tree: per series, `num` even
+    * buckets over [since, until) with the bucket mean, None where no rows
+    * landed (graphite's null points). One scan per FUNCTION covers all
+    * its series. */
+  def render(c: RaqlCompiler, target: String, since: Double, until: Double,
+      maxDataPoints: Int = 100): Seq[(String, Seq[(Long, Option[Double])])] = {
+    require(until > since, "empty render range")
+    val num = math.max(1, maxDataPoints)
+    val step = (until - since) / num
+    val series = expandTarget(c, target, Some(since), Some(until))
+    series.groupBy(_.fq).toSeq.sortBy(_._1).flatMap { case (fq, ss) =>
+      val df = c.compile(fq)
+      val t = timeCol(df).getOrElse(
+        throw new AlertApi.BadRequest(s"table $fq has no event time"))
+      val factors = ss.head.factorVals.map(_._1)
+      val fields = ss.map(_.field).distinct
+      // filter to the factor values some series wants ("" = the FactorAll
+      // placeholder of a valueless factor — no rows to filter anyway)
+      val wanted: Map[String, Set[String]] =
+        factors.map(fa => fa -> ss.map(_.factorVals.toMap.apply(fa)).toSet).toMap
+      var filtered = df.filter(t >= since && t < until)
+      for ((fa, vs) <- wanted if !vs.contains(""))
+        filtered = filtered.filter(
+          col(fa).cast("string").isin(vs.toSeq: _*))
+      val bucket = floor((t - lit(since)) / step).cast("int").as("_bucket")
+      val keys = bucket +: factors.map(fa => col(fa).cast("string").as(fa))
+      val rows = filtered.groupBy(keys: _*)
+        .agg(avg(col(fields.head)).as(fields.head),
+          fields.tail.map(fd => avg(col(fd)).as(fd)): _*)
+        .collect()
+      ss.sortBy(_.path).map { s =>
+        val pts = rows.iterator.filter { r =>
+          val b = r.getInt(0)
+          b >= 0 && b < num && s.factorVals.forall { case (fa, v) =>
+            v == "" || String.valueOf(r.getAs[Any](fa)) == v }
+        }.map { r =>
+          val v = r.getAs[Any](s.field)
+          r.getInt(0) -> Option(v).map(_.asInstanceOf[Number].doubleValue())
+        }.toMap
+        s.path -> (0 until num).map(b =>
+          ((since + b * step).toLong, pts.getOrElse(b, None))).toSeq
+      }
+    }
+  }
+}

@@ -226,4 +226,32 @@ class AlertApiSpec extends AnyFunSuite {
       assert(!render.contains("web2")) // target glob filtered
     } finally httpd.stop()
   }
+
+  test("HTTP binding without a metrics frame: compiler-backed graphite tree") {
+    val (_, api) = mkApi()
+    val httpd = new GraftHttpd(api) // no metrics source bound
+    val port = httpd.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): String =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      // tree walk: program components → function → factor values → leaves,
+      // reference find JSON shape (text/id/int flags — RamenGraphite.ml:272)
+      val funcs = get("/metrics/find?query=test.*")
+      assert(funcs.contains(""""id":"test.events"""") &&
+        funcs.contains(""""allowChildren":1"""), funcs)
+      val vals = get("/metrics/find?query=test.events.*")
+      assert(vals.contains(""""text":"error"""") &&
+        vals.contains(""""expandable":1"""), vals)
+      val leaves = get("/metrics/find?query=test.events.error.*")
+      assert(leaves.contains(""""text":"value"""") &&
+        leaves.contains(""""leaf":1"""), leaves)
+      // render over the virtual tree: full bucket grid with nulls
+      val t0 = 1704067200L
+      val r = get(s"/render?target=test.events.error.value&from=$t0&until=${t0 + 7200}&maxDataPoints=2")
+      assert(r.contains(""""target":"test.events.error.value""""), r)
+      assert(r.contains(""""datapoints":[["""), r)
+    } finally httpd.stop()
+  }
 }

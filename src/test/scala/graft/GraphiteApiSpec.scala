@@ -53,4 +53,88 @@ class GraphiteApiSpec extends AnyFunSuite {
       .as[String].collect().flatMap(graft.sources.Listeners.parseGraphite)
     assert(lines.length == 1 && lines.head.path == "servers.web01.cpu")
   }
+
+  // --- the compiler-backed virtual tree (RamenGraphite.ml:95-193) -------
+
+  private def mkCompiler(): graft.raql.RaqlCompiler = {
+    val c = new graft.raql.RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/events",
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val src = """
+      DEFINE events AS
+        FROM tables/events
+        SELECT user_id, event_type, value, float(ts) AS start
+        FACTORS event_type;
+      DEFINE plain AS
+        FROM tables/events
+        SELECT value, float(ts) AS start;
+    """
+    graft.raql.RaqlParser.parseProgram(src) match {
+      case Right(p) => c.register("mon/web", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    c
+  }
+
+  test("virtual tree: program components, function, factor values, numeric leaves") {
+    import graft.service.GraphiteTree
+    val c = mkCompiler()
+    // program name components consume one filter each (RamenGraphite
+    // loop_prog splits on '/')
+    assert(GraphiteTree.find(c, "*").map(_.id) == Seq("mon"))
+    assert(GraphiteTree.find(c, "mon.*").map(_.id) == Seq("mon.web"))
+    val funcs = GraphiteTree.find(c, "mon.web.*")
+    assert(funcs.map(_.id) == Seq("mon.web.events", "mon.web.plain"))
+    assert(funcs.forall(n => n.expandable && !n.leaf))
+    // below a function with FACTORS: the factor's distinct VALUES
+    val vals = GraphiteTree.find(c, "mon.web.events.*")
+    assert(vals.map(_.id.split("\\.").last).toSet ==
+      Set("click", "error", "purchase", "signup", "view"))
+    assert(vals.forall(n => n.expandable && !n.leaf))
+    // below a factor value: numeric non-factor public fields as leaves
+    // (event_type is a factor AND a string — absent twice over)
+    val leaves = GraphiteTree.find(c, "mon.web.events.error.*")
+    assert(leaves.map(_.id.split("\\.").last).toSet ==
+      Set("user_id", "value", "start"))
+    assert(leaves.forall(n => n.leaf && !n.expandable))
+    assert(leaves.head.text == leaves.head.id.split("\\.").last)
+    // a function WITHOUT factors goes straight to field leaves
+    assert(GraphiteTree.find(c, "mon.web.plain.*").map(_.id.split("\\.").last)
+      .toSet == Set("value", "start"))
+    // globs filter factor values like any component
+    assert(GraphiteTree.find(c, "mon.web.events.{error,signup}")
+      .map(_.id.split("\\.").last).toSet == Set("error", "signup"))
+    // the since/until range restricts the enumerated values: out of range
+    // ⇒ the single empty FactorAll component (id keeps its trailing dot so
+    // deeper levels stay reachable — RamenGraphite.ml:130-140)
+    assert(GraphiteTree.find(c, "mon.web.events.*",
+      since = Some(0.0), until = Some(1.0)).map(_.id) ==
+      Seq("mon.web.events."))
+  }
+
+  test("virtual tree render: one scan per function, bucket means match a direct query") {
+    import graft.service.GraphiteTree
+    import org.apache.spark.sql.functions._
+    val c = mkCompiler()
+    val t0 = 1704067200.0 // 2024-01-01T00:00:00Z
+    val t1 = t0 + 30 * 86400
+    val series = GraphiteTree.expandTarget(c, "mon.web.events.*.value")
+    assert(series.map(_.path).toSet.size == 5 &&
+      series.forall(_.field == "value"))
+    val out = GraphiteTree.render(c, "mon.web.events.{error,purchase}.value",
+      t0, t1, maxDataPoints = 3).toMap
+    assert(out.keySet == Set("mon.web.events.error.value",
+      "mon.web.events.purchase.value"))
+    // every series carries the full bucket grid (nulls where empty)
+    assert(out.values.forall(_.length == 3))
+    // the first bucket's mean equals a direct computation
+    val step = (t1 - t0) / 3
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "error" &&
+        unix_micros(col("ts")) / 1e6 >= t0 &&
+        unix_micros(col("ts")) / 1e6 < t0 + step)
+      .agg(avg("value")).collect().head.getDouble(0)
+    val got = out("mon.web.events.error.value").head._2.get
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+  }
 }
