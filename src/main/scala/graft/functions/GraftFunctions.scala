@@ -214,7 +214,9 @@ object GraftFunctions {
   }
 
   /** Unicode sparkline of a numeric array (RaQL SPARKLINE): each value
-    * scaled min→max onto ▁▂▃▄▅▆▇█. */
+    * scaled min→max onto ▁▂▃▄▅▆▇█ with the REFERENCE's quantization
+    * (RamenHelpersNoLog.ml:1026-1041): c = ⌊(v − min) · 7 / (max − min)⌋,
+    * and a flat series renders all-bottom (ratio 0), not mid-bar. */
   def sparklineArr(vals: Column): Column = {
     val bars = "▁▂▃▄▅▆▇█"
     val mn = array_min(vals).cast("double")
@@ -222,8 +224,7 @@ object GraftFunctions {
     val span = mx - mn
     concat_ws("", transform(vals, v => {
       val idx = when(span > 0,
-        least(floor((v.cast("double") - mn) / span * 8), lit(7.0)))
-        .otherwise(lit(3.0))
+        floor((v.cast("double") - mn) * 7 / span)).otherwise(lit(0.0))
       substring(lit(bars), idx.cast("int") + 1, lit(1))
     }))
   }

@@ -204,10 +204,12 @@ class AggregatesSpec extends AnyFunSuite {
     def run(series: Seq[Double]): String =
       Seq(series).toDF("vals")
         .select(sparklineArr(col("vals"))).as[String].head()
-    // endpoints land on the extreme bars; interior values scale linearly
+    // reference quantization (RamenHelpersNoLog.ml:1026-1041):
+    // c = int((v - min) * 7 / (max - min)); flat series → ratio 0 → all ▁
     assert(run(Seq(0.0, 7.0)) == "▁█")
     assert(run(Seq(0, 1, 2, 3, 4, 5, 6, 7).map(_.toDouble)) == "▁▂▃▄▅▆▇█")
-    assert(run(Seq(3.0, 3.0, 3.0)) == "▄▄▄") // flat series: mid bar
+    assert(run(Seq(0.0, 0.5, 1.0)) == "▁▄█") // int(0.5·7) = 3 → 4th bar
+    assert(run(Seq(3.0, 3.0, 3.0)) == "▁▁▁") // flat: reference ratio = 0
   }
 
   test("hysteresisArr flips at maximum and recovers at acceptable") {
