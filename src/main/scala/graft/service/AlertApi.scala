@@ -338,9 +338,9 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
       until: Option[Double] = None): Seq[GraphiteTree.Node] =
     GraphiteTree.find(compiler, query, since, until)
 
-  def graphiteRender(target: String, since: Double, until: Double,
+  def graphiteRender(targets: Seq[String], since: Double, until: Double,
       maxDataPoints: Int): Seq[(String, Seq[(Long, Option[Double])])] =
-    GraphiteTree.render(compiler, target, since, until, maxDataPoints)
+    GraphiteTree.render(compiler, targets, since, until, maxDataPoints)
 
   /** `get-timeseries` (RamenApi.ml:436-533): per table, the selected
     * fields bucketized over [since, until) with optional simple filters

@@ -52,6 +52,19 @@ final class GraftHttpd(
     try os.write(bytes) finally os.close()
   }
 
+  /** All values of one query param, in order — graphite clients repeat
+    * `target=` per series (the reference reads it as a list,
+    * RamenGraphite.ml:405). */
+  private def queryAll(ex: HttpExchange, key: String): Seq[String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if java.net.URLDecoder.decode(k, "UTF-8") == key =>
+            Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }
+
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).toSeq
       .flatMap(_.split("&").toSeq).flatMap { kv =>
@@ -112,9 +125,13 @@ final class GraftHttpd(
             case None =>
               // no external metrics frame: the compiler-backed tree over
               // the registered programs (reference find JSON shape —
-              // RamenGraphite.ml:272-275, int flags)
-              val nodes = api.graphiteFind(q,
-                p.get("from").map(_.toDouble), p.get("until").map(_.toDouble))
+              // RamenGraphite.ml:272-275, int flags). Unparseable
+              // from/until (graphite relative times like "-6h") are
+              // IGNORED like the reference's get_opt_ts (:312-317), not
+              // a 500
+              def ts(k: String): Option[Double] =
+                p.get(k).flatMap(s => scala.util.Try(s.toDouble).toOption)
+              val nodes = api.graphiteFind(q, ts("from"), ts("until"))
               val arr = F.arrayNode()
               nodes.foreach { n =>
                 val o = arr.addObject()
@@ -128,10 +145,17 @@ final class GraftHttpd(
           }
         case "/render" =>
           val p = query(ex)
-          val target = p.getOrElse("target", "*")
-          val since = p.get("from").map(_.toDouble).getOrElse(0.0)
-          val until = p.get("until").map(_.toDouble).getOrElse(since + 3600)
-          val n = p.get("maxDataPoints").map(_.toInt).getOrElse(100)
+          // clients repeat target= per requested series
+          val targets = queryAll(ex, "target") match {
+            case Nil => Seq("*")
+            case ts => ts
+          }
+          val target = targets.head
+          def num(k: String): Option[Double] =
+            p.get(k).flatMap(s => scala.util.Try(s.toDouble).toOption)
+          val since = num("from").getOrElse(0.0)
+          val until = num("until").getOrElse(since + 3600)
+          val n = num("maxDataPoints").map(_.toInt).getOrElse(100)
           metrics() match {
             case Some(df) =>
               // graphite render shape: [{target, datapoints: [[v, t], …]}]
@@ -155,7 +179,7 @@ final class GraftHttpd(
               // compiler-backed render: [{target, datapoints: [[v, t], …]}]
               // with null points where no rows landed (graphite nulls)
               val arr = F.arrayNode()
-              api.graphiteRender(target, since, until, n).foreach {
+              api.graphiteRender(targets, since, until, n).foreach {
                 case (tgt, pts) =>
                   val o = arr.addObject()
                   o.put("target", tgt)

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphiteApi {
 
+  /** Glob for ONE already-split path component: `*`/`?` may match dots —
+    * the component boundary is established by quote-aware splitting
+    * ([[GraphiteTree.splitQuery]]), and the reference matches generic
+    * Globs against RAW factor values (which can contain dots, e.g. IPs). */
+  def componentGlobToRegex(glob: String): String =
+    globToRegex(glob).replace("[^.]", ".")
+
   /** Graphite glob → anchored Java regex: `*` matches within a path
     * component, `?` one char, `{a,b}` alternation, `[...]` char class. */
   def globToRegex(glob: String): String = {

@@ -5,14 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
 import graft.raql.{Ast, RaqlCompiler}
-import graft.raql.Ast.{Aggregate, ReadCsv}
+import graft.raql.Ast.{Aggregate, ListenFor, ReadCsv, ReadKafka}
 
 /** The graphite impersonator's VIRTUAL metrics tree over the REGISTERED
   * programs (`RamenGraphite.ml:95-193`): a metric path is the program
   * name's `/`-components, then the function name, then ONE component per
   * declared FACTOR (enumerating its distinct values over the queried
   * range), then each public numeric non-factor output field as a leaf.
-  * Only functions with an event time (start/ts column convention) appear.
+  * Only batch-reachable functions with an event time (start/ts column
+  * convention) appear.
+  *
+  * Components follow the reference's quoting protocol (`split_query` /
+  * `fix_quote`, RamenGraphite.ml:51-60,206-245): a value containing `.`
+  * is rendered double-quoted as ONE component, query/target strings are
+  * split on dots OUTSIDE quotes, and globs match the unquoted value.
   *
   * `find` expands only down to the query's depth (the reference's
   * `end_of_filters` cut — never the full value product); `expandTarget`
@@ -21,8 +27,9 @@ import graft.raql.Ast.{Aggregate, ReadCsv}
   * on (bucket, factors…) — `RamenGraphite.ml:461-476`'s scan merging).
   *
   * Scale: the tree math is driver-side over the function graph; the only
-  * data work is per-factor distinct values (factors are low-cardinality
-  * by contract — capped at [[GraphiteTree.MaxFactorValues]]) and the
+  * data work is ONE distinct-values job per (function, factor) per
+  * request (memoized across walk branches; factors are low-cardinality
+  * by contract, capped at [[GraphiteTree.MaxFactorValues]]) and the
   * render scans, which aggregate map-side per (bucket, factors) before
   * the collect of ≤ maxDataPoints × Π|values| rows. */
 object GraphiteTree {
@@ -30,10 +37,11 @@ object GraphiteTree {
   /** One `/metrics/find` entry (reference `metric` record,
     * RamenGraphite.ml:272-275: int flags, allowChildren = expandable). */
   final case class Node(id: String, leaf: Boolean, expandable: Boolean) {
-    def text: String = id.substring(id.lastIndexOf('.') + 1)
+    def text: String = splitQuery(id).last
   }
 
-  /** One fully-expanded render target. */
+  /** One fully-expanded render target. `factorVals` holds RAW (unquoted)
+    * values; `path` is the quoted rendering. */
   final case class Series(fq: String, factorVals: Seq[(String, String)],
       field: String, path: String)
 
@@ -41,23 +49,104 @@ object GraphiteTree {
     * declared as a factor is capped rather than collected unbounded. */
   val MaxFactorValues = 1000
 
-  private def matches(glob: String, v: String): Boolean =
-    v.matches(GraphiteApi.globToRegex(glob))
+  // --- the reference's component quoting (RamenGraphite.ml:51-60,206-245)
+
+  /** Split a query/target/id on dots OUTSIDE double quotes; quoted
+    * components keep their quotes (the reference's `split_query`). */
+  def splitQuery(s: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = s.length
+    var start = 0
+    var inQuote = false
+    while (i < n) {
+      s.charAt(i) match {
+        case '\\' if inQuote => i += 1 // escaped char inside quotes
+        case '"' => inQuote = !inQuote
+        case '.' if !inQuote =>
+          out += s.substring(start, i)
+          start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (inQuote)
+      throw new AlertApi.BadRequest("bad quotes in graphite query")
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** Strip surrounding double quotes (`filter_of_query`'s unquote). */
+  def unquote(s: String): String =
+    if (s.length > 1 && s.head == '"' && s.last == '"')
+      s.substring(1, s.length - 1)
+    else s
+
+  /** Render a raw value as a path component: empty or dotted values are
+    * quoted, already-quoted dot-less values unquoted (`fix_quote`). */
+  def fixQuote(s: String): String =
+    if (s.isEmpty) "\"\""
+    else if (s.contains('.')) { if (s.head == '"') s else "\"" + s + "\"" }
+    else unquote(s)
+
+  private def matches(globComp: String, v: String): Boolean =
+    v.matches(GraphiteApi.componentGlobToRegex(unquote(globComp)))
+
+  private def joinComps(comps: Seq[String]): String =
+    comps.map(fixQuote).mkString(".")
+
+  // --- function enumeration ---------------------------------------------
+
+  /** True when every ancestor of the op is a batch source — a static AST
+    * walk so that a mere `/metrics/find` GET never compiles a LISTEN/Kafka
+    * ancestor (compiling one binds its socket). Unresolvable FROM refs
+    * count as batch (registered tables); [[heads]] keeps a compile-time
+    * isStreaming belt for anything this misses. */
+  private def batchReachable(c: RaqlCompiler, progName: String,
+      op: Ast.Operation,
+      visiting: Set[String] = Set.empty): Boolean = op match {
+    case _: ListenFor | _: ReadKafka => false
+    case a: Aggregate =>
+      a.fromSub.forall(batchReachable(c, progName, _, visiting)) &&
+        a.from.forall { ref =>
+          val cands =
+            if (ref.contains("/")) Seq(ref, s"$progName/$ref")
+            else Seq(s"$progName/$ref", ref)
+          cands.map(_.replace("#_", "")).flatMap { fq =>
+            val slash = fq.lastIndexOf('/')
+            if (slash < 0) Nil
+            else {
+              val (pn, fn) = (fq.substring(0, slash), fq.substring(slash + 1))
+              c.registeredPrograms.get(pn)
+                .flatMap(_.funcs.find(_.name == fn)).map(pn -> _).toSeq
+            }
+          }.forall { case (pn, f) =>
+            val key = s"$pn/${f.name}"
+            visiting(key) || batchReachable(c, pn, f.op, visiting + key)
+          }
+        }
+    case _ => true // ReadCsv / ReadRowBinary
+  }
 
   /** (progName, func, path head = program components :+ function name) for
     * every table-like registered function with an event time. */
   private def heads(c: RaqlCompiler): Seq[(String, Ast.Func, Vector[String])] =
     c.registeredPrograms.toSeq.sortBy(_._1).flatMap { case (pn, prog) =>
       prog.funcs.collect {
-        // LISTEN/Kafka funcs never compile here (compiling opens sockets)
         case f if (f.op match {
           case _: Aggregate | _: ReadCsv => true
           case _ => false
-        }) => (pn, f, pn.split("/").filterNot(_.isEmpty).toVector :+ f.name)
+        }) && batchReachable(c, pn, f.op) =>
+          (pn, f, pn.split("/").filterNot(_.isEmpty).toVector :+ f.name)
       }
     }.filter { case (pn, f, _) =>
-      scala.util.Try(c.compile(s"$pn/${f.name}").columns.toSet).toOption
-        .exists(cols => cols("start") || cols("ts"))
+      scala.util.Try(c.compile(s"$pn/${f.name}")).toOption
+        .exists { df =>
+          !df.isStreaming && {
+            val cols = df.columns.toSet
+            cols("start") || cols("ts")
+          }
+        }
     }
 
   private def factorsOf(f: Ast.Func): Seq[String] = f.op match {
@@ -89,6 +178,15 @@ object GraphiteTree {
       .limit(MaxFactorValues).collect().map(_.getString(0)).sorted.toSeq
   }
 
+  /** Per-request memo so factor N's distinct-scan runs ONCE, not once per
+    * combination of earlier factors' matched values. */
+  private final class ValueCache(c: RaqlCompiler,
+      since: Option[Double], until: Option[Double]) {
+    private val m = scala.collection.mutable.Map.empty[(String, String), Seq[String]]
+    def apply(fq: String, factor: String): Seq[String] =
+      m.getOrElseUpdate((fq, factor), possibleValues(c, fq, factor, since, until))
+  }
+
   private def numericFields(df: DataFrame, factors: Set[String]): Seq[String] =
     df.schema.fields.toSeq
       .filterNot(_.name.startsWith("_"))
@@ -98,13 +196,14 @@ object GraphiteTree {
   /** `/metrics/find?query=…`: tree nodes at the query's depth. */
   def find(c: RaqlCompiler, query: String,
       since: Option[Double] = None, until: Option[Double] = None): Seq[Node] = {
-    val comps = query.split("\\.", -1).toIndexedSeq
+    val comps = splitQuery(query)
+    val cache = new ValueCache(c, since, until)
     val nodes = heads(c).flatMap { case (pn, f, head) =>
       val fq = s"$pn/${f.name}"
       if (comps.length <= head.length) {
         // the query ends inside the program/function components
         if (comps.indices.forall(i => matches(comps(i), head(i))))
-          Seq(Node(head.take(comps.length).mkString("."),
+          Seq(Node(joinComps(head.take(comps.length)),
             leaf = false, expandable = true))
         else Nil
       } else if (!head.indices.forall(i => matches(comps(i), head(i)))) Nil
@@ -115,17 +214,17 @@ object GraphiteTree {
         def walk(fi: Int, ri: Int, prefix: Vector[String]): Seq[Node] = {
           val last = ri == rest.length - 1
           if (fi < factors.length) {
-            val vals0 = possibleValues(c, fq, factors(fi), since, until)
+            val vals0 = cache(fq, factors(fi))
             // no values yet → one empty component so deeper levels stay
             // reachable (the reference's FactorAll, :130-140)
             val vals = if (vals0.isEmpty) Seq("") else vals0
             val m = vals.filter(matches(rest(ri), _))
-            if (last) m.map(v => Node((head ++ prefix :+ v).mkString("."),
+            if (last) m.map(v => Node(joinComps(head ++ prefix :+ v),
               leaf = false, expandable = true))
             else m.flatMap(v => walk(fi + 1, ri + 1, prefix :+ v))
           } else if (last)
             fields.filter(matches(rest(ri), _)).map(fd =>
-              Node((head ++ prefix :+ fd).mkString("."),
+              Node(joinComps(head ++ prefix :+ fd),
                 leaf = true, expandable = false))
           else Nil
         }
@@ -142,7 +241,8 @@ object GraphiteTree {
     * when its component count is exactly head + factors + field. */
   def expandTarget(c: RaqlCompiler, target: String,
       since: Option[Double] = None, until: Option[Double] = None): Seq[Series] = {
-    val comps = target.split("\\.", -1).toIndexedSeq
+    val comps = splitQuery(target)
+    val cache = new ValueCache(c, since, until)
     heads(c).flatMap { case (pn, f, head) =>
       val fq = s"$pn/${f.name}"
       val factors = factorsOf(f)
@@ -156,14 +256,14 @@ object GraphiteTree {
           def walk(fi: Int, prefix: Vector[String]): Seq[Vector[String]] =
             if (fi == factors.length) Seq(prefix)
             else {
-              val vals0 = possibleValues(c, fq, factors(fi), since, until)
+              val vals0 = cache(fq, factors(fi))
               val vals = if (vals0.isEmpty) Seq("") else vals0
               vals.filter(matches(comps(head.length + fi), _))
                 .flatMap(v => walk(fi + 1, prefix :+ v))
             }
           for (fvals <- walk(0, Vector.empty); fd <- fields)
             yield Series(fq, factors.zip(fvals), fd,
-              (head ++ fvals :+ fd).mkString("."))
+              joinComps(head ++ fvals :+ fd))
         }
       }
     }
@@ -172,13 +272,16 @@ object GraphiteTree {
   /** Graphite `/render` over the virtual tree: per series, `num` even
     * buckets over [since, until) with the bucket mean, None where no rows
     * landed (graphite's null points). One scan per FUNCTION covers all
-    * its series. */
-  def render(c: RaqlCompiler, target: String, since: Double, until: Double,
-      maxDataPoints: Int = 100): Seq[(String, Seq[(Long, Option[Double])])] = {
+    * its series; multiple targets expand together so a function shared by
+    * several still scans once. */
+  def render(c: RaqlCompiler, targets: Seq[String], since: Double,
+      until: Double, maxDataPoints: Int = 100)
+      : Seq[(String, Seq[(Long, Option[Double])])] = {
     require(until > since, "empty render range")
     val num = math.max(1, maxDataPoints)
     val step = (until - since) / num
-    val series = expandTarget(c, target, Some(since), Some(until))
+    val series = targets
+      .flatMap(expandTarget(c, _, Some(since), Some(until))).distinct
     series.groupBy(_.fq).toSeq.sortBy(_._1).flatMap { case (fq, ss) =>
       val df = c.compile(fq)
       val t = timeCol(df).getOrElse(

@@ -105,11 +105,60 @@ class GraphiteApiSpec extends AnyFunSuite {
     assert(GraphiteTree.find(c, "mon.web.events.{error,signup}")
       .map(_.id.split("\\.").last).toSet == Set("error", "signup"))
     // the since/until range restricts the enumerated values: out of range
-    // ⇒ the single empty FactorAll component (id keeps its trailing dot so
-    // deeper levels stay reachable — RamenGraphite.ml:130-140)
+    // ⇒ the single empty FactorAll component, quoted per fix_quote
+    // (RamenGraphite.ml:51-60,130-140) so deeper levels stay reachable
     assert(GraphiteTree.find(c, "mon.web.events.*",
       since = Some(0.0), until = Some(1.0)).map(_.id) ==
-      Seq("mon.web.events."))
+      Seq("mon.web.events.\"\""))
+  }
+
+  test("virtual tree: dotted factor values quote as one component (split_query/fix_quote)") {
+    import graft.service.GraphiteTree
+    // the reference's netflow factors are IPs — values with dots MUST be
+    // one quoted component (RamenGraphite.ml:206-245), or they vanish
+    // from the tree and their render targets never match
+    val c = new graft.raql.RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/events",
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val src = """
+      DEFINE flows AS
+        FROM tables/events
+        SELECT user_id,
+               "10.0.0." || string(user_id % 2) AS src_ip,
+               value, float(ts) AS start
+        FACTORS src_ip;
+    """
+    graft.raql.RaqlParser.parseProgram(src) match {
+      case Right(p) => c.register("net", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    assert(GraphiteTree.splitQuery("""net.flows."10.0.0.1".value""").toSeq ==
+      Seq("net", "flows", "\"10.0.0.1\"", "value"))
+    c.compile("net/flows").collect() // must compile; surface errors here
+    val vals = GraphiteTree.find(c, "net.flows.*")
+    assert(vals.map(_.id).toSet ==
+      Set("""net.flows."10.0.0.0"""", """net.flows."10.0.0.1""""))
+    assert(vals.head.text.startsWith("\"10.0.0."))
+    // a literal quoted target expands to exactly that series
+    val s = GraphiteTree.expandTarget(c, """net.flows."10.0.0.1".value""")
+    assert(s.map(_.path) == Seq("""net.flows."10.0.0.1".value"""))
+    assert(s.head.factorVals == Seq("src_ip" -> "10.0.0.1")) // raw value
+    // and renders real data
+    val t0 = 1704067200.0
+    val out = GraphiteTree.render(c, Seq("""net.flows."10.0.0.1".value"""),
+      t0, t0 + 30 * 86400, maxDataPoints = 1)
+    assert(out.size == 1 && out.head._2.head._2.isDefined)
+  }
+
+  test("virtual tree render: multiple targets expand together, one scan per function") {
+    import graft.service.GraphiteTree
+    val c = mkCompiler()
+    val t0 = 1704067200.0
+    val out = GraphiteTree.render(c,
+      Seq("mon.web.events.error.value", "mon.web.plain.value"),
+      t0, t0 + 30 * 86400, maxDataPoints = 2).toMap
+    assert(out.keySet ==
+      Set("mon.web.events.error.value", "mon.web.plain.value"))
   }
 
   test("virtual tree render: one scan per function, bucket means match a direct query") {
@@ -121,8 +170,9 @@ class GraphiteApiSpec extends AnyFunSuite {
     val series = GraphiteTree.expandTarget(c, "mon.web.events.*.value")
     assert(series.map(_.path).toSet.size == 5 &&
       series.forall(_.field == "value"))
-    val out = GraphiteTree.render(c, "mon.web.events.{error,purchase}.value",
-      t0, t1, maxDataPoints = 3).toMap
+    val out = GraphiteTree.render(c,
+      Seq("mon.web.events.{error,purchase}.value"), t0, t1,
+      maxDataPoints = 3).toMap
     assert(out.keySet == Set("mon.web.events.error.value",
       "mon.web.events.purchase.value"))
     // every series carries the full bucket grid (nulls where empty)
