@@ -52,29 +52,48 @@ final class GraftHttpd(
     try os.write(bytes) finally os.close()
   }
 
-  /** All values of one query param, in order — graphite clients repeat
-    * `target=` per series (the reference reads it as a list,
-    * RamenGraphite.ml:405). */
-  private def queryAll(ex: HttpExchange, key: String): Seq[String] =
-    Option(ex.getRequestURI.getRawQuery).toSeq
-      .flatMap(_.split("&").toSeq).flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) if java.net.URLDecoder.decode(k, "UTF-8") == key =>
-            Some(java.net.URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
+  private def decodePairs(s: String): Seq[(String, String)] =
+    s.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
       }
+    }
 
-  private def query(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).toSeq
-      .flatMap(_.split("&").toSeq).flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) =>
-            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
-              java.net.URLDecoder.decode(v, "UTF-8"))
-          case _ => None
-        }
-      }.toMap
+  /** POSTed form params — graphite clients (Grafana) POST find/render
+    * with a form body; the reference merges posted args over URL args
+    * (RamenHttpHelpers.ml:201-214). Urlencoded and multipart both
+    * accepted; any other content type yields no params, like the
+    * reference's catch-all. */
+  private def bodyPairs(ex: HttpExchange, body: String): Seq[(String, String)] = {
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (body.isEmpty) Nil
+    else if (ct.startsWith("application/x-www-form-urlencoded")) decodePairs(body)
+    else if (ct.startsWith("multipart/form-data")) {
+      ct.split("boundary=", 2) match {
+        case Array(_, rest) =>
+          val b = rest.split(";").head.trim.stripPrefix("\"").stripSuffix("\"")
+          body.split(java.util.regex.Pattern.quote("--" + b)).toSeq.flatMap {
+            part =>
+              val cut = part.indexOf("\r\n\r\n")
+              if (cut < 0) None
+              else "name=\"([^\"]*)\"".r.findFirstMatchIn(part.substring(0, cut))
+                .map(_.group(1) ->
+                  part.substring(cut + 4).stripSuffix("\r\n"))
+          }
+        case _ => Nil
+      }
+    } else Nil
+  }
+
+  /** URL params then posted params: `.toMap` keeps the LAST binding, so a
+    * posted value wins over the query string (the reference's merge
+    * order); list reads (repeated `target=`) see both. */
+  private def allParams(ex: HttpExchange, body: String): Seq[(String, String)] =
+    Option(ex.getRequestURI.getRawQuery).toSeq.flatMap(decodePairs) ++
+      bodyPairs(ex, body)
 
   /** Rows → JSON array of objects (small result sets only: find/render
     * trees and tail peeks — never a data-plane path). */
@@ -102,22 +121,27 @@ final class GraftHttpd(
     override def handle(ex: HttpExchange): Unit = try {
       // tolerate duplicate/trailing slashes like the reference httpd
       val path = ex.getRequestURI.getPath.replaceAll("/+", "/").stripSuffix("/")
-      path match {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      if (ex.getRequestMethod == "OPTIONS") {
+        // CORS preflight for browser graphite clients
+        // (RamenGraphite.ml:590-594)
+        ex.getResponseHeaders.set("Access-Control-Allow-Methods", "POST")
+        ex.getResponseHeaders.set("Access-Control-Allow-Headers", "Content-Type")
+        respond(ex, 200, "", "text/plain")
+      } else path match {
         case "/version" =>
           // graphite impersonator version (RamenGraphite.ml:571)
           respond(ex, 200, "1.1.3", "text/plain")
         case "" | "/v1" | "/api" | "/api/v1" =>
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           respond(ex, 200, api.handle(body))
         case v if v.matches("/v\\d+") =>
           val n = v.drop(2).toInt
           if (n >= 1 && n <= apiVersion) {
-            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             respond(ex, 200, api.handle(body))
           } else respond(ex, 400,
             s"""{"error":"Bad HTTP API version: \\"$n\\" (must be between 1 and $apiVersion)"}""")
         case "/metrics/find" =>
-          val p = query(ex)
+          val p = allParams(ex, body).toMap
           val q = p.getOrElse("query", "*")
           metrics() match {
             case Some(df) =>
@@ -144,9 +168,10 @@ final class GraftHttpd(
               respond(ex, 200, M.writeValueAsString(arr))
           }
         case "/render" =>
-          val p = query(ex)
+          val pairs = allParams(ex, body)
+          val p = pairs.toMap
           // clients repeat target= per requested series
-          val targets = queryAll(ex, "target") match {
+          val targets = pairs.collect { case ("target", v) => v } match {
             case Nil => Seq("*")
             case ts => ts
           }
@@ -194,7 +219,7 @@ final class GraftHttpd(
           }
         case t if t.startsWith("/tail/") =>
           val name = t.stripPrefix("/tail/")
-          val n = query(ex).get("n").map(_.toInt).getOrElse(10)
+          val n = allParams(ex, body).toMap.get("n").map(_.toInt).getOrElse(10)
           tables(name) match {
             case Some(df) => respond(ex, 200, rowsToJson(df, n))
             case None => respond(ex, 404, s"""{"error":"no table $name"}""")

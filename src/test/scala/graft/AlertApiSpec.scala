@@ -227,6 +227,58 @@ class AlertApiSpec extends AnyFunSuite {
     } finally httpd.stop()
   }
 
+  test("HTTP binding: POSTed form params and OPTIONS preflight (graphite clients)") {
+    val (_, api) = mkApi()
+    import spark.implicits._
+    val metrics = Seq(
+      ("servers.web1.cpu", 10.0, 1.0), ("servers.web1.cpu", 20.0, 3.0),
+      ("servers.web2.mem", 15.0, 7.0))
+      .toDF("path", "time", "value")
+    val httpd = new GraftHttpd(api, metrics = () => Some(metrics))
+    val port = httpd.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def send(req: HttpRequest.Builder): HttpResponse[String] =
+        client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+      def uri(path: String) = URI.create(s"http://127.0.0.1:$port$path")
+
+      // Grafana POSTs /render with a form-encoded body
+      // (RamenHttpHelpers.ml:201-214 merges posted params)
+      val render = send(HttpRequest.newBuilder(uri("/render"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "target=servers.*.cpu&from=0&until=30&maxDataPoints=3"))).body()
+      assert(render.contains(""""target":"servers.web1.cpu""""), render)
+      assert(render.contains(""""datapoints":[[1.0,10],[3.0,20]]"""), render)
+      // multipart/form-data bodies parse too
+      val b = "XBOUNDARYX"
+      val mp = s"--$b\r\n" +
+        "Content-Disposition: form-data; name=\"query\"\r\n\r\n" +
+        "servers.*\r\n" + s"--$b--\r\n"
+      val find = send(HttpRequest.newBuilder(uri("/metrics/find"))
+        .header("Content-Type", s"multipart/form-data; boundary=$b")
+        .POST(HttpRequest.BodyPublishers.ofString(mp))).body()
+      assert(find.contains("servers.web1") && find.contains("servers.web2"),
+        find)
+      // a posted param beats the same key in the query string: body
+      // maxDataPoints=3 (2 populated buckets) overrides url's =1 (1 wide
+      // bucket averaging both samples)
+      val over = send(HttpRequest.newBuilder(uri(
+        "/render?target=servers.*.cpu&from=0&until=30&maxDataPoints=1"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString("maxDataPoints=3"))).body()
+      assert(over.contains(""""datapoints":[[1.0,10],[3.0,20]]"""), over)
+      // OPTIONS preflight: 200 + CORS headers (RamenGraphite.ml:590-594)
+      val opt = send(HttpRequest.newBuilder(uri("/render"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()))
+      assert(opt.statusCode() == 200)
+      assert(opt.headers().firstValue("Access-Control-Allow-Methods")
+        .orElse("") == "POST")
+      assert(opt.headers().firstValue("Access-Control-Allow-Headers")
+        .orElse("") == "Content-Type")
+    } finally httpd.stop()
+  }
+
   test("HTTP binding without a metrics frame: compiler-backed graphite tree") {
     val (_, api) = mkApi()
     val httpd = new GraftHttpd(api) // no metrics source bound
