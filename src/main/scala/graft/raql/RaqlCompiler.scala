@@ -2000,14 +2000,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     } finally activeGlobals = prevGlobals
   })
 
-  private def resolveFrom(ref: String, progName: String): DataFrame = {
-    if (compiled.contains(ref)) return compiled(ref) // registered tables
-    // `prog#_/func` unions every registered INSTANCE of `prog` — the
-    // reference runs one program several times under `name#ext` with
-    // different parameter bindings (`src/RamenProgram.ml:35-42`,
-    // tests/func/any_ext.test) and `#_` is the any-instance wildcard
-    if (ref.contains("#_")) ref.lastIndexOf('/') match {
-      case -1 => ()
+  /** The fully-qualified `instance/func` keys a `prog#_/func` any-instance
+    * wildcard expands to — the reference runs one program several times
+    * under `name#ext` with different parameter bindings
+    * (`src/RamenProgram.ml:35-42`, tests/func/any_ext.test). Empty when
+    * `ref` is not an instance wildcard or nothing matches. */
+  private def instanceFqs(ref: String, progName: String): Seq[String] =
+    if (!ref.contains("#_")) Nil
+    else ref.lastIndexOf('/') match {
+      case -1 => Nil
       case slash =>
         val fName = ref.substring(slash + 1)
         val base0 = ref.substring(0, slash).replace("#_", "")
@@ -2015,13 +2016,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           (progName.split('/').dropRight(1).toSeq ++
             base0.split('/').filterNot(_ == "..")).mkString("/"),
           base0.split('/').filterNot(_ == "..").mkString("/")).distinct
-        val instances = bases.flatMap(b =>
+        bases.flatMap(b =>
           programs.keys.filter(k => k == b || k.startsWith(b + "#"))).distinct
           .filter(k => programs(k).funcs.exists(_.name == fName)).sorted
-        if (instances.nonEmpty)
-          return instances.map(k => compile(s"$k/$fName"))
-            .reduce(_.unionByName(_, allowMissingColumns = true))
+          .map(k => s"$k/$fName")
     }
+
+  /** FROM candidate keys in resolution priority order. */
+  private def fromCandidates(ref: String, progName: String): Seq[String] = {
     // `prog#/func` (empty suffix) inherits the referencing instance's
     // suffix (`src/RamenName.ml:172-180`)
     val ref1 = ref.split('/').toSeq match {
@@ -2058,12 +2060,44 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       norm, s"$progName/$norm")
     // an instance ref `p#ext/f` with no such instance registered falls
     // back to the base program `p/f` (default parameters) in batch mode
-    val candidates = candidates0 ++ candidates0.filter(_.contains('#'))
+    candidates0 ++ candidates0.filter(_.contains('#'))
       .map(_.replaceAll("#[^/]*", ""))
+  }
+
+  /** The registered functions a FROM ref statically resolves to — the SAME
+    * candidate priority as [[resolveFrom]] but WITHOUT compiling anything
+    * (compiling a LISTEN binds its socket). Empty when the ref names a
+    * registered table (batch by construction) or resolves to nothing (a
+    * later compile fails loudly). Lets the graphite tree's reachability
+    * walk see through relative/suffix/instance refs. */
+  def staticFromTargets(ref: String, progName: String): Seq[(String, Ast.Func)] = {
+    def funcOf(key: String): Option[(String, Ast.Func)] = {
+      val i = key.lastIndexOf('/')
+      val (p, f) =
+        if (i == -1) ("", key) else (key.substring(0, i), key.substring(i + 1))
+      programs.get(p).flatMap(_.funcs.find(_.name == f)).map(p -> _)
+    }
+    if (compiled.contains(ref)) Nil
+    else {
+      val inst = instanceFqs(ref, progName)
+      if (inst.nonEmpty) inst.flatMap(funcOf)
+      else fromCandidates(ref, progName).iterator.flatMap { c =>
+        if (compiled.contains(c)) Some(Seq.empty[(String, Ast.Func)])
+        else funcOf(c).map(Seq(_))
+      }.nextOption().getOrElse(Nil)
+    }
+  }
+
+  private def resolveFrom(ref: String, progName: String): DataFrame = {
+    if (compiled.contains(ref)) return compiled(ref) // registered tables
+    val instances = instanceFqs(ref, progName)
+    if (instances.nonEmpty)
+      return instances.map(compile)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     // candidate ORDER is the resolution priority: for each candidate try
     // the registered-table cache, then the program registry — a cached
     // weaker candidate must not shadow an earlier correct one
-    candidates.iterator.flatMap { c =>
+    fromCandidates(ref, progName).iterator.flatMap { c =>
       compiled.get(c).orElse(if (lookupable(c)) Some(compile(c)) else None)
     }.nextOption()
       .getOrElse(throw new NoSuchElementException(s"FROM $ref (from $progName)"))

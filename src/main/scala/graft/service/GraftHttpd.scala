@@ -175,18 +175,29 @@ final class GraftHttpd(
             case Nil => Seq("*")
             case ts => ts
           }
-          val target = targets.head
-          def num(k: String): Option[Double] =
-            p.get(k).flatMap(s => scala.util.Try(s.toDouble).toOption)
-          val since = num("from").getOrElse(0.0)
-          val until = num("until").getOrElse(since + 3600)
-          val n = num("maxDataPoints").map(_.toInt).getOrElse(100)
+          // graphite times — relative ("-6h"), "now", epoch, dates — with
+          // the API's defaults (from: 24 h ago, until: now) when missing
+          // OR unparseable: the reference's `time_of_graphite_time |?
+          // default` (RamenGraphite.ml:404-417; find's ignore-on-bad
+          // get_opt_ts is a different endpoint's rule)
+          val now = System.currentTimeMillis() / 1000.0
+          def ts(k: String): Option[Double] =
+            p.get(k).flatMap(GraphiteTime.parse(_, now))
+          val since = ts("from").getOrElse(now - 86400)
+          val until = ts("until").getOrElse(now)
+          val n = p.get("maxDataPoints")
+            .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(300)
+          if (p.getOrElse("format", "json") != "json")
+            throw new AlertApi.BadRequest("only JSON format is supported")
           metrics() match {
             case Some(df) =>
               // graphite render shape: [{target, datapoints: [[v, t], …]}]
-              // (RamenGraphite.ml:337-338)
-              val rows = GraphiteApi.render(df, pathCol, timeCol, valueCol,
-                target, since, until, n).collect()
+              // (RamenGraphite.ml:337-338); every repeated target renders,
+              // deduped — a series two targets match appears once
+              val rows = targets
+                .map(GraphiteApi.render(df, pathCol, timeCol, valueCol,
+                  _, since, until, n))
+                .reduce(_.unionByName(_)).distinct().collect()
               val arr = F.arrayNode()
               rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach {
                 case (tgt, pts) =>
@@ -227,6 +238,11 @@ final class GraftHttpd(
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
+      // client-input errors (bad graphite quotes, no event time, bad
+      // format) are 400s, not server errors
+      case e: AlertApi.BadRequest =>
+        respond(ex, 400, M.writeValueAsString(
+          F.objectNode().put("error", Option(e.getMessage).getOrElse(e.toString))))
       case e: Exception =>
         respond(ex, 500, M.writeValueAsString(
           F.objectNode().put("error", Option(e.getMessage).getOrElse(e.toString))))

@@ -19,18 +19,23 @@ object GraphiteApi {
     * the component boundary is established by quote-aware splitting
     * ([[GraphiteTree.splitQuery]]), and the reference matches generic
     * Globs against RAW factor values (which can contain dots, e.g. IPs). */
-  def componentGlobToRegex(glob: String): String =
-    globToRegex(glob).replace("[^.]", ".")
+  def componentGlobToRegex(glob: String): String = buildGlobRegex(glob, ".")
 
   /** Graphite glob → anchored Java regex: `*` matches within a path
     * component, `?` one char, `{a,b}` alternation, `[...]` char class. */
-  def globToRegex(glob: String): String = {
+  def globToRegex(glob: String): String = buildGlobRegex(glob, "[^.]")
+
+  /** `one` is the regex for a single wildcard position — `[^.]` for whole
+    * paths, `.` for one component; chosen during GENERATION so a
+    * user-written `[^.]` char class (or a `[^.]` literal inside an
+    * alternation's `\Q…\E` quoting) is never rewritten after the fact. */
+  private def buildGlobRegex(glob: String, one: String): String = {
     val sb = new StringBuilder("^")
     var i = 0
     while (i < glob.length) {
       glob.charAt(i) match {
-        case '*' => sb.append("[^.]*")
-        case '?' => sb.append("[^.]")
+        case '*' => sb.append(one).append('*')
+        case '?' => sb.append(one)
         case '{' =>
           val close = glob.indexOf('}', i)
           val alts = glob.substring(i + 1, close).split(",")

@@ -76,18 +76,42 @@ object GraphiteTree {
     out.result()
   }
 
-  /** Strip surrounding double quotes (`filter_of_query`'s unquote). */
+  /** Strip surrounding double quotes and undo `\`-escapes
+    * (`filter_of_query`'s unquote; the escapes are ours — [[fixQuote]]). */
   def unquote(s: String): String =
-    if (s.length > 1 && s.head == '"' && s.last == '"')
-      s.substring(1, s.length - 1)
-    else s
+    if (s.length > 1 && s.head == '"' && s.last == '"') {
+      val t = s.substring(1, s.length - 1)
+      if (!t.contains('\\')) t
+      else {
+        val sb = new StringBuilder(t.length)
+        var i = 0
+        while (i < t.length) {
+          val ch = t.charAt(i)
+          if (ch == '\\' && i + 1 < t.length) { sb.append(t.charAt(i + 1)); i += 2 }
+          else { sb.append(ch); i += 1 }
+        }
+        sb.toString
+      }
+    } else s
 
-  /** Render a raw value as a path component: empty or dotted values are
-    * quoted, already-quoted dot-less values unquoted (`fix_quote`). */
-  def fixQuote(s: String): String =
-    if (s.isEmpty) "\"\""
-    else if (s.contains('.')) { if (s.head == '"') s else "\"" + s + "\"" }
-    else unquote(s)
+  /** Render a raw value as a path component: values containing `.`, `"` or
+    * `\` are double-quoted with `\`-escaping ([[splitQuery]] honors the
+    * escapes), already-quoted dot-less values unquoted (`fix_quote`).
+    * Escaping goes beyond the reference (which leaves embedded quotes
+    * bare, making its own ids unsplittable): every value round-trips as
+    * ONE well-formed component, so one odd factor value can't poison a
+    * whole find response. */
+  def fixQuote(s: String): String = {
+    val raw = unquote(s)
+    if (raw.isEmpty) "\"\""
+    else if (raw.exists(c => c == '.' || c == '"' || c == '\\'))
+      "\"" + raw.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    else raw
+  }
 
   private def matches(globComp: String, v: String): Boolean =
     v.matches(GraphiteApi.componentGlobToRegex(unquote(globComp)))
@@ -99,9 +123,13 @@ object GraphiteTree {
 
   /** True when every ancestor of the op is a batch source — a static AST
     * walk so that a mere `/metrics/find` GET never compiles a LISTEN/Kafka
-    * ancestor (compiling one binds its socket). Unresolvable FROM refs
-    * count as batch (registered tables); [[heads]] keeps a compile-time
-    * isStreaming belt for anything this misses. */
+    * ancestor (compiling one binds its socket). FROM refs resolve through
+    * the compiler's OWN static resolution ([[RaqlCompiler.staticFromTargets]],
+    * same priority as compilation — relative `../`, sibling-directory,
+    * `#`-suffix and `#_`-instance forms all reach their real target);
+    * registered tables and unresolvable refs (whose compile fails loudly,
+    * binding nothing) resolve to no functions and count as batch.
+    * [[heads]] keeps a compile-time isStreaming belt regardless. */
   private def batchReachable(c: RaqlCompiler, progName: String,
       op: Ast.Operation,
       visiting: Set[String] = Set.empty): Boolean = op match {
@@ -109,18 +137,7 @@ object GraphiteTree {
     case a: Aggregate =>
       a.fromSub.forall(batchReachable(c, progName, _, visiting)) &&
         a.from.forall { ref =>
-          val cands =
-            if (ref.contains("/")) Seq(ref, s"$progName/$ref")
-            else Seq(s"$progName/$ref", ref)
-          cands.map(_.replace("#_", "")).flatMap { fq =>
-            val slash = fq.lastIndexOf('/')
-            if (slash < 0) Nil
-            else {
-              val (pn, fn) = (fq.substring(0, slash), fq.substring(slash + 1))
-              c.registeredPrograms.get(pn)
-                .flatMap(_.funcs.find(_.name == fn)).map(pn -> _).toSeq
-            }
-          }.forall { case (pn, f) =>
+          c.staticFromTargets(ref, progName).forall { case (pn, f) =>
             val key = s"$pn/${f.name}"
             visiting(key) || batchReachable(c, pn, f.op, visiting + key)
           }
@@ -240,9 +257,12 @@ object GraphiteTree {
     * find (`RamenGraphite.ml:425-430`). A target reaches a function only
     * when its component count is exactly head + factors + field. */
   def expandTarget(c: RaqlCompiler, target: String,
-      since: Option[Double] = None, until: Option[Double] = None): Seq[Series] = {
+      since: Option[Double] = None, until: Option[Double] = None): Seq[Series] =
+    expandTarget(c, target, new ValueCache(c, since, until))
+
+  private def expandTarget(c: RaqlCompiler, target: String,
+      cache: ValueCache): Seq[Series] = {
     val comps = splitQuery(target)
-    val cache = new ValueCache(c, since, until)
     heads(c).flatMap { case (pn, f, head) =>
       val fq = s"$pn/${f.name}"
       val factors = factorsOf(f)
@@ -280,8 +300,10 @@ object GraphiteTree {
     require(until > since, "empty render range")
     val num = math.max(1, maxDataPoints)
     val step = (until - since) / num
-    val series = targets
-      .flatMap(expandTarget(c, _, Some(since), Some(until))).distinct
+    // ONE cache for the whole request: N targets over the same function
+    // share each (function, factor) distinct-values job
+    val cache = new ValueCache(c, Some(since), Some(until))
+    val series = targets.flatMap(expandTarget(c, _, cache)).distinct
     series.groupBy(_.fq).toSeq.sortBy(_._1).flatMap { case (fq, ss) =>
       val df = c.compile(fq)
       val t = timeCol(df).getOrElse(

@@ -279,6 +279,49 @@ class AlertApiSpec extends AnyFunSuite {
     } finally httpd.stop()
   }
 
+  test("HTTP binding: graphite relative times, multi-target render, 400s") {
+    val (_, api) = mkApi()
+    import spark.implicits._
+    val now = System.currentTimeMillis() / 1000.0
+    val metrics = Seq(
+      ("servers.web1.cpu", now - 100, 10.0), ("servers.web1.cpu", now - 50, 20.0),
+      ("servers.web2.mem", now - 75, 40.0))
+      .toDF("path", "time", "value")
+    val httpd = new GraftHttpd(api, metrics = () => Some(metrics))
+    val port = httpd.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      // Grafana's default range is relative: from=-6h&until=now
+      // (time_of_graphite_time, RamenGraphite.ml:404-417)
+      val rel = get("/render?target=servers.web1.cpu&from=-6h&until=now&maxDataPoints=1").body()
+      assert(rel.contains("[15.0,"), rel) // (10+20)/2 in the one bucket
+      // missing/unparseable from falls back to 24h-ago..now, not an error
+      val dflt = get("/render?target=servers.web1.cpu&from=bogus&maxDataPoints=1").body()
+      assert(dflt.contains("[15.0,"), dflt)
+      // every repeated target= renders, not just the first
+      val multi = get("/render?target=servers.web1.cpu&target=servers.web2.mem" +
+        "&from=-6h&until=now&maxDataPoints=1").body()
+      assert(multi.contains(""""target":"servers.web1.cpu"""") &&
+        multi.contains(""""target":"servers.web2.mem""""), multi)
+      // non-JSON formats and malformed client input are 400s, not 500s
+      assert(get("/render?target=x&format=csv").statusCode() == 400)
+      val (_, api2) = mkApi()
+      val bare = new GraftHttpd(api2) // compiler-backed tree
+      val p2 = bare.start()
+      try {
+        val bad = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p2/metrics/find?query=a.%22b")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+        assert(bad.body().contains("bad quotes"), bad.body())
+      } finally bare.stop()
+    } finally httpd.stop()
+  }
+
   test("HTTP binding without a metrics frame: compiler-backed graphite tree") {
     val (_, api) = mkApi()
     val httpd = new GraftHttpd(api) // no metrics source bound

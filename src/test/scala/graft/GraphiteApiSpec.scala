@@ -28,6 +28,49 @@ class GraphiteApiSpec extends AnyFunSuite {
     assert(!"servers.app02.cpu".matches(globToRegex("servers.{web01,db01}.*")))
   }
 
+  test("user char classes survive glob translation (no post-hoc rewrite)") {
+    import GraphiteApi.{componentGlobToRegex, globToRegex}
+    // a user-written [^.] class must keep meaning "not a dot" in BOTH
+    // variants — only the *_/? wildcards differ between them
+    assert("ab".matches(componentGlobToRegex("[^.]b")))
+    assert(!".b".matches(componentGlobToRegex("[^.]b")))
+    assert("ab".matches(globToRegex("[^.]b")))
+    assert(!".b".matches(globToRegex("[^.]b")))
+    // component wildcards may cross dots (raw factor values contain dots)
+    assert("10.0.0.1".matches(componentGlobToRegex("10.*")))
+    assert(!"10.0.0.1".matches(globToRegex("10.*")))
+    // a [^.] literal inside an alternation's \Q…\E quoting stays literal
+    assert("[^.]a".matches(componentGlobToRegex("{[^.]a,b}")))
+  }
+
+  test("graphite time parsing (time_of_graphite_time)") {
+    import graft.service.GraphiteTime.parse
+    val now = 1723700000.0
+    // relative offsets from now; a unit is required
+    assert(parse("-6h", now).contains(now - 6 * 3600))
+    assert(parse(" -30min ", now).contains(now - 1800))
+    assert(parse("-2w", now).contains(now - 14 * 86400))
+    assert(parse("-1mon", now).contains(now - 30 * 86400))
+    assert(parse("-1y", now).contains(now - 365 * 86400))
+    assert(parse("-100", now).isEmpty)
+    // keywords and bare epochs (reference doctests: Some 10., Some 1523052000.)
+    assert(parse("now", now).contains(now))
+    assert(parse("10", now).contains(10.0))
+    assert(parse("1523052000", now).contains(1523052000.0))
+    assert(parse("", now).isEmpty)
+    assert(parse("next tuesday", now).isEmpty)
+    // date spellings agree (reference doctests around time_of_abstime)
+    assert(parse("28.01.1976", now) == parse("01/28/1976", now))
+    assert(parse("1976-01-28", now) == parse("28.01.1976", now))
+    val d = parse("1976-01-28", now).get
+    assert(parse("1976-01-28 12:00", now).contains(d + 12 * 3600))
+    assert(parse("1976-01-28T12:00:00.9", now) // seconds round half-up
+      .contains(d + 12 * 3600 + 1))
+    // times of day mirror the reference literally: now or now + 86400
+    assert(Set(Option(now), Option(now + 86400)).contains(parse("midnight", now)))
+    assert(Set(Option(now), Option(now + 86400)).contains(parse("4:00pm", now)))
+  }
+
   test("find returns tree nodes with leaf/expandable flags") {
     val top = GraphiteApi.find(metrics, "path", "*").collect()
     assert(top.map(_.getString(0)).toSeq == Seq("clients", "servers"))
@@ -148,6 +191,53 @@ class GraphiteApiSpec extends AnyFunSuite {
     val out = GraphiteTree.render(c, Seq("""net.flows."10.0.0.1".value"""),
       t0, t0 + 30 * 86400, maxDataPoints = 1)
     assert(out.size == 1 && out.head._2.head._2.isDefined)
+  }
+
+  test("fixQuote keeps every value one well-formed splittable component") {
+    import graft.service.GraphiteTree._
+    // the reference's own doctests (RamenGraphite.ml:62-68)
+    assert(fixQuote("") == "\"\"")
+    assert(fixQuote("glop") == "glop")
+    assert(fixQuote("\"glop\"") == "glop")
+    assert(fixQuote("pas.glop") == "\"pas.glop\"")
+    assert(fixQuote("\"pas.glop\"") == "\"pas.glop\"")
+    // beyond the reference: embedded quotes/backslashes escape instead of
+    // producing an id splitQuery rejects (one odd factor value must not
+    // 500 a whole find response)
+    for (v <- Seq("a\"b.c", "\"10.0", "back\\slash.x", "q\"uote")) {
+      val comp = fixQuote(v)
+      assert(splitQuery(comp).toSeq == Seq(comp), s"$v -> $comp")
+      assert(unquote(comp) == v, s"$v -> $comp")
+      assert(fixQuote(comp) == comp, s"round-trip $v")
+    }
+  }
+
+  test("reachability resolves relative FROM forms before compiling (no socket bind)") {
+    import graft.service.GraphiteTree
+    val c = new graft.raql.RaqlCompiler(spark, "/tmp")
+    // a LISTEN ancestor referenced through a RELATIVE ../ path: the static
+    // walk must resolve it like the compiler would and exclude the head
+    // WITHOUT compiling it (compiling a ListenFor binds its UDP port)
+    val port = {
+      val s = new java.net.DatagramSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    def reg(name: String, src: String): Unit =
+      graft.raql.RaqlParser.parseProgram(src) match {
+        case Right(p) => c.register(name, p)
+        case Left(e) => fail(s"parse: $e")
+      }
+    reg("net/listen", s"DEFINE src AS LISTEN FOR NETFLOW ON PORT $port;")
+    reg("net/agg", """
+      DEFINE f AS
+        FROM ../listen/src
+        SELECT bytes, float(first) AS start;
+    """)
+    val nodes = GraphiteTree.find(c, "*")
+    assert(!nodes.exists(_.id.startsWith("net")), nodes.map(_.id))
+    // the walk compiled nothing upstream: the listener's port is still free
+    val probe = new java.net.DatagramSocket(port)
+    probe.close()
   }
 
   test("virtual tree render: multiple targets expand together, one scan per function") {
