@@ -74,6 +74,37 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("raqlsplit")) {
+      // where does r01's wall go: table registration, RaQL compile, or
+      // plan execution?
+      for (i <- 1 to 4) {
+        val t0 = System.nanoTime()
+        val c = new graft.raql.RaqlCompiler(spark, d)
+        Tables.names.foreach { t =>
+          try c.registerTable(s"tables/$t",
+            if (t == "events") Tables.events(spark, d)
+            else Tables.load(spark, d, t))
+          catch { case _: Throwable => () }
+        }
+        val t1 = System.nanoTime()
+        graft.raql.RaqlParser.parseProgram(
+          """DEFINE q AS
+               FROM tables/events
+               SELECT event_type, COUNT 1 AS n, sum u64(user_id) AS sum_uid,
+                      min value AS min_value, max value AS max_value
+               GROUP BY event_type;""") match {
+          case Right(p) => c.register("main", p)
+          case Left(e) => throw new IllegalArgumentException(e.toString)
+        }
+        val df = c.compile("main/q").orderBy("event_type")
+        val t2 = System.nanoTime()
+        mat(df)
+        val t3 = System.nanoTime()
+        println(f"[raqlsplit $i] register=${(t1 - t0) / 1e9}%.3f " +
+          f"compile=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("probe")) {
       // why doesn't the bucket self-join reuse one exchange?
       println("exchange.reuse=" + spark.conf.getOption("spark.sql.exchange.reuse"))

@@ -15,8 +15,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-JVM metadata cache: the parquet footer/schema read and file
+    * listing behind `spark.read.parquet` cost ~50 ms per table — per-query
+    * table registration (the RaQL compiler registers all ten) was paying
+    * it every invocation. A table re-load is now plan construction only.
+    * The directory mtime in the key keeps rewrite-then-reload callers
+    * (SkewBench/ScaleProbe corpus regeneration) correct: an overwrite
+    * recreates the directory, so the stale entry just misses. */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    loadCache.computeIfAbsent(
+      (System.identityHashCode(spark), path, new java.io.File(path).lastModified),
+      _ => spark.read.parquet(path))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
