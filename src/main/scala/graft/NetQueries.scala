@@ -29,7 +29,11 @@ object NetQueries {
             beginOfRange4(col("ip"), lit(20)).as("range_begin"),
             endOfRange4(col("ip"), lit(20)).as("range_end"),
             ethToString(col("mac")).as("mac_str"),
-            (ip4FromString(ip4ToString(col("ip"))) === col("ip")).as("roundtrip"))
+            col("ip"))
+          // parse the ALREADY-RENDERED ip_str (multi-ref non-cheap alias —
+          // CollapseProject keeps it staged, so the quad renders once)
+          .withColumn("roundtrip", ip4FromString(col("ip_str")) === col("ip"))
+          .drop("ip")
           .orderBy("event_id")
       },
       Some("""SELECT event_id,

@@ -102,6 +102,69 @@ object NetExpressions {
     true
   } catch { case _: Exception => false }
 
+  /** Dotted quad → u32 in [0, 2³²), or -1 when malformed (the sentinel is
+    * safe: no valid address is negative). One pass over the bytes — no
+    * split/array allocation. Strict per-octet syntax: 1-3 digits, value ≤
+    * 255; no signs or whitespace (the former cast-chain trimmed octets —
+    * a laxness nothing relied on). */
+  def parseIp4(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var i = 0
+    var octets = 0
+    var acc = -1L
+    var ip = 0L
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= '0' && b <= '9') {
+        acc = (if (acc < 0) 0L else acc) * 10 + (b - '0')
+        if (acc > 255) return -1L
+      } else if (b == '.') {
+        if (acc < 0 || octets == 3) return -1L
+        ip = (ip << 8) | acc
+        octets += 1
+        acc = -1L
+      } else return -1L
+      i += 1
+    }
+    if (acc < 0 || octets != 3) -1L
+    else (ip << 8) | acc
+  }
+
+  /** u32 → dotted quad, one pass into a byte buffer (≤ 15 bytes) — no
+    * per-octet casts/concat. Octet arithmetic identical to the former
+    * column composition: `(ip >> shift) & 255`. */
+  def formatIp4(ip: Long): UTF8String = {
+    val out = new Array[Byte](15)
+    var n = 0
+    var shift = 24
+    while (shift >= 0) {
+      val o = ((ip >> shift) & 255L).toInt
+      if (o >= 100) { out(n) = ('0' + o / 100).toByte; n += 1 }
+      if (o >= 10) { out(n) = ('0' + (o / 10) % 10).toByte; n += 1 }
+      out(n) = ('0' + o % 10).toByte; n += 1
+      if (shift > 0) { out(n) = '.'; n += 1 }
+      shift -= 8
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** u48 MAC → "aa:bb:cc:dd:ee:ff", one pass (was 6 × hex/lower/lpad). */
+  def formatEth(mac: Long): UTF8String = {
+    val out = new Array[Byte](17)
+    var i = 0
+    var shift = 40
+    while (shift >= 0) {
+      val o = ((mac >> shift) & 255L).toInt
+      out(i) = hexDigits(o >> 4); i += 1
+      out(i) = hexDigits(o & 15); i += 1
+      if (shift > 0) { out(i) = ':'; i += 1 }
+      shift -= 8
+    }
+    UTF8String.fromBytes(out, 0, 17)
+  }
+
   /** String → bytes, one byte per char (code point & 0xFF). RaQL strings
     * are BYTE strings (`"\xC8"` is the single byte 0xC8,
     * `tests/func/peek.ramen`), but `cast(binary)` re-encodes code points
@@ -132,6 +195,75 @@ case class Latin1Bytes(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.NetExpressions.latin1Bytes($s)")
 
   override protected def withNewChildInternal(c: Expression): Latin1Bytes =
+    copy(child = c)
+}
+
+/** Codegen'd dotted-quad parse — see [[NetExpressions.parseIp4]]. NULL on
+  * malformed text (total under ANSI mode, like the try_cast chain it
+  * replaces — which re-evaluated its input ~13× per row through the
+  * split/element_at/try_cast composition; this is one pass). */
+case class Ip4Parse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ip4_parse"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val v = NetExpressions.parseIp4(s.asInstanceOf[UTF8String])
+    if (v < 0) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.NetExpressions.parseIp4($s);
+      if (${ev.value} < 0) ${ev.isNull} = true;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Ip4Parse =
+    copy(child = c)
+}
+
+/** Codegen'd u32 → dotted quad — see [[NetExpressions.formatIp4]]. */
+case class Ip4Format(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ip4_format"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    NetExpressions.formatIp4(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.NetExpressions.formatIp4($v)")
+
+  override protected def withNewChildInternal(c: Expression): Ip4Format =
+    copy(child = c)
+}
+
+/** Codegen'd u48 MAC → colon-hex — see [[NetExpressions.formatEth]]. */
+case class EthFormat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "eth_format"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    NetExpressions.formatEth(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.NetExpressions.formatEth($v)")
+
+  override protected def withNewChildInternal(c: Expression): EthFormat =
     copy(child = c)
 }
 

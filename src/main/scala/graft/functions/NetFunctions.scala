@@ -17,24 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object NetFunctions {
 
-  /** u32 → dotted quad. */
+  /** u32 → dotted quad (one-pass codegen kernel, [[Ip4Format]]). */
   def ip4ToString(ip: Column): Column =
-    concat_ws(".",
-      shiftright(ip, 24).bitwiseAND(255).cast("string"),
-      shiftright(ip, 16).bitwiseAND(255).cast("string"),
-      shiftright(ip, 8).bitwiseAND(255).cast("string"),
-      ip.bitwiseAND(255).cast("string"))
+    org.apache.spark.sql.GraftShims.column(
+      Ip4Format(org.apache.spark.sql.GraftShims.expression(ip.cast("long"))))
 
-  /** dotted quad → u32; malformed text → NULL (total under ANSI mode). */
-  def ip4FromString(s: Column): Column = {
-    val p = split(s, "\\.")
-    def part(i: Int): Column = {
-      val v = try_element_at(p, lit(i)).try_cast("long")
-      when(v >= 0 && v <= 255, v)
-    }
-    when(size(p) === 4,
-      part(1) * 16777216L + part(2) * 65536L + part(3) * 256L + part(4))
-  }
+  /** dotted quad → u32; malformed text → NULL (total under ANSI mode).
+    * A single-pass codegen kernel ([[Ip4Parse]]) — the previous
+    * split/try_element_at/try_cast composition textually duplicated its
+    * input into every octet access (~13 evaluations per row, explosive
+    * when the input is itself an expression). */
+  def ip4FromString(s: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      Ip4Parse(org.apache.spark.sql.GraftShims.expression(s.cast("string"))))
 
   /** Network mask of a /len prefix, as u32. */
   def cidr4Mask(len: Column): Column =
@@ -55,10 +50,11 @@ object NetFunctions {
     net.bitwiseAND(cidr4Mask(len))
       .bitwiseOR(cidr4Mask(len).bitwiseXOR(lit(4294967295L)))
 
-  /** u48 MAC → "aa:bb:cc:dd:ee:ff". */
+  /** u48 MAC → "aa:bb:cc:dd:ee:ff" (one-pass codegen kernel,
+    * [[EthFormat]]). */
   def ethToString(mac: Column): Column =
-    concat_ws(":", (5 to 0 by -1).map(i =>
-      lpad(lower(hex(shiftright(mac, i * 8).bitwiseAND(255))), 2, "0")): _*)
+    org.apache.spark.sql.GraftShims.column(
+      EthFormat(org.apache.spark.sql.GraftShims.expression(mac.cast("long"))))
 
   /** IPFAMILY for the sum-typed ip struct{family, addr4, addr6}. */
   def ipFamily(ip: Column): Column = ip.getField("family")

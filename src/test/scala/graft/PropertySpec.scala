@@ -112,6 +112,46 @@ class PropertySpec extends AnyFunSuite {
       "a pair sharing several chunks must emit exactly once")
   }
 
+  test("ip4/eth kernels: render round-trips, parse is total") {
+    import graft.functions.NetFunctions.{ethToString, ip4FromString, ip4ToString}
+    // random u32s round-trip through the one-pass render + parse kernels,
+    // and the renders match the independent JDK/format ground truth
+    val rng = new scala.util.Random(7)
+    val ips = Seq(0L, 1L, 255L, 256L, 0xFFFFFFFFL, 0x0A000001L) ++
+      Seq.fill(2000)(rng.nextLong() & 0xFFFFFFFFL)
+    val df = ips.toDF("ip")
+      .withColumn("s", ip4ToString(col("ip")))
+      .withColumn("back", ip4FromString(col("s")))
+      .withColumn("mac", col("ip") * 65537L % 281474976710656L)
+      .withColumn("mac_s", ethToString(col("mac")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val ip = r.getLong(0)
+      val want = s"${(ip >> 24) & 255}.${(ip >> 16) & 255}.${(ip >> 8) & 255}.${ip & 255}"
+      assert(r.getString(1) == want, s"render $ip")
+      assert(r.getLong(2) == ip, s"roundtrip $ip")
+      val mac = r.getLong(3)
+      val wantMac = (5 to 0 by -1)
+        .map(i => f"${(mac >> (i * 8)) & 255}%02x").mkString(":")
+      assert(r.getString(4) == wantMac, s"mac $mac")
+    }
+    // the parse is total: malformed text → NULL, never an error
+    val bad = Seq("", "1.2.3", "1.2.3.4.5", "1..2.3", "256.1.1.1",
+      "a.b.c.d", "1.2.3.x", ".1.2.3", "1.2.3.", "999999999999.1.1.1",
+      "1.2.3.4 ", " 1.2.3.4", "-1.2.3.4", "1,2,3,4")
+    val parsed = bad.toDF("s").withColumn("v", ip4FromString(col("s")))
+      .collect()
+    parsed.foreach(r => assert(r.isNullAt(1), s"'${r.getString(0)}' parsed"))
+    // valid edge shapes parse to the right value (leading zeros allowed,
+    // as with the former cast chain)
+    val ok = Seq(("0.0.0.0", 0L), ("255.255.255.255", 0xFFFFFFFFL),
+      ("010.001.000.009", 0x0A010009L))
+    ok.foreach { case (s, want) =>
+      val got = Seq(s).toDF("s").select(ip4FromString(col("s"))).head()
+      assert(!got.isNullAt(0) && got.getLong(0) == want, s"parse $s")
+    }
+  }
+
   test("QuantizeE4 is bit-identical to the DECIMAL(18,4) cast chain") {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     // adversarial set: exact .00005 boundaries at many magnitudes and
