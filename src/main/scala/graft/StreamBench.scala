@@ -106,14 +106,20 @@ object StreamBench {
       .select("worker", "stats_time", "tot_in_tuples")
       .collect()
       .groupBy(_.getString(0))
+    // per-worker MEDIAN of per-batch rates (Δtuples/Δtime between
+    // consecutive stats rows): one GC-paused trigger skews an
+    // endpoint-delta rate by its full duration but moves a median not at
+    // all — same reasoning as the query medians above it in Bench
     val perWorker = stats.flatMap { case (w, rows0) =>
       val rows = rows0.sortBy(_.getDouble(1)).drop(warmupBatches)
-      if (rows.length < 2) None
-      else {
-        val dt = rows.last.getDouble(1) - rows.head.getDouble(1)
-        val dn = rows.last.getLong(2) - rows.head.getLong(2)
-        if (dt <= 0 || dn <= 0) None else Some(w -> dn / dt)
-      }
+      val rates = rows.sliding(2).flatMap {
+        case Array(a, b) =>
+          val dt = b.getDouble(1) - a.getDouble(1)
+          val dn = b.getLong(2) - a.getLong(2)
+          if (dt > 0 && dn > 0) Some(dn / dt) else None
+        case _ => None
+      }.toIndexedSeq.sorted
+      if (rates.isEmpty) None else Some(w -> rates(rates.size / 2))
     }
     val totRows = stats.values.flatten
       .map(_.getLong(2)).maxOption.getOrElse(0L)
