@@ -210,25 +210,33 @@ object GraphiteTree {
       .filter(f => f.dataType.isInstanceOf[NumericType] && !factors(f.name))
       .map(_.name)
 
-  /** `/metrics/find?query=…`: tree nodes at the query's depth. */
+  /** `/metrics/find?query=…`: tree nodes at the query's depth. Node ids
+    * are the QUERY with only its LAST component completed — inner globs
+    * stay verbatim (`id = prefix ^ text`, RamenGraphite.ml:281-309;
+    * graphite_metrics.feature expects `"id":"*.*.*.f1.1"` for
+    * `*.*.*.f1.*`) — Grafana re-queries with the id as its next prefix. */
   def find(c: RaqlCompiler, query: String,
       since: Option[Double] = None, until: Option[Double] = None): Seq[Node] = {
     val comps = splitQuery(query)
+    // the raw query minus its last component, trailing dot kept
+    // (the reference's String.rchop)
+    val idPrefix = query.substring(0, query.length - comps.last.length)
+    def node(completed: String, leaf: Boolean): Node =
+      Node(idPrefix + fixQuote(completed), leaf = leaf, expandable = !leaf)
     val cache = new ValueCache(c, since, until)
     val nodes = heads(c).flatMap { case (pn, f, head) =>
       val fq = s"$pn/${f.name}"
       if (comps.length <= head.length) {
         // the query ends inside the program/function components
         if (comps.indices.forall(i => matches(comps(i), head(i))))
-          Seq(Node(joinComps(head.take(comps.length)),
-            leaf = false, expandable = true))
+          Seq(node(head(comps.length - 1), leaf = false))
         else Nil
       } else if (!head.indices.forall(i => matches(comps(i), head(i)))) Nil
       else {
         val rest = comps.drop(head.length)
         val factors = factorsOf(f)
         lazy val fields = numericFields(c.compile(fq), factors.toSet)
-        def walk(fi: Int, ri: Int, prefix: Vector[String]): Seq[Node] = {
+        def walk(fi: Int, ri: Int): Seq[Node] = {
           val last = ri == rest.length - 1
           if (fi < factors.length) {
             val vals0 = cache(fq, factors(fi))
@@ -236,16 +244,15 @@ object GraphiteTree {
             // reachable (the reference's FactorAll, :130-140)
             val vals = if (vals0.isEmpty) Seq("") else vals0
             val m = vals.filter(matches(rest(ri), _))
-            if (last) m.map(v => Node(joinComps(head ++ prefix :+ v),
-              leaf = false, expandable = true))
-            else m.flatMap(v => walk(fi + 1, ri + 1, prefix :+ v))
+            if (last) m.map(v => node(v, leaf = false))
+            else if (m.nonEmpty) walk(fi + 1, ri + 1)
+            else Nil
           } else if (last)
             fields.filter(matches(rest(ri), _)).map(fd =>
-              Node(joinComps(head ++ prefix :+ fd),
-                leaf = true, expandable = false))
+              node(fd, leaf = true))
           else Nil
         }
-        walk(0, 0, Vector.empty)
+        walk(0, 0)
       }
     }
     nodes.groupBy(_.id).toSeq.sortBy(_._1).map { case (id, ns) =>

@@ -193,6 +193,63 @@ class GraphiteApiSpec extends AnyFunSuite {
     assert(out.size == 1 && out.head._2.head._2.isDefined)
   }
 
+  test("graphite_metrics.feature mirror: ids complete ONLY the last query component") {
+    import graft.service.GraphiteTree
+    // tests/features/graphite_metrics.feature: a two-factor function
+    // (digit, color — one color value dotted) under a nested program name,
+    // plus a factorless one-field program
+    val c = new graft.raql.RaqlCompiler(spark, "/tmp")
+    c.registerTable("tables/events",
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    def reg(name: String, src: String): Unit =
+      graft.raql.RaqlParser.parseProgram(src) match {
+        case Right(p) => c.register(name, p)
+        case Left(e) => fail(s"parse: $e")
+      }
+    reg("p1/p2/t1", """
+      DEFINE f1 AS
+        FROM tables/events
+        SELECT user_id % 10 AS digit,
+               CASE WHEN user_id % 10 = 0 THEN "cyan"
+                    WHEN user_id % 10 = 1 THEN "magenta"
+                    WHEN user_id % 10 = 2 THEN "yellow"
+                    ELSE "bl.a.ck" END AS color,
+               value AS high_card, float(ts) AS start
+        FACTORS digit, color;
+    """)
+    reg("t2", """
+      DEFINE f2 AS FROM tables/events SELECT 42 AS the_answer,
+        float(ts) AS start;
+    """)
+    def find(q: String) = GraphiteTree.find(c, q)
+    // completing nothing yields the first program components
+    assert(find("*").map(_.text).toSet == Set("p1", "t2"))
+    // completing p1 yields p2
+    assert(find("p1.*").map(_.text) == Seq("p2"))
+    // below the function: the digit factor's values
+    assert(find("p1.p2.t1.f1.*").map(_.text).contains("1"))
+    // a glob prefix survives VERBATIM in the id — only the last
+    // component completes ("id":"*.*.*.f1.1" in the feature)
+    val globbed = find("*.*.*.f1.*")
+    assert(globbed.map(_.text).contains("1"))
+    assert(globbed.map(_.id).contains("*.*.*.f1.1"), globbed.map(_.id))
+    // next factor level: color values, the dotted one quoted, the id
+    // prefix kept as typed
+    val colors = find("p1.p2.t1.f1.0.*")
+    assert(colors.map(_.text).contains("magenta"))
+    assert(colors.map(_.text).contains("\"bl.a.ck\""))
+    assert(colors.map(_.id).contains("p1.p2.t1.f1.0.\"bl.a.ck\""),
+      colors.map(_.id))
+    // quoted filter components unquote
+    assert(find("\"p1\".p2.\"t1\".f1.0.*").map(_.text).contains("magenta"))
+    // below the factors: numeric non-factor fields, all leaves
+    val leaves = find("p1.p2.t1.f1.0.magenta.*")
+    assert(leaves.map(_.text).contains("high_card"))
+    assert(leaves.forall(n => n.leaf && !n.expandable))
+    // completing past the leaves yields nothing
+    assert(find("p1.p2.t1.f1.0.magenta.*.*").isEmpty)
+  }
+
   test("fixQuote keeps every value one well-formed splittable component") {
     import graft.service.GraphiteTree._
     // the reference's own doctests (RamenGraphite.ml:62-68)
