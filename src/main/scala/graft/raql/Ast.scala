@@ -84,8 +84,11 @@ object Ast {
   final case class ReadRowBinary(path: String,
       fields: Seq[(String, RType)]) extends Operation
 
-  /** LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]. */
-  final case class ListenFor(proto: String, port: Int) extends Operation
+  /** `LISTEN [FOR] NETFLOW|COLLECTD|GRAPHITE [[ON] addr[:p] | [ON] PORT p]
+    * [[PROTO] UDP|TCP]` (reference grammar RamenOperation.ml:1411-1438).
+    * `ipProto` is the transport — UDP default for every protocol. */
+  final case class ListenFor(proto: String, port: Int,
+      ipProto: String = "udp") extends Operation
 
   /** READ FROM KAFKA TOPIC "t" [PARTITIONS [p;…]] WITH OPTIONS "k"="v",…
     * AS CSV|ROWBINARY (schema). */

@@ -2137,11 +2137,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   private def compileOp(op: Operation, progName: String,
       params: Map[String, Expr]): DataFrame = op match {
-    case ListenFor("instrumentation", _) =>
+    case ListenFor("instrumentation", _, _) =>
       // queryable per-query runtime stats (runtime_stats.type schema)
       graft.streaming.Instrumentation(spark).df
 
-    case ListenFor(proto, port) =>
+    case ListenFor(proto, port, "tcp") =>
+      // line-framed protocols only — the binary decoders are
+      // datagram-framed (see graft.sources.TcpIngest)
+      proto match {
+        case "graphite" =>
+          new graft.sources.TcpIngest(spark, port).start().graphite
+        case other => unsupported(s"LISTEN FOR $other PROTO TCP " +
+          "(only the graphite line protocol is TCP-framed)")
+      }
+
+    case ListenFor(proto, port, _) =>
       // one socket per compiled LISTEN (cached by the compile() key map)
       val ingest = new graft.sources.UdpIngest(spark, port).start()
       proto match {

@@ -591,15 +591,40 @@ object RaqlParser extends RegexParsers {
     }
   }
 
-  /** `LISTEN FOR NETFLOW|COLLECTD|GRAPHITE [ON PORT p]`. */
-  private def listenOp: Parser[Operation] =
-    kw("listen") ~> kw("for") ~> ident ~
-      opt(opt(kw("on")) ~> kw("port") ~> number) <~
-      opt(kw("from") ~ ("*" | ident)) ^^ {
-      case proto ~ port =>
-        val p = port match { case Some(Lit(n: Long)) => n.toInt; case _ => 0 }
-        ListenFor(proto.toLowerCase, p)
+  /** `LISTEN [FOR] NETFLOW|COLLECTD|GRAPHITE [[ON] addr[:p] | [ON] PORT p]
+    * [[PROTO] UDP|TCP]` — the reference grammar
+    * (`RamenOperation.ml:1411-1438`); a missing port means the protocol's
+    * well-known port (`:1346-1355`). The bind address is parsed and
+    * discarded (the single-node listener binds the wildcard address, the
+    * reference's default). */
+  private def listenOp: Parser[Operation] = {
+    val portOnly = kw("port") ~> number ^^ {
+      case Lit(n: Long) => n.toInt
+      case _ => -1
     }
+    // `*`, `[*]` or an ipv4 literal, with an optional `:port`
+    val hostPort: Parser[Int] =
+      """(?:\*|\[\*\]|\d{1,3}(?:\.\d{1,3}){3})(?::\d{1,5})?""".r ^^ { s =>
+        s.lastIndexOf(':') match {
+          case -1 => -1
+          case i => s.substring(i + 1).toInt
+        }
+      }
+    kw("listen") ~> opt(kw("for")) ~> ident ~
+      opt(opt(kw("on")) ~> (portOnly | hostPort)) ~
+      opt(opt(kw("proto")) ~> (kw("udp") | kw("tcp"))) <~
+      opt(kw("from") ~ ("*" | ident)) ^^ {
+      case proto ~ port ~ ipProto =>
+        val p = proto.toLowerCase
+        val wellKnown = p match {
+          case "graphite" => 2003
+          case "collectd" => 25826
+          case _ => 2055 // netflow
+        }
+        ListenFor(p, port.filter(_ >= 0).getOrElse(wellKnown),
+          ipProto.getOrElse("udp"))
+    }
+  }
 
   private def rtype: Parser[RType] =
     ident ~ opt("?") ~ opt("""\{[^}]*\}""".r) ^^ { case t ~ n ~ u =>

@@ -137,16 +137,44 @@ object Listeners {
   }
 
   // --- graphite plaintext ----------------------------------------------
-  final case class GraphiteRecord(path: String, value: Double, time: Double)
 
-  /** "metric.path value unix_ts" lines. */
-  def parseGraphite(line: String): Option[GraphiteRecord] =
-    line.trim.split("\\s+") match {
-      case Array(p, v, t) =>
-        try Some(GraphiteRecord(p, v.toDouble, t.toDouble))
-        catch { case _: NumberFormatException => None }
+  /** The reference's graphite sink tuple (`RamenGraphiteSink.ml:25-56`):
+    * metric path, receipt time, sender address, event time (`start`,
+    * the declared event-time field), `name=value` tags carried after `;`
+    * in the metric, and the value. */
+  final case class GraphiteRecord(metric: String, receipt_time: Double,
+      sender: Option[String], start: Double, tags: Seq[(String, String)],
+      value: Double)
+
+  /** `metric[;tag=val…] value [unix_ts]` lines
+    * (`RamenGraphiteSink.ml:92-116`): a missing timestamp means the
+    * receipt time; a malformed value/timestamp/tag drops the line (the
+    * reference raises and skips it). */
+  def parseGraphite(line: String, sender: Option[String] = None,
+      receiptTime: Double = 0.0): Option[GraphiteRecord] = {
+    def num(s: String): Option[Double] =
+      try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    val fields = line.trim.split("\\s+") match {
+      case Array(m, v, t) => num(v).flatMap(vv => num(t).map(tt => (m, vv, tt)))
+      case Array(m, v) => num(v).map(vv => (m, vv, receiptTime))
       case _ => None
     }
+    fields.flatMap { case (m, v, start) =>
+      val parts = m.split(";", -1)
+      if (parts.head.isEmpty) None
+      else {
+        val tags = parts.tail.map { t =>
+          t.split("=", 2) match {
+            case Array(n, tv) => Some(n -> tv)
+            case _ => None
+          }
+        }
+        if (tags.exists(_.isEmpty)) None // a tag without '=' kills the line
+        else Some(GraphiteRecord(parts.head, receiptTime, sender, start,
+          tags.flatten.toSeq, v))
+      }
+    }
+  }
 
   /** Decode a Dataset of raw packets into netflow records. */
   def netflowFrames(spark: SparkSession, packets: Dataset[(String, Array[Byte])]): DataFrame = {

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{ServerSocket, Socket}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** TCP line-stream ingest for `LISTEN FOR GRAPHITE … PROTO TCP` — the
+  * reference's TCP collector (`RamenGraphiteSink.ml:125-160`'s `ip_server`
+  * with `IpProtocol.TCP`; graphite_sink.feature exercises both
+  * transports). An accept loop hands each connection to a reader thread
+  * that appends complete lines to the micro-batch source, so the decoded
+  * stream is the same frame shape as the UDP path and composes with every
+  * downstream operator.
+  *
+  * Only line-framed protocols make sense over a byte stream; the binary
+  * LISTEN decoders (netflow/collectd) are datagram-framed and stay UDP,
+  * as in practice they are everywhere.
+  */
+final class TcpIngest(spark: SparkSession, port: Int) {
+  import spark.implicits._
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val mem = MemoryStream[(String, String)] // (sender, line)
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+
+  /** Actual bound port (useful with port 0 = ephemeral). */
+  def boundPort: Int = server.getLocalPort
+
+  private def reader(conn: Socket): Thread = {
+    val t = new Thread(() => {
+      val sender = conn.getInetAddress.getHostAddress
+      try {
+        val in = new BufferedReader(
+          new InputStreamReader(conn.getInputStream, "UTF-8"))
+        var line = in.readLine()
+        while (running && line != null) {
+          if (line.nonEmpty) mem.addData((sender, line))
+          line = in.readLine()
+        }
+      } catch { case _: java.io.IOException => () }
+      finally conn.close()
+    }, s"graft-tcp-conn-$port")
+    t.setDaemon(true)
+    t
+  }
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try reader(server.accept()).start()
+      catch { case _: java.net.SocketException => () } // closed in stop()
+    }
+  }, s"graft-tcp-$port")
+  acceptor.setDaemon(true)
+
+  def start(): TcpIngest = { acceptor.start(); this }
+
+  def stop(): Unit = { running = false; server.close() }
+
+  /** Raw (sender address, line) stream. */
+  def lines: Dataset[(String, String)] = mem.toDS()
+
+  /** Decoded graphite plaintext metric stream — same tuple as
+    * [[UdpIngest.graphite]]. */
+  def graphite: DataFrame =
+    lines.flatMap { case (src, line) =>
+      Listeners.parseGraphite(line, Some(src),
+        System.currentTimeMillis() / 1000.0)
+    }.toDF()
+}

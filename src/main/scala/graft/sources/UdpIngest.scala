@@ -67,9 +67,12 @@ final class UdpIngest(spark: SparkSession, port: Int) {
   def collectd: DataFrame =
     packets.flatMap { case (_, bytes) => Listeners.parseCollectd(bytes) }.toDF()
 
-  /** Decoded graphite plaintext metric stream. */
+  /** Decoded graphite plaintext metric stream (reference sink tuple:
+    * metric/receipt_time/sender/start/tags/value). */
   def graphite: DataFrame =
-    packets.flatMap { case (_, bytes) =>
-      new String(bytes, "UTF-8").split("\n").toSeq.flatMap(Listeners.parseGraphite)
+    packets.flatMap { case (src, bytes) =>
+      val rt = System.currentTimeMillis() / 1000.0
+      new String(bytes, "UTF-8").split("\n").toSeq
+        .flatMap(Listeners.parseGraphite(_, Some(src), rt))
     }.toDF()
 }

@@ -96,9 +96,9 @@ class ExamplesSpec extends AnyFunSuite {
     sources.foreach { case (prog, src) =>
       RaqlParser.parseProgram(src).foreach(_.funcs.foreach { f =>
         f.op match {
-          case ListenFor("netflow", _) => c.registerTable(s"$prog/${f.name}",
+          case ListenFor("netflow", _, _) => c.registerTable(s"$prog/${f.name}",
             spark.emptyDataset[graft.sources.Listeners.NetflowRecord].toDF())
-          case ListenFor("collectd", _) => c.registerTable(s"$prog/${f.name}",
+          case ListenFor("collectd", _, _) => c.registerTable(s"$prog/${f.name}",
             spark.emptyDataset[graft.sources.Listeners.CollectdRecord].toDF())
           case _ => ()
         }
@@ -110,7 +110,7 @@ class ExamplesSpec extends AnyFunSuite {
       RaqlParser.parseProgram(sources(prog)).foreach { p =>
         p.funcs.foreach { f =>
           val usesLive = f.op match {
-            case ListenFor(proto, _) => proto != "instrumentation"
+            case ListenFor(proto, _, _) => proto != "instrumentation"
             case _: ReadKafka => true
             case _ => false
           }

@@ -92,9 +92,10 @@ class GraphiteApiSpec extends AnyFunSuite {
     assert(byKey(("servers.web02.cpu", 60.0)) == 40.0)
     assert(!byKey.contains(("servers.web01.mem", 0.0))) // target filtered
     // decoded graphite lines feed straight in
-    val lines = Seq("servers.web01.cpu 5.0 3", "garbage").toDF("line")
-      .as[String].collect().flatMap(graft.sources.Listeners.parseGraphite)
-    assert(lines.length == 1 && lines.head.path == "servers.web01.cpu")
+    val lines = Seq("servers.web01.cpu 5.0 3", "one two three four")
+      .toDF("line").as[String].collect()
+      .flatMap(graft.sources.Listeners.parseGraphite(_))
+    assert(lines.length == 1 && lines.head.metric == "servers.web01.cpu")
   }
 
   // --- the compiler-backed virtual tree (RamenGraphite.ml:95-193) -------
