@@ -2129,9 +2129,27 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       val params: Map[String, Expr] =
         prog.params.flatMap(p => p.default.map(p.name -> _)).toMap
       val pairs = df.columns.toSeq.flatMap(c => Seq(lit(c), col(c).cast("string")))
+      // the full alerting_notification.type record: the worker fills
+      // site/worker/test/sent_time/event_time; firing/certainty/debounce/
+      // timeout travel as ordinary parameters and the alerter normalizes
+      // them out (Notify.normalizeParams — RingBufLib.ml:460-503)
+      val eventTime: Column =
+        if (df.columns.contains("start")) col("start").cast("double")
+        else if (df.columns.contains("ts"))
+          unix_micros(col("ts").cast("timestamp")) / 1e6
+        else lit(null).cast("double")
       df.select(compileExpr(nameE, params).cast("string").as("name"),
         lit(true).as("firing"),
-        (if (pairs.isEmpty) map() else map(pairs: _*)).as("params"))
+        (if (pairs.isEmpty) map() else map(pairs: _*)).as("params"),
+        lit("").as("site"),
+        lit(key).as("worker"),
+        lit(false).as("test"),
+        unix_micros(current_timestamp()).cast("double").divide(1e6)
+          .as("sentTime"),
+        eventTime.as("eventTime"),
+        lit(1.0).as("certainty"),
+        lit(10.0).as("debounce"), // alerting_notification.type defaults
+        lit(0.0).as("timeout"))
     }
   }
 

@@ -10,40 +10,259 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener}
 /** RaQL `NOTIFY "name" WITH params` → alerter semantics, Spark-first.
   *
   * The reference sends notification tuples to a dedicated alerter daemon
-  * that dedups them into incidents and debounces delivery
-  * (`/root/reference/src/RamenAlerter.ml:1-60`). Here the notification
-  * stream is just another Dataset; delivery is a `foreachBatch` sink so any
-  * transport (HTTP, exec, syslog, Kafka) can be plugged per batch, and the
-  * firing/debounce state machine is kept per notification name.
+  * (`/root/reference/src/RamenAlerter.ml`) that assigns each to a team,
+  * dedups start/stop into incidents, debounces delivery, and sends
+  * messages through the team's contacts with `${…}` templating
+  * ([[StringExpansion]], the reference's RamenStringExpansion). Here the
+  * notification stream is just another Dataset; delivery is a
+  * `foreachBatch` sink, and the incident/debounce state machine lives in
+  * [[Notify.Alerter]] with an injectable clock so tests drive time.
   */
-final case class Notification(name: String, firing: Boolean, params: Map[String, String])
+final case class Notification(
+    name: String,
+    firing: Boolean,
+    params: Map[String, String],
+    site: String = "",
+    worker: String = "",
+    test: Boolean = false,
+    sentTime: Double = 0.0,
+    eventTime: Option[Double] = None,
+    certainty: Double = 1.0,
+    debounce: Double = 10.0, // alerting_notification.type's default
+    timeout: Double = 0.0) {
+  /** The reference's notif_time: event time if set, else sent time. */
+  def time: Double = eventTime.getOrElse(sentTime)
+}
+
+/** A team contact (`alerting_contact.type`). The reference also ships
+  * Sqlite and Kafka contacts; neither a sqlite driver nor a broker exists
+  * in this environment — `Exec` reaches both (sqlite3/kafka CLI) and the
+  * delivery layer is where a direct client would plug in. */
+sealed trait Contact
+object Contact {
+  /** Drop the message (the reference's `Ignore`). */
+  case object Ignore extends Contact
+  /** Run a shell command built from the template (`Exec`). */
+  final case class Exec(cmd: String) extends Contact
+  /** Log a line built from the template (`SysLog`; the sink function is
+    * injected — no syslog daemon in this environment). */
+  final case class SysLog(template: String) extends Contact
+}
 
 object Notify {
 
-  /** Incident tracker with start/stop dedup (a notification only opens an
-    * incident when not already firing, and only closes one when firing). */
-  final class Alerter {
+  /** The reference's alerter core: team assignment by longest name
+    * prefix (`find_in_charge`, RamenAlerter.ml:182-215), incident
+    * start/stop dedup, debounced delivery (a start cancelled by a stop
+    * inside the debounce window sends nothing), per-contact `${…}`
+    * message expansion over the reference's dict
+    * (RamenAlerter.ml:723-760), and timed-out stops for notifications
+    * carrying a timeout.
+    *
+    * Time is LOGICAL: `deliver` stamps receipt with the notification's
+    * own time (falling back to the injected clock) and nothing sends
+    * until `flush(at)` — callers decide the cadence (the streaming sink
+    * flushes each batch with the batch's max time). */
+  final class Alerter(
+      teams: Map[String, Seq[Contact]] = Map.empty,
+      defaultTeam: String = "default",
+      execRunner: String => Int = Alerter.shellRun,
+      syslog: String => Unit = _ => (),
+      clock: () => Double = () => System.currentTimeMillis() / 1000.0) {
+
     private val log = new ConcurrentLinkedQueue[String]()
     private var firing = Set.empty[String]
 
-    def deliver(n: Notification): Unit = synchronized {
+    private final class Incident(val id: Long, val team: String,
+        val start: Notification) {
+      var stop: Option[Notification] = None
+      var pending: Option[Boolean] = None // Some(firing) awaiting delivery
+      var due = 0.0
+      var startSent = false
+      var firstSent: Option[Double] = None
+      var lastSent: Option[Double] = None
+      var lastStateChange: Notification = start
+    }
+
+    private var nextId = 0L
+    private val open = scala.collection.mutable.Map.empty[String, Incident]
+
+    /** Longest team name that prefixes the notification name; else the
+      * default team; else (no teams configured) None — state is still
+      * tracked, nothing is delivered. */
+    private def findInCharge(name: String): Option[String] =
+      teams.keys.filter(name.startsWith).maxByOption(_.length)
+        .orElse(if (teams.contains(defaultTeam)) Some(defaultTeam)
+          else teams.keys.minOption)
+
+    def deliver(n0: Notification): Unit = synchronized {
+      val n = if (n0.sentTime > 0) n0 else n0.copy(sentTime = clock())
       if (n.firing && !firing.contains(n.name)) {
         firing += n.name
         log.add(s"START ${n.name}")
+        nextId += 1
+        val inc = new Incident(nextId, findInCharge(n.name).getOrElse(""), n)
+        inc.pending = Some(true)
+        inc.due = n.time + math.max(0.0, n.debounce)
+        open(n.name) = inc
       } else if (!n.firing && firing.contains(n.name)) {
         firing -= n.name
         log.add(s"STOP ${n.name}")
+        open.get(n.name).foreach { inc =>
+          inc.lastStateChange = n
+          inc.stop = Some(n)
+          if (!inc.startSent) {
+            // flap inside the debounce window: nothing was sent, nothing
+            // will be (the reference cancels a StartToBeSent incident)
+            log.add(s"CANCEL ${n.name}")
+            open.remove(n.name)
+          } else {
+            inc.pending = Some(false)
+            inc.due = n.time + math.max(0.0, n.debounce)
+          }
+        }
       } // else: duplicate — debounced
+    }
+
+    /** Send every due pending message and synthesize timed-out stops
+      * (notifications carrying `timeout` whose stop never arrived). */
+    def flush(at: Double): Unit = synchronized {
+      // timeouts first so they can cancel/schedule at this same flush
+      open.values.toSeq.foreach { inc =>
+        if (inc.start.timeout > 0 && inc.stop.isEmpty &&
+            firing.contains(inc.start.name) &&
+            at >= inc.start.time + inc.start.timeout) {
+          firing -= inc.start.name
+          log.add(s"STOP ${inc.start.name} (timeout)")
+          if (!inc.startSent) { log.add(s"CANCEL ${inc.start.name}"); open.remove(inc.start.name) }
+          else { inc.pending = Some(false); inc.due = at }
+        }
+      }
+      open.values.toSeq.sortBy(_.id).foreach { inc =>
+        inc.pending match {
+          case Some(f) if at >= inc.due =>
+            send(inc, f, at)
+            inc.pending = None
+            if (f) inc.startSent = true
+            else open.remove(inc.start.name)
+          case _ => ()
+        }
+      }
+    }
+
+    def deliverNow(n: Notification): Unit = { deliver(n); flush(n.time) }
+
+    /** The reference's expansion dict (RamenAlerter.ml:723-760):
+      * builtins first, notification parameters override them. */
+    private def dictFor(inc: Incident, firing: Boolean, at: Double)
+        : Seq[(String, String)] = {
+      import StringExpansion.niceFloat
+      val builtins = Seq(
+        "name" -> inc.start.name,
+        "incident_id" -> inc.id.toString,
+        "start" -> niceFloat(inc.start.time),
+        "now" -> niceFloat(at),
+        "first_sent" -> niceFloat(inc.firstSent.getOrElse(at)),
+        "last_sent" -> niceFloat(inc.lastSent.getOrElse(at)),
+        "site" -> inc.start.site,
+        "worker" -> inc.start.worker,
+        "test" -> inc.start.test.toString,
+        "firing" -> firing.toString,
+        "last_state_change" -> niceFloat(inc.lastStateChange.time),
+        "certainty" -> niceFloat(inc.start.certainty),
+        "hostname" -> sys.env.getOrElse("HOSTNAME", "?HOSTNAME?")) ++
+        inc.stop.map(s => "stop" -> niceFloat(s.time)) ++
+        (if (firing) Nil
+         else Seq("timed-out" -> inc.stop.isEmpty.toString))
+      val params = if (firing) inc.start.params
+        else inc.stop.map(_.params).getOrElse(inc.start.params)
+      // parameters overwrite builtins: later bindings must win, and
+      // substDict takes the FIRST match — so params go first
+      params.toSeq ++ builtins
+    }
+
+    private def send(inc: Incident, firing: Boolean, at: Double): Unit = {
+      val dict = dictFor(inc, firing, at)
+      if (inc.firstSent.isEmpty) inc.firstSent = Some(at)
+      inc.lastSent = Some(at)
+      teams.getOrElse(inc.team, Nil).foreach { c =>
+        val what = if (firing) "START" else "STOP"
+        def exp(t: String, n: Option[String] = None) =
+          StringExpansion.substDict(dict, t, n)
+        c match {
+          case Contact.Ignore => ()
+          case Contact.Exec(cmd) =>
+            val code = execRunner(exp(cmd))
+            log.add(if (code == 0) s"SENT $what ${inc.start.name} via exec"
+              else s"FAILED $what ${inc.start.name} via exec ($code)")
+          case Contact.SysLog(t) =>
+            syslog(exp(t))
+            log.add(s"SENT $what ${inc.start.name} via syslog")
+        }
+      }
     }
 
     def incidents: Seq[String] = log.asScala.toSeq
     def currentlyFiring: Set[String] = synchronized(firing)
   }
 
-  /** Attach an alerter to a notification stream. */
+  object Alerter {
+    /** The reference's Exec contact runs a shell command
+      * (`execute_cmd`, RamenAlerter.ml:569-582). */
+    def shellRun(cmd: String): Int =
+      new ProcessBuilder("sh", "-c", cmd).inheritIO().start().waitFor()
+  }
+
+  /** The reference's `normalize_notif_parameters`
+    * (`RingBufLib.ml:460-503`): firing/certainty/debounce/timeout travel
+    * as ORDINARY notification parameters (case-insensitive names) and are
+    * pulled out alerter-side, defaulting to (true, 0.5, 0, 0); a value
+    * that doesn't convert stays a plain parameter. */
+  def normalizeParams(params: Seq[(String, String)])
+      : (Boolean, Double, Double, Double, Seq[(String, String)]) = {
+    var firing = true
+    var certainty = 0.5
+    var debounce = 0.0
+    var timeout = 0.0
+    val rest = params.filter { case (n, v) =>
+      val t = v.trim.toLowerCase
+      n.toLowerCase match {
+        case "firing" if Set("true", "t", "1")(t) => firing = true; false
+        case "firing" if Set("false", "f", "0")(t) => firing = false; false
+        case "certainty" if t.toDoubleOption.isDefined =>
+          certainty = t.toDouble; false
+        case "debounce" if t.toDoubleOption.isDefined =>
+          debounce = t.toDouble; false
+        case "timeout" if t.toDoubleOption.isDefined =>
+          timeout = t.toDouble; false
+        case _ => true // unconvertible specials stay plain parameters
+      }
+    }
+    (firing, certainty, debounce, timeout, rest)
+  }
+
+  /** A [[Notification]] from a compiled `NOTIFY` row's (name, params),
+    * with the special parameters normalized out. */
+  def notification(name: String, params: Map[String, String],
+      worker: String = "", sentTime: Double = 0.0,
+      eventTime: Option[Double] = None): Notification = {
+    val (firing, certainty, debounce, timeout, rest) =
+      normalizeParams(params.toSeq)
+    Notification(name, firing, rest.toMap, worker = worker,
+      sentTime = sentTime, eventTime = eventTime, certainty = certainty,
+      debounce = debounce, timeout = timeout)
+  }
+
+  /** Attach an alerter to a notification stream: deliver each batch, then
+    * flush at the batch's latest notification time (wall clock when the
+    * batch carries no times). */
   def sink(ds: Dataset[Notification], alerter: Alerter): DataStreamWriter[Notification] =
     ds.writeStream.foreachBatch { (batch: Dataset[Notification], _: Long) =>
-      batch.collect().foreach(alerter.deliver)
+      val ns = batch.collect()
+      ns.foreach(alerter.deliver)
+      val at = ns.map(_.time).maxOption
+        .getOrElse(System.currentTimeMillis() / 1000.0)
+      alerter.flush(at)
     }
 
   /** `LISTEN FOR INSTRUMENTATION FROM *` — the reference republishes

@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Contact, Notification, Notify, StringExpansion}
+
+/** The reference alerter's template engine and incident machine:
+  * RamenStringExpansion.ml's own doctests, and notifications.feature's
+  * flow (team contact config → NOTIFY → templated delivery) driven with
+  * a logical clock. */
+class AlerterSpec extends AnyFunSuite {
+
+  import StringExpansion.substDict
+
+  private def sd(dict: (String, String)*)(text: String,
+      nullStr: String = null): String =
+    substDict(dict.toSeq, text, Option(nullStr))
+
+  test("subst_dict doctests (RamenStringExpansion.ml:156-203)") {
+    assert(sd("glop" -> "pas")("glop ${glop|shell} glop") == "glop 'pas' glop")
+    assert(sd("glop" -> "pas")("${glop}") == "pas")
+    assert(sd("glop" -> "pas")("${gloup}", "?") == "?")
+    assert(sd("glop" -> "pas")("${gloup|trim}", "?") == "?")
+    assert(sd("glop" -> "pas")("${gloup|json-dict}", "null") ==
+      """{"gloup":null}""")
+    assert(sd("glop" -> "pas")("${gloup,glop|json-dict}", "null") ==
+      """{"gloup":null,"glop":"pas"}""")
+    assert(sd("f" -> "123.456")("${f|int}") == "123")
+    assert(sd("t" -> "1575039473.9")("${t|int|date}").take(10) == "2019-11-29")
+    assert(sd("f" -> "1")("${f|?glop:pas glop}") == "glop")
+    assert(sd("f" -> "0")("${f|?glop:pas glop}") == "pas glop")
+    assert(sd("f" -> "")("${f|?glop:pas glop}") == "pas glop")
+    assert(sd("f" -> " \tglop  ")("${f|trim}") == "glop")
+    assert(sd("a" -> "1", "b" -> "2")("${a,b|json-dict}") ==
+      """{"a":"1","b":"2"}""")
+    assert(sd("a" -> "1", "b" -> "2")("${*|json-dict}") ==
+      """{"a":"1","b":"2"}""")
+    assert(sd("a" -> " pas ", "b" -> " \tglop ")("${a,b|trim|json-dict}") ==
+      """{"a":"pas","b":"glop"}""")
+    assert(sd("a" -> "1.2", "b" -> "2.4")("${a,b}") == "1.2,2.4")
+    assert(sd("a" -> "1.2", "b" -> "2.4")("${a,b|int}") == "1,2")
+    assert(sd("f" -> ".25")("${f|percent}") == "25")
+    assert(sd("a" -> "1")("${b|int}", "?") == "?")
+    assert(sd("a" -> "1")("${b|int|?set:unset}", "?") == "unset")
+    assert(sd("a" -> "6")("${a|*=7|int}") == "42")
+    assert(sd("a" -> "50", "b" -> "8")("${a,b|diff|int}") == "42")
+    assert(sd("a" -> "40", "b" -> "2")("${a,b|sum|int}") == "42")
+    assert(sd()("${42}") == "42")
+    assert(sd()("${42|int}") == "42")
+    assert(sd()("${ 42 |int}") == "42")
+    assert(sd()("${42.1|round}") == "42")
+    assert(sd()("${41.9|round}") == "42")
+    assert(sd()("${41.5|ceil}") == "42")
+    assert(sd()("${42.9|floor}") == "42")
+    assert(sd("a" -> "21")("${a,21|sum|int}") == "42")
+    // nested expansion resolves innermost-first to a fixpoint
+    assert(sd("a" -> "21")("${a,${a}|sum|int}") == "42")
+    assert(sd("a" -> "glop")("${a|?${a}:pas glop}") == "glop")
+    assert(sd("a" -> "glop")("${a|?${a}:pas glop|shell}") == "'glop'")
+    assert(sd()("${a|?${a}:pas glop}") == "pas glop")
+    // sql/json escaping (nice_string_of_float/json_quote doctests)
+    assert(sd("t" -> "o'uch")("${t|sql}") == "'o''uch'")
+    assert(sd("t" -> "foo\"bar")("${t|json}") == "\"foo\\\"bar\"")
+    assert(StringExpansion.niceFloat(1.234) == "1.234")
+    assert(StringExpansion.niceFloat(1.001) == "1.001")
+    assert(StringExpansion.niceFloat(1.0) == "1")
+    assert(StringExpansion.niceFloat(31536000.0) == "31536000")
+    assert(StringExpansion.niceFloat(0.0) == "0")
+  }
+
+  private def mkAlerter(sent: scala.collection.mutable.Buffer[String],
+      teams: Map[String, Seq[Contact]]) =
+    new Notify.Alerter(teams = teams,
+      execRunner = cmd => { sent += cmd; 0 },
+      clock = () => 1000.0)
+
+  test("team assignment by longest prefix; templated exec delivery") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = mkAlerter(sent, Map(
+      "default" -> Seq(Contact.Exec("default ${name}")),
+      "net" -> Seq(Contact.Exec("net ${name}")),
+      "net/edge" -> Seq(Contact.Exec(
+        "insert ${incident_id} ${name|sql} ${text|sql}"))))
+    // notifications.feature's canonical flow: NOTIFY with a text param,
+    // delivered through the team's contact with |sql quoting
+    a.deliver(Notification("net/edge down", firing = true,
+      Map("text" -> "o'uch"), sentTime = 100.0, debounce = 0.1))
+    a.flush(100.05)
+    assert(sent.isEmpty, "delivered before the debounce elapsed")
+    a.flush(100.2)
+    assert(sent == Seq("insert 1 'net/edge down' 'o''uch'"), sent)
+    // an unrelated name falls back to the default team
+    a.deliver(Notification("disk full", firing = true, Map.empty,
+      sentTime = 200.0, debounce = 0.0))
+    a.flush(200.0)
+    assert(sent.last == "default disk full")
+    // "net something" prefers the shorter prefix team over default
+    a.deliver(Notification("net misc", firing = true, Map.empty,
+      sentTime = 300.0, debounce = 0.0))
+    a.flush(300.0)
+    assert(sent.last == "net net misc")
+  }
+
+  test("a stop inside the debounce window cancels the start (flap)") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = mkAlerter(sent,
+      Map("default" -> Seq(Contact.Exec("${name}:${firing}"))))
+    a.deliver(Notification("flappy", firing = true, Map.empty,
+      sentTime = 10.0, debounce = 5.0))
+    a.deliver(Notification("flappy", firing = false, Map.empty,
+      sentTime = 12.0, debounce = 5.0))
+    a.flush(100.0)
+    assert(sent.isEmpty, s"flap leaked a delivery: $sent")
+    assert(a.incidents.contains("CANCEL flappy"))
+    // a stable alert delivers both transitions, with firing in the dict
+    a.deliver(Notification("stable", firing = true, Map.empty,
+      sentTime = 20.0, debounce = 1.0))
+    a.flush(21.0)
+    a.deliver(Notification("stable", firing = false, Map.empty,
+      sentTime = 50.0, debounce = 1.0))
+    a.flush(51.0)
+    assert(sent == Seq("stable:true", "stable:false"), sent)
+  }
+
+  test("a notification with a timeout stops by itself") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = mkAlerter(sent,
+      Map("default" -> Seq(Contact.Exec("${name} ${firing} ${timed-out}"))))
+    a.deliver(Notification("volatile", firing = true, Map.empty,
+      sentTime = 10.0, debounce = 0.0, timeout = 30.0))
+    a.flush(10.0)
+    assert(sent == Seq("volatile true ??timed-out??"))
+    a.flush(39.0) // not yet
+    assert(a.currentlyFiring == Set("volatile"))
+    a.flush(41.0)
+    assert(a.currentlyFiring.isEmpty)
+    assert(a.incidents.contains("STOP volatile (timeout)"))
+    assert(sent.last == "volatile false true", sent.last)
+  }
+
+  test("special parameters normalize out of the wire params (RingBufLib)") {
+    val (firing, certainty, debounce, timeout, rest) = Notify.normalizeParams(
+      Seq("FIRING" -> "f", "Certainty" -> " 0.9 ", "debounce" -> "2.5",
+        "timeout" -> "60", "text" -> "ouch", "certaintyX" -> "junk"))
+    assert(!firing && certainty == 0.9 && debounce == 2.5 && timeout == 60.0)
+    assert(rest == Seq("text" -> "ouch", "certaintyX" -> "junk"))
+    // defaults (the reference's normalized defaults, not the notif type's)
+    assert(Notify.normalizeParams(Nil) == (true, 0.5, 0.0, 0.0, Nil))
+    // an unconvertible special stays a plain parameter
+    val (_, c2, _, _, rest2) =
+      Notify.normalizeParams(Seq("certainty" -> "high"))
+    assert(c2 == 0.5 && rest2 == Seq("certainty" -> "high"))
+    val n = Notify.notification("alert", Map("firing" -> "0", "k" -> "v"))
+    assert(!n.firing && n.params == Map("k" -> "v"))
+  }
+
+  test("exec contact really runs a shell command (feature's file check)") {
+    val f = java.nio.file.Files.createTempFile("graft_alert", ".log")
+    try {
+      val a = new Notify.Alerter(
+        teams = Map("default" -> Seq(Contact.Exec(
+          "echo ${name|shell}:${text|shell} >> " + f))),
+        clock = () => 42.0)
+      a.deliverNow(Notification("test", firing = true,
+        Map("text" -> "ouch"), sentTime = 5.0, debounce = 0.0))
+      val got = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      assert(got == "test:ouch\n", got)
+    } finally java.nio.file.Files.delete(f)
+  }
+}

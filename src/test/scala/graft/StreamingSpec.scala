@@ -240,7 +240,11 @@ class StreamingSpec extends AnyFunSuite {
       ("disk_full", 20.0))
     q.processAllAvailable()
     q.stop()
-    assert(alerter.incidents == Seq("START cpu_high", "STOP cpu_high"))
+    // start, duplicate debounced, stop — and since the stop landed inside
+    // the 10 s debounce window, the incident cancels before any contact
+    // delivery (the reference cancels a StartToBeSent incident)
+    assert(alerter.incidents ==
+      Seq("START cpu_high", "STOP cpu_high", "CANCEL cpu_high"))
     assert(alerter.currentlyFiring.isEmpty)
   }
 
