@@ -230,9 +230,15 @@ final class GraftHttpd(
           }
         case t if t.startsWith("/tail/") =>
           val name = t.stripPrefix("/tail/")
-          val n = allParams(ex, body).toMap.get("n").map(_.toInt).getOrElse(10)
+          val pairs = allParams(ex, body)
+          val n = pairs.toMap.get("n").map(_.toInt).getOrElse(10)
+          // repeated where= filters AND together (`ramen tail -w … -w …`,
+          // tailing.feature)
+          val wheres = pairs.collect { case ("where", w) => w }
           tables(name) match {
-            case Some(df) => respond(ex, 200, rowsToJson(df, n))
+            case Some(df0) =>
+              val df = wheres.foldLeft(df0)((d, w) => d.filter(TailWhere(d, w)))
+              respond(ex, 200, rowsToJson(df, n))
             case None => respond(ex, 404, s"""{"error":"no table $name"}""")
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")

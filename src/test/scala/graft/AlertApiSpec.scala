@@ -322,6 +322,43 @@ class AlertApiSpec extends AnyFunSuite {
     } finally httpd.stop()
   }
 
+  test("tail where filters (tailing.feature): ops, AND, unknown field names itself") {
+    val (_, api) = mkApi()
+    import spark.implicits._
+    val gen = Seq((1L, 42L, "green"), (2L, 42L, "red"), (3L, 42L, "blue"),
+      (4L, 42L, "green"), (5L, 42L, "blue"))
+      .toDF("x", "y", "color")
+    val httpd = new GraftHttpd(api,
+      tables = n => if (n == "test/gen") Some(gen) else None)
+    val port = httpd.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // tail -w x=4 -n 1: one row, mentioning 42
+      val one = get(s"/tail/test/gen?n=1&where=${enc("x=4")}").body()
+      assert(one.contains("\"x\":4") && one.contains("42"), one)
+      // two where options AND (x=4, y=42)
+      val anded = get(s"/tail/test/gen?n=9&where=${enc("x=4")}&where=${enc("y=42")}").body()
+      assert(anded.contains("\"x\":4") && !anded.contains("\"x\":1"), anded)
+      // string !=: no "blue" in the output
+      val ne = get(s"/tail/test/gen?n=9&where=${enc("color != \"blue\"")}").body()
+      assert(!ne.contains("blue") && ne.contains("42"), ne)
+      // in / not in lists
+      val in = get(s"/tail/test/gen?n=9&where=${enc("color in [\"blue\";\"red\"]")}").body()
+      assert(!in.contains("green") && in.contains("blue"), in)
+      val notIn = get(s"/tail/test/gen?n=9&where=${enc("color not in [\"green\"]")}").body()
+      assert(!notIn.contains("green") && notIn.contains("42"), notIn)
+      // unknown field: client error that NAMES the field
+      val bad = get(s"/tail/test/gen?n=1&where=${enc("z=0")}")
+      assert(bad.statusCode() == 400 && bad.body().contains("z"),
+        s"${bad.statusCode()} ${bad.body()}")
+    } finally httpd.stop()
+  }
+
   test("HTTP binding without a metrics frame: compiler-backed graphite tree") {
     val (_, api) = mkApi()
     val httpd = new GraftHttpd(api) // no metrics source bound
