@@ -19,17 +19,33 @@ object Tables {
     * listing behind `spark.read.parquet` cost ~50 ms per table — per-query
     * table registration (the RaQL compiler registers all ten) was paying
     * it every invocation. A table re-load is now plan construction only.
-    * The directory mtime in the key keeps rewrite-then-reload callers
-    * (SkewBench/ScaleProbe corpus regeneration) correct: an overwrite
-    * recreates the directory, so the stale entry just misses. */
+    * One entry per (session, path), replaced when the directory mtime
+    * changes, so rewrite-then-reload callers (SkewBench/ScaleProbe corpus
+    * regeneration) stay correct and the map is bounded by the number of
+    * distinct table paths; the weak session key lets a stopped session's
+    * plans be collected. */
   private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (Long, DataFrame)]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    loadCache.computeIfAbsent(
-      (System.identityHashCode(spark), path, new java.io.File(path).lastModified),
-      _ => spark.read.parquet(path))
+    val perSession = loadCache.synchronized {
+      var m = loadCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        loadCache.put(spark, m)
+      }
+      m
+    }
+    val mtime = new java.io.File(path).lastModified
+    perSession.get(path) match {
+      case Some((m, df)) if m == mtime => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        perSession.put(path, (mtime, df))
+        df
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")

@@ -2128,18 +2128,34 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       val df = compile(key)
       val params: Map[String, Expr] =
         prog.params.flatMap(p => p.default.map(p.name -> _)).toMap
-      val pairs = df.columns.toSeq.flatMap(c => Seq(lit(c), col(c).cast("string")))
       // the full alerting_notification.type record: the worker fills
-      // site/worker/test/sent_time/event_time; firing/certainty/debounce/
-      // timeout travel as ordinary parameters and the alerter normalizes
-      // them out (Notify.normalizeParams — RingBufLib.ml:460-503)
+      // site/worker/test/sent_time/event_time, and the special parameters
+      // firing/certainty/debounce/timeout normalize OUT of the parameter
+      // list into their own fields (`normalize_notif_parameters`,
+      // RingBufLib.ml:460-503 — defaults true/0.5/0/0); an output column
+      // that fails to convert falls back to the default (the reference
+      // additionally keeps it as a parameter).
+      def specialCol(k: String): Option[Column] =
+        df.columns.find(_.equalsIgnoreCase(k)).map(col)
+      val plain = df.columns.toSeq.filterNot(c =>
+        Seq("firing", "certainty", "debounce", "timeout")
+          .contains(c.toLowerCase))
+      val pairs = plain.flatMap(c => Seq(lit(c), col(c).cast("string")))
+      val firing = specialCol("firing").map { c =>
+        val t = lower(trim(c.cast("string")))
+        when(t.isin("false", "f", "0"), lit(false)).otherwise(lit(true))
+      }.getOrElse(lit(true))
+      def numSpecial(k: String, default: Double): Column =
+        specialCol(k).map(c =>
+          coalesce(c.cast("string").try_cast("double"), lit(default)))
+          .getOrElse(lit(default))
       val eventTime: Column =
         if (df.columns.contains("start")) col("start").cast("double")
         else if (df.columns.contains("ts"))
           unix_micros(col("ts").cast("timestamp")) / 1e6
         else lit(null).cast("double")
       df.select(compileExpr(nameE, params).cast("string").as("name"),
-        lit(true).as("firing"),
+        firing.as("firing"),
         (if (pairs.isEmpty) map() else map(pairs: _*)).as("params"),
         lit("").as("site"),
         lit(key).as("worker"),
@@ -2147,9 +2163,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         unix_micros(current_timestamp()).cast("double").divide(1e6)
           .as("sentTime"),
         eventTime.as("eventTime"),
-        lit(1.0).as("certainty"),
-        lit(10.0).as("debounce"), // alerting_notification.type defaults
-        lit(0.0).as("timeout"))
+        numSpecial("certainty", 0.5).as("certainty"),
+        numSpecial("debounce", 0.0).as("debounce"),
+        numSpecial("timeout", 0.0).as("timeout"))
     }
   }
 

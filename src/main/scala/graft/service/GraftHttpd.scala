@@ -189,6 +189,9 @@ final class GraftHttpd(
             .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(300)
           if (p.getOrElse("format", "json") != "json")
             throw new AlertApi.BadRequest("only JSON format is supported")
+          if (until <= since)
+            throw new AlertApi.BadRequest(
+              s"empty render range [$since, $until)")
           metrics() match {
             case Some(df) =>
               // graphite render shape: [{target, datapoints: [[v, t], …]}]
@@ -231,7 +234,8 @@ final class GraftHttpd(
         case t if t.startsWith("/tail/") =>
           val name = t.stripPrefix("/tail/")
           val pairs = allParams(ex, body)
-          val n = pairs.toMap.get("n").map(_.toInt).getOrElse(10)
+          val n = pairs.toMap.get("n").map(s => s.toIntOption.getOrElse(
+            throw new AlertApi.BadRequest(s"bad tail count n=$s"))).getOrElse(10)
           // repeated where= filters AND together (`ramen tail -w … -w …`,
           // tailing.feature)
           val wheres = pairs.collect { case ("where", w) => w }

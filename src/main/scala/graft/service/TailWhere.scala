@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * the field (the feature asserts "ramen must mention z"). */
 object TailWhere {
 
+  // the \b before in/not-in keeps backtracking from carving an operator
+  // out of the field name itself ("xin [1;2]" must be a parse error, not
+  // a filter on column x)
   private val Rx =
-    """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(not\s+in|in|!=|<>|<=|>=|=|<|>)\s*(.+?)\s*$""".r
+    """(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\bnot\s+in\b|\bin\b|!=|<>|<=|>=|=|<|>)\s*(.+?)\s*$""".r
 
   /** Bare numbers type as numbers, `"…"` as strings, true/false/null as
     * themselves, anything else as a string — the reference enlarges the

@@ -100,6 +100,13 @@ object Notify {
       if (n.firing && !firing.contains(n.name)) {
         firing += n.name
         log.add(s"START ${n.name}")
+        // a previous incident whose STOP is still pending delivery: the
+        // stop logically precedes this start — send it now rather than
+        // dropping it with the overwritten entry
+        open.get(n.name).foreach { prev =>
+          if (prev.pending.contains(false)) send(prev, firing = false, n.time)
+          open.remove(n.name)
+        }
         nextId += 1
         val inc = new Incident(nextId, findInCharge(n.name).getOrElse(""), n)
         inc.pending = Some(true)
@@ -150,7 +157,14 @@ object Notify {
       }
     }
 
-    def deliverNow(n: Notification): Unit = { deliver(n); flush(n.time) }
+    def deliverNow(n: Notification): Unit = {
+      deliver(n)
+      flush(if (n.time > 0) n.time else clock())
+    }
+
+    /** The alerter's clock — what `deliver` stamps un-timed notifications
+      * with; exposed so sinks can flush against the same time base. */
+    def nowTime(): Double = clock()
 
     /** The reference's expansion dict (RamenAlerter.ml:723-760):
       * builtins first, notification parameters override them. */
@@ -260,8 +274,11 @@ object Notify {
     ds.writeStream.foreachBatch { (batch: Dataset[Notification], _: Long) =>
       val ns = batch.collect()
       ns.foreach(alerter.deliver)
-      val at = ns.map(_.time).maxOption
-        .getOrElse(System.currentTimeMillis() / 1000.0)
+      // un-timed notifications (time 0) were stamped with the alerter's
+      // clock inside deliver — flush on the same time base, or their
+      // debounce deadlines (clock + d) would never come due
+      val at = ns.map(_.time).filter(_ > 0).maxOption
+        .getOrElse(alerter.nowTime())
       alerter.flush(at)
     }
 

@@ -164,9 +164,16 @@ object StringExpansion {
         java.util.regex.Matcher.quoteReplacement(out)
       })
 
+    // Nesting is resolved by re-substitution, but dictionary VALUES are
+    // data-controlled (notification params) — a value containing its own
+    // placeholder ("x${text}") or a mutual pair would otherwise spin this
+    // loop forever inside the alerter's lock. Templates humans write nest
+    // a level or two; cap the passes. (The reference's substitute_inner
+    // has the same unbounded recursion.)
     var cur = text
     var next = substituteOnce(cur)
-    while (next != cur) { cur = next; next = substituteOnce(cur) }
+    var passes = 1
+    while (next != cur && passes < 10) { cur = next; next = substituteOnce(cur); passes += 1 }
     next
   }
 }

@@ -82,15 +82,15 @@ class AlertApiSpec extends AnyFunSuite {
     assert(notifs.nonEmpty)
     val name = notifs.head.getAs[String]("name")
     assert(name.contains("hi_value") && name.contains("test/events"))
-    // transitions alternate: firing rows carry firing=true in the params
-    val params = notifs.map(_.getAs[Map[String, String]]("params"))
-    assert(params.exists(_.get("firing").contains("true")))
-    // the sequence of firing params alternates (each NOTIFY is a transition)
-    val seq = params.map(_("firing")).toSeq
-    seq.sliding(2).foreach {
+    // transitions alternate: firing is a typed FIELD (normalized out of
+    // the params like the reference's normalize_notif_parameters)
+    val firingSeq = notifs.map(_.getAs[Boolean]("firing")).toSeq
+    assert(firingSeq.contains(true))
+    firingSeq.sliding(2).foreach {
       case Seq(a, b) => assert(a != b, s"consecutive $a")
       case _ => ()
     }
+    assert(!notifs.head.getAs[Map[String, String]]("params").contains("firing"))
     // deleting alerts unregisters the program
     val del = api.handle(
       """{"method":"set-alerts","id":1,"params":{"test/events":{"value":[]}}}""")
@@ -309,6 +309,8 @@ class AlertApiSpec extends AnyFunSuite {
         multi.contains(""""target":"servers.web2.mem""""), multi)
       // non-JSON formats and malformed client input are 400s, not 500s
       assert(get("/render?target=x&format=csv").statusCode() == 400)
+      // an inverted/empty range is a client error too
+      assert(get("/render?target=x&from=10&until=10").statusCode() == 400)
       val (_, api2) = mkApi()
       val bare = new GraftHttpd(api2) // compiler-backed tree
       val p2 = bare.start()
@@ -320,6 +322,33 @@ class AlertApiSpec extends AnyFunSuite {
         assert(bad.body().contains("bad quotes"), bad.body())
       } finally bare.stop()
     } finally httpd.stop()
+  }
+
+  test("compiled NOTIFY normalizes firing/certainty/debounce/timeout into fields") {
+    val (c, _) = mkApi()
+    graft.raql.RaqlParser.parseProgram("""
+      DEFINE alerts AS
+        FROM tables/events
+        SELECT user_id, value > 100 AS firing, 0.9 AS certainty, value
+        NOTIFY "vol";
+    """) match {
+      case Right(p) => c.register("t2", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val ndf = c.notifications("t2/alerts").getOrElse(fail("no NOTIFY"))
+    val rows = ndf.collect()
+    assert(rows.nonEmpty)
+    // firing is a real boolean column tracking the transition expression —
+    // a recovery row must arrive with firing=false, not as a string param
+    rows.foreach { r =>
+      val v = r.getAs[Map[String, String]]("params")("value").toDouble
+      assert(r.getAs[Boolean]("firing") == (v > 100.0), r.toString)
+      assert(r.getAs[Double]("certainty") == 0.9)
+      assert(r.getAs[String]("worker") == "t2/alerts")
+      // the special parameters normalized OUT of the param map
+      val keys = r.getAs[Map[String, String]]("params").keySet
+      assert(!keys.contains("firing") && !keys.contains("certainty"), keys)
+    }
   }
 
   test("tail where filters (tailing.feature): ops, AND, unknown field names itself") {
@@ -356,6 +385,13 @@ class AlertApiSpec extends AnyFunSuite {
       val bad = get(s"/tail/test/gen?n=1&where=${enc("z=0")}")
       assert(bad.statusCode() == 400 && bad.body().contains("z"),
         s"${bad.statusCode()} ${bad.body()}")
+      // an operator carved out of a field name is a parse error, not a
+      // filter on the wrong column
+      val carved = get(s"/tail/test/gen?n=1&where=${enc("xin [1;2]")}")
+      assert(carved.statusCode() == 400 &&
+        carved.body().contains("cannot parse"), carved.body())
+      // a malformed n= is a 400 too
+      assert(get("/tail/test/gen?n=abc").statusCode() == 400)
     } finally httpd.stop()
   }
 

@@ -154,6 +154,34 @@ class AlerterSpec extends AnyFunSuite {
     assert(!n.firing && n.params == Map("k" -> "v"))
   }
 
+  test("data-controlled templates terminate; un-timed notifications deliver") {
+    // a param value referencing itself must not hang the fixpoint loop
+    val r = substDict(Seq("text" -> "x${text}"), "${text}")
+    assert(r.startsWith("x"), r) // bounded passes, no hang
+    assert(substDict(Seq("a" -> "${b}", "b" -> "${a}"), "${a}").nonEmpty)
+    // an un-timed notification (sentTime 0) is stamped with the alerter's
+    // clock — deliverNow/sink must flush on that same base
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = mkAlerter(sent, Map("default" -> Seq(Contact.Exec("${name}"))))
+    a.deliverNow(Notification("untimed", firing = true, Map.empty,
+      debounce = 0.0))
+    assert(sent == Seq("untimed"), sent)
+  }
+
+  test("a new start while a stop is pending delivers the stop first") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = mkAlerter(sent, Map("default" -> Seq(Contact.Exec("${name}:${firing}"))))
+    a.deliver(Notification("bouncy", firing = true, Map.empty,
+      sentTime = 10.0, debounce = 1.0))
+    a.flush(11.0) // start sent
+    a.deliver(Notification("bouncy", firing = false, Map.empty,
+      sentTime = 20.0, debounce = 5.0)) // stop pending until 25
+    a.deliver(Notification("bouncy", firing = true, Map.empty,
+      sentTime = 22.0, debounce = 1.0)) // new incident before the stop sent
+    a.flush(30.0)
+    assert(sent == Seq("bouncy:true", "bouncy:false", "bouncy:true"), sent)
+  }
+
   test("exec contact really runs a shell command (feature's file check)") {
     val f = java.nio.file.Files.createTempFile("graft_alert", ".log")
     try {
