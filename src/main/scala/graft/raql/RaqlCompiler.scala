@@ -32,6 +32,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** Service-layer view of the registered programs (Alert/Graphite APIs). */
   def registeredPrograms: Map[String, Program] = programs
 
+  /** What `env.X` references resolve against (nullable strings — the
+    * reference's Env variable, parameters.feature). Overridable so tests
+    * and drivers can pin the environment. */
+  var environment: Map[String, String] = sys.env
+
   /** Declared archive policy of `prog/func`: (PERSIST FOR seconds,
     * BEST AFTER seconds) — drives graft.ops.Archive retention and replay. */
   def persistence(key: String): (Option[Double], Option[Double]) = {
@@ -413,6 +418,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Lit(v) => lit(v)
       case Ref(Seq("*")) => col("*")
       case Ref(Seq("in", rest @ _*)) => col(rest.mkString("."))
+      // environment variables are nullable strings (parameters.feature:
+      // `param.first_name || " " || env.LAST_NAME`; unset → NULL)
+      case Ref(Seq("env", n)) =>
+        lit(environment.get(n).orNull).cast("string")
       case Ref(Seq("param", p)) if params.contains(p) =>
         go(params(p))
       case Ref(Seq(name)) if params.contains(name) => go(params(name))

@@ -1289,6 +1289,26 @@ class RaqlSpec extends AnyFunSuite {
     assert(b("t11") && b("t12") && b("t13"))
   }
 
+  test("env.X resolves environment variables as nullable strings (parameters.feature)") {
+    import spark.implicits._
+    val c = new RaqlCompiler(spark, "/tmp")
+    c.environment = Map("LAST_NAME" -> "Smith")
+    c.registerTable("tables/one", Seq(1).toDF("x"))
+    RaqlParser.parseProgram("""
+      PARAMETER first_name DEFAULTS TO "Adelaide";
+      DEFINE f AS
+        FROM tables/one
+        SELECT param.first_name || " " || env.LAST_NAME AS greeting,
+               env.NO_SUCH_VARIABLE AS missing;
+    """) match {
+      case Right(p) => c.register("test", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    val row = c.compile("test/f").collect().head
+    assert(row.getString(0) == "Adelaide Smith")
+    assert(row.isNullAt(1)) // unset env var is NULL, not an error
+  }
+
   test("parses a healthy fraction of the full reference test corpus") {
     val all = Files.list(Paths.get(funcDir)).iterator().asScala
       .filter(_.toString.endsWith(".ramen")).toList.sortBy(_.toString)
