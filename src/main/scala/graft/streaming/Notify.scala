@@ -203,7 +203,10 @@ object Notify {
         val what = if (firing) "START" else "STOP"
         def exp(t: String, n: Option[String] = None) =
           StringExpansion.substDict(dict, t, n)
-        c match {
+        // a contact that cannot deliver (unspawnable command, throwing
+        // sink) must not kill the whole notification stream — the
+        // reference counts the failure and moves on
+        try c match {
           case Contact.Ignore => ()
           case Contact.Exec(cmd) =>
             val code = execRunner(exp(cmd))
@@ -212,6 +215,9 @@ object Notify {
           case Contact.SysLog(t) =>
             syslog(exp(t))
             log.add(s"SENT $what ${inc.start.name} via syslog")
+        } catch {
+          case e: Exception =>
+            log.add(s"FAILED $what ${inc.start.name}: ${e.getMessage}")
         }
       }
     }

@@ -168,6 +168,20 @@ class AlerterSpec extends AnyFunSuite {
     assert(sent == Seq("untimed"), sent)
   }
 
+  test("a throwing contact does not kill delivery to the others") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(
+        Contact.SysLog("${name}"), Contact.Exec("${name}"))),
+      execRunner = cmd => { sent += cmd; 0 },
+      syslog = _ => throw new RuntimeException("syslog daemon down"),
+      clock = () => 1000.0)
+    a.deliverNow(Notification("alert", firing = true, Map.empty,
+      sentTime = 1.0, debounce = 0.0))
+    assert(sent == Seq("alert"), sent) // exec delivered despite syslog
+    assert(a.incidents.exists(_.startsWith("FAILED START alert")))
+  }
+
   test("a new start while a stop is pending delivers the stop first") {
     val sent = scala.collection.mutable.Buffer.empty[String]
     val a = mkAlerter(sent, Map("default" -> Seq(Contact.Exec("${name}:${firing}"))))
