@@ -437,7 +437,8 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
       val req = M.readTree(body)
       id = Option(req.get("id")).getOrElse(F.nullNode())
       val params = req.get("params")
-      val result: JsonNode = req.get("method").asText() match {
+      // method names dispatch case-insensitively (RamenApi.ml:751)
+      val result: JsonNode = req.get("method").asText().toLowerCase match {
         case "version" => F.textNode(AlertApi.version)
         case "get-tables" =>
           val prefix = Option(params).flatMap(p => Option(p.get("prefix")))

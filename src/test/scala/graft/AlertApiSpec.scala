@@ -50,6 +50,9 @@ class AlertApiSpec extends AnyFunSuite {
     assert(v.contains(""""id":"123""""))
     // integer and float ids echo verbatim
     assert(api.handle("""{"method":"version","id":123}""").contains(""""id":123"""))
+    // method names dispatch case-insensitively (RamenApi.ml:751)
+    assert(api.handle("""{"method":"Version","id":1}""")
+      .contains(s""""result":"${AlertApi.version}""""))
     assert(api.handle("""{"method":"version","id":12.3}""").contains(""""id":12.3"""))
     val t = api.handle("""{"method":"get-tables","id":1,"params":{"prefix":"test/ev"}}""")
     assert(t.contains("test/events"))
