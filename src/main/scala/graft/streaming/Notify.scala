@@ -224,6 +224,28 @@ object Notify {
 
     def incidents: Seq[String] = log.asScala.toSeq
     def currentlyFiring: Set[String] = synchronized(firing)
+
+    /** Periodic self-flush — without it, debounced sends and timeout
+      * stops only progress when a new batch arrives (the reference's
+      * alerter loop wakes on its own schedule). Daemon thread; idempotent
+      * start; [[stopHeartbeat]] ends it. */
+    @volatile private var beating = false
+    private var heart: Thread = _
+    def startHeartbeat(intervalMillis: Long = 1000L): this.type = {
+      if (!beating) {
+        beating = true
+        heart = new Thread(() => {
+          while (beating) {
+            try flush(clock()) catch { case _: Exception => () }
+            Thread.sleep(intervalMillis)
+          }
+        }, "graft-alerter-heartbeat")
+        heart.setDaemon(true)
+        heart.start()
+      }
+      this
+    }
+    def stopHeartbeat(): Unit = beating = false
   }
 
   object Alerter {

@@ -196,6 +196,29 @@ class AlerterSpec extends AnyFunSuite {
     assert(sent == Seq("bouncy:true", "bouncy:false", "bouncy:true"), sent)
   }
 
+  test("heartbeat fires timeout stops on a quiet stream") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    @volatile var now = 100.0
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Exec("${name}:${firing}"))),
+      execRunner = cmd => { sent.synchronized(sent += cmd); 0 },
+      clock = () => now)
+    a.startHeartbeat(intervalMillis = 20L)
+    try {
+      a.deliver(Notification("quiet", firing = true, Map.empty,
+        sentTime = 100.0, debounce = 0.0, timeout = 50.0))
+      val deadline = System.currentTimeMillis() + 5000
+      while (sent.synchronized(sent.isEmpty) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(sent.synchronized(sent.headOption).contains("quiet:true"))
+      now = 200.0 // past the 50 s timeout; NO deliver/flush call follows
+      while (sent.synchronized(sent.size) < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(sent.synchronized(sent.lastOption).contains("quiet:false"), sent)
+      assert(a.incidents.contains("STOP quiet (timeout)"))
+    } finally a.stopHeartbeat()
+  }
+
   test("exec contact really runs a shell command (feature's file check)") {
     val f = java.nio.file.Files.createTempFile("graft_alert", ".log")
     try {
