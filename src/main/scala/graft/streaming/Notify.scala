@@ -34,10 +34,10 @@ final case class Notification(
   def time: Double = eventTime.getOrElse(sentTime)
 }
 
-/** A team contact (`alerting_contact.type`). The reference also ships
-  * Sqlite and Kafka contacts; neither a sqlite driver nor a broker exists
-  * in this environment — `Exec` reaches both (sqlite3/kafka CLI) and the
-  * delivery layer is where a direct client would plug in. */
+/** A team contact (`alerting_contact.type`). The reference also ships a
+  * Kafka contact; no broker exists in this environment — `Exec` reaches
+  * the kafka CLI, and the delivery layer is where a direct producer
+  * would plug in. */
 sealed trait Contact
 object Contact {
   /** Drop the message (the reference's `Ignore`). */
@@ -47,6 +47,13 @@ object Contact {
   /** Log a line built from the template (`SysLog`; the sink function is
     * injected — no syslog daemon in this environment). */
   final case class SysLog(template: String) extends Contact
+  /** Insert a row per message; on insert failure with a non-empty
+    * `create`, create the table and retry (`sqllite_insert`,
+    * RamenAlerter.ml:594-616). Delivered through the `sqlite3` CLI —
+    * no embedded driver ships with this build; template nulls render
+    * as SQL `NULL` (the reference expands the insert with `~n:"NULL"`). */
+  final case class Sqlite(file: String, insert: String,
+      create: String = "") extends Contact
 }
 
 object Notify {
@@ -68,7 +75,8 @@ object Notify {
       defaultTeam: String = "default",
       execRunner: String => Int = Alerter.shellRun,
       syslog: String => Unit = _ => (),
-      clock: () => Double = () => System.currentTimeMillis() / 1000.0) {
+      clock: () => Double = () => System.currentTimeMillis() / 1000.0,
+      sqlite3: String = "sqlite3") {
 
     private val log = new ConcurrentLinkedQueue[String]()
     private var firing = Set.empty[String]
@@ -215,6 +223,21 @@ object Notify {
           case Contact.SysLog(t) =>
             syslog(exp(t))
             log.add(s"SENT $what ${inc.start.name} via syslog")
+          case Contact.Sqlite(file, insert, create) =>
+            import StringExpansion.shellQuote
+            val f = exp(file)
+            def run(q: String): Int =
+              execRunner(s"${shellQuote(sqlite3)} ${shellQuote(f)} ${shellQuote(q)}")
+            val ins = exp(insert, Some("NULL"))
+            val code = run(ins) match {
+              case 0 => 0
+              case _ if create.nonEmpty =>
+                // table missing on first delivery: create, retry
+                if (run(exp(create)) == 0) run(ins) else 1
+              case c => c
+            }
+            log.add(if (code == 0) s"SENT $what ${inc.start.name} via sqlite"
+              else s"FAILED $what ${inc.start.name} via sqlite ($code)")
         } catch {
           case e: Exception =>
             log.add(s"FAILED $what ${inc.start.name}: ${e.getMessage}")

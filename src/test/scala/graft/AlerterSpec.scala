@@ -219,6 +219,44 @@ class AlerterSpec extends AnyFunSuite {
     } finally a.stopHeartbeat()
   }
 
+  test("sqlite contact: notifications.feature's canonical flow") {
+    // the feature's to-sql contact: create-on-first-insert, ${...|sql}
+    // quoting, then the same verification query against the db
+    val sqlite3 = (sys.env.get("PATH").toSeq.flatMap(_.split(":"))
+      .map(_ + "/sqlite3") ++
+      Seq("/root/miniconda/bin/sqlite3", "/usr/bin/sqlite3"))
+      .find(p => new java.io.File(p).canExecute)
+    assume(sqlite3.isDefined, "no sqlite3 binary in this environment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlite")
+    val db = s"$dir/alerts.db"
+    try {
+      val a = new Notify.Alerter(
+        sqlite3 = sqlite3.get,
+        teams = Map("test" -> Seq(Contact.Sqlite(db,
+          insert = """insert into "alerts" ("incident_id", "name", "text")
+            values (${incident_id}, ${name|sql}, ${text|sql});""",
+          create = """create table "alerts" (
+              "incident_id" integer not null,
+              "name" text not null,
+              "text" text not null);"""))),
+        clock = () => 42.0)
+      a.deliverNow(Notification("test", firing = true,
+        Map("text" -> "ouch"), sentTime = 7.0, debounce = 0.1))
+      a.flush(8.0)
+      // the feature's check: SELECT "text" FROM "alerts" WHERE name="test"
+      val out = new ProcessBuilder(sqlite3.get, db,
+        """SELECT "text" FROM "alerts" WHERE name='test'""")
+        .start()
+      val got = new String(out.getInputStream.readAllBytes(), "UTF-8").trim
+      out.waitFor()
+      assert(got == "ouch", got)
+      assert(a.incidents.exists(_.startsWith("SENT START test via sqlite")))
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("exec contact really runs a shell command (feature's file check)") {
     val f = java.nio.file.Files.createTempFile("graft_alert", ".log")
     try {
