@@ -437,8 +437,10 @@ final class AlertApi(spark: SparkSession, compiler: RaqlCompiler) {
       val req = M.readTree(body)
       id = Option(req.get("id")).getOrElse(F.nullNode())
       val params = req.get("params")
-      // method names dispatch case-insensitively (RamenApi.ml:751)
-      val result: JsonNode = req.get("method").asText().toLowerCase match {
+      // method names dispatch case-insensitively — ASCII lowering like the
+      // reference's lowercase_ascii (Locale.ROOT dodges the Turkish-I trap)
+      val result: JsonNode = req.get("method").asText()
+        .toLowerCase(java.util.Locale.ROOT) match {
         case "version" => F.textNode(AlertApi.version)
         case "get-tables" =>
           val prefix = Option(params).flatMap(p => Option(p.get("prefix")))

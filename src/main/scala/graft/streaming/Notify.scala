@@ -105,6 +105,7 @@ object Notify {
 
     def deliver(n0: Notification): Unit = synchronized {
       val n = if (n0.sentTime > 0) n0 else n0.copy(sentTime = clock())
+      noteTime(n.time)
       if (n.firing && !firing.contains(n.name)) {
         firing += n.name
         log.add(s"START ${n.name}")
@@ -229,13 +230,16 @@ object Notify {
             def run(q: String): Int =
               execRunner(s"${shellQuote(sqlite3)} ${shellQuote(f)} ${shellQuote(q)}")
             val ins = exp(insert, Some("NULL"))
-            val code = run(ins) match {
-              case 0 => 0
-              case _ if create.nonEmpty =>
-                // table missing on first delivery: create, retry
-                if (run(exp(create)) == 0) run(ins) else 1
-              case c => c
-            }
+            // insert; on failure with a create statement, create the table
+            // (VERBATIM, like the reference — no template expansion in
+            // DDL) and retry once. A failing create (e.g. table already
+            // exists under a constraint violation) reports the ORIGINAL
+            // insert failure, not the create's.
+            val first = run(ins)
+            val code =
+              if (first == 0) 0
+              else if (create.nonEmpty && run(create) == 0) run(ins)
+              else first
             log.add(if (code == 0) s"SENT $what ${inc.start.name} via sqlite"
               else s"FAILED $what ${inc.start.name} via sqlite ($code)")
         } catch {
@@ -248,27 +252,55 @@ object Notify {
     def incidents: Seq[String] = log.asScala.toSeq
     def currentlyFiring: Set[String] = synchronized(firing)
 
+    // logical-time high-water mark and the wall instant it was seen at,
+    // so the heartbeat can EXTRAPOLATE logical time instead of jumping to
+    // wall time (which would instantly expire every event-time debounce
+    // window and timeout when replaying archived notification streams)
+    private var maxSeen = 0.0
+    private var wallAtMax = 0.0
+    private def noteTime(t: Double): Unit =
+      if (t > maxSeen) { maxSeen = t; wallAtMax = clock() }
+
+    /** Where the heartbeat flushes: the last seen logical time advanced
+      * by the wall time elapsed since — wall-equivalent for live streams,
+      * replay-safe for archived ones. */
+    private def heartbeatAt(): Double = synchronized {
+      if (maxSeen <= 0) clock() else maxSeen + math.max(0.0, clock() - wallAtMax)
+    }
+
     /** Periodic self-flush — without it, debounced sends and timeout
       * stops only progress when a new batch arrives (the reference's
-      * alerter loop wakes on its own schedule). Daemon thread; idempotent
-      * start; [[stopHeartbeat]] ends it. */
-    @volatile private var beating = false
-    private var heart: Thread = _
-    def startHeartbeat(intervalMillis: Long = 1000L): this.type = {
-      if (!beating) {
-        beating = true
-        heart = new Thread(() => {
-          while (beating) {
-            try flush(clock()) catch { case _: Exception => () }
-            Thread.sleep(intervalMillis)
-          }
-        }, "graft-alerter-heartbeat")
-        heart.setDaemon(true)
-        heart.start()
+      * alerter loop wakes on its own schedule). Daemon thread; start is
+      * idempotent while one is alive (and restartable after one dies);
+      * [[stopHeartbeat]] interrupts it. */
+    private val heartLock = new Object
+    private var heart: Thread = null
+    def startHeartbeat(intervalMillis: Long = 1000L): this.type =
+      heartLock.synchronized {
+        if (heart == null || !heart.isAlive) {
+          val t = new Thread(() => {
+            try {
+              while (!Thread.currentThread().isInterrupted) {
+                try flush(heartbeatAt())
+                catch {
+                  case _: InterruptedException =>
+                    Thread.currentThread().interrupt()
+                  case e: Exception =>
+                    log.add(s"FAILED heartbeat flush: ${e.getMessage}")
+                }
+                Thread.sleep(intervalMillis)
+              }
+            } catch { case _: InterruptedException => () }
+          }, "graft-alerter-heartbeat")
+          t.setDaemon(true)
+          t.start()
+          heart = t
+        }
+        this
       }
-      this
+    def stopHeartbeat(): Unit = heartLock.synchronized {
+      if (heart != null) { heart.interrupt(); heart = null }
     }
-    def stopHeartbeat(): Unit = beating = false
   }
 
   object Alerter {
