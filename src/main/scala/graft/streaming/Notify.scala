@@ -76,9 +76,16 @@ object Notify {
       execRunner: String => Int = Alerter.shellRun,
       syslog: String => Unit = _ => (),
       clock: () => Double = () => System.currentTimeMillis() / 1000.0,
-      sqlite3: String = "sqlite3") {
+      sqlite3: String = "sqlite3",
+      maxJournal: Int = 10000) {
 
+    // bounded like the reference's max_last_incidents_kept — a
+    // long-running alerter must not grow its journal without bound
     private val log = new ConcurrentLinkedQueue[String]()
+    private def journal(s: String): Unit = {
+      log.add(s)
+      while (log.size > maxJournal) log.poll()
+    }
     private var firing = Set.empty[String]
 
     private final class Incident(val id: Long, val team: String,
@@ -108,7 +115,7 @@ object Notify {
       noteTime(n.time)
       if (n.firing && !firing.contains(n.name)) {
         firing += n.name
-        log.add(s"START ${n.name}")
+        journal(s"START ${n.name}")
         // a previous incident whose STOP is still pending delivery: the
         // stop logically precedes this start — send it now rather than
         // dropping it with the overwritten entry
@@ -123,14 +130,14 @@ object Notify {
         open(n.name) = inc
       } else if (!n.firing && firing.contains(n.name)) {
         firing -= n.name
-        log.add(s"STOP ${n.name}")
+        journal(s"STOP ${n.name}")
         open.get(n.name).foreach { inc =>
           inc.lastStateChange = n
           inc.stop = Some(n)
           if (!inc.startSent) {
             // flap inside the debounce window: nothing was sent, nothing
             // will be (the reference cancels a StartToBeSent incident)
-            log.add(s"CANCEL ${n.name}")
+            journal(s"CANCEL ${n.name}")
             open.remove(n.name)
           } else {
             inc.pending = Some(false)
@@ -149,8 +156,8 @@ object Notify {
             firing.contains(inc.start.name) &&
             at >= inc.start.time + inc.start.timeout) {
           firing -= inc.start.name
-          log.add(s"STOP ${inc.start.name} (timeout)")
-          if (!inc.startSent) { log.add(s"CANCEL ${inc.start.name}"); open.remove(inc.start.name) }
+          journal(s"STOP ${inc.start.name} (timeout)")
+          if (!inc.startSent) { journal(s"CANCEL ${inc.start.name}"); open.remove(inc.start.name) }
           else { inc.pending = Some(false); inc.due = at }
         }
       }
@@ -219,11 +226,11 @@ object Notify {
           case Contact.Ignore => ()
           case Contact.Exec(cmd) =>
             val code = execRunner(exp(cmd))
-            log.add(if (code == 0) s"SENT $what ${inc.start.name} via exec"
+            journal(if (code == 0) s"SENT $what ${inc.start.name} via exec"
               else s"FAILED $what ${inc.start.name} via exec ($code)")
           case Contact.SysLog(t) =>
             syslog(exp(t))
-            log.add(s"SENT $what ${inc.start.name} via syslog")
+            journal(s"SENT $what ${inc.start.name} via syslog")
           case Contact.Sqlite(file, insert, create) =>
             import StringExpansion.shellQuote
             val f = exp(file)
@@ -240,11 +247,11 @@ object Notify {
               if (first == 0) 0
               else if (create.nonEmpty && run(create) == 0) run(ins)
               else first
-            log.add(if (code == 0) s"SENT $what ${inc.start.name} via sqlite"
+            journal(if (code == 0) s"SENT $what ${inc.start.name} via sqlite"
               else s"FAILED $what ${inc.start.name} via sqlite ($code)")
         } catch {
           case e: Exception =>
-            log.add(s"FAILED $what ${inc.start.name}: ${e.getMessage}")
+            journal(s"FAILED $what ${inc.start.name}: ${e.getMessage}")
         }
       }
     }
@@ -286,7 +293,7 @@ object Notify {
                   case _: InterruptedException =>
                     Thread.currentThread().interrupt()
                   case e: Exception =>
-                    log.add(s"FAILED heartbeat flush: ${e.getMessage}")
+                    journal(s"FAILED heartbeat flush: ${e.getMessage}")
                 }
                 Thread.sleep(intervalMillis)
               }
