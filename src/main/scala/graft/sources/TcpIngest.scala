@@ -37,10 +37,16 @@ final class TcpIngest(spark: SparkSession, port: Int) {
           new InputStreamReader(conn.getInputStream, "UTF-8"))
         var line = in.readLine()
         while (running && line != null) {
-          if (line.nonEmpty) mem.addData((sender, line))
+          // one reader thread per connection: MemoryStream.addData's row
+          // ENCODER is not thread-safe (concurrent adds corrupt UnsafeRows)
+          // — serialize the enqueue across connections
+          if (line.nonEmpty) mem.synchronized { mem.addData((sender, line)) }
           line = in.readLine()
         }
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        case _: java.io.IOException => ()
+        case e: Exception => System.err.println(s"[tcp-ingest] reader died: $e")
+      }
       finally conn.close()
     }, s"graft-tcp-conn-$port")
     t.setDaemon(true)

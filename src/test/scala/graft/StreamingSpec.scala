@@ -463,6 +463,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally udp.stop()
   }
 
+  test("TCP graphite survives concurrent connections and garbage lines") {
+    val tcp = new graft.sources.TcpIngest(spark, 0).start()
+    try {
+      val q = tcp.graphite.writeStream.format("memory")
+        .queryName("graphite_tcp_many").outputMode("append").start()
+      def connect() = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, tcp.boundPort)
+      val socks = Seq.fill(4)(connect())
+      val deadline = System.currentTimeMillis() + 20000
+      var sent = 0
+      while (spark.table("graphite_tcp_many")
+          .select("metric").distinct().count() < 4 &&
+          System.currentTimeMillis() < deadline) {
+        socks.zipWithIndex.foreach { case (s, i) =>
+          // valid metric interleaved with garbage on every connection
+          s.getOutputStream.write(
+            s"conn$i.cpu ${i + 1} 1700000000\nnot a metric at all\n\n"
+              .getBytes("UTF-8"))
+          s.getOutputStream.flush()
+        }
+        sent += 1
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+      q.stop()
+      socks.foreach(_.close())
+      val metrics = spark.table("graphite_tcp_many")
+        .select("metric").distinct().collect().map(_.getString(0)).toSet
+      assert(metrics == (0 until 4).map(i => s"conn$i.cpu").toSet, metrics)
+      // garbage never decoded into rows
+      assert(spark.table("graphite_tcp_many")
+        .filter(org.apache.spark.sql.functions.col("metric")
+          .contains("not")).isEmpty)
+    } finally tcp.stop()
+  }
+
   test("EVERY d / YIELD maps to the rate source") {
     val df = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
       .select(col("timestamp"), col("value"),
