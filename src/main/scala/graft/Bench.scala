@@ -29,6 +29,27 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Seconds with 4 decimals (0.1 ms — far below run-to-run noise), the
+    * -1 sentinel untouched: full-precision doubles made the one-line JSON
+    * ~3 KB and the driver's bounded tail capture clipped it mid-object
+    * (BENCH_r11.json landed with `parsed: null`). */
+  private[graft] def jnum(v: Double): String =
+    if (v == -1.0) "-1"
+    else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  /** Belt AND suspenders for the same truncation: persist the artifact to
+    * a file the driver (and the next round's comparison) can always read,
+    * whatever a stdout capture does to the printed line. */
+  private[graft] def writeArtifact(envVar: String, default: String,
+      json: String): Unit = {
+    val path = sys.env.getOrElse(envVar, default)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write to $path failed: $e")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -89,7 +110,7 @@ object Bench {
     val isolated = isoTimes.map { case (n, ts) => n -> stat(median)(ts) }
     val isolatedMin = isoTimes.map { case (n, ts) => n -> stat(_.min)(ts) }
     def obj(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // sustained streaming throughput vs BASELINE.md's ~0.5M tuples/s —
@@ -99,13 +120,15 @@ object Bench {
       else try {
         val r = StreamBench.run(spark)
         val pw = r.perWorker.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""","streaming_tuples_per_s":${r.tuplesPerS},"streaming":{"per_worker":$pw,"rows":${r.rows},"seconds":${r.seconds}}"""
+          .map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")
+        s""","streaming_tuples_per_s":${math.round(r.tuplesPerS)},"streaming":{"per_worker":$pw,"rows":${r.rows},"seconds":${jnum(r.seconds)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming_tuples_per_s":-1"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}"""
+    writeArtifact("SPARK_GRAFT_BENCH_OUT", "bench_out.json", json)
+    println(json)
     spark.stop()
   }
 }

@@ -137,13 +137,15 @@ object StreamBench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_ROWS", "1000000").toLong
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_BATCHES", "10").toInt
     val r = run(spark, rows, batches)
-    println(jsonLine(r))
+    val json = jsonLine(r)
+    Bench.writeArtifact("SPARK_GRAFT_STREAMBENCH_OUT", "streambench_out.json", json)
+    println(json)
     spark.stop()
   }
 
   def jsonLine(r: Result): String = {
     val pw = r.perWorker.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"metric":"streaming_tuples_per_s","value":${r.tuplesPerS},"unit":"tuples/s","per_worker":$pw,"rows":${r.rows},"seconds":${r.seconds}}"""
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")
+    s"""{"metric":"streaming_tuples_per_s","value":${math.round(r.tuplesPerS)},"unit":"tuples/s","per_worker":$pw,"rows":${r.rows},"seconds":${Bench.jnum(r.seconds)}}"""
   }
 }

@@ -19,14 +19,38 @@ object Tables {
     * listing behind `spark.read.parquet` cost ~50 ms per table — per-query
     * table registration (the RaQL compiler registers all ten) was paying
     * it every invocation. A table re-load is now plan construction only.
-    * One entry per (session, path), replaced when the directory mtime
+    * One entry per (session, path), replaced when the directory SIGNATURE
     * changes, so rewrite-then-reload callers (SkewBench/ScaleProbe corpus
     * regeneration) stay correct and the map is bounded by the number of
     * distinct table paths; the weak session key lets a stopped session's
-    * plans be collected. */
+    * plans be collected.
+    *
+    * The signature is the max mtime over the directory and its DIRECT
+    * children: a rewrite that only replaces file contents in place bumps
+    * the file's mtime but not the parent directory's, so the dir mtime
+    * alone could serve a stale plan. One level covers the flat layouts
+    * these tables use (and one partition level — a rewrite inside a
+    * partition subdir bumps that subdir when files are added/replaced);
+    * deeper nesting is NOT covered — a deeply partitioned lake table
+    * should not go through this cache. */
   private val loadCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, (Long, DataFrame)]]()
+
+  private def dirSignature(path: String): Long = {
+    val f = new java.io.File(path)
+    val kids = f.listFiles()
+    var sig = f.lastModified
+    if (kids != null) {
+      var i = 0
+      while (i < kids.length) {
+        val m = kids(i).lastModified
+        if (m > sig) sig = m
+        i += 1
+      }
+    }
+    sig
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -38,12 +62,12 @@ object Tables {
       }
       m
     }
-    val mtime = new java.io.File(path).lastModified
+    val sig = dirSignature(path)
     perSession.get(path) match {
-      case Some((m, df)) if m == mtime => df
+      case Some((s, df)) if s == sig => df
       case _ =>
         val df = spark.read.parquet(path)
-        perSession.put(path, (mtime, df))
+        perSession.put(path, (sig, df))
         df
     }
   }

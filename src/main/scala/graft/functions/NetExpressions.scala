@@ -111,17 +111,23 @@ object NetExpressions {
     val n = s.numBytes()
     var i = 0
     var octets = 0
+    var digits = 0
     var acc = -1L
     var ip = 0L
     while (i < n) {
       val b = s.getByte(i)
       if (b >= '0' && b <= '9') {
+        digits += 1
+        // the value bound alone would admit unbounded leading zeros
+        // ("0001.2.3.4") — enforce the documented 1-3 digit octet syntax
+        if (digits > 3) return -1L
         acc = (if (acc < 0) 0L else acc) * 10 + (b - '0')
         if (acc > 255) return -1L
       } else if (b == '.') {
         if (acc < 0 || octets == 3) return -1L
         ip = (ip << 8) | acc
         octets += 1
+        digits = 0
         acc = -1L
       } else return -1L
       i += 1

@@ -27,7 +27,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private var programs = Map.empty[String, Program]
   private val compiled = scala.collection.mutable.Map.empty[String, DataFrame]
 
-  def register(name: String, p: Program): Unit = programs += name -> p
+  /** Bumped on every registry mutation (program register/unregister,
+    * table registration, environment pin) — service layers key their
+    * memos on it so a `/metrics/find` walk is O(changed), not
+    * O(registered) per request (see [[graft.service.GraphiteTree]]). */
+  @volatile private var gen = 0L
+  def registryGeneration: Long = gen
+
+  def register(name: String, p: Program): Unit = { programs += name -> p; gen += 1 }
 
   /** Service-layer view of the registered programs (Alert/Graphite APIs). */
   def registeredPrograms: Map[String, Program] = programs
@@ -35,7 +42,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   /** What `env.X` references resolve against (nullable strings — the
     * reference's Env variable, parameters.feature). Overridable so tests
     * and drivers can pin the environment. */
-  var environment: Map[String, String] = sys.env
+  private var env0: Map[String, String] = sys.env
+  def environment: Map[String, String] = env0
+  def environment_=(m: Map[String, String]): Unit = { env0 = m; gen += 1 }
 
   /** Declared archive policy of `prog/func`: (PERSIST FOR seconds,
     * BEST AFTER seconds) — drives graft.ops.Archive retention and replay. */
@@ -57,12 +66,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     programs -= name
     compiled.keys.filter(k => k == name || k.startsWith(name + "/"))
       .foreach(compiled.remove)
+    gen += 1
   }
 
   /** Expose an existing DataFrame as a parent (`FROM <key>`): how RaQL
     * programs read this engine's tables (parquet, Kafka, …). */
-  def registerTable(key: String, df: DataFrame): Unit =
+  def registerTable(key: String, df: DataFrame): Unit = {
     compiled(key) = df
+    gen += 1
+  }
 
   /** (begin, end, country) ranges backing COUNTRYCODE. The front-end
     * compiles membership as a literal decision list (fine for demo-sized

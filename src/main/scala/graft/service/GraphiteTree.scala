@@ -145,9 +145,33 @@ object GraphiteTree {
     case _ => true // ReadCsv / ReadRowBinary
   }
 
+  /** Memo for [[heads]], keyed on the compiler's registry generation: a
+    * `/metrics/find` burst against an unchanged registry walks and
+    * compiles NOTHING after the first request; any register/unregister/
+    * registerTable/environment change bumps the generation and the next
+    * find re-walks once. Weak compiler key so a dropped compiler's plans
+    * can be collected. */
+  private val headsCache =
+    new java.util.WeakHashMap[RaqlCompiler, (Long, Seq[(String, Ast.Func, Vector[String])])]()
+  /** Uncached walk count — observability for the memo's spec. */
+  private[graft] val headsWalks = new java.util.concurrent.atomic.AtomicLong
+
   /** (progName, func, path head = program components :+ function name) for
     * every table-like registered function with an event time. */
   private def heads(c: RaqlCompiler): Seq[(String, Ast.Func, Vector[String])] =
+    headsCache.synchronized {
+      val g = c.registryGeneration
+      headsCache.get(c) match {
+        case (`g`, cached) => cached
+        case _ =>
+          val walked = headsUncached(c)
+          headsCache.put(c, (g, walked))
+          walked
+      }
+    }
+
+  private def headsUncached(c: RaqlCompiler): Seq[(String, Ast.Func, Vector[String])] = {
+    headsWalks.incrementAndGet()
     c.registeredPrograms.toSeq.sortBy(_._1).flatMap { case (pn, prog) =>
       prog.funcs.collect {
         case f if (f.op match {
@@ -165,6 +189,7 @@ object GraphiteTree {
           }
         }
     }
+  }
 
   private def factorsOf(f: Ast.Func): Seq[String] = f.op match {
     case a: Aggregate => a.factors

@@ -17,12 +17,25 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * Only line-framed protocols make sense over a byte stream; the binary
   * LISTEN decoders (netflow/collectd) are datagram-framed and stay UDP,
   * as in practice they are everywhere.
+  *
+  * Durability: delivery is at-most-once, the same contract as
+  * [[UdpIngest]] — lines buffered in the in-memory source are lost on a
+  * restart, and although TCP's transport could replay, the reference's
+  * graphite sink offers no application-level ack either (a sender whose
+  * connection drops has no idea which lines were consumed). A production
+  * deployment that needs replay fronts the port with a durable log (see
+  * the Kafka read path); the decoders are transport-agnostic.
   */
 final class TcpIngest(spark: SparkSession, port: Int) {
   import spark.implicits._
   implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  private val mem = MemoryStream[(String, String)] // (sender, line)
+  // (sender, line, receipt time): the timestamp is stamped HERE, in the
+  // reader thread at enqueue — the reference's sink stamps on ingest
+  // (`RamenGraphiteSink.ml`), and a line queued between micro-batch
+  // triggers must not inherit the (later) task execution time, which the
+  // 2-field graphite form would then use as the metric's START
+  private val mem = MemoryStream[(String, String, Double)]
   private val server = new ServerSocket(port)
   @volatile private var running = true
 
@@ -40,7 +53,9 @@ final class TcpIngest(spark: SparkSession, port: Int) {
           // one reader thread per connection: MemoryStream.addData's row
           // ENCODER is not thread-safe (concurrent adds corrupt UnsafeRows)
           // — serialize the enqueue across connections
-          if (line.nonEmpty) mem.synchronized { mem.addData((sender, line)) }
+          if (line.nonEmpty) mem.synchronized {
+            mem.addData((sender, line, System.currentTimeMillis() / 1000.0))
+          }
           line = in.readLine()
         }
       } catch {
@@ -65,14 +80,13 @@ final class TcpIngest(spark: SparkSession, port: Int) {
 
   def stop(): Unit = { running = false; server.close() }
 
-  /** Raw (sender address, line) stream. */
-  def lines: Dataset[(String, String)] = mem.toDS()
+  /** Raw (sender address, line, receipt time) stream. */
+  def lines: Dataset[(String, String, Double)] = mem.toDS()
 
   /** Decoded graphite plaintext metric stream — same tuple as
-    * [[UdpIngest.graphite]]. */
+    * [[UdpIngest.graphite]], receipt_time from the enqueue stamp. */
   def graphite: DataFrame =
-    lines.flatMap { case (src, line) =>
-      Listeners.parseGraphite(line, Some(src),
-        System.currentTimeMillis() / 1000.0)
+    lines.flatMap { case (src, line, rt) =>
+      Listeners.parseGraphite(line, Some(src), rt)
     }.toDF()
 }

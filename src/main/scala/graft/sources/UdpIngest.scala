@@ -27,7 +27,10 @@ final class UdpIngest(spark: SparkSession, port: Int) {
   import spark.implicits._
   implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  private val mem = MemoryStream[(String, Array[Byte])]
+  // (sender, payload, receipt time): stamped HERE at socket receive — a
+  // packet queued between micro-batch triggers must not inherit the later
+  // task execution time as its graphite receipt_time
+  private val mem = MemoryStream[(String, Array[Byte], Double)]
   private val socket = new DatagramSocket(port)
   @volatile private var running = true
 
@@ -41,7 +44,8 @@ final class UdpIngest(spark: SparkSession, port: Int) {
       try {
         socket.receive(pkt)
         mem.addData((pkt.getAddress.getHostAddress,
-          java.util.Arrays.copyOfRange(pkt.getData, 0, pkt.getLength)))
+          java.util.Arrays.copyOfRange(pkt.getData, 0, pkt.getLength),
+          System.currentTimeMillis() / 1000.0))
       } catch {
         case _: java.net.SocketException => () // closed in stop()
       }
@@ -53,25 +57,25 @@ final class UdpIngest(spark: SparkSession, port: Int) {
 
   def stop(): Unit = { running = false; socket.close() }
 
-  /** Raw (source address, payload) packet stream. */
-  def packets: Dataset[(String, Array[Byte])] = mem.toDS()
+  /** Raw (source address, payload, receipt time) packet stream. */
+  def packets: Dataset[(String, Array[Byte], Double)] = mem.toDS()
 
   /** Decoded netflow v5 flow stream (undecodable packets dropped). */
   def netflow: DataFrame =
-    packets.flatMap { case (src, bytes) =>
+    packets.flatMap { case (src, bytes, _) =>
       try Listeners.parseNetflowV5(src, bytes)
       catch { case _: IllegalArgumentException | _: java.nio.BufferUnderflowException => Nil }
     }.toDF()
 
   /** Decoded collectd value stream. */
   def collectd: DataFrame =
-    packets.flatMap { case (_, bytes) => Listeners.parseCollectd(bytes) }.toDF()
+    packets.flatMap { case (_, bytes, _) => Listeners.parseCollectd(bytes) }.toDF()
 
   /** Decoded graphite plaintext metric stream (reference sink tuple:
-    * metric/receipt_time/sender/start/tags/value). */
+    * metric/receipt_time/sender/start/tags/value), receipt_time from the
+    * socket-receive stamp. */
   def graphite: DataFrame =
-    packets.flatMap { case (src, bytes) =>
-      val rt = System.currentTimeMillis() / 1000.0
+    packets.flatMap { case (src, bytes, rt) =>
       new String(bytes, "UTF-8").split("\n").toSeq
         .flatMap(Listeners.parseGraphite(_, Some(src), rt))
     }.toDF()

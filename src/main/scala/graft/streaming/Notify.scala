@@ -28,16 +28,18 @@ final case class Notification(
     sentTime: Double = 0.0,
     eventTime: Option[Double] = None,
     certainty: Double = 1.0,
-    debounce: Double = 10.0, // alerting_notification.type's default
+    // the wire default: `normalize_notif_parameters` (RingBufLib.ml:460-503)
+    // emits 0 when no debounce parameter travels with the notification; a
+    // NEGATIVE value means "use the alerter's configured default delay"
+    // (`debounce_delay_for`, RamenAlerter.ml:285-289) — see
+    // [[Notify.Alerter]]'s defaultDebounce (Default.debounce_delay = 10s)
+    debounce: Double = 0.0,
     timeout: Double = 0.0) {
   /** The reference's notif_time: event time if set, else sent time. */
   def time: Double = eventTime.getOrElse(sentTime)
 }
 
-/** A team contact (`alerting_contact.type`). The reference also ships a
-  * Kafka contact; no broker exists in this environment — `Exec` reaches
-  * the kafka CLI, and the delivery layer is where a direct producer
-  * would plug in. */
+/** A team contact (`alerting_contact.type`). */
 sealed trait Contact
 object Contact {
   /** Drop the message (the reference's `Ignore`). */
@@ -54,9 +56,32 @@ object Contact {
     * as SQL `NULL` (the reference expands the insert with `~n:"NULL"`). */
   final case class Sqlite(file: String, insert: String,
       create: String = "") extends Contact
+  /** Publish the expanded `text` to a Kafka topic partition
+    * (`alerting_contact.type:7-12`; delivery `RamenAlerter.ml:618-664,
+    * 772-774`). Contract-level, mirroring [[graft.sources.KafkaSource]]'s
+    * brokerless ingest mapping: [[Notify.kafkaRecord]] constructs the
+    * exact (topic, partition, payload) the reference produces — text
+    * expanded with nulls rendered `"null"`, NO message key
+    * (`Kafka.produce prod partition text`) — and
+    * [[Notify.kafkaOptionSplit]] partitions the option list into
+    * topic-level (`topic.`-prefixed, RamenConsts.ml:82) vs producer-level
+    * configs exactly like `get_or_create_kafka_producer`
+    * (RamenAlerter.ml:626-634). Actual production goes through the
+    * alerter's injectable `kafkaSend` — no Kafka client jar ships in this
+    * environment (same constraint as the READ FROM KAFKA path, attempted
+    * 2026-08-14); the reference's per-(options, topic) producer cache
+    * with idle timeout is connection pooling a real client callback
+    * would own. */
+  final case class Kafka(options: Seq[(String, String)], topic: String,
+      partition: Int, text: String) extends Contact
 }
 
 object Notify {
+
+  /** A message snapshotted under the alerter monitor, ready for contact
+    * I/O outside it. */
+  private final case class Delivery(name: String, team: String,
+      firing: Boolean, dict: Seq[(String, String)])
 
   /** The reference's alerter core: team assignment by longest name
     * prefix (`find_in_charge`, RamenAlerter.ml:182-215), incident
@@ -77,7 +102,19 @@ object Notify {
       syslog: String => Unit = _ => (),
       clock: () => Double = () => System.currentTimeMillis() / 1000.0,
       sqlite3: String = "sqlite3",
-      maxJournal: Int = 10000) {
+      maxJournal: Int = 10000,
+      /** What a NEGATIVE notification debounce means: the reference's
+        * `debounce_delay_for` (RamenAlerter.ml:285-289) substitutes the
+        * configured default (Default.debounce_delay = 10s) for negative
+        * values; 0 stays 0 (send at next flush). */
+      defaultDebounce: Double = 10.0,
+      /** Kafka production callback for [[Contact.Kafka]]:
+        * (options, topic, partition, payload). The default refuses — no
+        * Kafka client ships in this environment; the record construction
+        * is still exact (see [[Notify.kafkaRecord]]) so a spec or a real
+        * deployment plugs a producer in here. */
+      kafkaSend: (Seq[(String, String)], String, Int, String) => Unit =
+        Alerter.noKafkaClient) {
 
     // bounded like the reference's max_last_incidents_kept — a
     // long-running alerter must not grow its journal without bound
@@ -110,7 +147,15 @@ object Notify {
         .orElse(if (teams.contains(defaultTeam)) Some(defaultTeam)
           else teams.keys.minOption)
 
-    def deliver(n0: Notification): Unit = synchronized {
+    /** `debounce_delay_for` (RamenAlerter.ml:285-289): a notification's
+      * own non-negative debounce, else the configured default. */
+    private def debounceDelay(n: Notification): Double =
+      if (n.debounce >= 0) n.debounce else defaultDebounce
+
+    def deliver(n0: Notification): Unit = dispatch(deliverLocked(n0))
+
+    private def deliverLocked(n0: Notification): Seq[Delivery] = synchronized {
+      val out = Seq.newBuilder[Delivery]
       val n = if (n0.sentTime > 0) n0 else n0.copy(sentTime = clock())
       noteTime(n.time)
       if (n.firing && !firing.contains(n.name)) {
@@ -120,13 +165,13 @@ object Notify {
         // stop logically precedes this start — send it now rather than
         // dropping it with the overwritten entry
         open.get(n.name).foreach { prev =>
-          if (prev.pending.contains(false)) send(prev, firing = false, n.time)
+          if (prev.pending.contains(false)) out += prepare(prev, firing = false, n.time)
           open.remove(n.name)
         }
         nextId += 1
         val inc = new Incident(nextId, findInCharge(n.name).getOrElse(""), n)
         inc.pending = Some(true)
-        inc.due = n.time + math.max(0.0, n.debounce)
+        inc.due = n.time + debounceDelay(n)
         open(n.name) = inc
       } else if (!n.firing && firing.contains(n.name)) {
         firing -= n.name
@@ -141,15 +186,19 @@ object Notify {
             open.remove(n.name)
           } else {
             inc.pending = Some(false)
-            inc.due = n.time + math.max(0.0, n.debounce)
+            inc.due = n.time + debounceDelay(n)
           }
         }
       } // else: duplicate — debounced
+      out.result()
     }
 
     /** Send every due pending message and synthesize timed-out stops
       * (notifications carrying `timeout` whose stop never arrived). */
-    def flush(at: Double): Unit = synchronized {
+    def flush(at: Double): Unit = dispatch(flushLocked(at))
+
+    private def flushLocked(at: Double): Seq[Delivery] = synchronized {
+      val out = Seq.newBuilder[Delivery]
       // timeouts first so they can cancel/schedule at this same flush
       open.values.toSeq.foreach { inc =>
         if (inc.start.timeout > 0 && inc.stop.isEmpty &&
@@ -164,13 +213,14 @@ object Notify {
       open.values.toSeq.sortBy(_.id).foreach { inc =>
         inc.pending match {
           case Some(f) if at >= inc.due =>
-            send(inc, f, at)
+            out += prepare(inc, f, at)
             inc.pending = None
             if (f) inc.startSent = true
             else open.remove(inc.start.name)
           case _ => ()
         }
       }
+      out.result()
     }
 
     def deliverNow(n: Notification): Unit = {
@@ -211,14 +261,33 @@ object Notify {
       params.toSeq ++ builtins
     }
 
-    private def send(inc: Incident, firing: Boolean, at: Double): Unit = {
+    /** Under the monitor only: stamp the incident's sent times and freeze
+      * the expansion dict — NO contact I/O happens while the alerter state
+      * is locked. */
+    private def prepare(inc: Incident, firing: Boolean, at: Double): Delivery = {
       val dict = dictFor(inc, firing, at)
       if (inc.firstSent.isEmpty) inc.firstSent = Some(at)
       inc.lastSent = Some(at)
-      teams.getOrElse(inc.team, Nil).foreach { c =>
-        val what = if (firing) "START" else "STOP"
+      Delivery(inc.start.name, inc.team, firing, dict)
+    }
+
+    /** Contact I/O, OUTSIDE the alerter monitor: a hung or slow contact
+      * (Exec, sqlite3 CLI) must not block `deliver`/`flush` state
+      * transitions or the heartbeat's bookkeeping — the reference runs
+      * deliveries on their own schedule under a watchdog, bounded at
+      * max_exec=5 concurrent commands. Dispatch itself is serialized by
+      * its own lock so per-incident START/STOP ordering is preserved
+      * across the sink and heartbeat threads; the wait a stuck contact
+      * can impose there is bounded by [[Alerter.shellRun]]'s timeout. */
+    private val dispatchLock = new Object
+    private def dispatch(ds: Seq[Delivery]): Unit =
+      if (ds.nonEmpty) dispatchLock.synchronized { ds.foreach(dispatchOne) }
+
+    private def dispatchOne(d: Delivery): Unit =
+      teams.getOrElse(d.team, Nil).foreach { c =>
+        val what = if (d.firing) "START" else "STOP"
         def exp(t: String, n: Option[String] = None) =
-          StringExpansion.substDict(dict, t, n)
+          StringExpansion.substDict(d.dict, t, n)
         // a contact that cannot deliver (unspawnable command, throwing
         // sink) must not kill the whole notification stream — the
         // reference counts the failure and moves on
@@ -226,11 +295,11 @@ object Notify {
           case Contact.Ignore => ()
           case Contact.Exec(cmd) =>
             val code = execRunner(exp(cmd))
-            journal(if (code == 0) s"SENT $what ${inc.start.name} via exec"
-              else s"FAILED $what ${inc.start.name} via exec ($code)")
+            journal(if (code == 0) s"SENT $what ${d.name} via exec"
+              else s"FAILED $what ${d.name} via exec ($code)")
           case Contact.SysLog(t) =>
             syslog(exp(t))
-            journal(s"SENT $what ${inc.start.name} via syslog")
+            journal(s"SENT $what ${d.name} via syslog")
           case Contact.Sqlite(file, insert, create) =>
             import StringExpansion.shellQuote
             val f = exp(file)
@@ -247,17 +316,24 @@ object Notify {
               if (first == 0) 0
               else if (create.nonEmpty && run(create) == 0) run(ins)
               else first
-            journal(if (code == 0) s"SENT $what ${inc.start.name} via sqlite"
-              else s"FAILED $what ${inc.start.name} via sqlite ($code)")
+            journal(if (code == 0) s"SENT $what ${d.name} via sqlite"
+              else s"FAILED $what ${d.name} via sqlite ($code)")
+          case k: Contact.Kafka =>
+            val (topic, partition, payload) = kafkaRecord(k, d.dict)
+            kafkaSend(k.options, topic, partition, payload)
+            journal(s"SENT $what ${d.name} via kafka")
         } catch {
           case e: Exception =>
-            journal(s"FAILED $what ${inc.start.name}: ${e.getMessage}")
+            journal(s"FAILED $what ${d.name}: ${e.getMessage}")
         }
       }
-    }
 
     def incidents: Seq[String] = log.asScala.toSeq
     def currentlyFiring: Set[String] = synchronized(firing)
+
+    /** Journal a line from the delivery layer (the streaming sink records
+      * batch overflows here). */
+    private[graft] def note(s: String): Unit = journal(s)
 
     // logical-time high-water mark and the wall instant it was seen at,
     // so the heartbeat can EXTRAPOLATE logical time instead of jumping to
@@ -312,10 +388,46 @@ object Notify {
 
   object Alerter {
     /** The reference's Exec contact runs a shell command
-      * (`execute_cmd`, RamenAlerter.ml:569-582). */
-    def shellRun(cmd: String): Int =
-      new ProcessBuilder("sh", "-c", cmd).inheritIO().start().waitFor()
+      * (`execute_cmd`, RamenAlerter.ml:569-582). Bounded: a wedged
+      * command is forcibly killed after `timeoutSec` so one stuck contact
+      * cannot stall the dispatch queue forever (the reference runs execs
+      * under a watchdog with max_exec=5); the timeout exit code mirrors
+      * timeout(1)'s 124. */
+    def shellRun(cmd: String): Int = shellRun(cmd, 30.0)
+    def shellRun(cmd: String, timeoutSec: Double): Int = {
+      val p = new ProcessBuilder("sh", "-c", cmd).inheritIO().start()
+      val done = p.waitFor(math.max(1L, (timeoutSec * 1000).toLong),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (done) p.exitValue()
+      else { p.destroyForcibly(); p.waitFor(); 124 }
+    }
+
+    /** Default [[Contact.Kafka]] production: refuse loudly — no Kafka
+      * client jar exists in this environment (documented; same constraint
+      * as the READ FROM KAFKA connector path). */
+    def noKafkaClient(options: Seq[(String, String)], topic: String,
+        partition: Int, payload: String): Unit =
+      throw new IllegalStateException(
+        s"no kafka client in this build (topic $topic) — inject kafkaSend")
   }
+
+  /** The exact producer record the reference's kafka delivery constructs
+    * (`RamenAlerter.ml:772-774` → `kafka_publish`, 618-660): the contact's
+    * `text` template expanded over the message dict with nulls rendered
+    * `"null"` (vs sqlite's `"NULL"`), produced to (topic, partition) with
+    * NO message key — `Kafka.produce prod partition text`. */
+  def kafkaRecord(k: Contact.Kafka, dict: Seq[(String, String)])
+      : (String, Int, String) =
+    (k.topic, k.partition, StringExpansion.substDict(dict, k.text, Some("null")))
+
+  /** `get_or_create_kafka_producer`'s option partition
+    * (RamenAlerter.ml:626-634): options whose name starts with `topic.`
+    * (RamenConsts.ml:82, prefix kept — librdkafka topic configs are set
+    * under their full name) configure the topic handle; the rest
+    * configure the producer. Returns (topicOptions, producerOptions). */
+  def kafkaOptionSplit(options: Seq[(String, String)])
+      : (Seq[(String, String)], Seq[(String, String)]) =
+    options.partition(_._1.startsWith("topic."))
 
   /** The reference's `normalize_notif_parameters`
     * (`RingBufLib.ml:460-503`): firing/certainty/debounce/timeout travel
@@ -359,15 +471,31 @@ object Notify {
 
   /** Attach an alerter to a notification stream: deliver each batch, then
     * flush at the batch's latest notification time (wall clock when the
-    * batch carries no times). */
-  def sink(ds: Dataset[Notification], alerter: Alerter): DataStreamWriter[Notification] =
+    * batch carries no times).
+    *
+    * Each batch is collected to the driver BY CONTRACT: the alerter is a
+    * single state machine exactly like the reference's one alerter daemon
+    * reading the notification ring, and NOTIFY streams are human-scale
+    * (state CHANGES of monitored conditions, already debounced upstream
+    * by the firing flip-flop) — thousands of rows per batch, not data
+    * volume. A buggy query that NOTIFYs per input tuple must not OOM the
+    * driver, so the collect is bounded at `maxPerBatch`: overflow rows
+    * are dropped and journaled as a FAILED line (visible in
+    * `alerter.incidents`, like any contact failure). */
+  def sink(ds: Dataset[Notification], alerter: Alerter,
+      maxPerBatch: Int = 100000): DataStreamWriter[Notification] =
     ds.writeStream.foreachBatch { (batch: Dataset[Notification], _: Long) =>
-      val ns = batch.collect()
-      ns.foreach(alerter.deliver)
+      val ns = batch.take(maxPerBatch + 1)
+      val kept = if (ns.length > maxPerBatch) {
+        alerter.note(s"FAILED batch overflow: more than $maxPerBatch " +
+          "notifications in one batch, excess dropped")
+        ns.take(maxPerBatch)
+      } else ns
+      kept.foreach(alerter.deliver)
       // un-timed notifications (time 0) were stamped with the alerter's
       // clock inside deliver — flush on the same time base, or their
       // debounce deadlines (clock + d) would never come due
-      val at = ns.map(_.time).filter(_ > 0).maxOption
+      val at = kept.map(_.time).filter(_ > 0).maxOption
         .getOrElse(alerter.nowTime())
       alerter.flush(at)
     }

@@ -270,4 +270,95 @@ class AlerterSpec extends AnyFunSuite {
       assert(got == "test:ouch\n", got)
     } finally java.nio.file.Files.delete(f)
   }
+
+  test("kafka contact: exact producer record (RamenAlerter.ml:618-664,772-774)") {
+    // the reference expands the text with nulls rendered "null" and
+    // produces (topic, partition, text) — no message key
+    val produced = scala.collection.mutable.Buffer
+      .empty[(Seq[(String, String)], String, Int, String)]
+    val opts = Seq("metadata.broker.list" -> "k1:9092,k2:9092",
+      "topic.message.timeout.ms" -> "5000", "compression.codec" -> "lz4")
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Kafka(opts, "alerts", 3,
+        """{"name":${name|json},"text":${text|json},"missing":${nope}}"""))),
+      kafkaSend = (o, t, p, v) => produced += ((o, t, p, v)),
+      clock = () => 1000.0)
+    a.deliverNow(Notification("kk", firing = true, Map("text" -> "o\"uch"),
+      sentTime = 7.0, debounce = 0.0))
+    assert(produced.size == 1)
+    val (o, topic, part, payload) = produced.head
+    assert(o == opts && topic == "alerts" && part == 3)
+    assert(payload == """{"name":"kk","text":"o\"uch","missing":null}""",
+      payload)
+    assert(a.incidents.exists(_.startsWith("SENT START kk via kafka")))
+    // option partition: `topic.`-prefixed configs go to the topic handle,
+    // the rest to the producer (get_or_create_kafka_producer)
+    val (topicOpts, prodOpts) = Notify.kafkaOptionSplit(opts)
+    assert(topicOpts == Seq("topic.message.timeout.ms" -> "5000"))
+    assert(prodOpts == Seq("metadata.broker.list" -> "k1:9092,k2:9092",
+      "compression.codec" -> "lz4"))
+    // no client in this build: the default callback refuses and the
+    // failure is journaled without killing delivery
+    val b = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Kafka(Nil, "t", 0, "x"))),
+      clock = () => 1000.0)
+    b.deliverNow(Notification("nk", firing = true, Map.empty,
+      sentTime = 7.0, debounce = 0.0))
+    assert(b.incidents.exists(_.startsWith("FAILED START nk")))
+  }
+
+  test("negative debounce uses the configured default delay (debounce_delay_for)") {
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Exec("${name}"))),
+      execRunner = cmd => { sent += cmd; 0 },
+      clock = () => 1000.0, defaultDebounce = 10.0)
+    a.deliver(Notification("neg", firing = true, Map.empty,
+      sentTime = 100.0, debounce = -1.0))
+    a.flush(105.0) // a clamp-to-zero would have sent already
+    assert(sent.isEmpty, s"negative debounce did not borrow the default: $sent")
+    a.flush(110.5)
+    assert(sent == Seq("neg"))
+    // and the wire default is 0 (normalize_notif_parameters): no debounce
+    // parameter ⇒ send at the next flush
+    assert(Notify.notification("d", Map("text" -> "x")).debounce == 0.0)
+  }
+
+  test("a hung contact cannot block the alerter state machine (r11 advice)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val sent = scala.collection.mutable.Buffer.empty[String]
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Exec("${name}"))),
+      execRunner = cmd => {
+        sent.synchronized { sent += cmd }
+        entered.countDown()
+        gate.await() // a wedged sendmail
+        0
+      },
+      clock = () => 1000.0)
+    a.deliver(Notification("slow", firing = true, Map.empty,
+      sentTime = 10.0, debounce = 0.0))
+    val flusher = new Thread(() => a.flush(10.0))
+    flusher.start()
+    assert(entered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // contact I/O is in flight and stuck — deliver/flush BOOKKEEPING and
+    // reads must not wait on it (they used to share the monitor)
+    val t0 = System.nanoTime()
+    a.deliver(Notification("other", firing = true, Map.empty,
+      sentTime = 11.0, debounce = 60.0))
+    assert(a.currentlyFiring == Set("slow", "other"))
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "deliver blocked behind a hung contact")
+    gate.countDown()
+    flusher.join(5000)
+    assert(sent.synchronized(sent.toSeq) == Seq("slow"))
+  }
+
+  test("shellRun kills a wedged command after the timeout (124)") {
+    val t0 = System.nanoTime()
+    assert(Notify.Alerter.shellRun("sleep 60", timeoutSec = 0.3) == 124)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0)
+    assert(Notify.Alerter.shellRun("exit 3", timeoutSec = 5.0) == 3)
+  }
 }

@@ -335,4 +335,28 @@ class GraphiteApiSpec extends AnyFunSuite {
     val got = out("mon.web.events.error.value").head._2.get
     assert(math.abs(got - want) < 1e-9, s"got $got want $want")
   }
+
+  test("find memoizes the function walk per registry generation (r11 advisory)") {
+    import graft.service.GraphiteTree
+    val c = mkCompiler()
+    GraphiteTree.find(c, "mon.*")
+    val walks = GraphiteTree.headsWalks.get()
+    // a burst of finds against an unchanged registry walks nothing new
+    GraphiteTree.find(c, "*")
+    GraphiteTree.find(c, "mon.web.*")
+    GraphiteTree.find(c, "mon.web.plain.*")
+    assert(GraphiteTree.headsWalks.get() == walks,
+      "an unchanged registry was re-walked")
+    // registering a program bumps the generation: exactly one re-walk
+    graft.raql.RaqlParser.parseProgram(
+      "DEFINE extra AS FROM tables/events SELECT value, float(ts) AS start;") match {
+      case Right(p) => c.register("mon/extra", p)
+      case Left(e) => fail(s"parse: $e")
+    }
+    assert(GraphiteTree.find(c, "mon.*").map(_.id) ==
+      Seq("mon.extra", "mon.web"))
+    GraphiteTree.find(c, "mon.*")
+    assert(GraphiteTree.headsWalks.get() == walks + 1,
+      "register did not invalidate exactly once")
+  }
 }

@@ -138,12 +138,15 @@ class PropertySpec extends AnyFunSuite {
     // the parse is total: malformed text → NULL, never an error
     val bad = Seq("", "1.2.3", "1.2.3.4.5", "1..2.3", "256.1.1.1",
       "a.b.c.d", "1.2.3.x", ".1.2.3", "1.2.3.", "999999999999.1.1.1",
-      "1.2.3.4 ", " 1.2.3.4", "-1.2.3.4", "1,2,3,4")
+      "1.2.3.4 ", " 1.2.3.4", "-1.2.3.4", "1,2,3,4",
+      // 1-3 digits per octet is ENFORCED, not just value-bounded — a
+      // 4-digit zero-padded octet is rejected even though its value fits
+      "0001.2.3.4", "1.2.3.0004")
     val parsed = bad.toDF("s").withColumn("v", ip4FromString(col("s")))
       .collect()
     parsed.foreach(r => assert(r.isNullAt(1), s"'${r.getString(0)}' parsed"))
-    // valid edge shapes parse to the right value (leading zeros allowed,
-    // as with the former cast chain)
+    // valid edge shapes parse to the right value (≤3-digit leading zeros
+    // allowed, as with the former cast chain)
     val ok = Seq(("0.0.0.0", 0L), ("255.255.255.255", 0xFFFFFFFFL),
       ("010.001.000.009", 0x0A010009L))
     ok.foreach { case (s, want) =>

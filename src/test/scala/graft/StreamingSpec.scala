@@ -248,6 +248,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerter.currentlyFiring.isEmpty)
   }
 
+  test("NOTIFY sink bounds its per-batch collect (overflow journals, no OOM)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Int]
+    // a buggy per-tuple NOTIFY: every input row notifies under its own name
+    val notifs = mem.toDS().map(i =>
+      Notification(s"n$i", firing = true, Map.empty, sentTime = 10.0 + i))
+    val alerter = new Notify.Alerter
+    val q = Notify.sink(notifs, alerter, maxPerBatch = 5).start()
+    mem.addData(1 to 50: _*)
+    q.processAllAvailable()
+    q.stop()
+    val lines = alerter.incidents
+    assert(lines.exists(_.startsWith("FAILED batch overflow")), lines)
+    // the first maxPerBatch notifications were still delivered
+    assert(lines.count(_.startsWith("START ")) == 5, lines)
+  }
+
   /** Run `body` with the streaming state store swapped to `provider`
     * ("default" keeps Spark's HDFSBackedStateStore; "rocksdb" proves the
     * at-scale option GraftSession gates behind SPARK_GRAFT_STATESTORE —
@@ -496,6 +513,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("graphite_tcp_many")
         .filter(org.apache.spark.sql.functions.col("metric")
           .contains("not")).isEmpty)
+    } finally tcp.stop()
+  }
+
+  test("TCP graphite stamps receipt_time at enqueue, not at the trigger") {
+    // a line queued while no micro-batch runs must carry its socket-read
+    // time: the 2-field form uses receipt as the metric START (r11 advice)
+    val tcp = new graft.sources.TcpIngest(spark, 0).start()
+    try {
+      val s = new java.net.Socket(
+        java.net.InetAddress.getLoopbackAddress, tcp.boundPort)
+      val t0 = System.currentTimeMillis() / 1000.0
+      s.getOutputStream.write("late.metric 42\n".getBytes("UTF-8"))
+      s.getOutputStream.flush()
+      s.close()
+      // let the reader thread enqueue, then idle well past the stamp
+      Thread.sleep(1500)
+      val q = tcp.graphite.writeStream.format("memory")
+        .queryName("graphite_tcp_stamp").outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("graphite_tcp_stamp")
+        .select("metric", "receipt_time", "start").collect()
+      assert(rows.length == 1, rows.mkString(","))
+      val rt = rows.head.getDouble(1)
+      assert(rt >= t0 - 1.0 && rt <= t0 + 1.0,
+        s"receipt_time $rt not near enqueue time $t0 — stamped at the trigger?")
+      assert(rows.head.getDouble(2) == rt, "2-field start must be receipt")
     } finally tcp.stop()
   }
 
