@@ -65,6 +65,20 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    // machine-speed canary: a fixed pure-CPU codegen'd job, unrelated to
+    // any operator under test. Cross-round artifacts kept drifting ±20 %
+    // on sub-second queries purely from machine conditions (r10 "+9 %",
+    // r12 back-to-back 11.5 vs 10.1 s totals at identical code); the
+    // canary lets a reader NORMALIZE a round's numbers before calling
+    // anything a regression. Median of 3.
+    // bit_xor, not sum: ANSI mode (Spark 4 default) makes a long-sum
+    // overflow a job-killing error; xor can't overflow
+    val canary = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(2000000000L).selectExpr("bit_xor(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
+
     // ≥5 reps per query, run ROUND-ROBIN (rep 1 of every query, then rep
     // 2, …) so a contention window mid-suite cannot hit all of one query's
     // reps at once — the round-4 d01/d02 "regressions" were exactly that
@@ -126,7 +140,7 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming_tuples_per_s":-1"""
       }
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}"""
     writeArtifact("SPARK_GRAFT_BENCH_OUT", "bench_out.json", json)
     println(json)
     spark.stop()

@@ -75,10 +75,11 @@ object Ast {
         * get-columns `factor` flag; timeseries grouping hints). */
       factors: Seq[String] = Nil) extends Operation
 
-  /** READ FROM FILE "path" AS CSV (schema). */
+  /** READ FROM FILE "path" [PREPROCESS WITH "cmd"] AS CSV (schema). */
   final case class ReadCsv(path: String, fields: Seq[(String, RType)],
       separator: String = ",", nullStr: String = "",
-      quotes: Boolean = true) extends Operation
+      quotes: Boolean = true,
+      preprocessor: Option[String] = None) extends Operation
 
   /** READ FROM FILE "path" AS ROWBINARY (clickhouse schema). */
   final case class ReadRowBinary(path: String,

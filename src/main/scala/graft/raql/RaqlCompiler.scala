@@ -2240,7 +2240,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         new java.util.ArrayList(scala.jdk.CollectionConverters
           .SeqHasAsJava(rows).asJava), schema).coalesce(1)
 
-    case ReadCsv(path, fields, sep, nullStr, quotes) =>
+    case ReadCsv(path, fields, sep, nullStr, quotes, preprocessor) =>
       // ip / cidr columns use the reference CSV encoding — (version, u128)
       // pair and (version, u128, mask) triple — and surface as canonical
       // text (graft.functions.NetExpressions), tagged with raqlType
@@ -2271,15 +2271,21 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       // reference's workers WATCH for it (qps.ramen reads a file "the
       // test suite will specify"); compile to an empty frame of the
       // declared schema instead of failing analysis
+      val csvSpec = graft.sources.CsvSource.CsvSpec(separator = sep,
+        nullStr = nullStr, quote = if (quotes) "\"" else "\u0000")
       val df0 =
-        (if (new java.io.File(full).exists())
-          graft.sources.CsvSource.read(spark, full, raw,
-            graft.sources.CsvSource.CsvSpec(separator = sep,
-              nullStr = nullStr,
-              quote = if (quotes) "\"" else "\u0000"))
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw))
-          .coalesce(1)
+        (preprocessor match {
+          // PREPROCESS WITH: per-file shell pipe (glob-tolerant — an
+          // empty match compiles to an empty frame, like the missing
+          // single file below)
+          case Some(cmd) =>
+            graft.sources.CsvSource.readPreprocessed(spark, full, raw,
+              csvSpec, cmd)
+          case None if new java.io.File(full).exists() =>
+            graft.sources.CsvSource.read(spark, full, raw, csvSpec)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw)
+        }).coalesce(1)
       def fmtIp(n: String) = graft.functions.GraftFunctions.formatIp(
         col(s"_${n}_v"), col(s"_${n}_a"))
       def tagged(t: String) =

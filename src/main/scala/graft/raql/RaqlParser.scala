@@ -677,11 +677,12 @@ object RaqlParser extends RegexParsers {
       rep(eventClause ^^^ (()) |
           (kw("factors") | kw("factor")) ~ rep1sep(ident, "," | kw("and"))
             ^^^ (())) ^^ {
-      case Lit(path: String) ~ _ ~ _ ~ _ ~ opts ~ fields =>
+      case Lit(path: String) ~ prep ~ _ ~ _ ~ opts ~ fields =>
         def optS(k: String, d: String): String =
           opts.collectFirst { case (`k`, Lit(s: String)) => s }.getOrElse(d)
         ReadCsv(path, fields, optS("sep", ","), optS("null", ""),
-          quotes = !opts.exists(_._1 == "noq"))
+          quotes = !opts.exists(_._1 == "noq"),
+          preprocessor = prep.collect { case _ ~ Lit(cmd: String) => cmd })
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
 

@@ -5,13 +5,13 @@ import org.apache.spark.sql.types.StructType
 
 /** RaQL `READ FROM FILE … AS CSV` (`/root/reference/src/raql_operation.type:
   * 54-138`): declared schema, configurable separator/quote/escape/null,
-  * optional header skip, glob paths, and DELETE-IF-done file handling.
+  * optional header skip, glob paths, DELETE-IF-done file handling, and
+  * the external `PREPROCESS WITH "cmd"` pipe ([[readPreprocessed]]).
   *
   * Spark-first: thin option mapping onto the built-in CSV source, which
   * already handles globs, schema enforcement, compression, and distributes
   * the read. `cleanSource`/`sourceArchiveDir` replace ramen's DELETE-IF in
-  * streaming mode; the external preprocessor-command option is deliberately
-  * not supported (run preprocessing as its own pipeline stage instead).
+  * streaming mode.
   */
 object CsvSource {
   final case class CsvSpec(
@@ -35,6 +35,110 @@ object CsvSource {
   def read(spark: SparkSession, path: String, schema: StructType,
       spec: CsvSpec = CsvSpec()): DataFrame =
     reader(spark, schema, spec).csv(path)
+
+  /** `READ FROM FILE … PREPROCESS WITH "cmd" AS CSV` — the reference
+    * pipes each matched file through a shell command and parses the
+    * command's STDOUT as the file content (`CodeGenLib_IO.ml:14-47`): a
+    * `%s` in the command is replaced by the shell-quoted filename (every
+    * occurrence, `String.nreplace`), otherwise the quoted filename is
+    * appended.
+    *
+    * Spark-first shape: the glob expands driver-side (metadata only),
+    * the FILE LIST parallelizes one task per file, and each task spawns
+    * its command and streams stdout line-by-line — bounded memory, no
+    * whole-file buffering — into the same codegen'd `from_csv` decode
+    * the Kafka value path uses. At scale N files pipe concurrently
+    * across executors; one file = one process, exactly the reference's
+    * unit of work. A non-zero exit logs a warning and keeps the lines
+    * already produced (the reference's `CSV preprocessor %S exited %s`
+    * warning).
+    *
+    * Deviations, both inherent to an external pipe: rows are
+    * line-framed, so quoted embedded newlines (which the built-in CSV
+    * reader handles) are not supported through a preprocessor; and
+    * `deleteAfterRead` unlinks only after a successful EOF, so a task
+    * retry/speculative attempt may re-run the command (the reference
+    * has the same at-most-once caveat and unlinks preprocessed files
+    * only at EOF, CodeGenLib_IO.ml:60-67). */
+  def readPreprocessed(spark: SparkSession, path: String,
+      schema: StructType, spec: CsvSpec, preprocessor: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv}
+    import spark.implicits._
+    import graft.streaming.StringExpansion.shellQuote
+    val files = globFiles(spark, path)
+    val header = spec.header
+    val delete = spec.deleteAfterRead
+    val cmds = files.map { f =>
+      val q = shellQuote(f)
+      val c = if (preprocessor.contains("%s"))
+        preprocessor.replace("%s", q)
+      else s"$preprocessor $q"
+      (c, f)
+    }
+    val par = math.max(1, math.min(cmds.size,
+      spark.sparkContext.defaultParallelism))
+    val lines = spark.createDataset(cmds)
+      .repartition(par)
+      .mapPartitions { it =>
+        it.flatMap { case (cmd, file) =>
+          pipeLines(cmd, file, dropFirst = header, unlink = delete)
+        }
+      }
+    lines.toDF("value")
+      .select(from_csv(col("value"), schema,
+        Map("sep" -> spec.separator, "quote" -> spec.quote,
+          "escape" -> spec.escape, "nullValue" -> spec.nullStr,
+          "mode" -> "PERMISSIVE")).as("r"))
+      .select("r.*")
+  }
+
+  /** Run one preprocessor command, streaming its stdout lines lazily —
+    * a multi-GB decompression never sits in task memory. EOF triggers
+    * the exit-status check and (on success) the unlink. */
+  private def pipeLines(cmd: String, file: String, dropFirst: Boolean,
+      unlink: Boolean): Iterator[String] = {
+    val p = new ProcessBuilder("sh", "-c", cmd)
+      .redirectErrorStream(false).start()
+    p.getOutputStream.close()
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+    val it = new Iterator[String] {
+      private var nextLine: String = r.readLine()
+      private var closed = false
+      private def finish(): Unit = if (!closed) {
+        closed = true
+        r.close()
+        val code = p.waitFor()
+        if (code != 0)
+          System.err.println(s"[csv] preprocessor '$cmd' exited $code")
+        else if (unlink)
+          try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
+          catch { case e: Exception =>
+            System.err.println(s"[csv] unlink $file failed: $e") }
+      }
+      def hasNext: Boolean = {
+        if (nextLine == null) finish()
+        nextLine != null
+      }
+      def next(): String = {
+        val l = nextLine
+        nextLine = r.readLine()
+        l
+      }
+    }
+    if (dropFirst && it.hasNext) it.next()
+    it
+  }
+
+  /** Driver-side glob expansion through the Hadoop FS API (sorted for a
+    * deterministic row order — RaQL first/last depend on it). */
+  private def globFiles(spark: SparkSession, pattern: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(p)
+    if (st == null) Nil
+    else st.toSeq.filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+  }
 
   /** Streaming variant: tail a directory of CSV files. */
   def readStream(spark: SparkSession, path: String, schema: StructType,
