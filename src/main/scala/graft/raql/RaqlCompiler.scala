@@ -31,10 +31,11 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * table registration, environment pin) — service layers key their
     * memos on it so a `/metrics/find` walk is O(changed), not
     * O(registered) per request (see [[graft.service.GraphiteTree]]). */
-  @volatile private var gen = 0L
-  def registryGeneration: Long = gen
+  private val gen = new java.util.concurrent.atomic.AtomicLong
+  def registryGeneration: Long = gen.get
 
-  def register(name: String, p: Program): Unit = { programs += name -> p; gen += 1 }
+  def register(name: String, p: Program): Unit =
+    { programs += name -> p; gen.incrementAndGet() }
 
   /** Service-layer view of the registered programs (Alert/Graphite APIs). */
   def registeredPrograms: Map[String, Program] = programs
@@ -44,7 +45,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * and drivers can pin the environment. */
   private var env0: Map[String, String] = sys.env
   def environment: Map[String, String] = env0
-  def environment_=(m: Map[String, String]): Unit = { env0 = m; gen += 1 }
+  def environment_=(m: Map[String, String]): Unit = { env0 = m; gen.incrementAndGet() }
 
   /** Declared archive policy of `prog/func`: (PERSIST FOR seconds,
     * BEST AFTER seconds) — drives graft.ops.Archive retention and replay. */
@@ -66,14 +67,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     programs -= name
     compiled.keys.filter(k => k == name || k.startsWith(name + "/"))
       .foreach(compiled.remove)
-    gen += 1
+    gen.incrementAndGet()
   }
 
   /** Expose an existing DataFrame as a parent (`FROM <key>`): how RaQL
     * programs read this engine's tables (parquet, Kafka, …). */
   def registerTable(key: String, df: DataFrame): Unit = {
     compiled(key) = df
-    gen += 1
+    gen.incrementAndGet()
   }
 
   /** (begin, end, country) ranges backing COUNTRYCODE. The front-end

@@ -94,17 +94,35 @@ object CsvSource {
 
   /** Run one preprocessor command, streaming its stdout lines lazily —
     * a multi-GB decompression never sits in task memory. EOF triggers
-    * the exit-status check and (on success) the unlink. */
+    * the exit-status check and (on success) the unlink. Stderr INHERITS
+    * the task's (never piped: an undrained stderr pipe deadlocks a
+    * chatty command once the OS buffer fills). A task that stops pulling
+    * early (limit, failure) kills the command and its descendants
+    * through a TaskContext completion listener — no zombie per file.
+    * Blank output lines are skipped, matching the built-in reader. */
   private def pipeLines(cmd: String, file: String, dropFirst: Boolean,
       unlink: Boolean): Iterator[String] = {
     val p = new ProcessBuilder("sh", "-c", cmd)
-      .redirectErrorStream(false).start()
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+      if (p.isAlive) {
+        p.descendants().forEach(h => { h.destroyForcibly(); () })
+        p.destroyForcibly()
+        ()
+      }
+    }
     p.getOutputStream.close()
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
     val it = new Iterator[String] {
-      private var nextLine: String = r.readLine()
+      private var nextLine: String = advance()
       private var closed = false
+      private def advance(): String = {
+        var l = r.readLine()
+        while (l != null && l.isEmpty) l = r.readLine()
+        l
+      }
       private def finish(): Unit = if (!closed) {
         closed = true
         r.close()
@@ -122,7 +140,7 @@ object CsvSource {
       }
       def next(): String = {
         val l = nextLine
-        nextLine = r.readLine()
+        nextLine = advance()
         l
       }
     }
@@ -131,13 +149,21 @@ object CsvSource {
   }
 
   /** Driver-side glob expansion through the Hadoop FS API (sorted for a
-    * deterministic row order — RaQL first/last depend on it). */
+    * deterministic row order — RaQL first/last depend on it). A matched
+    * DIRECTORY expands to its direct files, matching the built-in CSV
+    * reader's directory handling so adding PREPROCESS to a dir-path READ
+    * doesn't silently read nothing. */
   private def globFiles(spark: SparkSession, pattern: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(pattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.globStatus(p)
     if (st == null) Nil
-    else st.toSeq.filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+    else st.toSeq
+      .flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+        else Seq(s)
+      }
+      .filter(_.isFile).map(_.getPath.toUri.getPath).sorted
   }
 
   /** Streaming variant: tail a directory of CSV files. */

@@ -152,10 +152,9 @@ object Notify {
     private def debounceDelay(n: Notification): Double =
       if (n.debounce >= 0) n.debounce else defaultDebounce
 
-    def deliver(n0: Notification): Unit = dispatch(deliverLocked(n0))
+    def deliver(n0: Notification): Unit = { deliverLocked(n0); drainOutbox() }
 
-    private def deliverLocked(n0: Notification): Seq[Delivery] = synchronized {
-      val out = Seq.newBuilder[Delivery]
+    private def deliverLocked(n0: Notification): Unit = synchronized {
       val n = if (n0.sentTime > 0) n0 else n0.copy(sentTime = clock())
       noteTime(n.time)
       if (n.firing && !firing.contains(n.name)) {
@@ -165,7 +164,7 @@ object Notify {
         // stop logically precedes this start — send it now rather than
         // dropping it with the overwritten entry
         open.get(n.name).foreach { prev =>
-          if (prev.pending.contains(false)) out += prepare(prev, firing = false, n.time)
+          if (prev.pending.contains(false)) prepare(prev, firing = false, n.time)
           open.remove(n.name)
         }
         nextId += 1
@@ -190,15 +189,13 @@ object Notify {
           }
         }
       } // else: duplicate — debounced
-      out.result()
     }
 
     /** Send every due pending message and synthesize timed-out stops
       * (notifications carrying `timeout` whose stop never arrived). */
-    def flush(at: Double): Unit = dispatch(flushLocked(at))
+    def flush(at: Double): Unit = { flushLocked(at); drainOutbox() }
 
-    private def flushLocked(at: Double): Seq[Delivery] = synchronized {
-      val out = Seq.newBuilder[Delivery]
+    private def flushLocked(at: Double): Unit = synchronized {
       // timeouts first so they can cancel/schedule at this same flush
       open.values.toSeq.foreach { inc =>
         if (inc.start.timeout > 0 && inc.stop.isEmpty &&
@@ -213,14 +210,13 @@ object Notify {
       open.values.toSeq.sortBy(_.id).foreach { inc =>
         inc.pending match {
           case Some(f) if at >= inc.due =>
-            out += prepare(inc, f, at)
+            prepare(inc, f, at)
             inc.pending = None
             if (f) inc.startSent = true
             else open.remove(inc.start.name)
           case _ => ()
         }
       }
-      out.result()
     }
 
     def deliverNow(n: Notification): Unit = {
@@ -261,27 +257,37 @@ object Notify {
       params.toSeq ++ builtins
     }
 
-    /** Under the monitor only: stamp the incident's sent times and freeze
-      * the expansion dict — NO contact I/O happens while the alerter state
-      * is locked. */
-    private def prepare(inc: Incident, firing: Boolean, at: Double): Delivery = {
+    /** Under the monitor only: stamp the incident's sent times, freeze
+      * the expansion dict, and ENQUEUE — NO contact I/O happens while the
+      * alerter state is locked, and because enqueueing happens inside the
+      * monitor, outbox order is exactly preparation order across every
+      * thread (a later-prepared START can never overtake the
+      * earlier-prepared STOP of the incident it replaces). */
+    private def prepare(inc: Incident, firing: Boolean, at: Double): Unit = {
       val dict = dictFor(inc, firing, at)
       if (inc.firstSent.isEmpty) inc.firstSent = Some(at)
       inc.lastSent = Some(at)
-      Delivery(inc.start.name, inc.team, firing, dict)
+      outbox.add(Delivery(inc.start.name, inc.team, firing, dict))
     }
 
     /** Contact I/O, OUTSIDE the alerter monitor: a hung or slow contact
       * (Exec, sqlite3 CLI) must not block `deliver`/`flush` state
       * transitions or the heartbeat's bookkeeping — the reference runs
       * deliveries on their own schedule under a watchdog, bounded at
-      * max_exec=5 concurrent commands. Dispatch itself is serialized by
-      * its own lock so per-incident START/STOP ordering is preserved
-      * across the sink and heartbeat threads; the wait a stuck contact
-      * can impose there is bounded by [[Alerter.shellRun]]'s timeout. */
+      * max_exec=5 concurrent commands. The drain is serialized by its
+      * own lock and consumes the shared FIFO, so deliveries reach
+      * contacts in preparation order whichever thread drains them (a
+      * flush may therefore return while a CONCURRENT drainer is still
+      * sending its deliveries — the reference's delivery loop is
+      * likewise asynchronous from ingestion); the wait a stuck contact
+      * can impose is bounded by [[Alerter.shellRun]]'s timeout. */
+    private val outbox = new ConcurrentLinkedQueue[Delivery]()
     private val dispatchLock = new Object
-    private def dispatch(ds: Seq[Delivery]): Unit =
-      if (ds.nonEmpty) dispatchLock.synchronized { ds.foreach(dispatchOne) }
+    private def drainOutbox(): Unit =
+      if (!outbox.isEmpty) dispatchLock.synchronized {
+        var d = outbox.poll()
+        while (d != null) { dispatchOne(d); d = outbox.poll() }
+      }
 
     private def dispatchOne(d: Delivery): Unit =
       teams.getOrElse(d.team, Nil).foreach { c =>
@@ -399,7 +405,14 @@ object Notify {
       val done = p.waitFor(math.max(1L, (timeoutSec * 1000).toLong),
         java.util.concurrent.TimeUnit.MILLISECONDS)
       if (done) p.exitValue()
-      else { p.destroyForcibly(); p.waitFor(); 124 }
+      else {
+        // descendants first: killing only sh reparents a pipeline's
+        // children to init and they keep running
+        p.descendants().forEach(h => { h.destroyForcibly(); () })
+        p.destroyForcibly()
+        p.waitFor()
+        124
+      }
     }
 
     /** Default [[Contact.Kafka]] production: refuse loudly — no Kafka

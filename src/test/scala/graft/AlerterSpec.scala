@@ -355,6 +355,36 @@ class AlerterSpec extends AnyFunSuite {
     assert(sent.synchronized(sent.toSeq) == Seq("slow"))
   }
 
+  test("cross-thread deliveries reach contacts in preparation order (FIFO outbox)") {
+    // deliveries are enqueued UNDER the state monitor and drained FIFO:
+    // a flush racing another thread's in-flight dispatch hands its
+    // deliveries to that drainer instead of reordering around it
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Exec("${name}:${firing}"))),
+      execRunner = cmd => {
+        sent.add(cmd)
+        if (sent.size == 1) { entered.countDown(); gate.await() }
+        0
+      },
+      clock = () => 1000.0)
+    a.deliver(Notification("x", firing = true, Map.empty,
+      sentTime = 10.0, debounce = 0.0))
+    val t1 = new Thread(() => a.flush(10.0)) // dispatches START, blocks in gate
+    t1.start()
+    assert(entered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    a.deliver(Notification("x", firing = false, Map.empty,
+      sentTime = 11.0, debounce = 0.0))
+    val t2 = new Thread(() => a.flush(11.0)) // enqueues STOP behind the drainer
+    t2.start()
+    Thread.sleep(100) // let t2 reach the dispatch lock
+    gate.countDown()
+    t1.join(5000); t2.join(5000)
+    assert(sent.toArray.toSeq == Seq("x:true", "x:false"), sent.toArray.toSeq)
+  }
+
   test("shellRun kills a wedged command after the timeout (124)") {
     val t0 = System.nanoTime()
     assert(Notify.Alerter.shellRun("sleep 60", timeoutSec = 0.3) == 124)
