@@ -51,38 +51,49 @@ object ScaleProbe {
 
   private def build(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
     val docs = Tables.documents(spark, src)
-    val reps = (0 until k).map { j =>
-      val tagged =
-        if (j == 0) docs.select(col("doc_id"), col("text"), col("lang"),
-          col("source"), col("n_chars"))
-        else docs.select(
-          (col("doc_id") + lit(j * 10_000_000L)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"zq$j"))), " ").as("text"),
-          col("lang"), col("source"), lit(0L).as("n_chars"))
-      tagged.withColumn("n_chars",
-        when(col("n_chars") === 0, length(col("text")))
-          .otherwise(col("n_chars")))
+    // CHUNKED writes: a k-way union is one plan with k leaves and k
+    // distinct UDFs — fine at k=10/100, but k=1000 (third decade) chokes
+    // analysis/codegen on plan size. 50 replicas per append keeps every
+    // job small and the build linear in k.
+    val chunk = 50
+    (0 until k).grouped(chunk).zipWithIndex.foreach { case (js, ci) =>
+      val reps = js.map { j =>
+        val tagged =
+          if (j == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+          else docs.select(
+            (col("doc_id") + lit(j * 10_000_000L)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"zq$j"))), " ").as("text"),
+            col("lang"), col("source"), lit(0L).as("n_chars"))
+        tagged.withColumn("n_chars",
+          when(col("n_chars") === 0, length(col("text")))
+            .otherwise(col("n_chars")))
+      }
+      reps.reduce(_ unionByName _).repartition(32)
+        .write.mode(if (ci == 0) SaveMode.Overwrite else SaveMode.Append)
+        .parquet(s"$dir/documents.parquet")
     }
-    reps.reduce(_ unionByName _).repartition(32)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
 
     val embs = Tables.embeddings(spark, src)
     val dim = embs.select(size(col("embedding"))).first().getInt(0)
-    val rotated = (0 until k).map { j =>
-      if (j == 0) embs.select(col("vec_id"), col("embedding"), col("label"))
-      else {
-        val q = orthogonal(dim, seed = 1000 + j)
-        val rot = udf { (v: Seq[Float]) =>
-          Array.tabulate(dim)(r =>
-            (0 until dim).map(c => q(r)(c) * v(c)).sum)
+    (0 until k).grouped(chunk).zipWithIndex.foreach { case (js, ci) =>
+      val rotated = js.map { j =>
+        if (j == 0) embs.select(col("vec_id"), col("embedding"), col("label"))
+        else {
+          val q = orthogonal(dim, seed = 1000 + j)
+          val rot = udf { (v: Seq[Float]) =>
+            Array.tabulate(dim)(r =>
+              (0 until dim).map(c => q(r)(c) * v(c)).sum)
+          }
+          embs.select((col("vec_id") + lit(j * 10_000_000L)).as("vec_id"),
+            rot(col("embedding")).as("embedding"), col("label"))
         }
-        embs.select((col("vec_id") + lit(j * 10_000_000L)).as("vec_id"),
-          rot(col("embedding")).as("embedding"), col("label"))
       }
+      rotated.reduce(_ unionByName _).repartition(32)
+        .write.mode(if (ci == 0) SaveMode.Overwrite else SaveMode.Append)
+        .parquet(s"$dir/embeddings.parquet")
     }
-    rotated.reduce(_ unionByName _).repartition(32)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,10 +101,18 @@ object ScaleProbe {
     val spark = GraftSession.get()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir = s"/tmp/graft_scale_x$k"
-    // gate on the final write's _SUCCESS marker — a killed build leaves a
-    // partial directory that a bare exists() would silently probe
-    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
-      build(spark, src, dir, k)
+    // build under a scratch name and RENAME when complete — with chunked
+    // appends the first chunk already plants _SUCCESS, so the marker no
+    // longer proves completeness; a killed build leaves only the scratch
+    // dir and the next run restarts it (pre-chunking dirs keep working:
+    // their single-shot _SUCCESS implies complete)
+    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+      val scratch = s"$dir.build"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+      build(spark, src, scratch, k)
+      if (!new java.io.File(scratch).renameTo(new java.io.File(dir)))
+        throw new IllegalStateException(s"rename $scratch -> $dir failed")
+    }
 
     // optional 2nd arg: comma-list restricting the probe (the ×100 decade
     // re-measures only the configs the ×10 one flagged or certified)
@@ -106,7 +125,35 @@ object ScaleProbe {
     val qs = Queries.all.filter(q => names.contains(q.name))
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def time(q: QueryDef, d: String): Double = {
+    // Shuffle partitions sized to the corpus — the knob a real cluster
+    // turns with data volume (SURVEY §scale: partitions must fit in
+    // executor memory at the target SF). At a fixed 32, a ×1000 pinned
+    // SHJ build side outgrows the ~290 MB per-task execution share of
+    // the 16 g driver (measured: "Can't acquire 268435456 bytes");
+    // scaling the count with the data keeps per-partition build size
+    // roughly what the certified ×100 run carried. AQE coalesces the
+    // small stages back down, so only the big shuffles fan out.
+    // BOTH knobs must scale: shuffle.partitions alone widens the initial
+    // exchanges, but AQE's coalescer floors at
+    // coalescePartitions.minPartitionNum (default = local core count) and
+    // folded the 320 partitions straight back to 32 — at which point the
+    // pinned SHJ build side (7.5 GB of shingle arrays / 32) outgrew the
+    // ~290 MB per-task execution share again. A real cluster's
+    // minPartitionNum default IS its (large) parallelism; simulating its
+    // data volume on 32 cores means simulating that floor too.
+    val bigPartitions = math.max(32, 32 * k / 100)
+    val scaleConfs = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum")
+    def withScaleConf[A](d: String)(body: => A): A = {
+      val olds = scaleConfs.map(c => c -> spark.conf.getOption(c))
+      if (d != src)
+        scaleConfs.foreach(c => spark.conf.set(c, bigPartitions.toString))
+      try body finally olds.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None) => spark.conf.unset(c)
+      }
+    }
+    def time(q: QueryDef, d: String): Double = withScaleConf(d) {
       System.gc()
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
@@ -114,6 +161,7 @@ object ScaleProbe {
     }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     qs.foreach { q =>
+      println(s"[scale] probing ${q.name}")
       val base = math.min(time(q, src), time(q, src))
       val big = time(q, dir)
       println(f"[scale] ${q.name}%-22s sf0.1 $base%6.2f s  x$k ${big}%7.2f s" +
@@ -131,11 +179,13 @@ object ScaleProbe {
       val n = embs.count()
       val nlist = math.max(16, (n / 125).toInt)
       val cents = ops.Similarity.seedCentroids(embs, "vec_id", "embedding", nlist)
-      System.gc()
-      val t0 = System.nanoTime()
-      ops.Dedup.semanticDedup(embs, "vec_id", "embedding", cents, minCos = 0.4)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      withScaleConf(d) {
+        System.gc()
+        val t0 = System.nanoTime()
+        ops.Dedup.semanticDedup(embs, "vec_id", "embedding", cents, minCos = 0.4)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
     if (wanted("d07_scaled_nlist")) {
       val base = math.min(semdedupScaled(src), semdedupScaled(src))
@@ -153,12 +203,14 @@ object ScaleProbe {
       val embs = Tables.embeddings(spark, d)
       val n = embs.count()
       val r = math.max(8, (math.log(n / 8.0) / math.log(2)).round.toInt)
-      System.gc()
-      val t0 = System.nanoTime()
-      ops.Similarity.lshNeighbors(embs, "vec_id", "embedding",
-          bands = 8, r = r, minCos = 0.9)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      withScaleConf(d) {
+        System.gc()
+        val t0 = System.nanoTime()
+        ops.Similarity.lshNeighbors(embs, "vec_id", "embedding",
+            bands = 8, r = r, minCos = 0.9)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
     }
     if (wanted("a02_scaled_r")) {
       val base = math.min(lshScaledR(src), lshScaledR(src))

@@ -27,7 +27,7 @@ object Dedup {
     * input undersell a join whose OUTPUT is quadratic — without an explicit
     * repartition Spark plans the expansion into one or two tasks. */
   private def par(df: DataFrame): Int =
-    df.sparkSession.sparkContext.defaultParallelism
+    GraftPar.of(df)
 
   /** Exact dedup on an order-insensitive content fingerprint: one surviving
     * (minimum) id per fingerprint group plus the duplicate count. */

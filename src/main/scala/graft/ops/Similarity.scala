@@ -86,7 +86,7 @@ object Similarity {
   /** Cores to spread pair-expansion work over (small-input row stats
     * undersell a join with quadratic output — force the parallelism). */
   private def par(df: DataFrame): Int =
-    df.sparkSession.sparkContext.defaultParallelism
+    GraftPar.of(df)
 
   /** Exact top-k cosine neighbors of each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

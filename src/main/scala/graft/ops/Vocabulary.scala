@@ -13,7 +13,7 @@ import graft.functions.TextFunctions._
 object Vocabulary {
 
   private def par(df: DataFrame): Int =
-    df.sparkSession.sparkContext.defaultParallelism
+    GraftPar.of(df)
 
   /** Top-`vocabSize` token vocabulary by corpus frequency (deterministic:
     * ties break on the token itself). Returns (token, cnt, rank).
