@@ -168,11 +168,13 @@ object Dedup {
       spreadInput(base, par(docsA))
         .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
-        .hint("shuffle_hash") // keep the BIG shingle side streamed (see verifyJaccard)
     }
-    // the id_a join hash-exchanges the pair stream; see verifyJaccard
-    p
+    // shuffle-hash pinned on the PAIR side: build the bounded candidate
+    // stream, stream the corpus shingles (see verifyJaccard — the hinted
+    // side is the BUILD side)
+    p.hint("shuffle_hash")
       .join(sh(docsA, "id_a").withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .hint("shuffle_hash")
       .join(sh(docsB, "id_b").withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -208,19 +210,27 @@ object Dedup {
           .unionByName(p.select(col("id_b").as(idCol))).distinct()
         docs.join(ids, Seq(idCol), "left_semi")
       } else docs
-    // keep the shingle side streamed in the pair joins: its stats-based
-    // size estimate ignores the array blow-up, so the planner would
-    // otherwise broadcast it — computing the shingles in one task, twice
     val sh = spreadInput(base, par(docs))
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
-      .hint("shuffle_hash")
-    // no explicit repartition of the pair stream: the id_a equi-join right
-    // below hash-exchanges it anyway (a round-robin first would be a
-    // second full shuffle of every candidate pair that changes neither
-    // placement nor skew — the post-AQE plan showed both stacked)
-    p
+    // pin shuffle-hash via a hint on the PAIR side, for two reasons:
+    // (1) no broadcast — the shingle side's stats-based size estimate
+    // ignores the array blow-up, so the planner would otherwise broadcast
+    // it and recompute the shingles in one task, twice; (2) the BUILD
+    // side must be the pair stream, not the shingles — Spark builds the
+    // hash table on the HINTED side, and the r12 ×1000 probe showed the
+    // old shingle-side hint materializing per-partition hash tables of
+    // the fat shingle arrays ("Can't acquire … to build hash relation")
+    // while the narrow (two-longs + carried arrays) candidate rows
+    // streamed. Candidates are cap-bounded per doc (blockKeyed); the
+    // corpus-shingle side is the unbounded one at 100 TB.
+    // No explicit repartition of the pair stream: the id_a equi-join
+    // right below hash-exchanges it anyway (a round-robin first would be
+    // a second full shuffle of every candidate pair that changes neither
+    // placement nor skew — the post-AQE plan showed both stacked).
+    p.hint("shuffle_hash")
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .hint("shuffle_hash")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
