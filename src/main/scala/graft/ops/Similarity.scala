@@ -430,6 +430,16 @@ object Similarity {
           (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
           col("a.band") === Dedup.firstSharedBand(col("a.sigs"), col("b.sigs")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // the vector-probe joins are deliberately UNHINTED — measured at
+      // the r12 ×1000 probe (2 M vectors, ~61 M noise candidate pairs):
+      // the planner's adaptive choice (broadcast at small SF, sort-merge
+      // at scale) ran 112 s; forcing shuffle-hash built on the pair side
+      // OOM'd (the second join's build rows carry the vectors), and
+      // forcing it built on the vector side ran 186 s — the sort-merge's
+      // sorted probe beats per-row hash lookups across a 61 M-row pair
+      // stream. Contrast verifyJaccard, where the hint IS needed: its
+      // streamed side is an expensive COMPUTED frame that stats undersell
+      // into a recompute-broadcast; v here is a cheap parquet projection.
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
