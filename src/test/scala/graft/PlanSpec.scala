@@ -260,4 +260,29 @@ class PlanSpec extends AnyFunSuite {
         "single-file row-format input must be spread whatever its bytes")
     } finally spark.conf.set(key, old)
   }
+
+  test("operator fan-out floors at the session's shuffle width (GraftPar)") {
+    // explicit repartitions pin their stage's partitioning — conf can't
+    // widen them afterwards, so par() must track the data-scaled knob
+    // (the r12 ×1000 probe OOM'd at core-count width). Under the default
+    // shuffle ≤ cores this is a no-op (max with defaultParallelism).
+    val docs = Tables.documents(spark, sf)
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    val cores = spark.sparkContext.defaultParallelism
+    try {
+      // pin the conf rather than trusting the suite's ambient value —
+      // earlier suites legitimately leave it adjusted
+      spark.conf.set(key, cores.toString)
+      assert(graft.ops.GraftPar.of(docs) == cores,
+        "shuffle = cores must leave the fan-out at cores")
+      spark.conf.set(key, "1")
+      assert(graft.ops.GraftPar.of(docs) == cores,
+        "a narrower shuffle conf must not shrink the fan-out below cores")
+      val wide = cores * 8
+      spark.conf.set(key, wide.toString)
+      assert(graft.ops.GraftPar.of(docs) == wide,
+        "a data-scaled shuffle width must widen the pinned fan-outs")
+    } finally spark.conf.set(key, old)
+  }
 }
