@@ -16,7 +16,10 @@ object PlanPeek {
     val q = Queries.all.find(_.name == name).getOrElse(
       throw new NoSuchElementException(name))
     val df = q.run(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
+    // execute THIS queryExecution (a noop write runs a SEPARATE one whose
+    // adaptive plan stays isFinalPlan=false — Profile.scala's lesson), so
+    // the printed plan is the finalized post-AQE one that actually ran
+    df.queryExecution.toRdd.foreachPartition(_ => ())
     val plan = df.queryExecution.executedPlan.toString
     needle match {
       case Some(n) =>

@@ -110,6 +110,9 @@ object ScaleProbe {
       val scratch = s"$dir.build"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       build(spark, src, scratch, k)
+      // a stale PARTIAL $dir (e.g. an old interrupted in-place build)
+      // would wedge rename(2) with ENOTEMPTY forever — clear it first
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       if (!new java.io.File(scratch).renameTo(new java.io.File(dir)))
         throw new IllegalStateException(s"rename $scratch -> $dir failed")
     }
@@ -141,9 +144,13 @@ object ScaleProbe {
     // ~290 MB per-task execution share again. A real cluster's
     // minPartitionNum default IS its (large) parallelism; simulating its
     // data volume on 32 cores means simulating that floor too.
-    val bigPartitions = math.max(32, 32 * k / 100)
+    val cores = spark.sparkContext.defaultParallelism
+    val bigPartitions = math.max(cores, cores * k / 100)
     val scaleConfs = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.adaptive.coalescePartitions.minPartitionNum")
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+      // widen the operators' PINNED fan-outs too (ops.GraftPar): a
+      // pinned repartition can't be widened by shuffle conf afterwards
+      graft.ops.GraftPar.Key)
     def withScaleConf[A](d: String)(body: => A): A = {
       val olds = scaleConfs.map(c => c -> spark.conf.getOption(c))
       if (d != src)
@@ -187,7 +194,12 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
     }
-    if (wanted("d07_scaled_nlist")) {
+    if (wanted("d07_scaled_nlist") && k > 100)
+      // enforced exclusion, not just convention: nlist ~ n makes the
+      // O(n-nlist) IVF assignment QUADRATIC - at real scale SemDeDup
+      // trains nlist << n centroids on a sample; two decades measured
+      println(s"[scale] d07_scaled_nlist skipped at x$k (assignment O(n*nlist))")
+    if (wanted("d07_scaled_nlist") && k <= 100) {
       val base = math.min(semdedupScaled(src), semdedupScaled(src))
       val big = semdedupScaled(dir)
       println(f"[scale] ${"d07_scaled_nlist"}%-22s sf0.1 $base%6.2f s  " +

@@ -261,28 +261,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
-  test("operator fan-out floors at the session's shuffle width (GraftPar)") {
+  test("operator fan-out honors spark.graft.fanout, floored at cores (GraftPar)") {
     // explicit repartitions pin their stage's partitioning — conf can't
-    // widen them afterwards, so par() must track the data-scaled knob
-    // (the r12 ×1000 probe OOM'd at core-count width). Under the default
-    // shuffle ≤ cores this is a no-op (max with defaultParallelism).
+    // widen them afterwards, so par() must track a data-scaled knob (the
+    // r12 ×1000 probe OOM'd at core-count width). The knob is DEDICATED:
+    // borrowing spark.sql.shuffle.partitions would inflate every spread
+    // to Spark's out-of-box default 200 in sessions that never set it.
     val docs = Tables.documents(spark, sf)
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
+    val key = graft.ops.GraftPar.Key
     val cores = spark.sparkContext.defaultParallelism
     try {
-      // pin the conf rather than trusting the suite's ambient value —
-      // earlier suites legitimately leave it adjusted
-      spark.conf.set(key, cores.toString)
       assert(graft.ops.GraftPar.of(docs) == cores,
-        "shuffle = cores must leave the fan-out at cores")
+        "unset knob must leave the fan-out at cores")
       spark.conf.set(key, "1")
       assert(graft.ops.GraftPar.of(docs) == cores,
-        "a narrower shuffle conf must not shrink the fan-out below cores")
-      val wide = cores * 8
-      spark.conf.set(key, wide.toString)
-      assert(graft.ops.GraftPar.of(docs) == wide,
-        "a data-scaled shuffle width must widen the pinned fan-outs")
-    } finally spark.conf.set(key, old)
+        "a narrower knob must not shrink the fan-out below cores")
+      spark.conf.set(key, (cores * 8).toString)
+      assert(graft.ops.GraftPar.of(docs) == cores * 8,
+        "a data-scaled fanout must widen the pinned repartitions")
+    } finally spark.conf.unset(key)
   }
 }
