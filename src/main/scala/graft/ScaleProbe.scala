@@ -231,9 +231,12 @@ object ScaleProbe {
         f"x$k ${big}%7.2f s  growth ${big / base}%5.1fx")
       rows += (("a02_scaled_r", base, big))
     }
-    println("{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"queries\":{" +
+    val json = "{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"queries\":{" +
       rows.map { case (n, b, g) =>
-        s""""$n":{"base":$b,"scaled":$g}""" }.mkString(",") + "}}")
+        s""""$n":{"base":${Bench.jnum(b)},"scaled":${Bench.jnum(g)}}""" }
+        .mkString(",") + "}}"
+    Bench.writeArtifact("SPARK_GRAFT_SCALEPROBE_OUT", "scaleprobe_out.json", json)
+    println(json)
     spark.stop()
   }
 }
