@@ -23,9 +23,16 @@ import Ast._
   */
 final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
-  /** Parsed programs by name (e.g. "fixtures/cars" → its Program). */
-  private var programs = Map.empty[String, Program]
-  private val compiled = scala.collection.mutable.Map.empty[String, DataFrame]
+  /** Parsed programs by name (e.g. "fixtures/cars" → its Program).
+    * Mutations go through [[regLock]]: the alert API serves concurrent
+    * set-alerts, and `+=` on a plain var is a read-modify-write that
+    * silently drops one of two racing registrations. Reads stay
+    * lock-free (an immutable Map snapshot). `compiled` is a TrieMap for
+    * the same reason — its getOrElseUpdate may compute a plan twice
+    * under a race, but never corrupts the table. */
+  private val regLock = new Object
+  @volatile private var programs = Map.empty[String, Program]
+  private val compiled = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Bumped on every registry mutation (program register/unregister,
     * table registration, environment pin) — service layers key their
@@ -34,8 +41,10 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private val gen = new java.util.concurrent.atomic.AtomicLong
   def registryGeneration: Long = gen.get
 
-  def register(name: String, p: Program): Unit =
-    { programs += name -> p; gen.incrementAndGet() }
+  def register(name: String, p: Program): Unit = regLock.synchronized {
+    programs += name -> p
+    gen.incrementAndGet()
+  }
 
   /** Service-layer view of the registered programs (Alert/Graphite APIs). */
   def registeredPrograms: Map[String, Program] = programs
@@ -63,7 +72,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** Drop a registered program and its cached plans (set-alerts with an
     * empty list deletes the table/column's alert programs). */
-  def unregister(name: String): Unit = {
+  def unregister(name: String): Unit = regLock.synchronized {
     programs -= name
     compiled.keys.filter(k => k == name || k.startsWith(name + "/"))
       .foreach(compiled.remove)
@@ -72,7 +81,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
 
   /** Expose an existing DataFrame as a parent (`FROM <key>`): how RaQL
     * programs read this engine's tables (parquet, Kafka, …). */
-  def registerTable(key: String, df: DataFrame): Unit = {
+  def registerTable(key: String, df: DataFrame): Unit = regLock.synchronized {
     compiled(key) = df
     gen.incrementAndGet()
   }

@@ -106,11 +106,7 @@ object CsvSource {
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val ctx = org.apache.spark.TaskContext.get()
     if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
-      if (p.isAlive) {
-        p.descendants().forEach(h => { h.destroyForcibly(); () })
-        p.destroyForcibly()
-        ()
-      }
+      if (p.isAlive) graft.streaming.Notify.Alerter.killTree(p)
     }
     p.getOutputStream.close()
     val r = new java.io.BufferedReader(
@@ -126,7 +122,12 @@ object CsvSource {
       private def finish(): Unit = if (!closed) {
         closed = true
         r.close()
-        val code = p.waitFor()
+        // bounded: a command that closes stdout then LINGERS (daemonizing
+        // cleanup) must not hang the task at EOF — the task-completion
+        // kill listener can't help, it only fires when the task ends
+        val exited = p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (!exited) graft.streaming.Notify.Alerter.killTree(p)
+        val code = if (exited) p.exitValue() else 124
         if (code != 0)
           System.err.println(s"[csv] preprocessor '$cmd' exited $code")
         else if (unlink)
@@ -160,10 +161,18 @@ object CsvSource {
     if (st == null) Nil
     else st.toSeq
       .flatMap { s =>
-        if (s.isDirectory) fs.listStatus(s.getPath).toSeq.filter(_.isFile)
-        else Seq(s)
+        if (s.isDirectory)
+          // parity with the built-in reader's directory handling: Spark's
+          // file index drops hidden/metadata entries (_SUCCESS,
+          // _committed_*, dotfiles) — piping those through from_csv would
+          // fabricate garbage rows
+          fs.listStatus(s.getPath).toSeq.filter(c => c.isFile && {
+            val n = c.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+        else Seq(s).filter(_.isFile)
       }
-      .filter(_.isFile).map(_.getPath.toUri.getPath).sorted
+      .map(_.getPath.toUri.getPath).sorted
   }
 
   /** Streaming variant: tail a directory of CSV files. */

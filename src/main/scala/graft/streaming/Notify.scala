@@ -152,7 +152,7 @@ object Notify {
     private def debounceDelay(n: Notification): Double =
       if (n.debounce >= 0) n.debounce else defaultDebounce
 
-    def deliver(n0: Notification): Unit = { deliverLocked(n0); drainOutbox() }
+    def deliver(n0: Notification): Unit = { deliverLocked(n0); drainOutbox(wait = false) }
 
     private def deliverLocked(n0: Notification): Unit = synchronized {
       val n = if (n0.sentTime > 0) n0 else n0.copy(sentTime = clock())
@@ -193,7 +193,7 @@ object Notify {
 
     /** Send every due pending message and synthesize timed-out stops
       * (notifications carrying `timeout` whose stop never arrived). */
-    def flush(at: Double): Unit = { flushLocked(at); drainOutbox() }
+    def flush(at: Double): Unit = { flushLocked(at); drainOutbox(wait = true) }
 
     private def flushLocked(at: Double): Unit = synchronized {
       // timeouts first so they can cancel/schedule at this same flush
@@ -276,15 +276,21 @@ object Notify {
       * deliveries on their own schedule under a watchdog, bounded at
       * max_exec=5 concurrent commands. The drain is serialized by its
       * own lock and consumes the shared FIFO, so deliveries reach
-      * contacts in preparation order whichever thread drains them (a
-      * flush may therefore return while a CONCURRENT drainer is still
-      * sending its deliveries — the reference's delivery loop is
-      * likewise asynchronous from ingestion); the wait a stuck contact
-      * can impose is bounded by [[Alerter.shellRun]]'s timeout. */
+      * contacts in preparation order whichever thread drains them.
+      *
+      * Synchrony contract: `flush` WAITS (wait = true) until the outbox
+      * is empty AND any in-flight drain has finished — "flush returned"
+      * must keep implying "this flush's deliveries were attempted", or
+      * the streaming sink's LAST batch could hand its STOP to the
+      * daemon heartbeat thread and lose it at JVM exit. `deliver` keeps
+      * the fast path (its rare pending-STOP delivery can ride a
+      * concurrent drainer) so alerter BOOKKEEPING never blocks behind a
+      * stuck contact; the wait a stuck contact can impose on flush is
+      * bounded by [[Alerter.shellRun]]'s timeout. */
     private val outbox = new ConcurrentLinkedQueue[Delivery]()
     private val dispatchLock = new Object
-    private def drainOutbox(): Unit =
-      if (!outbox.isEmpty) dispatchLock.synchronized {
+    private def drainOutbox(wait: Boolean): Unit =
+      if (wait || !outbox.isEmpty) dispatchLock.synchronized {
         var d = outbox.poll()
         while (d != null) { dispatchOne(d); d = outbox.poll() }
       }
@@ -329,6 +335,11 @@ object Notify {
             kafkaSend(k.options, topic, partition, payload)
             journal(s"SENT $what ${d.name} via kafka")
         } catch {
+          // interruption is NOT a contact failure: swallowing it here
+          // would clear the heartbeat's stop signal mid-drain (the thread
+          // checks its interrupt flag) — propagate; undispatched outbox
+          // items stay queued for the next drain
+          case ie: InterruptedException => throw ie
           case e: Exception =>
             journal(s"FAILED $what ${d.name}: ${e.getMessage}")
         }
@@ -405,14 +416,17 @@ object Notify {
       val done = p.waitFor(math.max(1L, (timeoutSec * 1000).toLong),
         java.util.concurrent.TimeUnit.MILLISECONDS)
       if (done) p.exitValue()
-      else {
-        // descendants first: killing only sh reparents a pipeline's
-        // children to init and they keep running
-        p.descendants().forEach(h => { h.destroyForcibly(); () })
-        p.destroyForcibly()
-        p.waitFor()
-        124
-      }
+      else { killTree(p); p.waitFor(); 124 }
+    }
+
+    /** Kill a process AND its descendants — descendants first: killing
+      * only the sh parent reparents a pipeline's children to init and
+      * they keep running. Shared by the Exec-contact timeout and the CSV
+      * preprocessor's task-abort path. */
+    def killTree(p: Process): Unit = {
+      p.descendants().forEach(h => { h.destroyForcibly(); () })
+      p.destroyForcibly()
+      ()
     }
 
     /** Default [[Contact.Kafka]] production: refuse loudly — no Kafka
