@@ -121,10 +121,26 @@ object ScaleProbe {
     // re-measures only the configs the ×10 one flagged or certified)
     val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
+    // FIXED-config quadratics auto-skip above x10 unless explicitly
+    // named: a02's fixed r=8 keeps 2^8 buckets per band, so pairs grow
+    // ~n^2/256 - at x100 that is ~600M candidate rows whose sort-merge
+    // spill FILLED THE DISK (measured 2026-08-15, [SPILL_OUT_OF_MEMORY]
+    // "No space left on device" after 41 GB); d07's fixed nlist=16 is
+    // the same class (measured 137x at x100). Their scaled variants
+    // (a02_scaled_r, d07_scaled_nlist) are the production sizing and
+    // stay in the default set.
+    val fixedQuadratic = Set("a02_ann_lsh", "d07_semantic_dedup")
+    def runnable(n: String): Boolean =
+      wanted(n) && (k <= 10 || only.exists(_.contains(n)) || {
+        if (fixedQuadratic(n))
+          println(s"[scale] $n skipped at x$k (fixed-config quadratic; " +
+            "name it explicitly to force)")
+        !fixedQuadratic(n)
+      })
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",
       "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf",
-      "t01_tokstats", "t08_bpe_tokens").filter(wanted)
+      "t01_tokstats", "t08_bpe_tokens").filter(runnable)
     val qs = Queries.all.filter(q => names.contains(q.name))
     spark.range(1000).selectExpr("sum(id)").collect()
 
