@@ -237,13 +237,18 @@ object DedupQueries {
     // not n². Fully value-oracled — seeded centroids make the assignment
     // argmax, the within-cell pair set, and the min-id pick exactly
     // reproducible in DuckDB (same machinery a04 proved).
+    // nlist is NOT pinned: the registered config takes the scale-safe
+    // default ([[Dedup.autoNlist]] — cells sized to a constant expected
+    // population so Σ|cell|² stays linear; the r12 probe measured the
+    // pinned nlist=16 config at 137× per ×100). The static oracle stays
+    // valid because autoNlist derives exactly 16 at every verify/bench SF
+    // (n ≤ 2000 ⇒ the floor), which also keeps the assignment on the
+    // exact single-level argmax the oracle replays.
     QueryDef(
       "d07_semantic_dedup",
       (s, d) => {
         val embs = Tables.embeddings(s, d)
-        Dedup.semanticDedup(embs, "vec_id", "embedding",
-          graft.ops.Similarity.seedCentroids(embs, "vec_id", "embedding", 16),
-          minCos = 0.4)
+        Dedup.semanticDedupAuto(embs, "vec_id", "embedding", minCos = 0.4)
           .select(col("id").as("vec_id"), col("cell"), col("dup_of"),
             col("is_dup"))
           .orderBy("vec_id")

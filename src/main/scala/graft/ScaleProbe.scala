@@ -121,26 +121,15 @@ object ScaleProbe {
     // re-measures only the configs the ×10 one flagged or certified)
     val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
-    // FIXED-config quadratics auto-skip above x10 unless explicitly
-    // named: a02's fixed r=8 keeps 2^8 buckets per band, so pairs grow
-    // ~n^2/256 - at x100 that is ~600M candidate rows whose sort-merge
-    // spill FILLED THE DISK (measured 2026-08-15, [SPILL_OUT_OF_MEMORY]
-    // "No space left on device" after 41 GB); d07's fixed nlist=16 is
-    // the same class (measured 137x at x100). Their scaled variants
-    // (a02_scaled_r, d07_scaled_nlist) are the production sizing and
-    // stay in the default set.
-    val fixedQuadratic = Set("a02_ann_lsh", "d07_semantic_dedup")
-    def runnable(n: String): Boolean =
-      wanted(n) && (k <= 10 || only.exists(_.contains(n)) || {
-        if (fixedQuadratic(n))
-          println(s"[scale] $n skipped at x$k (fixed-config quadratic; " +
-            "name it explicitly to force)")
-        !fixedQuadratic(n)
-      })
+    // r13: the r12 fixed-config quadratic skip (a02 fixed r, d07 fixed
+    // nlist — the configs that filled the disk at ×100) is GONE because
+    // the registered operators now derive those parameters from the
+    // corpus size by default (Similarity.autoLshR, Dedup.autoNlist) —
+    // the probe runs the same configs a user gets.
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",
       "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf",
-      "t01_tokstats", "t08_bpe_tokens").filter(runnable)
+      "t01_tokstats", "t08_bpe_tokens").filter(wanted)
     val qs = Queries.all.filter(q => names.contains(q.name))
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -176,78 +165,39 @@ object ScaleProbe {
         case (c, None) => spark.conf.unset(c)
       }
     }
-    def time(q: QueryDef, d: String): Double = withScaleConf(d) {
+    def time1(q: QueryDef, d: String): Double = withScaleConf(d) {
       System.gc()
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // median-of-N at BOTH scales (r12 task 8: the ×1000 single-shot
+    // wall-clocks swung ±50 % same-code — 29.8–60.0 s for d02 — so
+    // single-shot growth factors at the big scale are unusable). Reps
+    // default 3; override with SPARK_GRAFT_SCALE_REPS for quick looks.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    def time(q: QueryDef, d: String): Double =
+      Bench.median((1 to reps).map(_ => time1(q, d)))
+    // the same machine-speed canary the bench carries (bit_xor: ANSI
+    // long-sum overflow is fatal) — lets a reader normalize growth
+    // factors measured in different sessions before comparing them
+    val canary = Bench.median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(2000000000L).selectExpr("bit_xor(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     qs.foreach { q =>
-      println(s"[scale] probing ${q.name}")
-      val base = math.min(time(q, src), time(q, src))
+      println(s"[scale] probing ${q.name} ($reps reps)")
+      val base = time(q, src)
       val big = time(q, dir)
       println(f"[scale] ${q.name}%-22s sf0.1 $base%6.2f s  x$k ${big}%7.2f s" +
         f"  growth ${big / base}%5.1fx")
       rows += ((q.name, base, big))
     }
-    // d07 again with nlist SCALED to the corpus (SemDeDup practice: the
-    // cluster count grows with n so E[|cell|] stays constant and the
-    // Σ|cell|² pair cost stays linear). The registered query pins
-    // nlist = 16 for its DuckDB oracle, so its probe growth above
-    // measures 10× cells of 10× size (~100× pairs) — a configuration
-    // artifact this variant removes.
-    def semdedupScaled(d: String): Double = {
-      val embs = Tables.embeddings(spark, d)
-      val n = embs.count()
-      val nlist = math.max(16, (n / 125).toInt)
-      val cents = ops.Similarity.seedCentroids(embs, "vec_id", "embedding", nlist)
-      withScaleConf(d) {
-        System.gc()
-        val t0 = System.nanoTime()
-        ops.Dedup.semanticDedup(embs, "vec_id", "embedding", cents, minCos = 0.4)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-    }
-    if (wanted("d07_scaled_nlist") && k > 100)
-      // enforced exclusion, not just convention: nlist ~ n makes the
-      // O(n-nlist) IVF assignment QUADRATIC - at real scale SemDeDup
-      // trains nlist << n centroids on a sample; two decades measured
-      println(s"[scale] d07_scaled_nlist skipped at x$k (assignment O(n*nlist))")
-    if (wanted("d07_scaled_nlist") && k <= 100) {
-      val base = math.min(semdedupScaled(src), semdedupScaled(src))
-      val big = semdedupScaled(dir)
-      println(f"[scale] ${"d07_scaled_nlist"}%-22s sf0.1 $base%6.2f s  " +
-        f"x$k ${big}%7.2f s  growth ${big / base}%5.1fx")
-      rows += (("d07_scaled_nlist", base, big))
-    }
-    // a02 with the sign-bit width r SCALED to the corpus (r ~ log2 n):
-    // fixed r means 2^r buckets per band and Σ|bucket|² ~ n²/2^r
-    // comparisons — the registered query's r = 8 is flagged quadratic by
-    // the fixed-config probe above; +log2(k) bits keeps E[|bucket|]
-    // constant so comparisons scale linearly (the standard LSH sizing).
-    def lshScaledR(d: String): Double = {
-      val embs = Tables.embeddings(spark, d)
-      val n = embs.count()
-      val r = math.max(8, (math.log(n / 8.0) / math.log(2)).round.toInt)
-      withScaleConf(d) {
-        System.gc()
-        val t0 = System.nanoTime()
-        ops.Similarity.lshNeighbors(embs, "vec_id", "embedding",
-            bands = 8, r = r, minCos = 0.9)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-    }
-    if (wanted("a02_scaled_r")) {
-      val base = math.min(lshScaledR(src), lshScaledR(src))
-      val big = lshScaledR(dir)
-      println(f"[scale] ${"a02_scaled_r"}%-22s sf0.1 $base%6.2f s  " +
-        f"x$k ${big}%7.2f s  growth ${big / base}%5.1fx")
-      rows += (("a02_scaled_r", base, big))
-    }
-    val json = "{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"queries\":{" +
+    val json = "{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"reps\":" + reps +
+      ",\"stat\":\"median\",\"canary_sec\":" + Bench.jnum(canary) +
+      ",\"queries\":{" +
       rows.map { case (n, b, g) =>
         s""""$n":{"base":${Bench.jnum(b)},"scaled":${Bench.jnum(g)}}""" }
         .mkString(",") + "}}"

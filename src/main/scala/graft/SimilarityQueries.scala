@@ -103,10 +103,18 @@ object SimilarityQueries {
     // re-score) value-for-value in DuckDB. The r6 bench timed the recall
     // AUDIT under this name; the audit is now a02a so cross-round tracking
     // times the 100 TB-critical plan itself.
+    //
+    // r is NOT pinned here: the registered config takes the scale-safe
+    // default ([[Similarity.autoLshR]] — 2^r tracks corpus size so the
+    // candidate-pair stream stays linear; the r12 probe measured the
+    // pinned-r config filling the disk at ×100). The static oracle stays
+    // valid because autoLshR derives exactly LshR = 4 at every
+    // verify/bench SF (n ≤ 2000 ⇒ the rMin floor); a02a pins r
+    // explicitly so its recall assertion tracks a fixed banding.
     QueryDef(
       "a02_ann_lsh",
       (s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d), "vec_id",
-        "embedding", bands = LshBands, r = LshR, minCos = LshMinCos)
+        "embedding", bands = LshBands, minCos = LshMinCos)
         .orderBy("id_a", "id_b"),
       Some(lshOracleSql),
       headline = true),

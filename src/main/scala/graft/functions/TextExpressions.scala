@@ -242,6 +242,102 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
     copy(child = c)
 }
 
+/** Two-level IVF cell assignment: argmax-dot over `coarse` centroids,
+  * then argmax-dot over only the `fine` centroids grouped under that
+  * coarse winner (`group(j)` = 0-based coarse index of fine centroid j).
+  * Returns the 1-based GLOBAL fine index — the same cell-id space as the
+  * single-level [[PqEncode]] argmax.
+  *
+  * Why: single-level assignment is O(nlist) dots per row, and a
+  * corpus-scaled nlist (the sizing that keeps SemDeDup's Σ|cell|² pair
+  * cost linear) makes that O(n·nlist) — the quadratic that excluded the
+  * scaled-nlist probe at ×1000. Two-level probes ~2·√nlist centroids per
+  * row instead. APPROXIMATE by construction: the true argmax fine
+  * centroid may live under a different coarse winner (standard IVF
+  * coarse-probe behavior; for dedup the cells are a heuristic partition
+  * either way). Ties first-wins on ascending index at both levels,
+  * matching the single-level kernel's semantics.
+  */
+case class TwoLevelArgmax(child: Expression, coarse: Seq[Seq[Double]],
+    fine: Seq[Seq[Double]], group: Seq[Int])
+    extends UnaryExpression {
+
+  require(coarse.nonEmpty && fine.nonEmpty && group.length == fine.length,
+    "two_level_argmax: empty centroids or group/fine length mismatch")
+  require(group.forall(g => g >= 0 && g < coarse.length),
+    "two_level_argmax: group index out of coarse range")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "two_level_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val coarseFlat: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val fineFlat: Array[Array[Double]] =
+    fine.map(_.toArray).toArray
+  // members(c) = ascending global fine indices under coarse cell c —
+  // ascending order is what makes the fine tie-break first-wins GLOBAL
+  @transient private lazy val members: Array[Array[Int]] = {
+    val m = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    group.zipWithIndex.foreach { case (g, j) => m(g) += j }
+    m.map(_.toArray)
+  }
+
+  def compute(arr: ArrayData): Int = {
+    val dim = coarseFlat(0).length
+    def dot(cw: Array[Double]): Double = {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        acc += x * cw(d)
+        d += 1
+      }
+      acc
+    }
+    var bestC = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < coarseFlat.length) {
+      val s = dot(coarseFlat(c))
+      if (s > bestScore) { bestScore = s; bestC = c }
+      c += 1
+    }
+    val ms = members(bestC)
+    var bestJ = if (ms.isEmpty) 0 else ms(0)
+    bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < ms.length) {
+      val s = dot(fineFlat(ms(i)))
+      if (s > bestScore) { bestScore = s; bestJ = ms(i) }
+      i += 1
+    }
+    bestJ + 1
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("twoLevelArgmax", this,
+      classOf[TwoLevelArgmax].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TwoLevelArgmax =
+    copy(child = c)
+}
+
 /** SimHash-64 of a token array in one pass: per-token xxhash64 (seed 42,
   * identical to Spark's `xxhash64(tok)`), ±1 vote per bit, bit set when
   * votes > 0. Replaces both the interpreted HOF fold and d04's

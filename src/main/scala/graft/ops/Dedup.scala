@@ -503,7 +503,51 @@ object Dedup {
     * Returns one row per vector: (id, cell, dup_of, is_dup) with
     * dup_of = min lower-id cell-mate at cosine ≥ minCos (NULL ⇒ kept). */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[Seq[Double]], minCos: Double, cellCap: Int = 4096): DataFrame = {
+      cents: Seq[Seq[Double]], minCos: Double, cellCap: Int = 4096): DataFrame =
+    semanticDedupWith(embs, idCol, vecCol,
+      Similarity.cellArgmax(_, cents), minCos, cellCap)
+
+  /** Scale-safe default cell count: ⌈n / targetCell⌉ keeps the EXPECTED
+    * cell population — and the Σ|cell|² pair cost ≈ n·targetCell —
+    * constant per row (the SemDeDup sizing practice: clusters grow with
+    * the corpus). The floor keeps tiny corpora at the oracle-pinned
+    * registered nlist = 16 (targetCell = 125 makes every verify/bench SF,
+    * n ≤ 2000, derive exactly 16); the cap bounds the driver-resident
+    * centroid literal (64 k × 64 dims ≈ 32 MB of doubles) — a corpus past
+    * the cap (> 8 M rows at targetCell 125) should pass TRAINED centroids
+    * ([[Similarity.ivfKmeansTopK]]'s sweep over a sample) to
+    * [[semanticDedup]] explicitly, which is also SemDeDup practice. */
+  def autoNlist(n: Long, targetCell: Int = 125, nMin: Int = 16,
+      nMax: Int = 1 << 16): Int =
+    math.min(nMax.toLong,
+      math.max(nMin.toLong, (n + targetCell - 1) / targetCell)).toInt
+
+  /** [[semanticDedup]] with the cell count DERIVED from the corpus row
+    * count ([[autoNlist]]) — the scale-safe default: a fixed nlist is
+    * quadratic-by-config (Σ|cell|² with |cell| ∝ n; the registered
+    * nlist = 16 config measured 137× at the ×100 probe and the scaled
+    * fix-up was opt-in until r13). Above `twoLevelAbove` centroids the
+    * assignment switches to the two-level ⌈√nlist⌉-coarse probe
+    * ([[Similarity.cellArgmaxTwoLevel]]) so assignment work stays
+    * O(n·√nlist) instead of O(n·nlist) — the quadratic that excluded the
+    * scaled-nlist ×1000 probe in r12. The threshold keeps every
+    * verify/bench SF (nlist = 16) on the EXACT single-level argmax the
+    * DuckDB oracle replays; the two-level path is approximate near coarse
+    * boundaries (documented there). */
+  def semanticDedupAuto(embs: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, targetCell: Int = 125, twoLevelAbove: Int = 64,
+      cellCap: Int = 4096): DataFrame = {
+    val nlist = autoNlist(Similarity.sizingCount(embs), targetCell)
+    val cents = Similarity.seedCentroids(embs, idCol, vecCol, nlist)
+    val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (nlist <= twoLevelAbove) Similarity.cellArgmax(_, cents)
+      else Similarity.cellArgmaxTwoLevel(_, cents)
+    semanticDedupWith(embs, idCol, vecCol, assign, minCos, cellCap)
+  }
+
+  private def semanticDedupWith(embs: DataFrame, idCol: String, vecCol: String,
+      assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      minCos: Double, cellCap: Int): DataFrame = {
     val dim = Similarity.vecDim(embs, vecCol)
     // the assignment (nlist×dim dots per row, one argmax kernel call —
     // Similarity.cellArgmax) feeds THREE consumers — the cell-size
@@ -514,7 +558,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.normFlat(col(vecCol), dim).as("norm")),
       par(embs)) // spread the per-row nlist×dim dot products
-      .withColumn("cell", Similarity.cellArgmax(col("v"), cents))
+      .withColumn("cell", assign(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // co-partitioned blocked self-join (pinned: a broadcast build side
     // would redo the whole assignment pipeline in one task). The join key

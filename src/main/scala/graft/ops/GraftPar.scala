@@ -29,7 +29,16 @@ object GraftPar {
     val cores = ss.sparkContext.defaultParallelism
     val fanout =
       try ss.conf.getOption(Key).map(_.toInt).getOrElse(0)
-      catch { case _: NumberFormatException => 0 }
+      catch {
+        case _: NumberFormatException =>
+          // loud, not silent: a typo'd fanout falling back to core count
+          // quietly reintroduces the ×1000 pinned-fanout OOM the knob
+          // exists to prevent (r12 ADVICE)
+          org.slf4j.LoggerFactory.getLogger(GraftPar.getClass).warn(
+            s"malformed $Key='${ss.conf.getOption(Key).getOrElse("")}' " +
+              s"ignored; falling back to core count $cores")
+          0
+      }
     math.max(cores, fanout)
   }
 }

@@ -67,6 +67,40 @@ object Similarity {
         org.apache.spark.sql.GraftShims.expression(v), Seq(cents))), 1)
       .getField("code")
 
+  /** Two-level cell assignment over the SAME global cell-id space as
+    * [[cellArgmax]]: ⌈√nlist⌉ coarse probes, then fine argmax within the
+    * coarse winner's member group — O(√nlist) dots per row instead of
+    * O(nlist), the difference between linear and quadratic total
+    * assignment work when nlist itself scales with the corpus
+    * ([[Dedup.semanticDedupAuto]]). Coarse centroids are the first
+    * ⌈√nlist⌉ fine centroids (as arbitrary a seeding as the fine seeds
+    * themselves, and deterministic); each fine centroid groups under its
+    * argmax-dot coarse mate, computed once at the driver
+    * (nlist·√nlist·dim flops — ~10⁸ at the 64 k centroid cap).
+    * APPROXIMATE: rows near a coarse boundary may land in a neighboring
+    * fine cell vs the exact argmax (standard IVF behavior). */
+  private[ops] def cellArgmaxTwoLevel(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val nCoarse = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    val flat = cents.map(_.toArray).toArray // flat arrays: the grouping is
+    val coarse = flat.take(nCoarse)         // nlist·√nlist·dim driver flops
+    val group = flat.toSeq.map { f =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < nCoarse) {
+        var acc = 0.0; var d = 0
+        val cw = coarse(c)
+        while (d < f.length) { acc += f(d) * cw(d); d += 1 }
+        if (acc > bestScore) { bestScore = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.TwoLevelArgmax(
+        org.apache.spark.sql.GraftShims.expression(v),
+        coarse.map(_.toSeq).toSeq, cents, group))
+  }
+
   private def cosine(dim: Int) = round(
     dotFlat(col("q.v"), col("c.v"), dim) / (col("q.norm") * col("c.norm")), 9)
 
@@ -379,18 +413,56 @@ object Similarity {
     adc.withColumn("rk", row_number().over(rkW)).filter(col("rk") <= k)
   }
 
+  /** Scale-safe default for the per-band sign width: pick r so that
+    * 2^r ≈ n / targetBucket, i.e. the EXPECTED bucket population — and
+    * with it the per-band candidate-pair cost Σ|bucket|² ≈ n·targetBucket
+    * — stays constant per row as the corpus grows. A FIXED r is
+    * quadratic-by-config: pairs grow ∝ n²/2^r, and the registered r = 4
+    * config measured at the ×100 scale probe generated ~600 M candidate
+    * rows whose sort-merge spill filled the disk (41 GB,
+    * SPILL_OUT_OF_MEMORY). Each ×10 of data adds ~3.3 bits instead.
+    *
+    * Integer bit-math, not floating log2: `ceil(log(16)/log(2))` can land
+    * on 5 if the double ratio rounds to 4.0000…02; ceil-log2 via
+    * numberOfLeadingZeros is exact. The floor keeps tiny corpora at the
+    * oracle-pinned registered width (targetBucket = 125 makes n ≤ 2000 —
+    * every verify/bench SF — derive exactly rMin = 4, so the static
+    * DuckDB oracle stays valid without pinning); the cap bounds the
+    * signature width (2^24 buckets ≈ 2 G rows per band before saturating,
+    * at which point bucketCap blocking carries the rest). */
+  def autoLshR(n: Long, targetBucket: Int = 125, rMin: Int = 4,
+      rMax: Int = 24): Int = {
+    val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    val ceilLog2 =
+      if (buckets <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(rMax, math.max(rMin, ceilLog2))
+  }
+
+  /** Corpus row count for sizing decisions: exact parquet/orc footer
+    * counts when the frame is a 1:1 view of a file scan (zero Spark
+    * jobs — the path every registered query takes), else one map-only
+    * count job. */
+  private[ops] def sizingCount(df: DataFrame): Long =
+    Dedup.leafRowBound(df).getOrElse(df.count())
+
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with
     * cos ≥ minCos.
+    *
+    * `r` (sign bits per band) defaults to 0 = DERIVE from the corpus row
+    * count ([[autoLshR]]): fixed widths are quadratic at scale, so the
+    * scale-safe sizing is the default and a pinned width is the opt-in
+    * (oracle determinism, recall audits).
     *
     * PRECONDITION: `idCol` values must be UNIQUE (pairs emit from their
     * first shared band with no distinct() — duplicate ids duplicate pair
     * rows). */
   def lshNeighbors(embs: DataFrame, idCol: String, vecCol: String,
-      bands: Int = 8, r: Int = 8, minCos: Double = 0.0, seed: Long = 42L,
+      bands: Int = 8, r: Int = 0, minCos: Double = 0.0, seed: Long = 42L,
       bucketCap: Int = 4096): DataFrame = {
+    val rEff = if (r > 0) r else autoLshR(sizingCount(embs))
     val dim = vecDim(embs, vecCol)
-    val planes = hyperplanes(dim, bands, r, seed)
+    val planes = hyperplanes(dim, bands, rEff, seed)
     val v = Dedup.spreadInput(withVec(embs, idCol, vecCol, dim), par(embs))
     // Map-only bucket computation — ONE native kernel for all bands×r
     // plane dots + sign packing (graft.functions.LshSignBuckets): the
@@ -401,7 +473,7 @@ object Similarity {
     // only shuffle downstream carries the narrow (id, band, bucket) rows.
     val sigCol = org.apache.spark.sql.GraftShims.column(
       graft.functions.LshSignBuckets(
-        org.apache.spark.sql.GraftShims.expression(col("v")), planes, bands, r))
+        org.apache.spark.sql.GraftShims.expression(col("v")), planes, bands, rEff))
     // hot buckets (a degenerate sign pattern collecting a large slice of
     // the corpus — boilerplate embeddings) triangle-block-split above
     // bucketCap, same exact rewrite as the text LSH / SemDeDup cells

@@ -530,4 +530,101 @@ class DedupSpec extends AnyFunSuite {
     assert(intercept[IllegalStateException](KeeperState.decode(negCount))
       .getMessage.contains("corrupt"))
   }
+
+  test("autoLshR / autoNlist: scale-safe defaults track corpus size, floors pin the verify SFs") {
+    import Similarity.autoLshR
+    import Dedup.autoNlist
+    // every verify/bench SF (n <= 2000) derives EXACTLY the registered
+    // config the static DuckDB oracles embed (r = 4, nlist = 16)
+    for (n <- Seq(1L, 500L, 2000L)) {
+      assert(autoLshR(n) == 4, s"autoLshR($n)")
+      assert(autoNlist(n) == 16, s"autoNlist($n)")
+    }
+    // each x10 of data adds ~3.3 sign bits / x10 cells: expected bucket
+    // and cell populations stay ~constant, so pair cost stays linear
+    assert(autoLshR(20000L) == 8)     // ceil(log2(160))
+    assert(autoLshR(200000L) == 11)   // ceil(log2(1600))
+    assert(autoLshR(2000000L) == 14)  // ceil(log2(16000))
+    assert(autoNlist(20000L) == 160)
+    assert(autoNlist(200000L) == 1600)
+    assert(autoNlist(2000000L) == 16000)
+    // exact powers of two must not ceil up (integer bit-math, not
+    // floating log2, whose ratio can land at 4.0000...02)
+    assert(autoLshR(125L << 4) == 4)   // exactly 16 buckets -> 4 bits
+    assert(autoLshR(125L << 10) == 10) // exactly 1024 buckets -> 10 bits
+    // caps bound the signature width / driver-resident centroid literal
+    assert(autoLshR(Long.MaxValue / 4) == 24)
+    assert(autoNlist(Long.MaxValue / 4) == (1 << 16))
+  }
+
+  test("two-level argmax equals exact argmax on well-separated cells and is valid everywhere") {
+    import graft.functions.TwoLevelArgmax
+    import org.apache.spark.sql.GraftShims
+    // 9 well-separated axis clusters in R^16: every vector is far closer
+    // to its own centroid than to any other, so the coarse detour cannot
+    // change the winner and two-level MUST equal single-level exactly
+    val dim = 16
+    val nCents = 9
+    def axis(i: Int): Seq[Double] = Seq.tabulate(dim)(d => if (d == i) 1.0 else 0.0)
+    val cents = Seq.tabulate(nCents)(axis)
+    val rows = (0 until 90).map { i =>
+      val c = i % nCents
+      (i.toLong, Array.tabulate(dim)(d =>
+        (if (d == c) 1.0f else 0.0f) + (i % 5) * 0.01f))
+    }
+    val df = rows.toDF("id", "v")
+    def dot(a: Seq[Double], b: IndexedSeq[Float]): Double =
+      a.zipWithIndex.map { case (x, d) => x * b(d) }.sum
+    val nCoarse = math.ceil(math.sqrt(nCents.toDouble)).toInt
+    val coarse = cents.take(nCoarse)
+    // Seq.maxBy is first-wins on ties, matching the kernel's strict >
+    val group = cents.map(f => coarse.indices.maxBy(ci =>
+      f.zip(coarse(ci)).map { case (a, b) => a * b }.sum))
+    val two = GraftShims.column(TwoLevelArgmax(
+      GraftShims.expression(col("v")), coarse, cents, group))
+    val one = rows.map { case (_, v) =>
+      (0 until nCents).maxBy(j => dot(cents(j), v.toIndexedSeq))
+    }
+    val got = df.select(col("id"), two.as("cell")).as[(Long, Int)]
+      .collect().sortBy(_._1).map(_._2 - 1)
+    // separated clusters: exact agreement with the driver-side argmax
+    assert(got.toSeq == one, s"two-level disagreed: ${got.toSeq} vs $one")
+    // and the winner is the true per-row argmax cluster
+    rows.zip(got).foreach { case ((id, _), cell) =>
+      assert(cell == (id % nCents), s"row $id landed in $cell") }
+  }
+
+  test("semanticDedupAuto at small n is EXACTLY the pinned nlist=16 single-level plan") {
+    val embs = Tables.embeddings(spark, sf)
+    val auto = Dedup.semanticDedupAuto(embs, "vec_id", "embedding", minCos = 0.4)
+      .select("id", "cell", "dup_of", "is_dup")
+      .as[(Long, Int, Option[Long], Boolean)].collect().toSet
+    val pinned = Dedup.semanticDedup(embs, "vec_id", "embedding",
+        Similarity.seedCentroids(embs, "vec_id", "embedding", 16), minCos = 0.4)
+      .select("id", "cell", "dup_of", "is_dup")
+      .as[(Long, Int, Option[Long], Boolean)].collect().toSet
+    assert(auto == pinned,
+      "auto sizing must reduce to the oracle-pinned plan at verify SFs")
+  }
+
+  test("semanticDedupAuto two-level path: valid cells, lower-id dup_of, dups verified") {
+    val embs = Tables.embeddings(spark, sf)
+    // force the scaled regime on the tiny corpus: targetCell 4 derives
+    // nlist = ceil(500/4) = 125 > twoLevelAbove -> two-level assignment
+    val out = Dedup.semanticDedupAuto(embs, "vec_id", "embedding",
+        minCos = 0.4, targetCell = 4)
+      .select("id", "cell", "dup_of", "is_dup")
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+    assert(out.length == embs.count(), "one row per vector")
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 125), "cell ids in range")
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    val exact = Dedup.embeddingNearDup(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out.collect { case (id, _, Some(keep), isDup) =>
+      assert(isDup)
+      assert(keep < id, s"dup_of must be a lower id ($id -> $keep)")
+      assert(cellOf(keep) == cellOf(id), s"dup_of must share the cell")
+      assert(exact.contains((keep, id)), s"($keep,$id) not a true near-dup")
+    }
+  }
 }
