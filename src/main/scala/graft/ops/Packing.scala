@@ -40,8 +40,10 @@ object Packing {
     // aggregates), not a data-volume scan.
     val bases = t.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
       .withColumn("base",
-        coalesce(sum("bsum").over(Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        coalesce(sum("bsum").over(
+          Window.partitionBy(Windows.oneGroup(col("bucket")))
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("bsum")
     // phase 2: within-bucket exclusive prefix (parallel across buckets)
     val local = Window.partitionBy("bucket").orderBy("id")

@@ -422,21 +422,32 @@ object Similarity {
     * rows whose sort-merge spill filled the disk (41 GB,
     * SPILL_OUT_OF_MEMORY). Each ×10 of data adds ~3.3 bits instead.
     *
+    * Sizing: targetBucket = 8 is the standard LSH regime (buckets ≈ n/8;
+    * candidate work per row per band ≈ 4 dots) — the same sizing the r12
+    * a02_scaled_r probe certified across three decades. A LOOSER constant
+    * (E[bucket] = 125, the registered small-SF density) was measured at
+    * the r13 ×100 probe: linear in pair COUNT but 224× in wall-clock —
+    * the 15×-bigger candidate stream paid superlinear sort/spill costs in
+    * the verification joins. Below `pinN` rows the derivation returns
+    * exactly `rMin` = the registered width the static DuckDB oracles
+    * embed, so every verify/bench SF (n ≤ 2000) is bit-pinned without the
+    * caller passing r.
+    *
     * Integer bit-math, not floating log2: `ceil(log(16)/log(2))` can land
     * on 5 if the double ratio rounds to 4.0000…02; ceil-log2 via
-    * numberOfLeadingZeros is exact. The floor keeps tiny corpora at the
-    * oracle-pinned registered width (targetBucket = 125 makes n ≤ 2000 —
-    * every verify/bench SF — derive exactly rMin = 4, so the static
-    * DuckDB oracle stays valid without pinning); the cap bounds the
-    * signature width (2^24 buckets ≈ 2 G rows per band before saturating,
-    * at which point bucketCap blocking carries the rest). */
-  def autoLshR(n: Long, targetBucket: Int = 125, rMin: Int = 4,
-      rMax: Int = 24): Int = {
-    val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
-    val ceilLog2 =
-      if (buckets <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
-    math.min(rMax, math.max(rMin, ceilLog2))
-  }
+    * numberOfLeadingZeros is exact. The cap bounds the signature width
+    * (2^24 buckets ≈ 134 M per band before E[bucket] grows again, at
+    * which point bucketCap blocking carries the rest). */
+  def autoLshR(n: Long, targetBucket: Int = 8, rMin: Int = 4,
+      rMax: Int = 24, pinN: Long = 4096L): Int =
+    if (n <= pinN) rMin
+    else {
+      val buckets = math.max(1L, (n + targetBucket - 1) / targetBucket)
+      val ceilLog2 =
+        if (buckets <= 1L) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+      math.min(rMax, math.max(rMin, ceilLog2))
+    }
 
   /** Corpus row count for sizing decisions: exact parquet/orc footer
     * counts when the frame is a 1:1 view of a file scan (zero Spark

@@ -30,9 +30,11 @@ object Vocabulary {
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token")).limit(vocabSize)
-      // rank over the ≤ vocabSize selected rows (tiny frame)
+      // rank over the ≤ vocabSize selected rows (tiny frame): one-group
+      // key declares the intentional single partition (Windows.oneGroup)
       .withColumn("rank", row_number().over(
-        Window.orderBy(desc("cnt"), asc("token"))))
+        Window.partitionBy(Windows.oneGroup(col("token")))
+          .orderBy(desc("cnt"), asc("token"))))
   }
 
   /** Per-document coverage against a `vocab` frame (any frame with a

@@ -460,17 +460,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Ref(Seq("previous" | "local_last_out", n))
           if runCtx.exists(_.df.columns.contains(n)) =>
         val ctx = runCtx.get
-        val w =
-          if (ctx.baseParts.isEmpty) Window.orderBy(col(ctx.seqName))
-          else Window.partitionBy(ctx.baseParts: _*).orderBy(col(ctx.seqName))
-        lag(col(n), 1).over(w)
+        if (ctx.baseParts.isEmpty) globalLag1(col(n))
+        else lag(col(n), 1).over(
+          Window.partitionBy(ctx.baseParts: _*).orderBy(col(ctx.seqName)))
       // global_last_out.x: the last output row across ALL groups — a lag
-      // over the global arrival order (previous.ramen f2). Scale note: in a
-      // grouped query this adds one single-partition window stage, the
-      // documented mirror of the reference's single-threaded worker.
+      // over the global arrival order (previous.ramen f2), chunk-
+      // distributed like every other global lag.
       case Ref(Seq("global_last_out", n))
           if runCtx.exists(_.df.columns.contains(n)) =>
-        lag(col(n), 1).over(Window.orderBy(col(runCtx.get.seqName)))
+        globalLag1(col(n))
       case Ref(Seq("out", n)) if runCtx.exists(_.df.columns.contains(n)) =>
         col(n)
       case Ref(path) if Set("previous", "out", "local_last_out",
@@ -681,7 +679,9 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         .agg(count(lit(1)).as("_gtc"))
         .orderBy(desc("_gtc"), asc("_gtk")).limit(n)
         .withColumn(rn, row_number().over(
-          Window.orderBy(desc("_gtc"), asc("_gtk"))))
+          // ≤ n rows by the limit above: intentional one-group window
+          Window.partitionBy(graft.ops.Windows.oneGroup(col("_gtk")))
+            .orderBy(desc("_gtc"), asc("_gtk"))))
         .select(col("_gtk"), col(rn))
       ctx.df = ctx.df.join(broadcast(top),
         ctx.df(kName) === top("_gtk"), "left").drop("_gtk")
@@ -770,7 +770,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val totals = totalsInput(ctx, ckName, vName, c)
           .groupBy(col(ckName).as("_gck")).agg(ringCol(col(vName)).as("_gring"))
           .select(col("_gck"), flatten(collect_list(col("_gring")).over(
-            Window.orderBy(col("_gck"))
+            Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+              .orderBy(col("_gck"))
               .rowsBetween(Window.unboundedPreceding, -1))).as(carryName))
         ctx.df = ctx.df.join(broadcast(totals),
           ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
@@ -850,17 +851,20 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         s => s.getField("v"))
     }
 
-    def lagOver(x: Expr, k: Int): Column = lag(goM(x), k).over(W)
+    def lagOver(x: Expr, k: Int): Column = lagDistributed(goM(x), k, W)
 
     def deriveOf(x: Expr): Column = {
       val t = time
       val c = goM(x)
-      (c - lag(c, 1).over(W)) / (t - lag(t, 1).over(W))
+      // one struct lag: value and time cross the chunk boundary together
+      // (two separate chunked lags would cost two carry joins)
+      val prev = lagDistributed(struct(c.as("c"), t.as("t")), 1, W)
+      (c - prev.getField("c")) / (t - prev.getField("t"))
     }
 
     def changedOf(x: Expr): Column = {
       val c = goM(x)
-      !(c <=> lag(c, 1).over(W))
+      !(c <=> lagDistributed(c, 1, W))
     }
 
     // incremental O(1)-state scan folded once per row by WindowExec (the
@@ -902,7 +906,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             aggregate(
               collect_list(struct(col("_gab").getField("a").as("a"),
                 col("_gab").getField("b").as("b"), col("_gsf").as("sf")))
-                .over(Window.orderBy(col("_gck"))
+                .over(Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+              .orderBy(col("_gck"))
                   .rowsBetween(Window.unboundedPreceding, -1)),
               lit(null).cast("double"),
               (s, t) => when(s.isNull, t.getField("sf"))
@@ -945,7 +950,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           .select(col("_gck"),
             aggregate(
               collect_list(col("_gm"))
-                .over(Window.orderBy(col("_gck"))
+                .over(Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+              .orderBy(col("_gck"))
                   .rowsBetween(Window.unboundedPreceding, -1)),
               struct(lit(0.0).as("l"), lit(0.0).as("t")),
               (s, m) => struct(
@@ -968,8 +974,36 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     /** moveavg k = avg of the k values BEFORE the current one (the
       * reference's Seasonal state excludes the current value — see
       * tests/func/moveavg.ramen's `avg lag latest k` equivalence). */
-    def moveavgOf(x: Expr, k: Long): Column =
-      avg(goM(x)).over(W.rowsBetween(-k, -1))
+    def moveavgOf(x: Expr, k: Long): Column = {
+      val c = goM(x)
+      val kk = k.toInt
+      // trailing positional frame via the last-(k+1) ring: chunk-
+      // distributed like every other running construct (the plain
+      // avg-over-frame was r06's remaining whole-input WindowExec).
+      // Entries carry (seq, value-as-double); the combined ring's max-seq
+      // entry is the current row itself — drop it, keep ≤ k before it,
+      // average the non-nulls in ascending (frame) order: exactly
+      // avg(c) OVER (ROWS -k .. -1), which also sums ascending.
+      // Decimal inputs keep the frame form (avg is decimal-typed there).
+      val chunkable = !dtypeOf(c).isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      if (!chunkable) avg(c).over(W.rowsBetween(-k, -1))
+      else {
+        val ring = chunkedRing(
+          struct(seqC.as("s"), c.cast("double").as("v")),
+          v => GS.column(graft.aggs.TopNScan(GS.expression(v), kk + 1,
+            largest = true).toAggregateExpression()),
+          comb => {
+            val sorted = array_sort(comb)
+            val before = slice(sorted, lit(1), size(sorted) - 1)
+            when(size(before) <= kk, before)
+              .otherwise(slice(before, size(before) - kk + 1, lit(kk)))
+          })
+        val vals = filter(transform(ring, e => e.getField("v")),
+          v => v.isNotNull)
+        when(size(vals) > 0,
+          aggregate(vals, lit(0.0), (a, v) => a + v) / size(vals))
+      }
+    }
 
     e match {
       case AggCall("lag", x, mods, _) =>
@@ -980,10 +1014,26 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val k = modNum(mods, "n").getOrElse(1.0).toInt
         val c = goM(x)
         if (mods.contains("keep_nulls")) {
-          // positional window: null slots preserved via a struct wrapper
-          // (collect_list silently drops bare nulls) — last.ramen win2
-          transform(collect_list(struct(c.as("v")))
-            .over(W.rowsBetween(-(k - 1), 0)), s => s.getField("v"))
+          // positional last-k INCLUDING null slots (collect_list drops
+          // bare nulls, hence the struct wrapper) — chunk-distributed
+          // through the same (seq, value) ring as moveavg when the value
+          // is orderable; the positional window remains for map-typed
+          // values (the ring's struct ordering needs orderable fields)
+          if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(dtypeOf(struct(c.as("v"))))) {
+            val ring = chunkedRing(
+              struct(seqC.as("s"), struct(c.as("v")).as("w")),
+              v => GS.column(graft.aggs.TopNScan(GS.expression(v), k,
+                largest = true).toAggregateExpression()),
+              comb => {
+                val sorted = array_sort(comb)
+                when(size(sorted) <= k, sorted)
+                  .otherwise(slice(sorted, size(sorted) - k + 1, lit(k)))
+              })
+            transform(ring, e => e.getField("w").getField("v"))
+          } else
+            transform(collect_list(struct(c.as("v")))
+              .over(W.rowsBetween(-(k - 1), 0)), s => s.getField("v"))
         } else {
           // skip nulls (the default): the last k NON-NULL values, however
           // many rows back — O(k)-state ring buffer folded once per row
@@ -1028,7 +1078,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         val seasons = evalNum(k, params).toInt
         val c = goM(x)
         val lags = array((1 to seasons).map(i =>
-          lag(c, i * period).over(W)): _*)
+          lagDistributed(c, i * period, W)): _*)
         val nonNull = filter(lags, v => v.isNotNull)
         when(size(nonNull) > 0,
           aggregate(nonNull, lit(0.0), (acc, v) => acc + v.cast("double")) /
@@ -1071,8 +1121,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         // clock-aligned: emit on the first row of each duration bucket
         val d = modNum(mods, "d").getOrElse(1.0)
         val bucket = (time / d).cast("long")
-        when(lag(bucket, 1).over(W).isNull ||
-          bucket =!= lag(bucket, 1).over(W), go(x))
+        val pb = lagDistributed(bucket, 1, W)
+        when(pb.isNull || bucket =!= pb, go(x))
 
       case FunCall("hysteresis", Seq(x, acceptable, maximum)) =>
         // a 2-state automaton: each chunk's transfer function is fully
@@ -1104,7 +1154,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             .select(col("_gck"),
               aggregate(
                 collect_list(struct(col("_gft").as("ft"), col("_gff").as("ff")))
-                  .over(Window.orderBy(col("_gck"))
+                  .over(Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+              .orderBy(col("_gck"))
                     .rowsBetween(Window.unboundedPreceding, -1)),
                 lit(true),
                 (s, t) => when(s, t.getField("ft")).otherwise(t.getField("ff")))
@@ -1794,11 +1845,91 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       .groupBy(col(ckName).as("_gck"))
       .agg(build(col(vName)).as("_gtot"))
       .select(col("_gck"), carryBuild(col("_gtot")).over(
-        Window.orderBy(col("_gck"))
+        Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+              .orderBy(col("_gck"))
           .rowsBetween(Window.unboundedPreceding, -1)).as(carryName))
     ctx.df = ctx.df.join(broadcast(totals),
       ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
     combine(col(carryName), within)
+  }
+
+  /** Two-pass distributed lag-k for UNGROUPED running mode — the r12
+    * verdict's last data-sized funnel: `lag(v, k) OVER (ORDER BY seq)`
+    * moved the WHOLE input through one WindowExec task, yet only the
+    * first k rows of each chunk actually need cross-chunk data.
+    *
+    *   pass 1: within-chunk lag + row_number, partitioned by the chunk id
+    *           (one task per input partition, no extra shuffle);
+    *   pass 2: each chunk's TAIL — its k highest-seq (seq, value) entries,
+    *           an O(k) TopNScan agg, NOT a whole-chunk collect — flattened
+    *           over prior chunks in chunk order, sorted, trimmed to the
+    *           global last k, broadcast back; row rn ≤ k of a chunk reads
+    *           carry[|carry| + rn − k] (exactly the value k rows back
+    *           across the boundary), rn > k reads the within-chunk lag.
+    *
+    * Bit-identical to the global window (lag is pure row plumbing — no
+    * float re-association). Requires an ORDERABLE value type (the tail
+    * ring orders (seq, v) structs); callers fall back to the sequential
+    * window otherwise. */
+  private def chunkedLag(vC: Column, k: Int): Column = {
+    val ctx = runCtx.get
+    val ckName = withChunkCol(ctx)
+    val vName = s"_graft_cv${ctx.df.columns.length}"
+    val entry = struct(col(ctx.seqName).as("s"), vC.as("v"))
+    ctx.df = ctx.df.withColumn(vName, entry)
+    val chunkW = Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+    val within = lag(col(vName).getField("v"), k).over(chunkW)
+    val rn = row_number().over(chunkW)
+    val carryName = s"_graft_cc${ctx.df.columns.length}"
+    import org.apache.spark.sql.{GraftShims => GS}
+    // per-chunk tail via partial aggregation of the single-chunk
+    // partitions of the frozen base (same contract as chunkedRing)
+    val totals0 = totalsInput(ctx, ckName, vName, entry)
+      .groupBy(col(ckName).as("_gck"))
+      .agg(GS.column(graft.aggs.TopNScan(
+        GS.expression(col(vName)), k, largest = true)
+        .toAggregateExpression()).as("_gtail"))
+    val prior = array_sort(flatten(collect_list(col("_gtail")).over(
+      Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+        .orderBy(col("_gck"))
+        .rowsBetween(Window.unboundedPreceding, -1))))
+    val trimmed = when(size(prior) <= k, prior)
+      .otherwise(slice(prior, size(prior) - k + 1, lit(k)))
+    val totals = totals0.select(col("_gck"),
+      transform(trimmed, e => e.getField("v")).as(carryName))
+    ctx.df = ctx.df.join(broadcast(totals),
+      ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+    // carry index: ascending carry of length L holds the last L global
+    // values before this chunk; row rn needs the (k−rn+1)-th from its end
+    val idx = size(col(carryName)) + rn - k
+    when(rn > k, within).otherwise(
+      when(col(carryName).isNotNull && idx >= 1,
+        element_at(col(carryName), idx)))
+  }
+
+  /** Chunk-distributable lag: [[chunkedLag]] in ungrouped chunked mode for
+    * orderable values, the (group-partitioned or, ungrouped, sequential)
+    * window otherwise. */
+  private def lagDistributed(vC: Column, k: Int, W: WindowSpec): Column = {
+    val chunked = runCtx.exists(_.parts.isEmpty) &&
+      !spark.conf.getOption("graft.raql.chunkedRunning").contains("false") &&
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        dtypeOf(vC))
+    if (chunked) chunkedLag(vC, k) else lag(vC, k).over(W)
+  }
+
+  /** GLOBAL arrival-order lag 1 (previous.x / global_last_out.x):
+    * chunk-distributed regardless of grouping — the feedback read crosses
+    * group boundaries, so `parts` does not apply; only the chunked-running
+    * opt-out and value orderability gate the distribution. */
+  private def globalLag1(vC: Column): Column = {
+    val ctx = runCtx.get
+    val chunked =
+      !spark.conf.getOption("graft.raql.chunkedRunning").contains("false") &&
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        dtypeOf(vC))
+    if (chunked) chunkedLag(vC, 1)
+    else lag(vC, 1).over(Window.orderBy(col(ctx.seqName)))
   }
 
   /** Running (prefix-window) version of a plain aggregate, for
@@ -1877,7 +2008,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
           val totals = totalsInput(ctx, ckName, vName, novel)
             .groupBy(col(ckName).as("_gck")).agg(sum(col(vName)).as("_gtot"))
             .select(col("_gck"), sum(col("_gtot")).over(
-              Window.orderBy(col("_gck"))
+              Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+              .orderBy(col("_gck"))
                 .rowsBetween(Window.unboundedPreceding, -1)).as(carryName))
           ctx.df = ctx.df.join(broadcast(totals),
             ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
@@ -2658,11 +2790,34 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case Some(k) if k > 0 && !src.isStreaming &&
           !agg.commitBefore && !agg.commitKeep &&
           named.forall(f => countWindowable(f._1)) =>
-        if (agg.groupBy.isEmpty)
-          (src.withColumn("_graft_cwin",
-            floor((row_number().over(
-              Window.orderBy(monotonically_increasing_id())) - 1) / k.toDouble)),
-            agg.copy(groupBy = Seq(Ref(Seq("_graft_cwin")))))
+        if (agg.groupBy.isEmpty) {
+          // two-pass global row numbering (the same chunk/carry shape as
+          // chunkedPrefix): within-chunk row_number + a broadcast of the
+          // prior chunks' cumulative counts — the single row_number OVER
+          // (ORDER BY mid) this replaces was a whole-input one-task
+          // WindowExec on batch replay. Persisted so the join's second
+          // evaluation sees the same monotonic-id assignment.
+          val mid = "_graft_cwmid"
+          val ck = "_graft_cwck"
+          val base = src.withColumn(mid, monotonically_increasing_id())
+            .withColumn(ck, shiftright(col(mid), 33))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val offs = base.groupBy(col(ck).as("_gck"))
+            .agg(count(lit(1)).as("_gn"))
+            .select(col("_gck"), coalesce(sum(col("_gn")).over(
+              Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+                .orderBy(col("_gck"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("_goff"))
+          val withWin = base.join(broadcast(offs),
+              base(ck) === offs("_gck"), "left")
+            .withColumn("_graft_cwin",
+              floor((row_number().over(
+                Window.partitionBy(col(ck)).orderBy(col(mid)))
+                + col("_goff") - 1) / k.toDouble))
+            .drop("_gck", "_goff", mid, ck)
+          (withWin, agg.copy(groupBy = Seq(Ref(Seq("_graft_cwin")))))
+        }
         else {
           // GROUPED count-commit (reference: each GROUP flushes every k of
           // ITS OWN rows): the k-row window partitions by the group keys —

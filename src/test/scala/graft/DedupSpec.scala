@@ -540,18 +540,18 @@ class DedupSpec extends AnyFunSuite {
       assert(autoLshR(n) == 4, s"autoLshR($n)")
       assert(autoNlist(n) == 16, s"autoNlist($n)")
     }
-    // each x10 of data adds ~3.3 sign bits / x10 cells: expected bucket
-    // and cell populations stay ~constant, so pair cost stays linear
-    assert(autoLshR(20000L) == 8)     // ceil(log2(160))
-    assert(autoLshR(200000L) == 11)   // ceil(log2(1600))
-    assert(autoLshR(2000000L) == 14)  // ceil(log2(16000))
+    // beyond the pin region: 2^r tracks n/8 (standard LSH sizing), so
+    // expected bucket population — and pair cost per row — stays constant
+    assert(autoLshR(20000L) == 12)    // ceil(log2(2500))
+    assert(autoLshR(200000L) == 15)   // ceil(log2(25000))
+    assert(autoLshR(2000000L) == 18)  // ceil(log2(250000))
     assert(autoNlist(20000L) == 160)
     assert(autoNlist(200000L) == 1600)
     assert(autoNlist(2000000L) == 16000)
     // exact powers of two must not ceil up (integer bit-math, not
     // floating log2, whose ratio can land at 4.0000...02)
-    assert(autoLshR(125L << 4) == 4)   // exactly 16 buckets -> 4 bits
-    assert(autoLshR(125L << 10) == 10) // exactly 1024 buckets -> 10 bits
+    assert(autoLshR(8L << 10) == 10)  // exactly 1024 buckets -> 10 bits
+    assert(autoLshR(8L << 13) == 13)  // exactly 8192 buckets -> 13 bits
     // caps bound the signature width / driver-resident centroid literal
     assert(autoLshR(Long.MaxValue / 4) == 24)
     assert(autoNlist(Long.MaxValue / 4) == (1 << 16))

@@ -281,4 +281,44 @@ class PlanSpec extends AnyFunSuite {
         "a data-scaled fanout must widen the pinned repartitions")
     } finally spark.conf.unset(key)
   }
+
+  test("running-mode queries leave no partition-less WindowExec (r12 verdict task 3)") {
+    // Every global running construct (prefix aggregates, lag/changed/
+    // derive, feedback reads, count-commit row numbering) is two-pass
+    // chunk-distributed; windows that REMAIN single-group are the bounded
+    // per-chunk carry frames, which declare Windows.oneGroup partition
+    // keys. A partition-less WindowExec here means a data-sized funnel
+    // crept back in.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE wraps finished stages in LEAF QueryStageExec nodes and persist
+    // in InMemoryTableScanExec — plain .children stops there, which made
+    // the first version of this walker pass vacuously while WindowExec
+    // still logged funnel warnings underneath
+    def windows(plan: SparkPlan): Seq[WindowExec] = {
+      val here = plan match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+        case s: InMemoryTableScanExec =>
+          windows(s.relation.cachedPlan)
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }
+      here ++ plan.children.flatMap(windows) ++
+        plan.subqueries.flatMap(windows)
+    }
+    for (name <- Seq("r04_raql_lag_changed", "r05_raql_running_aggs",
+        "r06_raql_moveavg_latest", "r10_raql_hysteresis_holt",
+        "r11_raql_tumbling_commit")) {
+      val df = Queries.byName(name).run(spark, sf)
+      df.collect()
+      val bad = windows(df.queryExecution.executedPlan)
+        .filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty,
+        s"$name has ${bad.size} partition-less WindowExec node(s):\n" +
+          bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
 }
