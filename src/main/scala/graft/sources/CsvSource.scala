@@ -104,16 +104,32 @@ object CsvSource {
       unlink: Boolean): Iterator[String] = {
     val p = new ProcessBuilder("sh", "-c", cmd)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
-    val ctx = org.apache.spark.TaskContext.get()
-    if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
-      if (p.isAlive) graft.streaming.Notify.Alerter.killTree(p)
-    }
     p.getOutputStream.close()
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+    // shared with the early-exit listener below: finish() at EOF and the
+    // listener race only through the task's own thread (the listener runs
+    // on it), so a plain flag suffices
+    var closed = false
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+      // task stopped pulling early (limit/abort): kill the command, CLOSE
+      // the reader (it lingered until GC before r13), and log the exit —
+      // everything finish() does EXCEPT the unlink, which partial
+      // consumption must never trigger (r12 ADVICE)
+      if (!closed) {
+        closed = true
+        if (p.isAlive) graft.streaming.Notify.Alerter.killTree(p)
+        try r.close() catch { case _: Exception => () }
+        val exited = p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
+        val code = if (exited) p.exitValue() else 124
+        if (code != 0)
+          System.err.println(
+            s"[csv] preprocessor '$cmd' stopped early, exited $code")
+      }
+    }
     val it = new Iterator[String] {
       private var nextLine: String = advance()
-      private var closed = false
       private def advance(): String = {
         var l = r.readLine()
         while (l != null && l.isEmpty) l = r.readLine()
@@ -173,6 +189,62 @@ object CsvSource {
         else Seq(s).filter(_.isFile)
       }
       .map(_.getPath.toUri.getPath).sorted
+  }
+
+  /** Streaming [[readPreprocessed]]: continuously TAIL `path` for new
+    * files and pipe each through the preprocessor — the reference's
+    * preprocessed file read is a continuous tail
+    * (`/root/reference/src/CodeGenLib_IO.ml:15-116` watches for new
+    * files), while [[readPreprocessed]] is one batch pass (the r12 gap).
+    *
+    * Spark-first shape: the `binaryFile` file-stream source does the
+    * WATCHING — checkpointed seen-file tracking, trigger batching,
+    * hidden/metadata-file filtering — but only its `path` column is
+    * selected (column pruning keeps the bytes out of Spark); the bytes
+    * flow through the preprocessor pipe instead. Each discovered path
+    * runs the exact batch pipe contract ([[pipeLines]]): lazily streamed
+    * stdout, blank-line skip, bounded EOF wait, process-tree kill on
+    * early task exit, at-most-once unlink on DELETE-IF. Unlinked files
+    * stay consumed across restarts (the source's checkpoint remembers
+    * paths, not bytes). */
+  def readStreamPreprocessed(spark: SparkSession, path: String,
+      schema: StructType, spec: CsvSpec, preprocessor: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv}
+    import spark.implicits._
+    import graft.streaming.StringExpansion.shellQuote
+    val header = spec.header
+    val delete = spec.deleteAfterRead
+    val pre = preprocessor
+    // binaryFile's schema is FIXED but the streaming source still insists
+    // on an explicit one (readStream has no inference pass)
+    val binSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType)))
+    }
+    val paths = spark.readStream.format("binaryFile").schema(binSchema)
+      .load(path)
+      .select(col("path"))
+    val lines = paths.as[String].mapPartitions { it =>
+      it.flatMap { uri =>
+        // binaryFile yields URIs (file:///...); the shell and the unlink
+        // want the local filesystem path
+        val local = new java.net.URI(uri).getPath
+        val q = shellQuote(local)
+        val c = if (pre.contains("%s")) pre.replace("%s", q)
+          else s"$pre $q"
+        pipeLines(c, local, dropFirst = header, unlink = delete)
+      }
+    }
+    lines.toDF("value")
+      .select(from_csv(col("value"), schema,
+        Map("sep" -> spec.separator, "quote" -> spec.quote,
+          "escape" -> spec.escape, "nullValue" -> spec.nullStr,
+          "mode" -> "PERMISSIVE")).as("r"))
+      .select("r.*")
   }
 
   /** Streaming variant: tail a directory of CSV files. */

@@ -288,12 +288,23 @@ object Notify {
       * stuck contact; the wait a stuck contact can impose on flush is
       * bounded by [[Alerter.shellRun]]'s timeout. */
     private val outbox = new ConcurrentLinkedQueue[Delivery]()
-    private val dispatchLock = new Object
-    private def drainOutbox(wait: Boolean): Unit =
-      if (wait || !outbox.isEmpty) dispatchLock.synchronized {
+    private val dispatchLock = new java.util.concurrent.locks.ReentrantLock
+    private def drainOutbox(wait: Boolean): Unit = {
+      if (!wait && outbox.isEmpty) return
+      // wait=false (deliver's non-blocking bookkeeping) must not park
+      // behind a drainer stuck in a slow contact for up to the contact
+      // timeout (r12 ADVICE: the old synchronized blocked the streaming
+      // sink thread whenever the outbox was non-empty under contention).
+      // tryLock: if someone holds the lock they are draining the FIFO;
+      // an item they miss in the poll/enqueue race is picked up by the
+      // next flush (wait=true), whose synchrony contract drains to empty.
+      if (wait) dispatchLock.lock()
+      else if (!dispatchLock.tryLock()) return
+      try {
         var d = outbox.poll()
         while (d != null) { dispatchOne(d); d = outbox.poll() }
-      }
+      } finally dispatchLock.unlock()
+    }
 
     private def dispatchOne(d: Delivery): Unit =
       teams.getOrElse(d.team, Nil).foreach { c =>
@@ -512,20 +523,47 @@ object Notify {
   def sink(ds: Dataset[Notification], alerter: Alerter,
       maxPerBatch: Int = 100000): DataStreamWriter[Notification] =
     ds.writeStream.foreachBatch { (batch: Dataset[Notification], _: Long) =>
+      sinkBatch(batch, alerter, maxPerBatch)
+    }
+
+  /** One micro-batch of [[sink]] — separated so the overflow contract
+    * (bounded collect, STOP rescue) is unit-testable without a stream. */
+  private[graft] def sinkBatch(batch: Dataset[Notification], alerter: Alerter,
+      maxPerBatch: Int): Unit = {
       val ns = batch.take(maxPerBatch + 1)
-      val kept = if (ns.length > maxPerBatch) {
-        alerter.note(s"FAILED batch overflow: more than $maxPerBatch " +
-          "notifications in one batch, excess dropped")
-        ns.take(maxPerBatch)
-      } else ns
+      val overflow = ns.length > maxPerBatch
+      val kept = if (overflow) ns.take(maxPerBatch) else ns
       kept.foreach(alerter.deliver)
+      var rescued: Array[Notification] = Array.empty
+      if (overflow) {
+        // rescue the STOPs beyond the cap: a dropped STOP leaves its
+        // incident firing until its timeout — or forever with timeout 0
+        // (r12 ADVICE). Late STOPs are safe to append AFTER the kept
+        // prefix: a name whose START was kept gets closed; a name whose
+        // START was also dropped no-ops (not firing); a re-delivered
+        // kept STOP no-ops too (deliver is idempotent for stops), so no
+        // dedup pass is needed. Bounded: one more take(maxPerBatch).
+        val stops = batch.filter(n => !n.firing).take(maxPerBatch)
+        stops.foreach(alerter.deliver)
+        rescued = stops
+        val names = stops.map(_.name).distinct
+        alerter.note(s"FAILED batch overflow: more than $maxPerBatch " +
+          s"notifications in one batch, excess STARTs dropped; " +
+          s"${stops.length} STOPs rescued" +
+          (if (names.nonEmpty)
+            s" (${names.take(10).mkString(", ")}${if (names.length > 10) ", …" else ""})"
+          else "") +
+          (if (stops.length >= maxPerBatch) "; stop rescue itself capped" else ""))
+      }
       // un-timed notifications (time 0) were stamped with the alerter's
       // clock inside deliver — flush on the same time base, or their
-      // debounce deadlines (clock + d) would never come due
-      val at = kept.map(_.time).filter(_ > 0).maxOption
+      // debounce deadlines (clock + d) would never come due. Rescued
+      // stops count toward the flush horizon too (a tail stop can carry
+      // a later time than anything in the kept prefix).
+      val at = (kept ++ rescued).map(_.time).filter(_ > 0).maxOption
         .getOrElse(alerter.nowTime())
       alerter.flush(at)
-    }
+  }
 
   /** `LISTEN FOR INSTRUMENTATION FROM *` — the reference republishes
     * per-worker runtime stats as a stream (`src/runtime_stats.type`).

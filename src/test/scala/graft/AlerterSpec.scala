@@ -355,6 +355,81 @@ class AlerterSpec extends AnyFunSuite {
     assert(sent.synchronized(sent.toSeq) == Seq("slow"))
   }
 
+  test("deliver with a NON-EMPTY outbox skips a held dispatch lock (r12 advice)") {
+    // the r12 hung-contact spec only exercised the empty-outbox fast
+    // path; here a second delivery is ENQUEUED while the drainer is
+    // stuck inside a contact, and a third deliver (non-empty outbox, lock
+    // held) must still return promptly — tryLock, not a monitor wait
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Exec("${name}"))),
+      execRunner = cmd => {
+        sent.add(cmd)
+        if (sent.size == 1) { entered.countDown(); gate.await() }
+        0
+      },
+      clock = () => 1000.0)
+    a.deliver(Notification("slow", firing = true, Map.empty,
+      sentTime = 10.0, debounce = 0.0))
+    val flusher = new Thread(() => a.flush(10.0)) // dispatches, wedges in gate
+    flusher.start()
+    assert(entered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // a second due notification, then a flush on another thread: its
+    // flushLocked ENQUEUES the delivery (outbox now non-empty) and its
+    // drainOutbox(wait=true) parks behind the wedged drainer
+    a.deliver(Notification("second", firing = true, Map.empty,
+      sentTime = 10.2, debounce = 0.0))
+    val t1 = new Thread(() => a.flush(10.5))
+    t1.start()
+    Thread.sleep(200) // t1 enqueued 'second' and parked on the lock
+    // outbox non-empty, lock held: deliver must NOT park for the contact
+    val t0 = System.nanoTime()
+    a.deliver(Notification("third", firing = true, Map.empty,
+      sentTime = 11.0, debounce = 60.0))
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "deliver parked on the dispatch lock with a non-empty outbox")
+    assert(a.currentlyFiring.contains("third"))
+    gate.countDown()
+    flusher.join(5000); t1.join(5000)
+    assert(sent.toArray.toSeq.contains("slow"))
+  }
+
+  test("sink overflow rescues STOPs beyond the cap (r12 advice)") {
+    val spark = GraftSession.builder("2").getOrCreate()
+    import spark.implicits._
+    val sent = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Exec("${name}:${firing}"))),
+      execRunner = cmd => { sent.add(cmd); 0 },
+      clock = () => 1000.0)
+    // cap 3: the kept prefix is [A start, B start, C start]; the tail
+    // holds [D start, A STOP]. Without the rescue A stays firing forever
+    // (timeout 0); with it the tail STOP is appended and closes A.
+    val batch = Seq(
+      Notification("A", firing = true, Map.empty, sentTime = 1.0, debounce = 0.0),
+      Notification("B", firing = true, Map.empty, sentTime = 2.0, debounce = 0.0),
+      Notification("C", firing = true, Map.empty, sentTime = 3.0, debounce = 0.0),
+      Notification("D", firing = true, Map.empty, sentTime = 4.0, debounce = 0.0),
+      Notification("A", firing = false, Map.empty, sentTime = 5.0, debounce = 0.0)
+    ).toDS()
+    Notify.sinkBatch(batch, a, maxPerBatch = 3)
+    assert(!a.currentlyFiring.contains("A"),
+      s"tail STOP was dropped — still firing: ${a.currentlyFiring}")
+    // kept starts delivered; the dropped D start is the accepted loss
+    assert(a.currentlyFiring == Set("B", "C"), a.currentlyFiring)
+    // the rescued STOP landed BEFORE the flush, so A resolves as a flap
+    // (start never sent -> CANCEL, nothing delivered for A) — exactly a
+    // same-batch start/stop pair's semantics; B and C deliver normally
+    assert(sent.toArray.map(_.toString).toSeq.sorted == Seq("B:true", "C:true"),
+      sent.toArray.toSeq)
+    assert(a.incidents.exists(_.contains("CANCEL A")), a.incidents)
+    // the journal records the overflow and the rescue
+    assert(a.incidents.exists(_.contains("overflow")),
+      "overflow must be journaled")
+  }
+
   test("cross-thread deliveries reach contacts in preparation order (FIFO outbox)") {
     // deliveries are enqueued UNDER the state monitor and drained FIFO:
     // a flush racing another thread's in-flight dispatch hands its

@@ -1445,4 +1445,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.nonEmpty, "no runtime stats row for the monitored query")
     assert(seen.head.getDouble(seen.head.fieldIndex("tot_cpu")) > 0.0)
   }
+
+  test("streaming PREPROCESS WITH: a gzip landing mid-query appears next trigger") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prestream").toFile
+    try {
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType)))
+      def gz(f: java.io.File, lines: Seq[String]): Unit = {
+        val o = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(f))
+        o.write(lines.mkString("\n").getBytes("UTF-8")); o.close()
+      }
+      // one file BEFORE the query starts
+      gz(new java.io.File(dir, "a.csv.gz"), Seq("1,alpha", "2,beta"))
+      val df = graft.sources.CsvSource.readStreamPreprocessed(spark,
+        dir.getAbsolutePath, schema,
+        graft.sources.CsvSource.CsvSpec(), "gzip -d -c %s")
+      assert(df.isStreaming, "preprocessed tail must be a streaming frame")
+      val q = df.writeStream.format("memory").queryName("preout").start()
+      try {
+        q.processAllAvailable()
+        val got1 = spark.table("preout").as[(Long, String)].collect().toSet
+        assert(got1 == Set((1L, "alpha"), (2L, "beta")), got1)
+        // a file LANDING MID-QUERY is decompressed at the next trigger —
+        // the reference's continuous tail (CodeGenLib_IO.ml:15-116)
+        gz(new java.io.File(dir, "b.csv.gz"), Seq("3,gamma"))
+        q.processAllAvailable()
+        val got2 = spark.table("preout").as[(Long, String)].collect().toSet
+        assert(got2 == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")), got2)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
