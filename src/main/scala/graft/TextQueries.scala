@@ -237,12 +237,20 @@ object TextQueries {
     // so Java and RE2 agree exactly). Map-only regex scan in codegen.
     QueryDef(
       "t08_bpe_tokens",
+      // sort FIRST, project AFTER: orderBy's range partitioner runs the
+      // sort's child once more as its key-sample pass, so a projection
+      // below the sort evaluates TWICE — profiled at the r13 ×100 probe
+      // as 2 × ~118 s of regex CPU (the whole t08 cost). Sorting the raw
+      // (doc_id, text) rows first moves the regex above the exchange:
+      // one evaluation, at the price of shuffling text bytes instead of
+      // two ints — ~1 kB/row vs ~115 s of saved regex CPU at ×100.
       (s, d) => docsPar(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           expr("""size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))""")
             .as("n_bpe"),
-          size(tokens(col("text"))).as("n_ws"))
-        .orderBy("doc_id"),
+          size(tokens(col("text"))).as("n_ws")),
       Some(s"""SELECT doc_id,
         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe,
         len($toksSql) AS n_ws

@@ -1133,7 +1133,8 @@ object Dedup {
           .groupBy(keys.map(col): _*)
           .agg((count(lit(1)) * HotSampleDiv).as("_est"))
           .filter(col("_est") > cap)
-        val nHot = count(lit(1)).over(Window.partitionBy())
+        val nHot = count(lit(1)).over(
+          Window.partitionBy(Windows.oneGroup(col(keys.head))))
         val minNb = greatest(lit(1),
           ceil(sqrt(lit(4.0) * par / nHot)).cast("int"))
         hot0.select(keys.map(col) :+

@@ -1911,7 +1911,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * orderable values, the (group-partitioned or, ungrouped, sequential)
     * window otherwise. */
   private def lagDistributed(vC: Column, k: Int, W: WindowSpec): Column = {
-    val chunked = runCtx.exists(_.parts.isEmpty) &&
+    val chunked = k >= 1 && // lag 0 = identity; TopNScan needs k ≥ 1
+      runCtx.exists(_.parts.isEmpty) &&
       !spark.conf.getOption("graft.raql.chunkedRunning").contains("false") &&
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
         dtypeOf(vC))

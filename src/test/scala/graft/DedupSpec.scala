@@ -594,6 +594,37 @@ class DedupSpec extends AnyFunSuite {
       assert(cell == (id % nCents), s"row $id landed in $cell") }
   }
 
+  test("auto-r LSH keeps recall on planted near-dups at a scaled corpus") {
+    // 20k vectors derive r = 12 (the scaled regime, not the pinned r = 4
+    // the small-SF oracles see). Plant 150 high-cosine pairs among random
+    // noise: at cos >= ~0.95 a 12-band/12-bit banding catches ~98% in
+    // expectation — assert >= 0.8 so the test pins "scaling r did not
+    // silently destroy recall", the one thing the auto policy trades.
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 19700).map(i => (i.toLong, unit()))
+    val planted = (0 until 150).map { j =>
+      val (_, v) = base(j)
+      // tiny perturbation, re-normalized: cosine stays >= ~0.95
+      val w = v.map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum)
+      ((100000 + j).toLong, w.map(x => (x / n).toFloat))
+    }
+    val embs = spark.createDataFrame((base ++ planted))
+      .toDF("vec_id", "embedding").repartition(8)
+    assert(Similarity.autoLshR(19850L) == 12)
+    val got = Similarity.lshNeighbors(embs, "vec_id", "embedding",
+        bands = 12, minCos = 0.9) // r unset -> auto (12 at this n)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hits = (0 until 150).count(j => got.contains((j.toLong, 100000L + j)))
+    assert(hits >= 120, s"scaled-r recall too low: $hits/150")
+  }
+
   test("semanticDedupAuto at small n is EXACTLY the pinned nlist=16 single-level plan") {
     val embs = Tables.embeddings(spark, sf)
     val auto = Dedup.semanticDedupAuto(embs, "vec_id", "embedding", minCos = 0.4)

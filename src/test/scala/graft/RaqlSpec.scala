@@ -595,6 +595,45 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("MIXED running aggs + lag family distribute via chunked lag (no ghosts)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    // running sum/min disables the ghost rewrite (unbounded prefix), so
+    // the lag family must take the chunkedLag two-pass — the r12 verdict's
+    // r05-shaped funnel. 8 real partitions exercise the chunk boundaries
+    // the sf0.01 oracle (a single-partition scan) never crosses.
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, sum n AS rsum, min n AS rmin,
+               lag n AS prev, lag (3, n) AS prev3,
+               changed n AS chg, derive n AS drv,
+               moveavg (5, n) AS ma5,
+               latest 4 keep nulls n AS l4,
+               one out of 7 n AS s7
+        FROM tbl;""")
+    val base = spark.range(1, 100001).toDF("n").repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    // partition-less windows may exist only over bounded totals frames
+    // (Aggregate subtrees) — never over the full input
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        s"partition-less window over the full input: $w")
+    }
+    val got = df.orderBy("n").collect()
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      c2.compile("run/f").orderBy("n").collect()
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 100000)
+    assert(got.sameElements(want))
+  }
+
   test("PAST … SAMPLE SIZE: dominance ring distributes and equals the time-frame sample") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     import org.apache.spark.sql.expressions.Window
