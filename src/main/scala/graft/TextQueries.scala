@@ -512,6 +512,55 @@ object TextQueries {
         FROM dcs JOIN r USING (lang)
         WHERE CAST(CAST(concat('0x', substring(md5(CAST(dcs.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
             / 1152921504606846976.0 < r.rate
-        ORDER BY dcs.doc_id"""))
+        ORDER BY dcs.doc_id""")),
+
+    // ---- t17: DSIR importance weights (Xie et al. 2023) — score raw
+    // docs by hashed-n-gram likelihood ratio against a target corpus
+    // (docs 0-49 stand in for the target, like t09's probe set). The
+    // 100 TB path for data selection: no vocabulary, both distributions
+    // are bounded 1024-bucket frames that broadcast, features shuffle
+    // only as (id, bucket). Fully value-oracled: the md5-prefix bucket
+    // (t05's portable hash) and round-6-then-decimal-sum ln (t12's
+    // trick) make every weight bit-identical in DuckDB.
+    QueryDef(
+      "t17_dsir_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ops.Selection.dsirWeights(docs,
+          docs.filter(col("doc_id") < 50), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_feats"),
+            col("log_weight"), col("target_like"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM tok),
+        bi AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS f
+          FROM tok, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        feats AS (SELECT doc_id,
+            CAST(concat('0x', substring(md5(f), 1, 15)) AS BIGINT) % 1024 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) z
+          WHERE len(f) > 0),
+        allb AS (SELECT unnest(generate_series(0, 1023)) AS b),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id < 50 GROUP BY 1),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+        lpt AS (SELECT allb.b,
+            CAST(ROUND(ln((COALESCE(tc.c, 0) + 1.0) /
+              ((SELECT COALESCE(SUM(c), 0) FROM tc) + 1024.0)), 6)
+              AS DECIMAL(18,6)) AS lpt
+          FROM allb LEFT JOIN tc USING (b)),
+        lpr AS (SELECT allb.b,
+            CAST(ROUND(ln((COALESCE(rc.c, 0) + 1.0) /
+              ((SELECT COALESCE(SUM(c), 0) FROM rc) + 1024.0)), 6)
+              AS DECIMAL(18,6)) AS lpr
+          FROM allb LEFT JOIN rc USING (b)),
+        lr AS (SELECT lpt.b, lpt.lpt - lpr.lpr AS lr
+          FROM lpt JOIN lpr USING (b)),
+        fb AS (SELECT doc_id, b, COUNT(*) AS tf FROM feats GROUP BY 1, 2),
+        w AS (SELECT fb.doc_id, CAST(SUM(fb.tf) AS BIGINT) AS n_feats,
+            SUM(lr.lr * fb.tf) AS lw
+          FROM fb JOIN lr USING (b) GROUP BY 1)
+        SELECT doc_id, n_feats, ROUND(CAST(lw AS DOUBLE), 6) AS log_weight,
+          lw > 0 AS target_like
+        FROM w ORDER BY doc_id"""))
   )
 }

@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOF form: distinct space-joined n-grams, empty array when there are
   * fewer than n tokens.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -40,16 +41,21 @@ case class WordShingles(child: Expression, n: Int)
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val set = new java.util.LinkedHashSet[UTF8String]()
+    // distinct=false keeps every OCCURRENCE in order — the unit for
+    // count-weighted features (DSIR hashed n-grams); a LinkedHashSet is
+    // the dedup the Jaccard/MinHash consumers want
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](len - n + 1)
     var i = 0
     while (i + n <= len) {
       var s = arr.getUTF8String(i)
       var j = 1
       while (j < n) { s = UTF8String.concatWs(space, s, arr.getUTF8String(i + j)); j += 1 }
-      set.add(s)
+      out.add(s)
       i += 1
     }
-    new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -62,12 +68,15 @@ case class WordShingles(child: Expression, n: Int)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
+      val coll =
+        if (distinct) s"new java.util.LinkedHashSet<$utf8>()"
+        else s"new java.util.ArrayList<$utf8>($len - $n + 1)"
       s"""
          |int $len = $a.numElements();
          |if ($len < $n) {
          |  ${ev.value} = new $gad(new Object[0]);
          |} else {
-         |  java.util.LinkedHashSet<$utf8> $set = new java.util.LinkedHashSet<$utf8>();
+         |  java.util.Collection<$utf8> $set = $coll;
          |  for (int $i = 0; $i + $n <= $len; $i++) {
          |    $utf8 $s = $a.getUTF8String($i);
          |    for (int $j = 1; $j < $n; $j++) {

@@ -28,6 +28,15 @@ object TextFunctions {
     org.apache.spark.sql.GraftShims.column(
       WordShingles(org.apache.spark.sql.GraftShims.expression(toks), n))
 
+  /** Every n-gram OCCURRENCE in order (no dedup) — the unit for
+    * count-weighted hashed features (DSIR importance weights), where
+    * multiplicity is the signal the distinct form throws away. Same
+    * codegen kernel as [[wordShingles]], ArrayList instead of the set. */
+  def wordShinglesAll(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      WordShingles(org.apache.spark.sql.GraftShims.expression(toks), n,
+        distinct = false))
+
   /** Order-insensitive content fingerprint: md5 of the sorted token
     * MULTISET (true bag semantics — multiplicity counts, so "the the cat"
     * and "the cat" fingerprint differently). Collapses word-order

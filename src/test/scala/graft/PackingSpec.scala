@@ -106,4 +106,35 @@ class PackingSpec extends AnyFunSuite {
       .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
   }
+
+  test("DSIR weights: target-like docs outscore noise; features count occurrences") {
+    import graft.ops.Selection
+    // two styles of doc: "code-ish" (the target) and "prose-ish" noise.
+    // DSIR's hashed unigram+bigram ratio must rank held-out code-ish docs
+    // above prose docs even though they share no doc ids with the target.
+    val code = Seq("def", "return", "if", "else", "val", "import")
+    val prose = Seq("the", "cat", "sat", "on", "a", "mat", "and", "dog")
+    val rng = new scala.util.Random(3)
+    def doc(words: Seq[String], n: Int): String =
+      Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+    val rows =
+      (0L until 30L).map(i => (i, doc(code, 40))) ++        // target ids
+      (100L until 130L).map(i => (i, doc(code, 40))) ++     // held-out code
+      (200L until 260L).map(i => (i, doc(prose, 40)))       // noise
+    val docs = rows.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") < 30)
+    val w = Selection.dsirWeights(docs, target, "doc_id", "text",
+        buckets = 256)
+      .select("id", "n_feats", "log_weight", "target_like")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(w.length == rows.length)
+    // n tokens -> n unigrams + (n-1) bigrams
+    assert(w.forall(_._2 == 40 + 39))
+    val heldOut = w.filter(r => r._1 >= 100 && r._1 < 130)
+    val noise = w.filter(_._1 >= 200)
+    assert(heldOut.forall(_._4), "held-out code-ish docs must score target-like")
+    assert(noise.forall(!_._4), "prose noise must not score target-like")
+    assert(heldOut.map(_._3).min > noise.map(_._3).max,
+      "weights must separate the styles")
+  }
 }
