@@ -436,6 +436,50 @@ object SimilarityQueries {
           / COUNT(*) AS centroid,
         COUNT(*) AS n
         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS dim) dims
-        GROUP BY label, dim ORDER BY label, dim"""))
+        GROUP BY label, dim ORDER BY label, dim""")),
+
+    // ---- a10: cell-stratified diversity sample — SemDeDup's companion
+    // SELECTION op (per-cell quotas flatten the kept set toward uniform
+    // semantic coverage; ops.Selection.cellDiverseSample). Assignment is
+    // d07/a04's seeded-centroid argmax (auto-sized — exactly 16 cells at
+    // every verify SF, so the static oracle replays it single-level);
+    // membership within a cell is the deterministic md5(id) order (t05),
+    // so both engines keep identical rows. The only shuffle is the
+    // cell-partitioned rank window, whose partitions the auto sizing
+    // bounds at any corpus size.
+    QueryDef(
+      "a10_cell_diverse_sample",
+      (s, d) => graft.ops.Selection.cellDiverseSample(
+        Tables.embeddings(s, d), "vec_id", "embedding", perCell = 16)
+        .select(col("id").as("vec_id"), col("cell"), col("cell_rank"))
+        .orderBy("vec_id"),
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+        sc AS (
+          SELECT v.vec_id, c.cidx,
+            list_reduce(list_prepend(0.0, list_transform(list_zip(v.v, c.cv),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM v CROSS JOIN c),
+        cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sc) z WHERE rk = 1),
+        r AS (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+              ORDER BY CAST(concat('0x',
+                substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS cell_rank
+          FROM cell)
+        SELECT vec_id, cell, cell_rank FROM r
+        WHERE cell_rank <= 16 ORDER BY vec_id"""))
   )
 }

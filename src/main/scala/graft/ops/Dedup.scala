@@ -1080,7 +1080,10 @@ object Dedup {
       .groupBy(keys.map(col): _*)
       .agg((count(lit(1)) * HotSampleDiv).as("_est"))
       .filter(col("_est") > cap)
-    val nHot = count(lit(1)).over(Window.partitionBy())
+    // one-group key declares the intentional single partition over the
+    // bounded hot frame (see graft.ops.Windows.oneGroup)
+    val nHot = count(lit(1)).over(
+      Window.partitionBy(Windows.oneGroup(col(keys.head))))
     val minNb = greatest(lit(1),
       ceil((sqrt(lit(32.0) * par / nHot + 1) - 1) / 2).cast("int"))
     val hot = hot0.select(keys.map(col) :+

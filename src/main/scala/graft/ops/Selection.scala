@@ -82,4 +82,42 @@ object Selection {
         round(col("_lw").cast("double"), 6).as("log_weight"),
         (col("_lw") > 0).as("target_like"))
   }
+
+  /** Cell-stratified diversity sample over an embedding column —
+    * SemDeDup's companion SELECTION op (the SemDeDup paper dedups WITHIN
+    * semantic clusters; per-cluster quotas then flatten what remains
+    * toward uniform semantic coverage instead of letting one dense topic
+    * dominate the kept set). Every vector coarse-assigns to its
+    * argmax-dot cell around the seeded centroids (exactly d07/a04's
+    * assignment — [[Dedup.autoNlist]]-sized by default, two-level above
+    * 64 cells), and at most `perCell` vectors per cell survive, chosen
+    * by the deterministic md5(id) order (the t05 stable-sample trick:
+    * reruns, partitionings, and the SQL oracle all pick the same rows).
+    *
+    * Scale shape: assignment is map-only over broadcast-literal
+    * centroids; the ONLY shuffle is the per-cell rank window, partitioned
+    * by the cell key (E[cell] is held constant by the auto sizing, so no
+    * window partition outgrows a task at any corpus size).
+    *
+    * Returns the kept rows: (id, cell, cell_rank) with cell_rank 1-based
+    * in hash order. */
+  def cellDiverseSample(embs: DataFrame, idCol: String, vecCol: String,
+      perCell: Int, targetCell: Int = 125, twoLevelAbove: Int = 64): DataFrame = {
+    require(perCell >= 1, "cellDiverseSample: perCell >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val nlist = Dedup.autoNlist(Similarity.sizingCount(embs), targetCell)
+    val cents = Similarity.seedCentroids(embs, idCol, vecCol, nlist)
+    val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (nlist <= twoLevelAbove) Similarity.cellArgmax(_, cents)
+      else Similarity.cellArgmaxTwoLevel(_, cents)
+    val h = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Dedup.spreadInput(
+        embs.select(col(idCol).as("id"), col(vecCol).as("v")), GraftPar.of(embs))
+      .select(col("id"), assign(col("v")).as("cell"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(h, col("id"))))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("id"), col("cell"), col("cell_rank"))
+  }
 }
