@@ -68,12 +68,18 @@ object Selection {
             (col("t") + lit(smooth * buckets))), 6)
             .cast(DecimalType(18, 6)).as(name))
     }
+    // the per-doc counts feed BOTH consumers: the raw bucket distribution
+    // aggregates FROM the (id, b, tf) frame, so its plan subtree reuses
+    // the per-doc aggregation's exchange instead of running the shingle
+    // explode over the whole corpus a second time (verified: one Generate
+    // for the raw corpus in the executed plan, rc under a ReusedExchange)
+    val fb = rawFeats.groupBy("id", "b").agg(count(lit(1)).as("tf"))
+    val rawCounts = fb.groupBy("b").agg(sum("tf").as("c"))
     val lr = logp(feats(target).groupBy("b").agg(count(lit(1)).as("c")), "lpt")
-      .join(logp(rawFeats.groupBy("b").agg(count(lit(1)).as("c")), "lpr"),
-        Seq("b"))
+      .join(logp(rawCounts, "lpr"), Seq("b"))
       .select(col("b"), (col("lpt") - col("lpr")).as("lr")) // decimal-exact
 
-    rawFeats.groupBy("id", "b").agg(count(lit(1)).as("tf"))
+    fb
       .join(broadcast(lr), Seq("b"))
       .groupBy("id")
       .agg(sum("tf").as("n_feats"),

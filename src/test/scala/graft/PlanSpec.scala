@@ -282,6 +282,29 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("t17 DSIR: raw-corpus shingle explode runs once; distributions broadcast") {
+    val p = finalPlan("t17_dsir_weights").split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"), "t17 fell back to sort-merge")
+    // the raw distribution must aggregate FROM the per-doc (id, b) frame
+    // (one corpus-wide explode + a reused exchange), not re-explode the
+    // corpus; the doc-side generate plus the reuse marker pin that shape
+    assert(p.contains("ReusedExchange"),
+      "t17 lost the per-doc aggregation exchange reuse (raw corpus would explode twice)")
+    assert(p.contains("BroadcastHashJoin"),
+      "t17's log-ratio table must broadcast")
+  }
+
+  test("a10 diversity sample: per-cell rank gets the map-side group limit") {
+    val p = finalPlan("a10_cell_diverse_sample").split("== Initial Plan ==")(0)
+    // rank <= k over a cell-partitioned window: Spark's WindowGroupLimit
+    // must prune to k rows per cell per MAP partition BEFORE the shuffle —
+    // the property that keeps a degenerate hot cell (every vector in one
+    // cell) from funnelling the corpus through one window partition
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "a10 lost the partial (map-side) window group limit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("running-mode queries leave no partition-less WindowExec (r12 verdict task 3)") {
     // Every global running construct (prefix aggregates, lag/changed/
     // derive, feedback reads, count-commit row numbering) is two-pass
