@@ -711,6 +711,55 @@ object Dedup {
     * a restart is safe.
     *
     * Returns a streaming (id, cell, dup_of, is_dup) frame. */
+  /** Streaming near-dup guard: check every INCOMING document against a
+    * STATIC corpus — the online-ingestion side of [[minhashCandidates]]
+    * (is this new crawl page a near-dup of something already in the
+    * training set?). Each incoming doc computes the SAME seeded
+    * minhash banding as the batch path; its band buckets equi-join the
+    * corpus's precomputed bucket table (a stream–static join: append
+    * mode, NO state store — the corpus-side plan is persisted so each
+    * micro-batch reads the materialized buckets instead of re-sharding
+    * the corpus), a pair emits only from its first shared band (the
+    * batch path's duplicate-elimination, [[firstSharedBand]]), and exact
+    * Jaccard verifies in the same trigger against the corpus shingles
+    * carried on the static side.
+    *
+    * Emits one row PER MATCH ≥ threshold: (id, dup_of, jaccard). A doc
+    * matching several corpus docs emits several rows — reducing to the
+    * best match would be a streaming aggregation (update mode + state)
+    * for what is naturally an append-shaped check; the consumer picks.
+    * Novel docs emit nothing. Recall is the banding's (probabilistic in
+    * general, deterministic for any fixed input under the seeded hash
+    * family). */
+  def minhashDedupStream(stream: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 12, bands: Int = 6,
+      threshold: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions.{minhashSignature, lshBuckets}
+    val r = k / bands
+    def banded(df: DataFrame, spread: Boolean) = {
+      val base = if (spread) spreadInput(df, par(df)) else df
+      base
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+        .withColumn("sig", minhashSignature(col("sh"), k))
+        .filter(col("sig").isNotNull) // shingle-less docs bucket nowhere
+        .select(col("id"), col("sh"), lshBuckets(col("sig"), bands, r).as("bkts"))
+        .select(col("id"), col("sh"), col("bkts"), posexplode(col("bkts")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    }
+    val corpusB = banded(corpus, spread = true)
+      .withColumnsRenamed(Map(
+        "id" -> "dup_of", "sh" -> "sh_b", "bkts" -> "bkts_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded(stream, spread = false)
+      .join(corpusB, Seq("band", "bucket"))
+      .filter(col("band") === firstSharedBand(col("bkts"), col("bkts_b")))
+      .select(col("id"), col("dup_of"),
+        (size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], minCos: Double,
       maxKeepersPerCell: Int = 100000,

@@ -1477,4 +1477,39 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("streaming minhash near-dup guard flags incoming dups of a static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while the cat watches from the warm stone wall near the old garden gate every single morning"),
+      (2L, "rain fell softly on the tin roof as the children counted drops and told long stories about ships lost far beyond the grey harbor"),
+      (3L, "seven engineers reviewed the query plan twice before the deploy and still missed the broadcast hint on the smallest dimension table")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.ops.Dedup.minhashDedupStream(
+      mem.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      threshold = 0.7)
+    val q = out.writeStream.format("memory").queryName("dupguard").start()
+    try {
+      // near-dup of corpus doc 1 (one word changed) + a novel doc
+      mem.addData(
+        (100L, "the quick brown fox jumps over the lazy dog while the cat watches from the warm stone wall near the old garden gate every single evening"),
+        (101L, "completely unrelated text about compilers and register allocation with nothing shared beyond function words"))
+      q.processAllAvailable()
+      val got1 = spark.table("dupguard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got1.map(r => (r._1, r._2)) == Set((100L, 1L)), got1)
+      assert(got1.forall(_._3 >= 0.7), got1)
+      // a dup LANDING LATER is flagged in its own trigger (the tail shape)
+      mem.addData(
+        (102L, "rain fell softly on the tin roof as the children counted drops and told long stories about ships lost far beyond the grey harbor"))
+      q.processAllAvailable()
+      val got2 = spark.table("dupguard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got2.map(r => (r._1, r._2)) == Set((100L, 1L), (102L, 2L)), got2)
+      // the exact copy scores jaccard 1.0
+      assert(got2.exists(r => r._1 == 102L && r._3 == 1.0), got2)
+    } finally q.stop()
+  }
 }
