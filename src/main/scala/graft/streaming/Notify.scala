@@ -538,12 +538,17 @@ object Notify {
       if (overflow) {
         // rescue the STOPs beyond the cap: a dropped STOP leaves its
         // incident firing until its timeout — or forever with timeout 0
-        // (r12 ADVICE). Late STOPs are safe to append AFTER the kept
-        // prefix: a name whose START was kept gets closed; a name whose
-        // START was also dropped no-ops (not firing); a re-delivered
-        // kept STOP no-ops too (deliver is idempotent for stops), so no
-        // dedup pass is needed. Bounded: one more take(maxPerBatch).
+        // (r12 ADVICE). Only TAIL stops are re-delivered: a stop that was
+        // already in the kept prefix must NOT replay after the prefix —
+        // a kept [STOP x, START x] sequence would otherwise get its stop
+        // re-applied after the start and kill a legitimate incident
+        // (found in the r13 review pass). Tail stops are order-safe by
+        // construction: every tail row follows every kept row, so closing
+        // a kept START is correct and a stop whose START was also dropped
+        // no-ops. Bounded: one more take(maxPerBatch).
+        val keptSet = kept.toSet
         val stops = batch.filter(n => !n.firing).take(maxPerBatch)
+          .filterNot(keptSet.contains)
         stops.foreach(alerter.deliver)
         rescued = stops
         val names = stops.map(_.name).distinct

@@ -430,6 +430,27 @@ class AlerterSpec extends AnyFunSuite {
       "overflow must be journaled")
   }
 
+  test("sink overflow rescue never replays a KEPT stop over its later start") {
+    val spark = GraftSession.builder("2").getOrCreate()
+    import spark.implicits._
+    val a = new Notify.Alerter(
+      teams = Map("default" -> Seq(Contact.Ignore)),
+      clock = () => 1000.0)
+    // kept prefix (cap 3) = [STOP X (no-op), START X, START C]; the tail
+    // overflows with START D. The rescue pass must NOT re-deliver the
+    // kept STOP X after the kept START X — that replay would cancel a
+    // legitimate incident (the r13 review-pass bug).
+    val batch = Seq(
+      Notification("X", firing = false, Map.empty, sentTime = 1.0, debounce = 0.0),
+      Notification("X", firing = true, Map.empty, sentTime = 2.0, debounce = 0.0),
+      Notification("C", firing = true, Map.empty, sentTime = 3.0, debounce = 0.0),
+      Notification("D", firing = true, Map.empty, sentTime = 4.0, debounce = 0.0)
+    ).toDS()
+    Notify.sinkBatch(batch, a, maxPerBatch = 3)
+    assert(a.currentlyFiring == Set("X", "C"),
+      s"kept STOP replayed over its later START: ${a.currentlyFiring}")
+  }
+
   test("cross-thread deliveries reach contacts in preparation order (FIFO outbox)") {
     // deliveries are enqueued UNDER the state monitor and drained FIFO:
     // a flush racing another thread's in-flight dispatch hands its
