@@ -349,6 +349,72 @@ object DedupQueries {
         FROM tr JOIN pr ON TRUE
         WHERE CAST(len(list_intersect(tr.sh, pr.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(tr.sh, pr.sh))) >= 0.5
+        ORDER BY train_id, probe_id""")),
+
+    // ---- d10: cross-corpus SEMANTIC contamination — the embedding-space
+    // companion of d09: paraphrased benchmark content shares no shingles
+    // but still lands in the same IVF cell, so the pair search is confined
+    // to co-assigned cells (Σ|cellA|·|cellB| work, rectangular block split
+    // for hot cells; cell confinement is the recall/cost dial — like
+    // SemDeDup it catches the high-cosine mass, 16 cells keep ~1/5 of the
+    // moderate-cos 0.3 pairs at this SF while cutting the pair work to
+    // Σ|cell|²/n² of brute force). Cells seed from the TRAIN side
+    // (vec_id % 7 ≠ 0) and
+    // size by autoNlist (= 16 at every verify SF, single-level exact), so
+    // the oracle replays assignment and round-9 cosine value-for-value.
+    QueryDef(
+      "d10_semantic_contamination",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Dedup.semanticContaminationCross(
+          embs.filter(col("vec_id") % 7 =!= 0),
+          embs.filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", minCos = 0.3)
+          .select(col("id_a").as("train_id"), col("id_b").as("probe_id"),
+            col("cos"))
+          .orderBy("train_id", "probe_id")
+      },
+      Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM embeddings),
+        tr AS (SELECT * FROM v WHERE vec_id % 7 <> 0),
+        pr AS (SELECT * FROM v WHERE vec_id % 7 = 0),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM tr ORDER BY vec_id LIMIT 16) s0),
+        sca AS (
+          SELECT t.vec_id, c.cidx,
+            list_reduce(list_prepend(0.0, list_transform(list_zip(t.v, c.cv),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM tr t CROSS JOIN c),
+        cella AS (SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM sca) z WHERE rk = 1),
+        scb AS (
+          SELECT t.vec_id, c.cidx,
+            list_reduce(list_prepend(0.0, list_transform(list_zip(t.v, c.cv),
+              p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+              (acc, x) -> acc + x) AS dt
+          FROM pr t CROSS JOIN c),
+        cellb AS (SELECT vec_id, cidx AS cell FROM (
+            SELECT vec_id, cidx,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+            FROM scb) z WHERE rk = 1)
+        SELECT ja.vec_id AS train_id, jb.vec_id AS probe_id,
+          ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
+            p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+            (acc, x) -> acc + x) / (a.norm * b.norm), 9) AS cos
+        FROM cella ja JOIN cellb jb ON ja.cell = jb.cell
+        JOIN v a ON a.vec_id = ja.vec_id
+        JOIN v b ON b.vec_id = jb.vec_id
+        WHERE ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
+            p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+            (acc, x) -> acc + x) / (a.norm * b.norm), 9) >= 0.3
         ORDER BY train_id, probe_id"""))
   )
 }

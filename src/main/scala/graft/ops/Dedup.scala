@@ -711,6 +711,48 @@ object Dedup {
     * a restart is safe.
     *
     * Returns a streaming (id, cell, dup_of, is_dup) frame. */
+  /** Cross-corpus SEMANTIC contamination: every (a ∈ A, b ∈ B) pair with
+    * cosine ≥ `minCos`, found within shared IVF cells — the
+    * embedding-space analogue of [[minhashCandidatesCross]] (d09's text
+    * join): paraphrased benchmark content that shares no shingles still
+    * lands in the same semantic cell. Cells seed from corpus A (the big
+    * side — train — so the cell structure is the training corpus's),
+    * sized by [[autoNlist]] unless pinned; assignment is the same
+    * map-only argmax as [[semanticDedup]] (two-level above 64 cells),
+    * and pair work is confined to co-assigned cells through the
+    * rectangular block split ([[blockKeyedCross]] — hot cells spread
+    * over block tasks, exactly).
+    *
+    * Returns (id_a, id_b, cos) with round-9 cosine, one row per
+    * contaminated pair. */
+  def semanticContaminationCross(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, nlist: Int = 0,
+      cellCap: Int = 4096): DataFrame = {
+    val dim = Similarity.vecDim(a, vecCol)
+    val nl = if (nlist > 0) nlist else autoNlist(Similarity.sizingCount(a))
+    val cents = Similarity.seedCentroids(a, idCol, vecCol, nl)
+    val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (nl <= 64) Similarity.cellArgmax(_, cents)
+      else Similarity.cellArgmaxTwoLevel(_, cents)
+    val p = par(a)
+    def side(df: DataFrame): DataFrame = spreadInput(df, p)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.normFlat(col(vecCol), dim).as("norm"))
+      .withColumn("cell", assign(col("v")))
+    val (ba, bb) = blockKeyedCross(side(a), side(b), Seq("cell"), p, cellCap,
+      boundA = leafRowBound(a), boundB = leafRowBound(b))
+    ba.hint("shuffle_hash").as("a")
+      .join(bb.hint("shuffle_hash").as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky"))
+      .filter(Similarity.roundedAtLeast(
+        Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
+          (col("a.norm") * col("b.norm")), minCos, 9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
+          (col("a.norm") * col("b.norm")), 9).as("cos"))
+  }
+
   /** Streaming near-dup guard: check every INCOMING document against a
     * STATIC corpus — the online-ingestion side of [[minhashCandidates]]
     * (is this new crawl page a near-dup of something already in the
