@@ -625,6 +625,35 @@ class DedupSpec extends AnyFunSuite {
     assert(hits >= 120, s"scaled-r recall too low: $hits/150")
   }
 
+  test("semantic contamination: valid cross pairs, complete within shared cells") {
+    val embs = Tables.embeddings(spark, sf)
+    val train = embs.filter(col("vec_id") % 7 =!= 0)
+    val probe = embs.filter(col("vec_id") % 7 === 0)
+    val got = Dedup.semanticContaminationCross(train, probe,
+        "vec_id", "embedding", minCos = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "expected some cross-split semantic near-dups")
+    // soundness: every emitted pair is a true cross-split pair at cos>=0.3
+    val exact = Dedup.embeddingNearDup(embs, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    got.foreach { case (a, b) =>
+      assert(a % 7 != 0 && b % 7 == 0, s"($a,$b) not a train x probe pair")
+      assert(exact.contains((a, b)), s"($a,$b) not a true cos>=0.3 pair")
+    }
+    // completeness WITHIN cells: re-derive the cell assignment with the
+    // same seeds and assert every co-assigned exact cross pair was emitted
+    val nl = Dedup.autoNlist(train.count())
+    val cents = Similarity.seedCentroids(train, "vec_id", "embedding", nl)
+    val cellOf = Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
+        minCos = 2.0) // threshold 2.0: assignment only, no dup pairs
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    val expected = exact.filter { case (a, b) =>
+      a % 7 != 0 && b % 7 == 0 && cellOf(a) == cellOf(b) }
+    assert(got == expected,
+      s"cell-confined pair set mismatch: got ${got.size}, want ${expected.size}")
+  }
+
   test("semanticDedupAuto at small n is EXACTLY the pinned nlist=16 single-level plan") {
     val embs = Tables.embeddings(spark, sf)
     val auto = Dedup.semanticDedupAuto(embs, "vec_id", "embedding", minCos = 0.4)
