@@ -539,6 +539,8 @@ object Dedup {
       cellCap: Int = 4096): DataFrame = {
     val nlist = autoNlist(Similarity.sizingCount(embs), targetCell)
     val cents = Similarity.seedCentroids(embs, idCol, vecCol, nlist)
+    require(cents.nonEmpty,
+      "semanticDedupAuto: empty corpus — no seed centroids to assign against")
     val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (nlist <= twoLevelAbove) Similarity.cellArgmax(_, cents)
       else Similarity.cellArgmaxTwoLevel(_, cents)
@@ -731,6 +733,8 @@ object Dedup {
     val dim = Similarity.vecDim(a, vecCol)
     val nl = if (nlist > 0) nlist else autoNlist(Similarity.sizingCount(a))
     val cents = Similarity.seedCentroids(a, idCol, vecCol, nl)
+    require(cents.nonEmpty,
+      "semanticContaminationCross: empty corpus A — no seed centroids")
     val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (nl <= 64) Similarity.cellArgmax(_, cents)
       else Similarity.cellArgmaxTwoLevel(_, cents)

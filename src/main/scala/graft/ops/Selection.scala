@@ -113,6 +113,8 @@ object Selection {
     import org.apache.spark.sql.expressions.Window
     val nlist = Dedup.autoNlist(Similarity.sizingCount(embs), targetCell)
     val cents = Similarity.seedCentroids(embs, idCol, vecCol, nlist)
+    require(cents.nonEmpty,
+      "cellDiverseSample: empty corpus — no seed centroids")
     val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (nlist <= twoLevelAbove) Similarity.cellArgmax(_, cents)
       else Similarity.cellArgmaxTwoLevel(_, cents)

@@ -305,6 +305,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("d10 semantic contamination: co-partitioned cell join, no cartesian") {
+    val p = finalPlan("d10_semantic_contamination")
+    assert(p.contains("ShuffledHashJoin"),
+      "d10's cross-cell join lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("running-mode queries leave no partition-less WindowExec (r12 verdict task 3)") {
     // Every global running construct (prefix aggregates, lag/changed/
     // derive, feedback reads, count-commit row numbering) is two-pass
