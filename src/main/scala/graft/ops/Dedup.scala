@@ -1045,7 +1045,25 @@ object Dedup {
     scala.util.Try(walk(df.queryExecution.analyzed)).toOption.flatten
   }
 
-  private[graft] def leafRowBound(df: DataFrame): Option[Long] = {
+  private[graft] def leafRowBound(df: DataFrame): Option[Long] =
+    metadataRowCount(df, bound = true)
+
+  /** An EXACT row count for `df` from metadata alone, or None. Unlike
+    * [[leafRowBound]] — an upper BOUND that deliberately walks through
+    * row-reducing nodes (Filter/Limit/Sample/Distinct), fine for its
+    * bound-shaped uses ([[blockKeyed]] skip) — this walk accepts
+    * row-PRESERVING nodes only (Project/SubqueryAlias/Sort/Repartition),
+    * so a filtered or sampled frame returns None and the caller falls
+    * back to a real count. Sizing decisions (autoLshR/autoNlist) need the
+    * TRUE corpus size: a leaf-file bound over a selective filter (0.1 %
+    * of a lake table) would size LSH buckets orders of magnitude too
+    * sparse (silent recall collapse on true near-dup pairs) and SemDeDup
+    * cells far too fine, with an oversized driver-resident centroid
+    * literal. */
+  private[graft] def exactRowCount(df: DataFrame): Option[Long] =
+    metadataRowCount(df, bound = false)
+
+  private def metadataRowCount(df: DataFrame, bound: Boolean): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -1077,18 +1095,20 @@ object Dedup {
       else scala.util.Try(files.map(rows).sum).toOption
     def walk(p: LogicalPlan): Option[Long] = p match {
       case Project(_, c) => walk(c)
-      case Filter(_, c) => walk(c)
       case SubqueryAlias(_, c) => walk(c)
       case Sort(_, _, c, _) => walk(c)
-      case Distinct(c) => walk(c)
-      case Deduplicate(_, c) => walk(c)
       case Repartition(_, _, c) => walk(c)
       case RepartitionByExpression(_, c, _, _) => walk(c)
-      case GlobalLimit(_, c) => walk(c) // limit ≤ child bound
-      case LocalLimit(_, c) => walk(c)
+      // row-REDUCING nodes: valid for an upper bound, not for an exact
+      // count — exact mode stops here (caller falls back to df.count())
+      case Filter(_, c) if bound => walk(c)
+      case Distinct(c) if bound => walk(c)
+      case Deduplicate(_, c) if bound => walk(c)
+      case GlobalLimit(_, c) if bound => walk(c) // limit ≤ child bound
+      case LocalLimit(_, c) if bound => walk(c)
       // with-replacement sampling can EXCEED the child count — only the
       // without-replacement form keeps the child bound valid
-      case Sample(_, _, false, _, c) => walk(c)
+      case Sample(_, _, false, _, c) if bound => walk(c)
       case l: LocalRelation => Some(l.data.length.toLong)
       case r: Range => Some(r.numElements.toLong)
       case lr: LogicalRelation => lr.relation match {

@@ -450,11 +450,15 @@ object Similarity {
     }
 
   /** Corpus row count for sizing decisions: exact parquet/orc footer
-    * counts when the frame is a 1:1 view of a file scan (zero Spark
-    * jobs — the path every registered query takes), else one map-only
-    * count job. */
-  private[ops] def sizingCount(df: DataFrame): Long =
-    Dedup.leafRowBound(df).getOrElse(df.count())
+    * counts when the frame is a 1:1 ROW-PRESERVING view of a file scan
+    * (zero Spark jobs — the path every registered query takes), else one
+    * map-only count job. Deliberately NOT [[Dedup.leafRowBound]]: that is
+    * an upper bound that walks through Filter/Sample/Limit, and sizing
+    * r/nlist from a bound orders of magnitude above the true filtered
+    * count would silently collapse LSH recall and over-split SemDeDup
+    * cells (see [[Dedup.exactRowCount]]). */
+  private[graft] def sizingCount(df: DataFrame): Long =
+    Dedup.exactRowCount(df).getOrElse(df.count())
 
   /** Candidate neighbor pairs via random-hyperplane LSH; compare only
     * bucket-mates. Returns (id_a, id_b, cos) for candidates with

@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite {
       .contains(2L))
   }
 
+  test("exactRowCount: row-preserving views only; sizingCount tracks a filtered corpus") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    // row-preserving lineage: footer count, zero jobs
+    assert(Dedup.exactRowCount(docs).contains(n))
+    assert(Dedup.exactRowCount(
+      docs.select("doc_id", "text").orderBy("doc_id").repartition(4)).contains(n))
+    // row-REDUCING nodes are NOT exact — must refuse (leafRowBound keeps them)
+    val filtered = docs.filter(col("doc_id") % 100 === 0)
+    assert(Dedup.exactRowCount(filtered).isEmpty)
+    assert(Dedup.leafRowBound(filtered).contains(n))
+    assert(Dedup.exactRowCount(docs.limit(3)).isEmpty)
+    assert(Dedup.exactRowCount(docs.sample(withReplacement = false, 0.1, 7)).isEmpty)
+    // the sizing path must therefore see the FILTERED count, not the
+    // leaf-file bound: a 0.1 % selection of a big corpus would otherwise
+    // derive an r/nlist sized for the full table (sparse buckets, recall
+    // collapse)
+    assert(Similarity.sizingCount(filtered) == filtered.count())
+    assert(Similarity.sizingCount(docs) == n)
+  }
+
   test("leafRowBound: ORC-backed frames bound from ORC footers") {
     val d = java.nio.file.Files.createTempDirectory("graft_orc_bound").toFile
     d.deleteOnExit()
