@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output passes through UNPREFIXED — with the
+// default LoggedOutput every child stdout line gains an sbt "[info] "
+// prefix, which broke the driver's parse of Bench's final JSON headline
+// line (BENCH_r11–r13 "parsed": null). StdoutOutput pipes child stdout
+// and stderr straight through, so the last `{`-prefixed line in a
+// captured tail is Bench's complete short artifact.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -152,8 +152,12 @@ object Bench {
     // began mid-queries dict). Repeat just the headline essentials as a
     // SHORT final line (~0.7 kB) so the captured tail always ends with
     // one complete parseable JSON object; the complete artifact is
-    // committed as bench_out.json either way.
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)}$streamShort,"sf":"$sfDir"}""")
+    // committed as bench_out.json either way. Stop Spark FIRST so this is
+    // the JVM's last stdout write (shutdown logs go to stderr), and tag
+    // the line "abridged" so tooling holding both lines — they share
+    // metric:total — can tell them apart.
     spark.stop()
+    println(s"""{"metric":"total","abridged":true,"value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)}$streamShort,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -248,6 +248,8 @@ object DedupQueries {
       "d07_semantic_dedup",
       (s, d) => {
         val embs = Tables.embeddings(s, d)
+        OraclePin.assertPinned("d07_semantic_dedup", "nlist",
+          Dedup.autoNlist(graft.ops.Similarity.sizingCount(embs)), 16)
         Dedup.semanticDedupAuto(embs, "vec_id", "embedding", minCos = 0.4)
           .select(col("id").as("vec_id"), col("cell"), col("dup_of"),
             col("is_dup"))
@@ -366,8 +368,11 @@ object DedupQueries {
       "d10_semantic_contamination",
       (s, d) => {
         val embs = Tables.embeddings(s, d)
+        val train = embs.filter(col("vec_id") % 7 =!= 0)
+        OraclePin.assertPinned("d10_semantic_contamination", "nlist",
+          Dedup.autoNlist(graft.ops.Similarity.sizingCount(train)), 16)
         Dedup.semanticContaminationCross(
-          embs.filter(col("vec_id") % 7 =!= 0),
+          train,
           embs.filter(col("vec_id") % 7 === 0),
           "vec_id", "embedding", minCos = 0.3)
           .select(col("id_a").as("train_id"), col("id_b").as("probe_id"),

@@ -29,6 +29,25 @@ final case class QueryDef(
       * (d04's xxh64 fingerprints vs d04b's md5 family) */
     benchOnly: Boolean = false)
 
+/** Guard for queries whose static DuckDB oracle embeds an auto-derived
+  * config constant (LSH band width r, IVF cell count nlist). The
+  * auto-sizing returns the pinned floor at every verify/bench SF today; if
+  * a larger SF directory ever joins the verify matrix, the derivation
+  * would silently flip the plan (wider banding, two-level assignment)
+  * while the static SQL still encodes the floor — producing confusing
+  * value diffs instead of a clear config error. Fail fast, naming the pin.
+  * The at-scale code paths themselves are value-oracled separately by the
+  * replication checks (a02b/d07b), whose oracle SQL is GENERATED from the
+  * derived config instead of pinned. */
+object OraclePin {
+  def assertPinned(query: String, what: String, derived: Int, pinned: Int): Unit =
+    require(derived == pinned,
+      s"$query: the static oracle SQL pins $what=$pinned but the auto-sizing " +
+        s"derived $what=$derived at this corpus size — regenerate the oracle " +
+        "from the derived config (see the a02b/d07b parameterized oracles) " +
+        "or keep this SF out of the static-oracle matrix")
+}
+
 /** Deterministic-aggregation helpers (shared Spark side). */
 object Det {
   /** Exact sum of a double column — order-free, engine-portable.

@@ -113,9 +113,14 @@ object SimilarityQueries {
     // explicitly so its recall assertion tracks a fixed banding.
     QueryDef(
       "a02_ann_lsh",
-      (s, d) => Similarity.lshNeighbors(Tables.embeddings(s, d), "vec_id",
-        "embedding", bands = LshBands, minCos = LshMinCos)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        OraclePin.assertPinned("a02_ann_lsh", "r",
+          Similarity.autoLshR(Similarity.sizingCount(embs)), LshR)
+        Similarity.lshNeighbors(embs, "vec_id",
+          "embedding", bands = LshBands, minCos = LshMinCos)
+          .orderBy("id_a", "id_b")
+      },
       Some(lshOracleSql),
       headline = true),
 
@@ -449,10 +454,15 @@ object SimilarityQueries {
     // bounds at any corpus size.
     QueryDef(
       "a10_cell_diverse_sample",
-      (s, d) => graft.ops.Selection.cellDiverseSample(
-        Tables.embeddings(s, d), "vec_id", "embedding", perCell = 16)
-        .select(col("id").as("vec_id"), col("cell"), col("cell_rank"))
-        .orderBy("vec_id"),
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        OraclePin.assertPinned("a10_cell_diverse_sample", "nlist",
+          graft.ops.Dedup.autoNlist(Similarity.sizingCount(embs)), 16)
+        graft.ops.Selection.cellDiverseSample(
+          embs, "vec_id", "embedding", perCell = 16)
+          .select(col("id").as("vec_id"), col("cell"), col("cell_rank"))
+          .orderBy("vec_id")
+      },
       Some("""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
           sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,

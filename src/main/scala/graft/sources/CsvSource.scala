@@ -230,9 +230,12 @@ object CsvSource {
       .select(col("path"))
     val lines = paths.as[String].mapPartitions { it =>
       it.flatMap { uri =>
-        // binaryFile yields URIs (file:///...); the shell and the unlink
-        // want the local filesystem path
-        val local = new java.net.URI(uri).getPath
+        // binaryFile yields Hadoop Path.toString values (file:/...) — NOT
+        // guaranteed RFC-2396-encoded, so java.net.URI would throw on a
+        // landing file with a space (and the checkpointed source would
+        // retry that file forever). Hadoop Path round-trips its own
+        // rendering; the shell and the unlink want the local fs path.
+        val local = new org.apache.hadoop.fs.Path(uri).toUri.getPath
         val q = shellQuote(local)
         val c = if (pre.contains("%s")) pre.replace("%s", q)
           else s"$pre $q"

@@ -296,14 +296,28 @@ object Notify {
       // timeout (r12 ADVICE: the old synchronized blocked the streaming
       // sink thread whenever the outbox was non-empty under contention).
       // tryLock: if someone holds the lock they are draining the FIFO;
-      // an item they miss in the poll/enqueue race is picked up by the
-      // next flush (wait=true), whose synchrony contract drains to empty.
+      // an item they miss in the poll/enqueue race is picked up by their
+      // own post-unlock re-check below, so eventual dispatch does not
+      // depend on a later flush.
       if (wait) dispatchLock.lock()
       else if (!dispatchLock.tryLock()) return
-      try {
-        var d = outbox.poll()
-        while (d != null) { dispatchOne(d); d = outbox.poll() }
-      } finally dispatchLock.unlock()
+      var draining = true
+      while (draining) {
+        try {
+          var d = outbox.poll()
+          while (d != null) { dispatchOne(d); d = outbox.poll() }
+        } finally dispatchLock.unlock()
+        // Re-check AFTER unlock: a racing deliver can enqueue between our
+        // last (empty) poll and the unlock, lose its tryLock to us, and
+        // return — without this re-drain its item would strand until the
+        // next flush. The re-check closes that window for ANY thread
+        // count: an enqueue that observed a tryLock failure happened
+        // before that holder's unlock, so that holder's re-check sees it;
+        // an enqueue after every unlock wins its own tryLock. So a bare
+        // deliver() (no following flush) still guarantees eventual
+        // dispatch.
+        draining = !outbox.isEmpty && dispatchLock.tryLock()
+      }
     }
 
     private def dispatchOne(d: Delivery): Unit =
