@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** At-scale DIFFERENTIAL oracles.
+  *
+  * Every other registered query runs where the auto-sizing returns its
+  * pinned floor (autoLshR r = 4 at n ≤ 4096, autoNlist = 16 at n ≤ 2000),
+  * so the code paths a 100 TB corpus actually takes — derived-width
+  * banding in [[Similarity.lshNeighbors]] and TWO-LEVEL approximate cell
+  * assignment in [[Dedup.semanticDedupAuto]] once nlist > twoLevelAbove —
+  * had perf probes, recall audits, and unit-equivalence specs but no
+  * end-to-end value oracle. The two queries here close that: the corpus
+  * is replicated INSIDE the query past the floors, and the DuckDB oracle
+  * SQL is GENERATED from the same derived config (r, nlist, coarse count)
+  * instead of pinned to the floor.
+  *
+  * Replication is structure-preserving and ARITHMETIC-FREE so both
+  * engines replicate bit-identically: replica j applies a seeded
+  * coordinate PERMUTATION to the embedding. cos(π(u), π(v)) = cos(u, v),
+  * so intra-replica neighborhood structure is exactly the base corpus's,
+  * while cross-replica pairs decorrelate — the same bijective-renaming
+  * idea as ScaleProbe's word tagging, chosen over ScaleProbe's orthogonal
+  * ROTATIONS because a float matrix product's accumulation order cannot
+  * be replayed exactly in SQL, whereas an element shuffle has no float
+  * ops at all. Replica ids offset by j·10⁷ (ScaleProbe's scheme), so
+  * ORDER-BY-id centroid seeding draws the same unpermuted replica-0
+  * vectors in both engines.
+  */
+object AtScaleQueries {
+
+  /** Testdata embedding width (TESTDATA.md; constant across SFs) —
+    * asserted against the data at run time. */
+  private val Dim = 64
+
+  /** Base embeddings row count at the verify SF (sf0.01). The generated
+    * oracle SQL hard-wires the configs DERIVED from BaseN × Repl*, and the
+    * query lambdas [[OraclePin]]-assert the runtime derivation matches —
+    * a different verify SF fails with a named pin, not a value diff. */
+  private val BaseN = 500L
+
+  private val ReplA = 10 // a02b: 5 000 rows  ⇒ autoLshR  = 10 > rMin 4
+  private val ReplD = 17 // d07b: 8 500 rows  ⇒ autoNlist = 68 > twoLevelAbove 64
+
+  /** The derived configs the generated oracle SQL embeds. */
+  private[graft] val RepR = Similarity.autoLshR(BaseN * ReplA)
+  private[graft] val RepNlist = Dedup.autoNlist(BaseN * ReplD)
+  private[graft] val RepNCoarse =
+    math.ceil(math.sqrt(RepNlist.toDouble)).toInt
+  // the whole point of these queries — fail the build, not the gate, if a
+  // sizing-policy change drops them back onto the already-oracled paths
+  require(RepR > 4,
+    s"a02b must exercise a derived r above the rMin floor, got $RepR")
+  require(RepNlist > 64,
+    s"d07b must exercise two-level assignment (nlist > 64), got $RepNlist")
+
+  private val RepBands = 8 // lshNeighbors' default banding
+  private val RepMinCos = 0.3
+
+  /** Seeded Fisher–Yates permutation of 0 until Dim; j = 0 is identity.
+    * java.util.Random's LCG is spec-fixed, so each permutation is a
+    * stable constant embedded in both the Spark plan and the SQL text. */
+  private def permutation(j: Int): Array[Int] = {
+    val p = Array.tabulate(Dim)(identity)
+    if (j > 0) {
+      val rng = new java.util.Random(9000L + j)
+      var i = Dim - 1
+      while (i > 0) {
+        val k = rng.nextInt(i + 1)
+        val t = p(i); p(i) = p(k); p(k) = t
+        i -= 1
+      }
+    }
+    p
+  }
+
+  /** ×k replicated corpus: replica j = (id + j·10⁷, permuted embedding).
+    * Pure projections under a union — no arithmetic on the vector. */
+  private def replicate(embs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { j =>
+      val p = permutation(j)
+      embs.select((col("vec_id") + lit(j * 10_000_000L)).as("vec_id"),
+        array(p.toIndexedSeq.map(i => col("embedding").getItem(i)): _*)
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+
+  /** The same replication as DuckDB CTEs (list_select is 1-based). */
+  private def repSql(k: Int): String = {
+    val rows = (0 until k).map { j =>
+      s"($j, [${permutation(j).map(_ + 1).mkString(", ")}])"
+    }.mkString(", ")
+    s"""perms(j, p) AS (VALUES $rows),
+        rep AS (
+          SELECT j * 10000000 + vec_id AS vec_id,
+            list_select(embedding, p) AS embedding
+          FROM embeddings CROSS JOIN perms)"""
+  }
+
+  /** Sequential-fold dot product — the order VecDot / the sign kernel /
+    * TwoLevelArgmax.compute all use, so doubles accumulate identically. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+        q -> CAST(struct_extract(q, 1) AS DOUBLE) * CAST(struct_extract(q, 2) AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+  private val vSql = s"""v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)) AS norm
+        FROM rep)"""
+
+  /** Hyperplane literals at the DERIVED width — same seeded driver
+    * constants the Spark plan projects onto (SimilarityQueries' a02
+    * machinery, r parameterized instead of pinned). */
+  private def planesValues(r: Int): String =
+    Similarity.hyperplanes(Dim, RepBands, r).zipWithIndex.map {
+      case (p, i) =>
+        s"($i, [${p.map(java.lang.Double.toString).mkString(", ")}])"
+    }.mkString(", ")
+
+  /** a02's full-pipeline LSH oracle over the replicated corpus with the
+    * banding width GENERATED from the derived config. */
+  private def a02bSql: String = s"""WITH ${repSql(ReplA)},
+        $vSql,
+        planes AS (SELECT * FROM (VALUES ${planesValues(RepR)}) AS t(pid, p)),
+        dots AS (
+          SELECT v.vec_id, t.pid, ${dotSql("v.v", "t.p")} AS dt
+          FROM v CROSS JOIN planes t),
+        b AS (
+          SELECT vec_id, pid // $RepR AS band,
+            SUM(CASE WHEN dt >= 0 THEN (1 << (${RepR - 1} - (pid % $RepR))) ELSE 0 END) AS bucket
+          FROM dots GROUP BY 1, 2),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+            AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, cos FROM (
+          SELECT p.id_a, p.id_b,
+            ROUND(${dotSql("a.v", "c.v")} / (a.norm * c.norm), 9) AS cos
+          FROM pairs p JOIN v a ON a.vec_id = p.id_a
+            JOIN v c ON c.vec_id = p.id_b) z
+        WHERE cos >= $RepMinCos ORDER BY id_a, id_b"""
+
+  /** d07's SemDeDup oracle over the replicated corpus, replaying the
+    * TWO-LEVEL assignment exactly: coarse = the first ⌈√nlist⌉ seeds,
+    * fine→coarse grouping by argmax dot (row_number DESC, index ASC =
+    * the kernel's strict-> first-wins), then fine argmax within the
+    * winner's member group — [[graft.functions.TwoLevelArgmax]] in SQL. */
+  private def d07bSql: String = s"""WITH ${repSql(ReplD)},
+        $vSql,
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT $RepNlist) s0),
+        grp AS (
+          SELECT fidx, coidx AS g FROM (
+            SELECT f.cidx AS fidx, co.cidx AS coidx,
+              row_number() OVER (PARTITION BY f.cidx
+                ORDER BY ${dotSql("f.cv", "co.cv")} DESC, co.cidx) AS rk
+            FROM c f JOIN c co ON co.cidx <= $RepNCoarse) z1 WHERE rk = 1),
+        cw AS (
+          SELECT vec_id, cidx AS w FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dotSql("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN c ON c.cidx <= $RepNCoarse) z2 WHERE rk = 1),
+        cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dotSql("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN cw ON cw.vec_id = v.vec_id
+              JOIN grp ON grp.g = cw.w
+              JOIN c ON c.cidx = grp.fidx) z3 WHERE rk = 1),
+        dup AS (
+          SELECT cb.vec_id AS id, MIN(ca.vec_id) AS dup_of
+          FROM cell ca JOIN cell cb
+            ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+          JOIN v a ON a.vec_id = ca.vec_id
+          JOIN v b ON b.vec_id = cb.vec_id
+          WHERE ROUND(${dotSql("a.v", "b.v")} / (a.norm * b.norm), 9) >= 0.4
+          GROUP BY cb.vec_id)
+        SELECT ce.vec_id, ce.cell, dup.dup_of,
+          dup.dup_of IS NOT NULL AS is_dup
+        FROM cell ce LEFT JOIN dup ON dup.id = ce.vec_id
+        ORDER BY ce.vec_id"""
+
+  val entries: Seq[QueryDef] = Seq(
+    // ---- a02b: the PRODUCTION lshNeighbors plan where autoLshR derives
+    // r = 10 (NOT the rMin floor the static a02 oracle pins) — the first
+    // end-to-end value oracle of the at-scale banding path.
+    QueryDef(
+      "a02b_ann_lsh_scaled",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        require(Similarity.vecDim(embs, "embedding") == Dim,
+          s"a02b oracle SQL is generated for dim=$Dim embeddings")
+        val rep = replicate(embs, ReplA)
+        OraclePin.assertPinned("a02b_ann_lsh_scaled", "r",
+          Similarity.autoLshR(Similarity.sizingCount(rep)), RepR)
+        Similarity.lshNeighbors(rep, "vec_id", "embedding",
+          minCos = RepMinCos)
+          .orderBy("id_a", "id_b")
+      },
+      Some(a02bSql)),
+
+    // ---- d07b: the PRODUCTION semanticDedupAuto plan where autoNlist
+    // derives 68 cells and assignment goes through the two-level
+    // TwoLevelArgmax kernel — the first end-to-end value oracle of the
+    // approximate at-scale assignment path (the approximation is vs the
+    // single-level argmax; vs the kernel's OWN semantics the SQL replay
+    // is exact, which is what a differential oracle must pin).
+    QueryDef(
+      "d07b_semantic_dedup_scaled",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        require(Similarity.vecDim(embs, "embedding") == Dim,
+          s"d07b oracle SQL is generated for dim=$Dim embeddings")
+        val rep = replicate(embs, ReplD)
+        OraclePin.assertPinned("d07b_semantic_dedup_scaled", "nlist",
+          Dedup.autoNlist(Similarity.sizingCount(rep)), RepNlist)
+        Dedup.semanticDedupAuto(rep, "vec_id", "embedding", minCos = 0.4)
+          .select(col("id").as("vec_id"), col("cell"), col("dup_of"),
+            col("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(d07bSql)))
+}

@@ -96,6 +96,7 @@ object Queries {
       DedupQueries.entries ++
       TextQueries.entries ++
       SimilarityQueries.entries ++
+      AtScaleQueries.entries ++
       NetQueries.entries ++
       MultimodalQueries.entries ++
       PipelineQueries.entries ++

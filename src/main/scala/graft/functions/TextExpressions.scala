@@ -251,6 +251,114 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
     copy(child = c)
 }
 
+/** Multi-probe IVF cell assignment: the top-`nprobe` coarse cells by dot
+  * (rank order, strict-> first-wins like every argmax kernel here), then
+  * the argmax fine centroid within EACH selected coarse group — one probe
+  * cell per coarse group, 1-based global fine indices, no duplicates
+  * (groups are disjoint). With `coarse == fine` and `group(j) = j` this
+  * is the EXACT global top-nprobe (single-level regime, SQL-replayable as
+  * `row_number() OVER (ORDER BY dt DESC, cidx) <= nprobe`); in the
+  * two-level regime it is the standard IVF multi-probe — neighboring
+  * coarse cells are searched instead of trusting the single coarse
+  * winner. nprobe is the RECALL DIAL for probe-side assignment
+  * (a paraphrase sitting near a cell boundary lands in a different
+  * argmax cell than its source ~45 % of the time on the audit corpus;
+  * probing 2 cells recovers it). Map-only: O(nprobe·(#coarse + group))
+  * dots per row, no shuffle, same scale shape as the argmax kernels. */
+case class CellProbes(child: Expression, coarse: Seq[Seq[Double]],
+    fine: Seq[Seq[Double]], group: Seq[Int], nprobe: Int)
+    extends UnaryExpression {
+
+  require(coarse.nonEmpty && fine.nonEmpty && group.length == fine.length,
+    "cell_probes: empty centroids or group/fine length mismatch")
+  require(group.forall(g => g >= 0 && g < coarse.length),
+    "cell_probes: group index out of coarse range")
+  require(nprobe >= 1, "cell_probes: nprobe >= 1")
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "cell_probes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val coarseFlat: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val fineFlat: Array[Array[Double]] =
+    fine.map(_.toArray).toArray
+  @transient private lazy val members: Array[Array[Int]] = {
+    val m = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    group.zipWithIndex.foreach { case (g, j) => m(g) += j }
+    m.map(_.toArray)
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val dim = coarseFlat(0).length
+    def dot(cw: Array[Double]): Double = {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        acc += x * cw(d)
+        d += 1
+      }
+      acc
+    }
+    val nc = coarseFlat.length
+    val scores = new Array[Double](nc)
+    var c = 0
+    while (c < nc) { scores(c) = dot(coarseFlat(c)); c += 1 }
+    val k = math.min(nprobe, nc)
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nc)
+    var p = 0
+    while (p < k) {
+      // selection pass: strict > keeps the EARLIEST index on ties —
+      // rank order identical to (score DESC, index ASC)
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < nc) {
+        if (!taken(i) && scores(i) > bestScore) { bestScore = scores(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      val ms = members(best)
+      var bestJ = if (ms.isEmpty) 0 else ms(0)
+      var bestFine = Double.NegativeInfinity
+      var j = 0
+      while (j < ms.length) {
+        val s = dot(fineFlat(ms(j)))
+        if (s > bestFine) { bestFine = s; bestJ = ms(j) }
+        j += 1
+      }
+      out(p) = bestJ + 1
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cellProbes", this,
+      classOf[CellProbes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CellProbes =
+    copy(child = c)
+}
+
 /** Two-level IVF cell assignment: argmax-dot over `coarse` centroids,
   * then argmax-dot over only the `fine` centroids grouped under that
   * coarse winner (`group(j)` = 0-based coarse index of fine centroid j).

@@ -101,6 +101,43 @@ object Similarity {
         coarse.map(_.toSeq).toSeq, cents, group))
   }
 
+  /** Top-`nprobe` probe cells per row (1-based global codes, rank
+    * order) — the probe-side RECALL DIAL of the cell-confined cross
+    * operators. Single-level regime (nlist ≤ twoLevelAbove): the EXACT
+    * global top-nprobe (identity grouping), replayable in SQL as
+    * `row_number() OVER (ORDER BY dt DESC, cidx) <= nprobe`. Two-level
+    * regime: standard IVF multi-probe — fine argmax within each of the
+    * top-nprobe coarse groups, O(nprobe·√nlist) dots per row, keeping
+    * assignment linear-in-n at corpus-scaled nlist. nprobe = 1 reduces
+    * exactly to [[cellArgmax]] / [[cellArgmaxTwoLevel]] (spec'd). */
+  private[graft] def cellProbes(v: Column, cents: Seq[Seq[Double]],
+      nprobe: Int, twoLevelAbove: Int = 64): Column = {
+    val expr = org.apache.spark.sql.GraftShims.expression(v)
+    val probes =
+      if (cents.length <= twoLevelAbove)
+        graft.functions.CellProbes(expr, cents, cents, cents.indices, nprobe)
+      else {
+        val nCoarse = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+        val flat = cents.map(_.toArray).toArray
+        val coarse = flat.take(nCoarse)
+        val group = flat.toSeq.map { f =>
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < nCoarse) {
+            var acc = 0.0; var d = 0
+            val cw = coarse(c)
+            while (d < f.length) { acc += f(d) * cw(d); d += 1 }
+            if (acc > bestScore) { bestScore = acc; best = c }
+            c += 1
+          }
+          best
+        }
+        graft.functions.CellProbes(expr, coarse.map(_.toSeq).toSeq, cents,
+          group, nprobe)
+      }
+    org.apache.spark.sql.GraftShims.column(probes)
+  }
+
   private def cosine(dim: Int) = round(
     dotFlat(col("q.v"), col("c.v"), dim) / (col("q.norm") * col("c.norm")), 9)
 

@@ -662,17 +662,26 @@ class DedupSpec extends AnyFunSuite {
       assert(a % 7 != 0 && b % 7 == 0, s"($a,$b) not a train x probe pair")
       assert(exact.contains((a, b)), s"($a,$b) not a true cos>=0.3 pair")
     }
-    // completeness WITHIN cells: re-derive the cell assignment with the
-    // same seeds and assert every co-assigned exact cross pair was emitted
+    // completeness WITHIN probed cells: re-derive the train-side argmax
+    // cell and the probe side's top-2 probe cells with the same seeds and
+    // assert every pair whose train cell is among the probe's probed
+    // cells was emitted (nprobe = 2 is the operator default — the d10a
+    // recall dial)
     val nl = Dedup.autoNlist(train.count())
     val cents = Similarity.seedCentroids(train, "vec_id", "embedding", nl)
     val cellOf = Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
         minCos = 2.0) // threshold 2.0: assignment only, no dup pairs
       .select("id", "cell").as[(Long, Int)].collect().toMap
+    val probedOf = probe.select(col("vec_id"),
+        Similarity.cellProbes(col("embedding"), cents, nprobe = 2).as("cs"))
+      .as[(Long, Seq[Int])].collect().toMap
     val expected = exact.filter { case (a, b) =>
-      a % 7 != 0 && b % 7 == 0 && cellOf(a) == cellOf(b) }
+      a % 7 != 0 && b % 7 == 0 && probedOf(b).contains(cellOf(a)) }
     assert(got == expected,
       s"cell-confined pair set mismatch: got ${got.size}, want ${expected.size}")
+    // the first probe cell is exactly the single-level argmax
+    probedOf.foreach { case (id, cs) =>
+      assert(cs.head == cellOf(id), s"probe $id first cell != argmax") }
   }
 
   test("semanticDedupAuto at small n is EXACTLY the pinned nlist=16 single-level plan") {
