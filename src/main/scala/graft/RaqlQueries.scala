@@ -232,11 +232,17 @@ object RaqlQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY event_id""")),
 
-    // ---- r10: HYSTERESIS + SMOOTH_DAMPED_HOLT running scans, oracled
-    // independently: hysteresis as a last-deciding-value window, the Holt
-    // recurrence as a recursive CTE replaying CodeGenLib.ml's fold.
-    // Restricted to the first 2k events because the CTE's self-join
-    // recursion is quadratic in DuckDB.
+    // ---- r10: HYSTERESIS + SMOOTH + SMOOTH_DAMPED_HOLT running scans —
+    // all three UNGROUPED (running mode over the whole table), so this
+    // row is the driver-oracled proof that the chunk-distributed scan
+    // family (affine carries, no whole-input WindowExec — PlanSpec pins
+    // it) matches the reference's sequential fold. Oracled independently:
+    // hysteresis as a last-deciding-value window, smooth and the Holt
+    // recurrence as one recursive CTE replaying CodeGenLib.ml's folds
+    // (smooth :343-347 first-value seed, holt :350-358 zero seed); the
+    // round(6) absorbs the chunked carries' float re-association (the
+    // equality specs hold at 1e-9 relative). Restricted to the first 2k
+    // events because the CTE's self-join recursion is quadratic in DuckDB.
     QueryDef(
       "r10_raql_hysteresis_holt",
       (s, d) => compileRaql(s, d,
@@ -244,6 +250,7 @@ object RaqlQueries {
              FROM tables/events
              SELECT event_id,
                     hysteresis(value, 50, 150) AS ok,
+                    round(smooth(0.5, value), 6) AS sm6,
                     round(smooth_damped_holt(0.5, 0.3, 0.9, value), 6) AS holt6
              WHERE event_id < 2000;""")
         .orderBy("event_id"),
@@ -251,14 +258,18 @@ object RaqlQueries {
           SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn
           FROM events WHERE event_id < 2000
         ), fold AS (
-          SELECT 0 AS rn, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t
+          SELECT 0 AS rn, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t,
+            CAST(NULL AS DOUBLE) AS sm
           UNION ALL
           SELECT e.rn,
             CASE WHEN e.value IS NULL THEN f.l
                  ELSE 0.5*e.value + (1-0.5)*(f.l + 0.9*f.t) END,
             CASE WHEN e.value IS NULL THEN f.t
                  ELSE 0.3*((0.5*e.value + (1-0.5)*(f.l + 0.9*f.t)) - f.l)
-                      + (1-0.3)*0.9*f.t END
+                      + (1-0.3)*0.9*f.t END,
+            CASE WHEN e.value IS NULL THEN f.sm
+                 WHEN f.sm IS NULL THEN CAST(e.value AS DOUBLE)
+                 ELSE 0.5*e.value + (1-0.5)*f.sm END
           FROM ev e JOIN fold f ON e.rn = f.rn + 1
         )
         SELECT e.event_id,
@@ -267,6 +278,7 @@ object RaqlQueries {
                               IGNORE NULLS)
             OVER (ORDER BY e.event_id ROWS BETWEEN UNBOUNDED PRECEDING
                   AND CURRENT ROW), TRUE) AS ok,
+          round(f.sm, 6) AS sm6,
           round(f.l + 0.9*f.t, 6) AS holt6
         FROM ev e JOIN fold f ON f.rn = e.rn
         ORDER BY e.event_id""")),

@@ -820,6 +820,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming near-dup guard in EMBEDDING space — the SemDeDup analogue
+    * of [[minhashDedupStream]], completing the streaming dedup story: is
+    * this incoming document a PARAPHRASE of something already in the
+    * static training corpus? (The minhash guard catches shared-shingle
+    * dups; paraphrased content shares no shingles but stays cosine-close.)
+    *
+    * Same no-state-store shape: the corpus is assigned once to its argmax
+    * IVF cells (seeded centroids, [[autoNlist]]-sized) and PERSISTED so
+    * each micro-batch joins the materialized cell table instead of
+    * re-assigning the corpus; each incoming vector probes its top-`nprobe`
+    * cells ([[Similarity.cellProbes]] — the d10a-measured recall dial,
+    * default 2) and compares round-9 cosine against only the corpus rows
+    * in those cells. Stream–static equi-join on the cell key, append
+    * mode, NO state store. A pair can match through at most one cell
+    * (the corpus side keeps one cell per row), so no dedup pass.
+    *
+    * Emits one row PER MATCH ≥ minCos: (id, dup_of, cos); novel docs emit
+    * nothing (the consumer picks, as in [[minhashDedupStream]]). */
+  def semanticDupGuardStream(stream: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, nlist: Int = 0,
+      nprobe: Int = 2): DataFrame = {
+    val dim = Similarity.vecDim(corpus, vecCol)
+    val nl = if (nlist > 0) nlist else autoNlist(Similarity.sizingCount(corpus))
+    val cents = Similarity.seedCentroids(corpus, idCol, vecCol, nl)
+    require(cents.nonEmpty,
+      "semanticDupGuardStream: empty corpus — no seed centroids")
+    val assign: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (nl <= 64) Similarity.cellArgmax(_, cents)
+      else Similarity.cellArgmaxTwoLevel(_, cents)
+    val corpusC = spreadInput(corpus, par(corpus))
+      .select(col(idCol).as("dup_of"), col(vecCol).as("vb"),
+        Similarity.normFlat(col(vecCol), dim).as("nb"))
+      .withColumn("cell", assign(col("vb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stream
+      .select(col(idCol).as("id"), col(vecCol).as("va"),
+        Similarity.normFlat(col(vecCol), dim).as("na"))
+      .withColumn("cell",
+        explode(Similarity.cellProbes(col("va"), cents, nprobe)))
+      .join(corpusC, Seq("cell"))
+      .filter(Similarity.roundedAtLeast(
+        Similarity.dotFlat(col("va"), col("vb"), dim) /
+          (col("na") * col("nb")), minCos, 9))
+      .select(col("id"), col("dup_of"),
+        round(Similarity.dotFlat(col("va"), col("vb"), dim) /
+          (col("na") * col("nb")), 9).as("cos"))
+  }
+
   def semanticDedupStream(embs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], minCos: Double,
       maxKeepersPerCell: Int = 100000,

@@ -1512,4 +1512,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2.exists(r => r._1 == 102L && r._3 == 1.0), got2)
     } finally q.stop()
   }
+
+  test("streaming embedding near-dup guard flags incoming paraphrases of a static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // paraphrase of corpus vector 123: first coordinate zeroed (the d10a
+    // planting — cosine ≈ 0.99 to its source, no float arithmetic)
+    val src = corpus.filter(col("vec_id") === 123L)
+      .select("embedding").as[Seq[Float]].head()
+    val paraphrase = 0.0f +: src.tail
+    // novel: a seeded random direction — cosine to any corpus vector is
+    // far below the 0.9 threshold in 64 dims
+    val rng = new scala.util.Random(4242)
+    val novel = Seq.fill(src.length)(rng.nextGaussian().toFloat)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.ops.Dedup.semanticDupGuardStream(
+      mem.toDS().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", minCos = 0.9)
+    assert(out.isStreaming, "guard must be a streaming frame")
+    val q = out.writeStream.format("memory").queryName("semguard").start()
+    try {
+      mem.addData((9001L, paraphrase), (9002L, novel))
+      q.processAllAvailable()
+      val got1 = spark.table("semguard").as[(Long, Long, Double)].collect().toSet
+      assert(got1.map(r => (r._1, r._2)) == Set((9001L, 123L)), got1)
+      assert(got1.forall(_._3 >= 0.9), got1)
+      // a paraphrase LANDING LATER is flagged in its own trigger; the
+      // exact copy scores cosine 1.0
+      mem.addData((9003L, src))
+      q.processAllAvailable()
+      val got2 = spark.table("semguard").as[(Long, Long, Double)].collect().toSet
+      assert(got2.map(r => (r._1, r._2)) == Set((9001L, 123L), (9003L, 123L)), got2)
+      assert(got2.exists(r => r._1 == 9003L && r._3 == 1.0), got2)
+    } finally q.stop()
+  }
 }
