@@ -49,7 +49,21 @@ object ScaleProbe {
     q.map(_.map(_.toFloat))
   }
 
+  /** Tables to replicate — `SPARK_GRAFT_SCALE_TABLES=documents` skips the
+    * embeddings build for a decade that probes text ops only (the ×10000
+    * documents corpus alone is ~6 GB; the unused embeddings would double
+    * the build time and disk for nothing). */
+  private def wantedTables: Set[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "embeddings"))
+
   private def build(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
+    if (wantedTables("documents")) buildDocs(spark, src, dir, k)
+    if (wantedTables("embeddings")) buildEmbs(spark, src, dir, k)
+  }
+
+  private def buildDocs(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
     val docs = Tables.documents(spark, src)
     // CHUNKED writes: a k-way union is one plan with k leaves and k
     // distinct UDFs — fine at k=10/100, but k=1000 (third decade) chokes
@@ -74,9 +88,12 @@ object ScaleProbe {
         .write.mode(if (ci == 0) SaveMode.Overwrite else SaveMode.Append)
         .parquet(s"$dir/documents.parquet")
     }
+  }
 
+  private def buildEmbs(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
     val embs = Tables.embeddings(spark, src)
     val dim = embs.select(size(col("embedding"))).first().getInt(0)
+    val chunk = 50
     (0 until k).grouped(chunk).zipWithIndex.foreach { case (js, ci) =>
       val rotated = js.map { j =>
         if (j == 0) embs.select(col("vec_id"), col("embedding"), col("label"))
@@ -106,7 +123,8 @@ object ScaleProbe {
     // longer proves completeness; a killed build leaves only the scratch
     // dir and the next run restarts it (pre-chunking dirs keep working:
     // their single-shot _SUCCESS implies complete)
-    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+    if (!wantedTables.forall(t =>
+        new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())) {
       val scratch = s"$dir.build"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       build(spark, src, scratch, k)

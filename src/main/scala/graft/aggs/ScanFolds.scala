@@ -2,6 +2,7 @@ package graft.aggs
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -629,6 +630,130 @@ case class HoltWinterScan(
   override def withNewInputAggBufferOffset(x: Int): HoltWinterScan =
     copy(inputAggBufferOffset = x)
   override protected def withNewChildInternal(c: Expression): HoltWinterScan =
+    copy(child = c)
+}
+
+/** Affine fold state for the chunked HOLT WINTERS: `m` is the
+  * (2+p)×(3+p) map (row-major) the rows folded so far apply to any
+  * incoming state vector [l, t, s_0..s_{p-1}, 1] in coordinates RELATIVE
+  * to the chunk's entry ring phase; `cnt` counts the non-null rows folded
+  * (the ring phase the chunk adds). */
+final class HoltWinterAffineState(var m: Array[Double], var cnt: Int)
+
+/** The within-chunk half of a DISTRIBUTED `SMOOTH_DAMPED_HOLT_WINTER`:
+  * the Holt-Winters recurrence is LINEAR in its full state
+  * (level, trend, seasonal ring) with the sample x entering only the
+  * constant term, so a chunk's whole fold is one affine
+  * (2+p)×(3+p) map — each homogeneous column and the constant column
+  * evolve by the SAME scalar recurrence as [[HoltWinterScan]] (x present
+  * only in the constant column), the [[DampedHoltAffineScan]] pattern
+  * lifted to the seasonal state. The only non-affine ingredient — WHICH
+  * ring slot a row updates — is handled by RELATIVE indexing: within the
+  * chunk, the i-th non-null row updates relative slot i mod p, and the
+  * carry fold rotates the absolute ring into/out of each chunk's entry
+  * phase (a pure index permutation, float-exact). Per-row work is
+  * O(p·(3+p)) column updates — 3 touched components × (3+p) columns.
+  * Nulls are the identity map. Like the other chunked scans this is
+  * algebraically (not bit-) equal to the sequential fold
+  * (graft.raql.chunkedHoltWinter=false restores it).
+  *
+  * Returns struct(m: array<double> row-major, cnt: int). eval() clones
+  * the buffer — in a running window the same mutable state keeps folding
+  * after each per-row emission. */
+case class HoltWinterAffineScan(
+    child: Expression,
+    alpha: Double,
+    beta: Double,
+    gamma: Double,
+    period: Int,
+    phi: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HoltWinterAffineState]
+  with UnaryLike[Expression] {
+
+  require(period >= 1, "holt_winter: period >= 1")
+  private def n = 2 + period   // state components
+  private def w = 3 + period   // columns (state + constant)
+
+  private def identityM(): Array[Double] = {
+    val m = new Array[Double](n * w)
+    var r = 0
+    while (r < n) { m(r * w + r) = 1.0; r += 1 }
+    m
+  }
+
+  override def createAggregationBuffer(): HoltWinterAffineState =
+    new HoltWinterAffineState(identityM(), 0)
+
+  override def update(b: HoltWinterAffineState,
+      row: InternalRow): HoltWinterAffineState = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      val m = b.m
+      val slot = 2 + (b.cnt % period)
+      var c = 0
+      while (c < w) {
+        val xc = if (c == w - 1) x else 0.0
+        val l = m(c)            // row 0 (level)
+        val t = m(w + c)        // row 1 (trend)
+        val s = m(slot * w + c) // the updated ring slot
+        val level = alpha * (xc - s) + (1.0 - alpha) * (l + phi * t)
+        val trend = beta * (level - l) + (1.0 - beta) * phi * t
+        val season = gamma * (xc - l - phi * t) + (1.0 - gamma) * s
+        m(c) = level
+        m(w + c) = trend
+        m(slot * w + c) = season
+        c += 1
+      }
+      b.cnt += 1
+    }
+    b
+  }
+
+  private def isIdentity(s: HoltWinterAffineState): Boolean =
+    s.cnt == 0 && java.util.Arrays.equals(s.m, identityM())
+
+  // an identity map in either slot composes away regardless of order; the
+  // frozen chunked base keeps one chunk per partition, so a genuine
+  // two-sided merge (order unknowable) only happens on misuse
+  override def merge(b: HoltWinterAffineState,
+      o: HoltWinterAffineState): HoltWinterAffineState =
+    if (isIdentity(o)) b
+    else if (isIdentity(b)) { b.m = o.m; b.cnt = o.cnt; b }
+    else ScanFolds.requireNoMerge(prettyName)
+
+  override def eval(b: HoltWinterAffineState): Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(b.m.clone()), b.cnt))
+
+  override def serialize(b: HoltWinterAffineState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + 8 * b.m.length)
+    buf.putInt(b.cnt)
+    b.m.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): HoltWinterAffineState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val cnt = buf.getInt()
+    val m = Array.fill(n * w)(buf.getDouble())
+    new HoltWinterAffineState(m, cnt)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("m", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("cnt", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_holt_winter_affine"
+
+  override def withNewMutableAggBufferOffset(x: Int): HoltWinterAffineScan =
+    copy(mutableAggBufferOffset = x)
+  override def withNewInputAggBufferOffset(x: Int): HoltWinterAffineScan =
+    copy(inputAggBufferOffset = x)
+  override protected def withNewChildInternal(c: Expression): HoltWinterAffineScan =
     copy(child = c)
 }
 

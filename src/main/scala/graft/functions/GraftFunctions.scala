@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShims => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{DampedHoltAffineScan, DampedHoltScan, DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HoltWinterScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
+import graft.aggs.{DampedHoltAffineScan, DampedHoltScan, DecayedTopK, ExpSmoothAffineScan, ExpSmoothScan, HoltWinterAffineScan, HoltWinterScan, HysteresisScan, RecallScan, ReservoirSample, SpaceSavingTopK}
 
 /** Column-level wrappers for graft's custom aggregates and the
   * sequential-scan functions.
@@ -113,6 +113,17 @@ object GraftFunctions {
     ExpressionUtils.column(
       DampedHoltAffineScan(col2e(x.cast("double")), alpha, beta, phi)
         .toAggregateExpression())
+
+  /** The prefix fold of SMOOTH_DAMPED_HOLT_WINTER as an affine map
+    * struct(m: array<double> (2+p)×(3+p) row-major, cnt: int) over the
+    * incoming [level, trend, seasonal ring] in chunk-relative ring
+    * coordinates — the within-chunk half of the distributed HOLT WINTERS
+    * ([[HoltWinterAffineScan]]). */
+  def holtWinterAffine(x: Column, alpha: Double, beta: Double, gamma: Double,
+      period: Int, phi: Double): Column =
+    ExpressionUtils.column(
+      HoltWinterAffineScan(col2e(x.cast("double")), alpha, beta, gamma,
+        period, phi).toAggregateExpression())
 
   /** FIT_MULTI prediction over a window-collected array of (y, x1…xp)
     * structs: through-origin least squares of all but the last observation,

@@ -390,24 +390,80 @@ object Dedup {
                               THEN 1L ELSE -1L END)) >= 0,
              shiftleft(1L, b), 0L))""").as("fp"))
 
-  /** Pigeonhole chunk join over a precomputed (id, fp) frame; the only
-    * exchange is the narrow (chunk, chunk_val) bucket partitioning.
-    * Chunk-value groups above `bucketCap` (a popular 16-bit chunk — near-
-    * identical boilerplate fingerprints) are triangle-block-split
-    * ([[blockKeyed]]): exact pair set, bounded per-task input.
+  /** Smallest pigeonhole combination size `m` whose join-key width keeps
+    * the expected bucket population at `targetBucket` for an n-row
+    * fingerprint corpus — the [[graft.ops.Similarity.autoLshR]] policy
+    * applied to the simhash chunk join. With `c = m + maxHamming` chunks
+    * of 64 bits, a pair within hamming ≤ maxHamming leaves ≥ m chunks
+    * untouched, so it shares at least one m-combination — candidate
+    * completeness holds for EVERY m (the output is the exact hamming
+    * pair set either way; m trades key width against row replication
+    * C(c,m)). The fixed m = 1 (4×16-bit chunks) has E[bucket] ∝ n: the
+    * ×10000 probe measured its quadratic pair stream spilling tens of GB
+    * where m = 2's 24-bit keys keep the stream linear. Floors at m = 1
+    * below ~0.5 M rows (every verify/bench SF and the ×10/×100 probes),
+    * caps at m = 3 (30-bit keys — past that, bucketCap blocking carries
+    * the rest). */
+  def autoSimhashCombo(n: Long, maxHamming: Int = 3,
+      targetBucket: Int = 8): Int = {
+    val needBits =
+      if (n <= targetBucket) 0
+      else {
+        val buckets = (n + targetBucket - 1) / targetBucket
+        if (buckets <= 1L) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+      }
+    (1 to 3).find(m => m * (64 / (m + maxHamming)) >= needBits).getOrElse(3)
+  }
+
+  /** Pigeonhole combination join over a precomputed (id, fp) frame; the
+    * only exchange is the narrow (combo, combo_val) bucket partitioning.
+    *
+    * `comboSize` (m) defaults to 0 = DERIVE from the corpus row count
+    * ([[autoSimhashCombo]]): the fingerprint splits into c = m+maxHamming
+    * chunks and each doc emits one row per m-chunk combination, keyed by
+    * the concatenated chunk values (m·(64/c) bits — wider keys at larger
+    * corpora keep E[bucket] constant where the fixed 16-bit chunking's
+    * bucket population grows ∝ n). The pair OUTPUT is identical for any
+    * m (exact hamming ≤ maxHamming set, by the pigeonhole guarantee), so
+    * the static oracles need no pin. Combo-value groups above
+    * `bucketCap` (near-identical boilerplate fingerprints) are
+    * triangle-block-split ([[blockKeyed]]): exact pair set, bounded
+    * per-task input.
     *
     * PRECONDITION: `id` values must be UNIQUE (pairs emit from their
-    * first shared chunk with no distinct() — duplicate ids duplicate
-    * pair rows). */
+    * first shared combination with no distinct() — duplicate ids
+    * duplicate pair rows). */
   def simhashPairsOfFps(fps: DataFrame, maxHamming: Int = 3,
-      bucketCap: Int = 4096): DataFrame = {
-    require(maxHamming < 4, "4×16-bit chunk banding covers hamming ≤ 3")
-    // a (chunk, chunk_val) group holds ≤ one row per fingerprint (groups
-    // live within one chunk position), so the fp-frame row bound is a
+      bucketCap: Int = 4096, comboSize: Int = 0): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 16,
+      s"simhash pigeonhole supports hamming 1..16, got $maxHamming")
+    val m = if (comboSize > 0) comboSize
+      else autoSimhashCombo(exactRowCount(fps).getOrElse(fps.count()),
+        maxHamming)
+    val c = m + maxHamming
+    require(c <= 64, "more chunks than fingerprint bits")
+    // chunk widths: the first 64 mod c chunks take the extra bit
+    val widths = Array.tabulate(c)(i => 64 / c + (if (i < 64 % c) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def chunkMask(i: Int): Long =
+      (if (widths(i) == 64) -1L else (1L << widths(i)) - 1L) << offsets(i)
+    // ascending-index m-combinations, in lexicographic order — the
+    // "first shared" tie-break below follows the same order
+    val combos: Seq[Seq[Int]] =
+      (0 until c).combinations(m).map(_.toSeq).toSeq
+    def comboKey(combo: Seq[Int]): Column =
+      combo.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(
+          shiftrightunsigned(col("fp"), offsets(i))
+            .bitwiseAND(lit((1L << widths(i)) - 1L)))
+      }
+    // a (combo, combo_val) group holds ≤ one row per fingerprint (groups
+    // live within one combo position), so the fp-frame row bound is a
     // group bound — skips detection when metadata proves it under the cap
     val chunks = blockKeyed(
-      fps.select(col("id"), col("fp"), posexplode(
-        expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")))
+      fps.select(col("id"), col("fp"),
+        posexplode(array(combos.map(comboKey): _*)))
         .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val")),
       Seq("chunk", "chunk_val"), par(fps), bucketCap,
       maxGroupBound = leafRowBound(fps))
@@ -415,25 +471,25 @@ object Dedup {
       // join): a broadcast build side would recompute the full fingerprint
       // pipeline in one task, and sort-merge adds a pointless sort
       .hint("shuffle_hash")
-    // emit each pair from its FIRST shared chunk only (the same
+    // emit each pair from its FIRST shared combination only (the same
     // duplicate-suppression as the LSH joins' FirstSharedBand — here the
-    // chunk values derive from the carried fingerprints, so a when-cascade
+    // combo values derive from the carried fingerprints, so a when-cascade
     // over fp⊕fp replaces the array kernel): no duplicate emissions, no
-    // raw-pair distinct() exchange. The otherwise(3) branch is only
-    // reachable inside chunk-3 groups where chunks 0–2 all differ.
+    // raw-pair distinct() exchange. The otherwise(last) branch is only
+    // reachable inside last-combo groups where all earlier combos differ.
     val x = col("a.fp").bitwiseXOR(col("b.fp"))
-    val firstSharedChunk =
-      when(x.bitwiseAND(lit(0xFFFFL)) === 0, 0)
-        .when(x.bitwiseAND(lit(0xFFFF0000L)) === 0, 1)
-        .when(x.bitwiseAND(lit(0xFFFF00000000L)) === 0, 2)
-        .otherwise(3)
+    val firstSharedCombo = combos.init.zipWithIndex.foldRight(
+        lit(combos.length - 1)) { case ((combo, i), els) =>
+      val mask = combo.map(chunkMask).reduce(_ | _)
+      when(x.bitwiseAND(lit(mask)) === 0, i).otherwise(els)
+    }
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           col("a.id") < col("b.id") &&
           (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
-          col("a.chunk") === firstSharedChunk)
+          col("a.chunk") === firstSharedCombo)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -971,6 +971,89 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       }
     }
 
+    /** HOLT WINTERS, chunked by DEFAULT (graft.raql.chunkedHoltWinter=
+      * false restores the single sequential scan) — the seasonal member
+      * of the scan family, closing the last ungrouped sequential scan:
+      * the recurrence is affine in the FULL state [level, trend, ring]
+      * ([[graft.aggs.HoltWinterAffineScan]] — a (2+p)×(3+p) map per
+      * chunk), and the one non-affine ingredient — which ring slot a row
+      * updates — is a pure index permutation: the kernel works in
+      * chunk-relative ring coordinates and the carry fold rotates the
+      * absolute ring by each chunk's entry phase (Σ prior non-null
+      * counts mod p — carried exactly as an int). POLICY: same float
+      * statement as [[smoothOf]] — algebraically exact, re-association
+      * only (equality spec at 1e-9 relative; driver oracles round). */
+    def holtWinterOf(x: Expr, a: Double, b: Double, g: Double, p: Int,
+        f: Double): Column = {
+      import graft.functions.{GraftFunctions => GF}
+      val chunked = ctx.parts.isEmpty &&
+        !spark.conf.getOption("graft.raql.chunkedHoltWinter").contains("false")
+      val c = goM(x)
+      if (!chunked) GF.holtWinterScan(c, a, b, g, p, f).over(prefix)
+      else {
+        val n = 2 + p  // state components: level, trend, ring
+        val wd = 3 + p // map columns: state + constant
+        val stTyp = "struct<v:array<double>,ph:int>"
+        // absolute ring -> chunk-relative coordinates ++ the constant 1
+        def relOf(v: Column, ph: Column): Column = concat(
+          slice(v, 1, 2),
+          transform(sequence(lit(0), lit(p - 1)),
+            i => element_at(v, lit(3) + pmod(ph + i, lit(p)))),
+          array(lit(1.0)))
+        val ckName = withChunkCol(ctx)
+        val vName = s"_graft_cv${ctx.df.columns.length}"
+        ctx.df = ctx.df.withColumn(vName, c)
+        val chunkW = Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val carryName = s"_graft_cc${ctx.df.columns.length}"
+        val totals = totalsInput(ctx, ckName, vName, c)
+          .groupBy(col(ckName).as("_gck"))
+          .agg(GF.holtWinterAffine(col(vName), a, b, g, p, f).as("_gm"))
+          .select(col("_gck"),
+            aggregate(
+              collect_list(col("_gm"))
+                .over(Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+                  .orderBy(col("_gck"))
+                  .rowsBetween(Window.unboundedPreceding, -1)),
+              struct(array_repeat(lit(0.0), n).as("v"), lit(0).as("ph"))
+                .cast(stTyp),
+              (s, t) => {
+                val rel = relOf(s.getField("v"), s.getField("ph"))
+                // apply the chunk's map in its entry-relative coords
+                val out = transform(sequence(lit(0), lit(n - 1)),
+                  r => aggregate(sequence(lit(0), lit(wd - 1)), lit(0.0),
+                    (acc, cc) => acc +
+                      element_at(t.getField("m"), r * lit(wd) + cc + lit(1)) *
+                        element_at(rel, cc + lit(1))))
+                // rotate the ring back to absolute slots; advance phase
+                struct(
+                  concat(slice(out, 1, 2),
+                    transform(sequence(lit(0), lit(p - 1)),
+                      j => element_at(out,
+                        lit(3) + pmod(j - s.getField("ph"), lit(p))))).as("v"),
+                  pmod(s.getField("ph") + t.getField("cnt"), lit(p)).as("ph"))
+                  .cast(stTyp)
+              }).as(carryName))
+        ctx.df = ctx.df.join(broadcast(totals),
+          ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+        val agg = GF.holtWinterAffine(col(vName), a, b, g, p, f).over(chunkW)
+        val m = agg.getField("m")
+        val cnt = agg.getField("cnt")
+        val rel = relOf(col(carryName).getField("v"),
+          col(carryName).getField("ph"))
+        // emit = (row_l + phi*row_t + row_{slot}) · rel, slot = the ring
+        // position the NEXT row will update (the sequential eval's
+        // seasons(cycle)) in chunk-relative coords = cnt mod p
+        val slotBase = (lit(2) + pmod(cnt, lit(p))) * lit(wd)
+        aggregate(sequence(lit(0), lit(wd - 1)), lit(0.0),
+          (acc, cc) => acc +
+            (element_at(m, cc + lit(1)) +
+              lit(f) * element_at(m, lit(wd) + cc + lit(1)) +
+              element_at(m, slotBase + cc + lit(1))) *
+              element_at(rel, cc + lit(1)))
+      }
+    }
+
     /** moveavg k = avg of the k values BEFORE the current one (the
       * reference's Seasonal state excludes the current value — see
       * tests/func/moveavg.ramen's `avg lag latest k` equivalence). */
@@ -1095,9 +1178,8 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         dampedHoltOf(x, evalNum(a, params), evalNum(b, params),
           evalNum(f, params))
       case FunCall("smooth_damped_holt_winter", Seq(a, b, g, p, f, x)) =>
-        graft.functions.GraftFunctions.holtWinterScan(goM(x),
-          evalNum(a, params), evalNum(b, params), evalNum(g, params),
-          evalNum(p, params).toInt, evalNum(f, params)).over(prefix)
+        holtWinterOf(x, evalNum(a, params), evalNum(b, params),
+          evalNum(g, params), evalNum(p, params).toInt, evalNum(f, params))
 
       case AggCall("derive", x, _, _) => deriveOf(x)
       case FunCall("derive", Seq(x)) => deriveOf(x)

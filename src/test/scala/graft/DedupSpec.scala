@@ -252,6 +252,43 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.size == 300 * 299 / 2, s"got ${capped.size} pairs")
   }
 
+  test("autoSimhashCombo: m scales with corpus size; floors pin verify/bench/x100") {
+    import Dedup.autoSimhashCombo
+    // every verify/bench SF and the x10/x100 probe corpora stay on the
+    // registered 4x16-bit chunking (m = 1)
+    for (n <- Seq(0L, 500L, 5000L, 50000L, 500000L))
+      assert(autoSimhashCombo(n) == 1, s"autoSimhashCombo($n)")
+    // the x1000/x10000 decades take 24-bit combination keys (m = 2): the
+    // fixed 16-bit bucket population grows with n, so pair work there
+    // went quadratic (the x10000 probe's measured wall)
+    assert(autoSimhashCombo(600000L) == 2)
+    assert(autoSimhashCombo(5000000L) == 2)
+    assert(autoSimhashCombo(55000000L) == 2)
+    // cap: 30-bit keys (m = 3); blocking carries anything past that
+    assert(autoSimhashCombo(1000000000000L) == 3)
+    // other hamming budgets shift the chunk widths but keep the policy
+    assert(autoSimhashCombo(500L, maxHamming = 7) == 1) // 8x8-bit chunks
+    assert(autoSimhashCombo(5000000L, maxHamming = 7) == 3)
+  }
+
+  test("pigeonhole combination join: every comboSize yields the same exact pair set") {
+    val docs = Tables.documents(spark, sf)
+    val fps = Dedup.simhashFps(docs, "doc_id", "text")
+    def pairs(m: Int) = Dedup.simhashPairsOfFps(fps, maxHamming = 3,
+        comboSize = m)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val viaM1 = pairs(1)
+    assert(viaM1.length == viaM1.toSet.size, "m=1 emitted duplicate pairs")
+    assert(viaM1.nonEmpty)
+    for (m <- Seq(2, 3)) {
+      val viaM = pairs(m)
+      assert(viaM.length == viaM.toSet.size, s"m=$m emitted duplicate pairs")
+      assert(viaM.toSet == viaM1.toSet,
+        s"comboSize $m pair set differs from the 16-bit chunking's")
+    }
+  }
+
   test("verifyJaccard restrictToCandidates mode is value-identical") {
     // the sparse-corpus variant (persisted pairs + candidate semi-join)
     // must produce exactly the dense-default's verified pairs

@@ -875,6 +875,54 @@ class RaqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ungrouped running HOLT WINTERS distributes via ring-rotated affine carry") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // two periods: 4 divides the typical chunk size, 5 forces every chunk
+    // to hand the NEXT one a rotated ring phase
+    for (p <- Seq(4, 5)) {
+      val src = Map("run" -> s"""DEFINE f AS
+          SELECT i, smooth_damped_holt_winter(0.5, 0.3, 0.2, $p, 0.9, n) AS fw
+          FROM tbl;""")
+      // nulls exercise the identity-map path (and shift ring phases
+      // relative to row numbers)
+      val base = spark.range(1, 50001).toDF("i")
+        .withColumn("n", when(col("i") % 13 === 0, lit(null))
+          .otherwise((col("i") % 97).cast("double") +
+            when(col("i") % p === 0, lit(20.0)).otherwise(lit(0.0))))
+        .repartition(8)
+      val c = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c.registerTable("tbl", base)
+      val df = c.compile("run/f") // DEFAULT = chunked
+      // full-input windows are chunk-partitioned; a partition-less window
+      // may only exist over the per-chunk totals frame (Aggregate subtree)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+      assert(wins.nonEmpty)
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+          "partition-less window over the full input")
+      }
+      val got = df.orderBy("i").collect()
+      spark.conf.set("graft.raql.chunkedHoltWinter", "false")
+      val want = try {
+        val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+          .fold(e => fail(s"parse: $e"), identity)
+        c2.registerTable("tbl", base)
+        c2.compile("run/f").orderBy("i").collect()
+      } finally spark.conf.unset("graft.raql.chunkedHoltWinter")
+      assert(got.length == 50000)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.isNullAt(1) == w.isNullAt(1), s"p=$p null mismatch at ${g.get(0)}")
+        if (!g.isNullAt(1)) {
+          val gv = g.getDouble(1); val wv = w.getDouble(1)
+          assert(math.abs(gv - wv) <= 1e-9 * math.max(1.0, math.abs(wv)),
+            s"p=$p row ${g.get(0)}: $gv vs $wv")
+        }
+      }
+    }
+  }
+
   test("running GROUP / PAST sliding flag their single-task window shape") {
     import org.apache.spark.sql.functions.col
     val base = spark.range(1, 101).toDF("n")
