@@ -374,6 +374,68 @@ object RaqlQueries {
           MAX(CASE WHEN event_type = 'error'
             THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS max_errv
         FROM events WHERE event_type <> 'signup'
-        GROUP BY 1, 2 ORDER BY user_id, start"""))
+        GROUP BY 1, 2 ORDER BY user_id, start""")),
+
+    // ---- r14: ungrouped HOLT WINTERS in running mode — the seasonal
+    // member of the chunk-distributed scan family. smooth/damped-holt/
+    // hysteresis have their ungrouped driver oracles in r10; this row
+    // closes the last one, with the CHUNKED path active by default
+    // (HoltWinterAffineScan carry — the oracle replays the sequential
+    // fold, so a wrong carry composition or ring-phase rotation turns
+    // this row red, not just the 1e-9 unit equality spec). Zero-seeded
+    // state per the reference (CodeGenLib.ml:343-359 via
+    // aggs.HoltWinterScan): l=t=0, seasons=0, cycle advances only on
+    // non-null inputs; each row emits l + phi*t + seasons[cycle] AFTER
+    // its update. round(…,6) absorbs the chunked re-association (same
+    // accepted tolerance as r10's smooth/holt columns).
+    QueryDef(
+      "r14_raql_holt_winters",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id,
+                    round(smooth_damped_holt_winter(0.5, 0.3, 0.2, 4, 0.9,
+                                                    value), 6) AS hw6
+             WHERE event_id < 2000;""")
+        .orderBy("event_id"),
+      Some("""WITH RECURSIVE ev AS (
+          SELECT event_id, CAST(value AS DOUBLE) AS value,
+                 row_number() OVER (ORDER BY event_id) AS rn
+          FROM events WHERE event_id < 2000
+        ), fold AS (
+          SELECT 0 AS rn, 0.0e0 AS l, 0.0e0 AS t,
+                 0.0e0 AS s0, 0.0e0 AS s1, 0.0e0 AS s2, 0.0e0 AS s3, 0 AS cyc
+          UNION ALL
+          SELECT rn,
+            CASE WHEN x IS NULL THEN l ELSE lnew END,
+            CASE WHEN x IS NULL THEN t
+                 ELSE 0.3e0*(lnew - l) + 0.7e0*0.9e0*t END,
+            CASE WHEN x IS NOT NULL AND cyc = 0
+                 THEN 0.2e0*(x - l - 0.9e0*t) + 0.8e0*si ELSE s0 END,
+            CASE WHEN x IS NOT NULL AND cyc = 1
+                 THEN 0.2e0*(x - l - 0.9e0*t) + 0.8e0*si ELSE s1 END,
+            CASE WHEN x IS NOT NULL AND cyc = 2
+                 THEN 0.2e0*(x - l - 0.9e0*t) + 0.8e0*si ELSE s2 END,
+            CASE WHEN x IS NOT NULL AND cyc = 3
+                 THEN 0.2e0*(x - l - 0.9e0*t) + 0.8e0*si ELSE s3 END,
+            CASE WHEN x IS NULL THEN cyc ELSE (cyc + 1) % 4 END
+          FROM (
+            SELECT q1.*,
+              0.5e0*(x - si) + 0.5e0*(l + 0.9e0*t) AS lnew
+            FROM (
+              SELECT e.rn, f.l, f.t, f.s0, f.s1, f.s2, f.s3, f.cyc,
+                     e.value AS x,
+                     CASE f.cyc WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+                                WHEN 2 THEN f.s2 ELSE f.s3 END AS si
+              FROM ev e JOIN fold f ON e.rn = f.rn + 1
+            ) q1
+          ) q2
+        )
+        SELECT e.event_id,
+          round(f.l + 0.9e0*f.t +
+            CASE f.cyc WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+                       WHEN 2 THEN f.s2 ELSE f.s3 END, 6) AS hw6
+        FROM ev e JOIN fold f ON f.rn = e.rn
+        ORDER BY e.event_id"""))
   )
 }
