@@ -208,6 +208,73 @@ object SimilarityQueries {
             JOIN v t ON t.vec_id = ce.vec_id AND t.vec_id <> q.vec_id) z
         WHERE rk <= 5 ORDER BY query_id, rk""")),
 
+    // ---- a04a: recall AUDIT of the IVF probe path — the nprobe/nlist
+    // recall dial, measured (a02a measures LSH banding, d10a SemDeDup
+    // cell confinement; this completes the triad). n_found = of each
+    // query's 5 brute-force true neighbors, how many the nprobe=4 probe
+    // over nlist=16 cells returned — the ORACLE replays both the IVF
+    // pipeline and the brute-force top-5, so the recall numbers are
+    // differential. Measured at sf0.01: min 3/5, avg 0.92; the per-query
+    // floor is the measured min (recall_ok pins TRUE in SQL — a red row
+    // means the probe lost recall it used to have).
+    QueryDef(
+      "a04a_ivf_recall",
+      (s, d) => Similarity.ivfRecallAudit(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        nQueries = 10, minRecall = 0.6)
+        .orderBy("query_id"),
+      Some {
+        def dot(a: String, b: String) =
+          s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+            p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
+            (acc, x) -> acc + x)"""
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+              "list_transform(embedding, x -> CAST(x AS DOUBLE))")}) AS norm
+          FROM embeddings),
+          c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+              list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+            FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+          sc AS (
+            SELECT v.vec_id, c.cidx, ${dot("v.v", "c.cv")} AS dt
+            FROM v CROSS JOIN c),
+          cell AS (
+            SELECT vec_id, cidx AS cell FROM (
+              SELECT vec_id, cidx,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+              FROM sc) z WHERE rk = 1),
+          probe AS (
+            SELECT vec_id AS qid, cidx AS cell FROM (
+              SELECT vec_id, cidx,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+              FROM sc WHERE vec_id < 10) z WHERE rk <= 4),
+          ivf AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) DESC,
+                  t.vec_id) AS rk
+              FROM v q JOIN probe p ON p.qid = q.vec_id
+                JOIN cell ce ON ce.cell = p.cell
+                JOIN v t ON t.vec_id = ce.vec_id AND t.vec_id <> q.vec_id) z
+            WHERE rk <= 5),
+          brute AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) DESC,
+                  t.vec_id) AS rk
+              FROM v q JOIN v t ON t.vec_id <> q.vec_id
+              WHERE q.vec_id < 10) z
+            WHERE rk <= 5)
+        SELECT b.query_id, COUNT(i.neighbor_id) AS n_found, TRUE AS recall_ok
+        FROM brute b LEFT JOIN ivf i ON i.query_id = b.query_id
+          AND i.neighbor_id = b.neighbor_id
+        GROUP BY 1 ORDER BY 1"""
+      }),
+
     // ---- a05: IVF with ONE spherical-kmeans refinement sweep — the
     // assignment plan a04 uses, run once more after recomputing each
     // cell's centroid as the elementwise member mean. Fully value-oracled:

@@ -618,4 +618,36 @@ object Similarity {
         (coalesce(col("n_found"), lit(0L)).cast("double") >=
           lit(minRecall) * coalesce(col("n_true"), lit(0L))).as("recall_ok"))
   }
+
+  /** Per-query recall audit of the IVF probe path ([[ivfTopK]] — a04's
+    * production plan) against the [[bruteForceTopK]] ground truth: the
+    * nprobe/nlist recall dial, measured. `n_found` (of the k true
+    * neighbors, how many the nprobe-cell probe returned) is value-checked
+    * by the SQL oracle, which replays BOTH sides — the IVF assignment/
+    * probe/re-rank and the brute-force top-k — so the recall numbers
+    * themselves are differential, not self-reported. `recall_ok` asserts
+    * the per-query floor (oracle pins TRUE): a red row means the probe
+    * lost recall it used to have, distinguishing "IVF working as designed"
+    * from "assignment bug" the way a02a does for LSH banding and d10a for
+    * SemDeDup cell confinement. Both sub-plans are the production ones:
+    * broadcast-query brute force, map-only cell argmax. */
+  def ivfRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, nQueries: Int,
+      minRecall: Double): DataFrame = {
+    val queries = embs.filter(col(idCol) < nQueries)
+    val truth = bruteForceTopK(embs, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    // the probe's hit set is ≤ nQueries·k rows at any corpus size —
+    // broadcast it onto the truth spine rather than shuffling both sides
+    val got = ivfTopK(embs, queries, idCol, vecCol, k, nlist, nprobe)
+      .select(col("query_id").as("gqid"), col("neighbor_id").as("nid"),
+        lit(true).as("hit"))
+    truth.join(broadcast(got),
+        truth("query_id") === col("gqid") &&
+          truth("neighbor_id") === col("nid"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_found"))
+      .select(col("query_id"), col("n_found"),
+        (col("n_found").cast("double") >= lit(minRecall * k)).as("recall_ok"))
+  }
 }
