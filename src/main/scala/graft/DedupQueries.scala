@@ -29,6 +29,27 @@ object DedupQueries {
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         ORDER BY id_a, id_b"""
 
+  /** d04b/d04c oracle: DuckDB recomputes the md5 token hashes, the ±1 bit
+    * votes, the 60-bit fingerprints, and the brute-force Hamming ≤ 3 pair
+    * set — which the pigeonhole identity proves equal to the chunk join's
+    * output for EVERY combination size m, so the same SQL oracles both the
+    * m=1 verify-SF path (d04b) and the forced-m=2 at-scale path (d04c). */
+  private val simhashMd5OracleSql = s"""WITH t AS (
+          SELECT doc_id, list_transform(string_split($normSql, ' '),
+            tok -> CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)) AS ths
+          FROM documents),
+        f AS (
+          SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN COALESCE(list_sum(list_transform(ths, h ->
+              CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY id_a, id_b"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---- d01: exact dedup on the order-insensitive bag fingerprint
     QueryDef(
@@ -144,22 +165,27 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH t AS (
-          SELECT doc_id, list_transform(string_split($normSql, ' '),
-            tok -> CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)) AS ths
-          FROM documents),
-        f AS (
-          SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
-            CASE WHEN COALESCE(list_sum(list_transform(ths, h ->
-              CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
-            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS fp
-          FROM t)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-        FROM f a JOIN f b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ORDER BY id_a, id_b"""),
-      ),
+      Some(simhashMd5OracleSql)),
+
+    // ---- d04c: the AT-SCALE combination-key path, value-oracled. Above
+    // ~65k docs autoSimhashCombo widens the pigeonhole join key from
+    // single chunks (m=1) to m-of-(m+h) chunk combinations — the config
+    // every verify SF sits below (the ×10000 probe runs it; the m=1/2/3
+    // equality spec proves the identity). This row FORCES comboSize=2
+    // over the same md5 family so the wider-key join code path itself —
+    // combination enumeration, packed multi-chunk keys, first-shared-
+    // combo dedup cascade — runs under the driver's differential gate:
+    // the pigeonhole guarantee makes the output the exact hamming ≤ 3
+    // pair set for every m, so the oracle is d04b's verbatim.
+    QueryDef(
+      "d04c_simhash_combo",
+      (s, d) => Dedup.simhashPairsOfFps(
+        Dedup.simhashFpsMd5(Tables.documents(s, d), "doc_id", "text"),
+        maxHamming = 3, comboSize = 2)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some(simhashMd5OracleSql)),
 
     // ---- d04a: per-doc completeness AUDIT of the production chunk join:
     // the chunk-join neighbor set must equal the exhaustive O(n²) Hamming
