@@ -567,6 +567,43 @@ object DedupQueries {
           (SELECT COUNT(*) FROM exact) AS n_true_pairs,
           (SELECT COUNT(*) FROM found) AS n_found_pairs,
           CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
-            >= 0.8 * (SELECT COUNT(*) FROM planted) AS recall_ok"""))
+            >= 0.8 * (SELECT COUNT(*) FROM planted) AS recall_ok""")),
+
+    // ---- d11: incremental exact dedup — a DELTA batch (odd doc_ids)
+    // classified against the archived ledger (exactDedup of the even
+    // doc_ids): dup_of_archive / dup_in_batch / novel plus the surviving
+    // keep_id. The continuously-refreshed-corpus shape: the archive's
+    // documents are never rescanned, only its one-row-per-fingerprint
+    // ledger joins (see Dedup.incrementalExactDedup's scale notes). The
+    // streaming analogues are minhashDedupStream/semanticDupGuardStream;
+    // this is the batch contract, fully value-oracled.
+    QueryDef(
+      "d11_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ledger = Dedup.exactDedup(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        Dedup.incrementalExactDedup(ledger,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("fp"), col("status"),
+            col("keep_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fps AS (
+          SELECT doc_id,
+            md5(array_to_string(list_sort(string_split($normSql, ' ')), ' ')) AS fp
+          FROM documents),
+        ledger AS (
+          SELECT fp, MIN(doc_id) AS archive_keep FROM fps
+          WHERE doc_id % 2 = 0 GROUP BY 1),
+        delta AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+        bm AS (SELECT fp, MIN(doc_id) AS batch_keep FROM delta GROUP BY 1)
+        SELECT d.doc_id, d.fp,
+          CASE WHEN l.archive_keep IS NOT NULL THEN 'dup_of_archive'
+               WHEN d.doc_id > b.batch_keep THEN 'dup_in_batch'
+               ELSE 'novel' END AS status,
+          COALESCE(l.archive_keep, b.batch_keep) AS keep_id
+        FROM delta d JOIN bm b USING (fp) LEFT JOIN ledger l USING (fp)
+        ORDER BY d.doc_id"""))
   )
 }

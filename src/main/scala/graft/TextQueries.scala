@@ -561,6 +561,38 @@ object TextQueries {
           FROM fb JOIN lr USING (b) GROUP BY 1)
         SELECT doc_id, n_feats, ROUND(CAST(lw AS DOUBLE), 6) AS log_weight,
           lw > 0 AS target_like
-        FROM w ORDER BY doc_id"""))
+        FROM w ORDER BY doc_id""")),
+
+    // ---- t18: overlapping token-window chunking — split each document
+    // into fixed-size token windows (64 tokens, stride 48 = 16-token
+    // overlap), the canonical pre-embedding step of a retrieval/embedding
+    // pipeline (t10/t13 PACK tokens into training sequences; this op
+    // SEGMENTS text into windows, a different contract). Map-only: one
+    // tokens() projection, starts via sequence(), windows via slice() —
+    // all inside whole-stage codegen, no shuffle beyond the input spread;
+    // at corpus scale the plan is embarrassingly parallel. Chunk CONTENT
+    // is oracled by md5 so the dump stays narrow while the differential
+    // check still pins every token of every window (same trick as t04).
+    QueryDef(
+      "t18_chunk_windows",
+      (s, d) => docsPar(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(48))).as("st"))
+        .select(col("doc_id"), (col("st") / 48).cast("long").as("chunk_id"),
+          slice(col("toks"), col("st") + 1, lit(64)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("ck")).cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        st AS (SELECT doc_id, toks,
+          unnest(range(0, greatest(len(toks), 1), 48)) AS s FROM t),
+        w AS (SELECT doc_id, s // 48 AS chunk_id, toks[s+1:s+64] AS ck
+          FROM st)
+        SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_toks,
+          md5(array_to_string(ck, ' ')) AS chunk_md5
+        FROM w ORDER BY doc_id, chunk_id"""))
   )
 }

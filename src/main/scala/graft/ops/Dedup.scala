@@ -37,6 +37,42 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup: classify a DELTA batch against the archived
+    * fingerprint ledger [[exactDedup]] produces — the production shape of
+    * a continuously-refreshed corpus, where re-deduping the full archive
+    * per batch is the thing a 100 TB pipeline cannot afford. Per delta
+    * doc: `dup_of_archive` (fingerprint already in the ledger),
+    * `dup_in_batch` (first seen earlier in this delta), or `novel`;
+    * keep_id = the surviving doc (archive's keeper wins over the batch
+    * minimum — the archive was there first).
+    *
+    * Scale shape: the delta's fingerprints are one map pass; the
+    * batch-internal group and BOTH joins key on fp, so the delta is
+    * exchanged once and reused (the ledger side shuffles its own
+    * fp-partitioning — at scale the ledger would be bucketed by fp on
+    * disk and never move). The archive's documents are not rescanned —
+    * only its ledger (one narrow row per distinct fingerprint). */
+  def incrementalExactDedup(ledger: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // pin ONE fp exchange below both consumers (the batch-min aggregate
+    // and the join probe side): without it each re-runs the per-doc
+    // sort+md5 map — the t17 "explode runs once" lesson. Dedup groups are
+    // tiny, so the map-side combine this forgoes would not have shrunk
+    // the shuffle anyway.
+    val fps = spreadInput(delta, par(delta))
+      .select(col(idCol).as("id"), bagFingerprint(col(textCol)).as("fp"))
+      .repartition(par(delta), col("fp"))
+    val batchMin = fps.groupBy("fp").agg(min(col("id")).as("batch_keep"))
+    fps.join(batchMin, Seq("fp"))
+      .join(ledger.select(col("fp"), col("keep_id").as("archive_keep")),
+        Seq("fp"), "left")
+      .select(col("id"), col("fp"),
+        when(col("archive_keep").isNotNull, lit("dup_of_archive"))
+          .when(col("id") > col("batch_keep"), lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("archive_keep"), col("batch_keep")).as("keep_id"))
+  }
+
   /** Map-only LSH bucket frame: (id, band, bucket) — UNPARTITIONED; the
     * caller picks the bucket-key partitioning (plain or triangle-blocked)
     * and pins shuffle-hash (a broadcast build side would recompute the
