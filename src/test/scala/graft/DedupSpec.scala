@@ -543,6 +543,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == 1L)
   }
 
+  test("incremental dedup composes: ledger + delta classification = full-corpus dedup") {
+    // the invariant that makes d11 SAFE to run instead of re-deduping the
+    // archive: for every fingerprint, the keeper the incremental pass
+    // derives (archive keeper if present, else batch minimum) must equal
+    // the keeper a from-scratch exactDedup over archive ∪ delta picks,
+    // and the statuses must partition the delta consistently
+    val docs = Tables.documents(spark, sf)
+    val archive = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val ledger = Dedup.exactDedup(archive, "doc_id", "text")
+    val inc = Dedup.incrementalExactDedup(ledger, delta, "doc_id", "text")
+      .select("id", "fp", "status", "keep_id")
+      .as[(Long, String, String, Long)].collect()
+    val full = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("fp", "keep_id").as[(String, Long)].collect().toMap
+    val ledgerMap = ledger.select("fp", "keep_id")
+      .as[(String, Long)].collect().toMap
+    assert(inc.nonEmpty)
+    inc.foreach { case (id, fp, status, keep) =>
+      assert(keep == full(fp),
+        s"doc $id: incremental keeper $keep != full-corpus keeper ${full(fp)}")
+      status match {
+        case "dup_of_archive" => assert(ledgerMap.contains(fp))
+        case "dup_in_batch" =>
+          assert(!ledgerMap.contains(fp) && keep < id)
+        case "novel" => assert(!ledgerMap.contains(fp) && keep == id)
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // every delta doc classified exactly once
+    assert(inc.map(_._1).distinct.length == delta.count())
+  }
+
   test("keeper state codec: round-trip, and foreign/old blobs are typed errors") {
     import Dedup.KeeperState
     val keepers: List[KeeperState.Keeper] = List(
