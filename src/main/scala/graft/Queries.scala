@@ -40,12 +40,26 @@ final case class QueryDef(
   * replication checks (a02b/d07b), whose oracle SQL is GENERATED from the
   * derived config instead of pinned. */
 object OraclePin {
+  /** `spark.conf.set(OffKey, "off")` waives the pins for callers that RUN
+    * pinned queries at scales where the derived config legitimately
+    * diverges from the static SQL but never compare to that SQL — the
+    * scale probe is the one such caller. Verify/bench never set it, so
+    * the correctness gate keeps failing fast. */
+  val OffKey = "graft.oraclePin"
+  private def waived: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.getOption(OffKey).contains("off"))
   def assertPinned(query: String, what: String, derived: Int, pinned: Int): Unit =
-    require(derived == pinned,
-      s"$query: the static oracle SQL pins $what=$pinned but the auto-sizing " +
-        s"derived $what=$derived at this corpus size — regenerate the oracle " +
-        "from the derived config (see the a02b/d07b parameterized oracles) " +
-        "or keep this SF out of the static-oracle matrix")
+    if (derived != pinned) {
+      if (waived)
+        System.err.println(s"[oraclepin] $query: $what derived $derived " +
+          s"(static oracle pins $pinned) — waived by $OffKey=off")
+      else throw new IllegalArgumentException(
+        s"$query: the static oracle SQL pins $what=$pinned but the auto-sizing " +
+          s"derived $what=$derived at this corpus size — regenerate the oracle " +
+          "from the derived config (see the a02b/d07b parameterized oracles) " +
+          "or keep this SF out of the static-oracle matrix")
+    }
 }
 
 /** Deterministic-aggregation helpers (shared Spark side). */

@@ -177,9 +177,16 @@ object ScaleProbe {
       // pinned repartition can't be widened by shuffle conf afterwards
       graft.ops.GraftPar.Key)
     def withScaleConf[A](d: String)(body: => A): A = {
-      val olds = scaleConfs.map(c => c -> spark.conf.getOption(c))
-      if (d != src)
+      // waive the static-oracle pins at the scaled dir: the probe RUNS
+      // pinned queries where the derived config legitimately diverges
+      // from the static SQL (that divergence is what it measures) and
+      // never compares to that SQL. Base-dir runs keep the pins live.
+      val pinConfs = Seq(OraclePin.OffKey)
+      val olds = (scaleConfs ++ pinConfs).map(c => c -> spark.conf.getOption(c))
+      if (d != src) {
         scaleConfs.foreach(c => spark.conf.set(c, bigPartitions.toString))
+        spark.conf.set(OraclePin.OffKey, "off")
+      }
       try body finally olds.foreach {
         case (c, Some(v)) => spark.conf.set(c, v)
         case (c, None) => spark.conf.unset(c)
