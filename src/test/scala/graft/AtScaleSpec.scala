@@ -43,4 +43,18 @@ class AtScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("a02b_ann_lsh_scaled"))
     assert(e.getMessage.contains("pins r=10"))
   }
+
+  test("oracle pins: graft.oraclePin=off waives (the scale probe's contract), unset throws") {
+    // the waiver exists ONLY for callers that run pinned queries at
+    // diverged configs without comparing to the static SQL; verify/bench
+    // never set it, so drift must keep failing fast by default
+    spark.conf.set(OraclePin.OffKey, "off")
+    try OraclePin.assertPinned("spec_query", "nlist", 1600, 16) // must not throw
+    finally spark.conf.unset(OraclePin.OffKey)
+    val e = intercept[IllegalArgumentException] {
+      OraclePin.assertPinned("spec_query", "nlist", 1600, 16)
+    }
+    assert(e.getMessage.contains("spec_query"))
+    assert(e.getMessage.contains("pins nlist=16"))
+  }
 }
