@@ -156,8 +156,12 @@ object Bench {
     // the JVM's last stdout write (shutdown logs go to stderr), and tag
     // the line "abridged" so tooling holding both lines — they share
     // metric:total — can tell them apart.
-    spark.stop()
-    println(s"""{"metric":"total","abridged":true,"value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)}$streamShort,"sf":"$sfDir"}""")
-    System.out.flush()
+    // finally: a shutdown exception must not eat the one line the
+    // driver's bounded tail capture parses
+    try spark.stop()
+    finally {
+      println(s"""{"metric":"total","abridged":true,"value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)}$streamShort,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
   }
 }

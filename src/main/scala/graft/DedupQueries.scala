@@ -473,15 +473,19 @@ object DedupQueries {
         val dim = graft.ops.Similarity.vecDim(train, "embedding")
         // paraphrase = zero the first coordinate (pure element surgery —
         // no float arithmetic to replay); planted ids offset by 2·10⁷
+        // persist the two frames every count arm re-reads: without it the
+        // full semanticContaminationCross pipeline executes once per agg
+        // branch (r14 review finding — the audit's dominant cost, twice)
         val planted = train.filter(col("vec_id") % 50 === 1)
           .select((col("vec_id") + lit(20_000_000L)).as("vec_id"),
             array((lit(0.0f) +: (1 until dim)
               .map(i => col("embedding").getItem(i))): _*).as("embedding"))
+          .persist()
         val probe = embs.filter(col("vec_id") % 7 === 0)
           .select("vec_id", "embedding")
           .unionByName(planted)
         val found = Dedup.semanticContaminationCross(
-          train, probe, "vec_id", "embedding", minCos = 0.3)
+          train, probe, "vec_id", "embedding", minCos = 0.3).persist()
         // brute-force cross closure at the same round-9 threshold
         def side(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
           col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}v"),

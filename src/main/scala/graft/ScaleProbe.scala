@@ -58,9 +58,10 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("documents", "embeddings"))
 
-  private def build(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
-    if (wantedTables("documents")) buildDocs(spark, src, dir, k)
-    if (wantedTables("embeddings")) buildEmbs(spark, src, dir, k)
+  private def build(spark: SparkSession, src: String, dir: String, k: Int,
+      tables: Set[String]): Unit = {
+    if (tables("documents")) buildDocs(spark, src, dir, k)
+    if (tables("embeddings")) buildEmbs(spark, src, dir, k)
   }
 
   private def buildDocs(spark: SparkSession, src: String, dir: String, k: Int): Unit = {
@@ -118,21 +119,30 @@ object ScaleProbe {
     val spark = GraftSession.get()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir = s"/tmp/graft_scale_x$k"
-    // build under a scratch name and RENAME when complete — with chunked
-    // appends the first chunk already plants _SUCCESS, so the marker no
-    // longer proves completeness; a killed build leaves only the scratch
-    // dir and the next run restarts it (pre-chunking dirs keep working:
-    // their single-shot _SUCCESS implies complete)
-    if (!wantedTables.forall(t =>
-        new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())) {
+    // build under a scratch name and move PER TABLE when complete — with
+    // chunked appends the first chunk already plants _SUCCESS, so the
+    // marker no longer proves completeness; a killed build leaves only
+    // the scratch dir and the next run restarts it. Moving per table
+    // (not renaming the whole dir) lets selective runs compose: a
+    // documents-only build must not destroy a prior run's multi-GB
+    // embeddings corpus sitting next to it.
+    val missing = wantedTables.filterNot(t =>
+      new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
+    if (missing.nonEmpty) {
       val scratch = s"$dir.build"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
-      build(spark, src, scratch, k)
-      // a stale PARTIAL $dir (e.g. an old interrupted in-place build)
-      // would wedge rename(2) with ENOTEMPTY forever — clear it first
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      if (!new java.io.File(scratch).renameTo(new java.io.File(dir)))
-        throw new IllegalStateException(s"rename $scratch -> $dir failed")
+      build(spark, src, scratch, k, missing)
+      new java.io.File(dir).mkdirs()
+      missing.foreach { t =>
+        val dst = new java.io.File(s"$dir/$t.parquet")
+        // a stale PARTIAL table dir (old interrupted in-place build)
+        // would wedge rename(2) with ENOTEMPTY — clear just that table
+        org.apache.commons.io.FileUtils.deleteQuietly(dst)
+        if (!new java.io.File(s"$scratch/$t.parquet").renameTo(dst))
+          throw new IllegalStateException(
+            s"rename $scratch/$t.parquet -> $dst failed")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     }
 
     // optional 2nd arg: comma-list restricting the probe (the ×100 decade

@@ -263,7 +263,11 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
   * winner. nprobe is the RECALL DIAL for probe-side assignment
   * (a paraphrase sitting near a cell boundary lands in a different
   * argmax cell than its source ~45 % of the time on the audit corpus;
-  * probing 2 cells recovers it). Map-only: O(nprobe·(#coarse + group))
+  * probing 2 cells recovers it). EMPTY coarse groups (duplicate seed
+  * vectors tie-break every fine mate to an earlier identical coarse) are
+  * skipped — the selection advances to the next-best non-empty coarse;
+  * a vector whose coarse scores are all NaN probes nothing (empty
+  * array). Map-only: O(nprobe·(#coarse + group))
   * dots per row, no shuffle, same scale shape as the argmax kernels. */
 case class CellProbes(child: Expression, coarse: Seq[Seq[Double]],
     fine: Seq[Seq[Double]], group: Seq[Int], nprobe: Int)
@@ -317,10 +321,16 @@ case class CellProbes(child: Expression, coarse: Seq[Seq[Double]],
     var c = 0
     while (c < nc) { scores(c) = dot(coarseFlat(c)); c += 1 }
     val k = math.min(nprobe, nc)
-    val out = new Array[Any](k)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val taken = new Array[Boolean](nc)
-    var p = 0
-    while (p < k) {
+    // an EMPTY coarse group (duplicate seed vectors tie-break every fine
+    // mate to an earlier identical coarse) has no cell to contribute —
+    // mark it taken upfront so the selection advances to the next-best
+    // NON-empty coarse instead of fabricating fine cell 1
+    var e = 0
+    while (e < nc) { if (members(e).isEmpty) taken(e) = true; e += 1 }
+    var exhausted = false
+    while (!exhausted && out.length < k) {
       // selection pass: strict > keeps the EARLIEST index on ties —
       // rank order identical to (score DESC, index ASC)
       var best = -1
@@ -330,20 +340,26 @@ case class CellProbes(child: Expression, coarse: Seq[Seq[Double]],
         if (!taken(i) && scores(i) > bestScore) { bestScore = scores(i); best = i }
         i += 1
       }
-      taken(best) = true
-      val ms = members(best)
-      var bestJ = if (ms.isEmpty) 0 else ms(0)
-      var bestFine = Double.NegativeInfinity
-      var j = 0
-      while (j < ms.length) {
-        val s = dot(fineFlat(ms(j)))
-        if (s > bestFine) { bestFine = s; bestJ = ms(j) }
-        j += 1
+      if (best < 0) exhausted = true // candidates spent, or all-NaN scores
+      else {
+        taken(best) = true
+        val ms = members(best)
+        var bestJ = ms(0)
+        var bestFine = Double.NegativeInfinity
+        var j = 0
+        while (j < ms.length) {
+          val s = dot(fineFlat(ms(j)))
+          if (s > bestFine) { bestFine = s; bestJ = ms(j) }
+          j += 1
+        }
+        out += (bestJ + 1)
       }
-      out(p) = bestJ + 1
-      p += 1
     }
-    new GenericArrayData(out)
+    // a vector whose coarse scores are all NaN probes NOTHING (empty
+    // array → explode drops the row) — matching nothing beats matching
+    // an arbitrary cell; sibling argmax kernels must return one cell and
+    // pick a defined fallback instead
+    new GenericArrayData(out.toArray)
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -422,16 +438,25 @@ case class TwoLevelArgmax(child: Expression, coarse: Seq[Seq[Double]],
       }
       acc
     }
-    var bestC = 0
+    // consider only coarse cells with fine mates: duplicate seed vectors
+    // tie-break every mate to the earliest identical coarse, and an empty
+    // winner would fabricate fine cell 1. Every fine belongs to some
+    // group, so a non-empty coarse always exists; if all scores are NaN
+    // the first non-empty group is the defined fallback (this kernel must
+    // return ONE cell — the multi-probe kernel returns none instead).
+    var bestC = -1
     var bestScore = Double.NegativeInfinity
     var c = 0
     while (c < coarseFlat.length) {
-      val s = dot(coarseFlat(c))
-      if (s > bestScore) { bestScore = s; bestC = c }
+      if (members(c).nonEmpty) {
+        val s = dot(coarseFlat(c))
+        if (s > bestScore) { bestScore = s; bestC = c }
+      }
       c += 1
     }
+    if (bestC < 0) { bestC = 0; while (members(bestC).isEmpty) bestC += 1 }
     val ms = members(bestC)
-    var bestJ = if (ms.isEmpty) 0 else ms(0)
+    var bestJ = ms(0)
     bestScore = Double.NegativeInfinity
     var i = 0
     while (i < ms.length) {

@@ -1263,6 +1263,12 @@ object Dedup {
       // with-replacement sampling can EXCEED the child count — only the
       // without-replacement form keeps the child bound valid
       case Sample(_, _, false, _, c) if bound => walk(c)
+      // a union's count is the exact sum of its children's — makes the
+      // replicated-corpus frames (a02b/d07b, ScaleProbe) metadata-counted
+      // instead of a full count() job over the k-way union
+      case u: Union =>
+        val counts = u.children.map(walk)
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
       case l: LocalRelation => Some(l.data.length.toLong)
       case r: Range => Some(r.numElements.toLong)
       case lr: LogicalRelation => lr.relation match {

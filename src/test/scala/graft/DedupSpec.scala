@@ -576,6 +576,36 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.map(_._1).distinct.length == delta.count())
   }
 
+  test("cell kernels: empty coarse groups skipped, NaN vectors defined (r14 review)") {
+    import graft.functions.{CellProbes, TwoLevelArgmax}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // grouping can leave a coarse EMPTY (duplicate seed vectors tie-break
+    // every fine mate to the earlier identical coarse) — here explicitly:
+    // all three fine centroids group under coarse 0, coarse 1 is empty
+    val coarse = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val fine = Seq(Seq(1.0, 0.0), Seq(0.9, 0.1), Seq(0.0, 1.0))
+    val group = Seq(0, 0, 0)
+    val child = Literal.create(Array(0.0, 1.0), ArrayType(DoubleType))
+    val probes = CellProbes(child, coarse, fine, group, nprobe = 2)
+    def cells(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[Int] =
+      (0 until a.numElements()).map(a.getInt)
+    // the vector points AT the empty coarse 1: the probe must advance to
+    // coarse 0 and return its fine argmax (cell 3) — the pre-fix kernel
+    // fabricated cell 1 from the empty group and emitted [1, 3]
+    assert(cells(probes.compute(new GenericArrayData(Array(0.0, 1.0)))) == Seq(3))
+    // all-NaN scores: probe NOTHING (empty array), never crash
+    val nan = new GenericArrayData(Array(Double.NaN, Double.NaN))
+    assert(probes.compute(nan).numElements() == 0)
+    val argmax = TwoLevelArgmax(child, coarse, fine, group)
+    assert(argmax.compute(new GenericArrayData(Array(0.0, 1.0))) == 3)
+    // argmax must return ONE defined cell on NaN (pre-fix: bogus cell 1
+    // via the empty group; CellProbes pre-fix: AIOOBE)
+    val nanCell = argmax.compute(nan)
+    assert(nanCell >= 1 && nanCell <= 3)
+  }
+
   test("keeper state codec: round-trip, and foreign/old blobs are typed errors") {
     import Dedup.KeeperState
     val keepers: List[KeeperState.Keeper] = List(
