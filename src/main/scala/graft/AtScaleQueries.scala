@@ -101,10 +101,7 @@ object AtScaleQueries {
 
   /** Sequential-fold dot product — the order VecDot / the sign kernel /
     * TwoLevelArgmax.compute all use, so doubles accumulate identically. */
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
-        q -> CAST(struct_extract(q, 1) AS DOUBLE) * CAST(struct_extract(q, 2) AS DOUBLE))),
-        (acc, x) -> acc + x)"""
+  private def dotSql(a: String, b: String): String = OracleSql.dot(a, b)
 
   private val vSql = s"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

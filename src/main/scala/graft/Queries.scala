@@ -62,6 +62,18 @@ object OraclePin {
     }
 }
 
+/** Shared DuckDB-oracle SQL fragments. One canonical spelling of the
+  * sequential-fold embedding dot product — the fold convention (prepend
+  * 0.0, left fold, per-element DOUBLE casts) must be identical everywhere
+  * an oracle re-scores cosines, or a drift in one copy shows up as a
+  * confusing value diff instead of a compile error. */
+object OracleSql {
+  def dot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+        q -> CAST(struct_extract(q, 1) AS DOUBLE) * CAST(struct_extract(q, 2) AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+}
+
 /** Deterministic-aggregation helpers (shared Spark side). */
 object Det {
   /** Exact sum of a double column — order-free, engine-portable.

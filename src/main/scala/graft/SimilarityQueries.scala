@@ -224,10 +224,7 @@ object SimilarityQueries {
         nQueries = 10, minRecall = 0.6)
         .orderBy("query_id"),
       Some {
-        def dot(a: String, b: String) =
-          s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
-            p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
-            (acc, x) -> acc + x)"""
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
         s"""WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
             sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
@@ -293,10 +290,7 @@ object SimilarityQueries {
           .orderBy("query_id", "rk")
       },
       Some {
-        def dot(a: String, b: String) =
-          s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
-            p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))),
-            (acc, x) -> acc + x)"""
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
         s"""WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
