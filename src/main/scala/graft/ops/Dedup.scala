@@ -1474,13 +1474,26 @@ object Dedup {
     *
     * Every input doc gets a row: docs with fewer than `shingleN` tokens
     * (no spans) emit (n_shingles = 0, shared_frac = NULL). */
+  /** Persist the exploded span frame only when the corpus is provably
+    * small enough for the cache to pay: the cache is TOKEN-count-sized,
+    * and at 55M docs its MEMORY_AND_DISK spill filled a box (measured,
+    * r14 ×10000 probe) where re-running the codegen'd explode for the
+    * second aggregation is pure CPU. An upper BOUND under the threshold
+    * proves it safe; unknown counts choose recompute — the at-scale
+    * default (same lesson as t08: recompute cheap projections, don't
+    * materialize data-sized intermediates). */
+  private val SpanCacheMaxDocs = 1_000_000L
+
   def crossDocSharedShingles(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val spans = docs
+    val base = docs
       .repartition(par(docs)) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans =
+      if (leafRowBound(docs).exists(_ <= SpanCacheMaxDocs))
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
     val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     // ndocs = 1 ⇒ the span's min(id) is its only owner: unique-span counts
     // re-aggregate on the owner, skew-free (both aggs partial-combine)
