@@ -159,11 +159,18 @@ object AtScaleQueries {
                 ORDER BY ${dotSql("f.cv", "co.cv")} DESC, co.cidx) AS rk
             FROM c f JOIN c co ON co.cidx <= $RepNCoarse) z1 WHERE rk = 1),
         cw AS (
+          -- the coarse winner ranks over NON-EMPTY coarse groups only,
+          -- mirroring TwoLevelArgmax's empty-group skip (duplicate seed
+          -- vectors can tie-break every fine mate away from a coarse,
+          -- leaving it memberless — the kernel then probes the next-best
+          -- non-empty coarse; ranking over ALL coarse here would drop
+          -- such vectors from the oracle instead — r15 advice)
           SELECT vec_id, cidx AS w FROM (
             SELECT v.vec_id, c.cidx,
               row_number() OVER (PARTITION BY v.vec_id
                 ORDER BY ${dotSql("v.v", "c.cv")} DESC, c.cidx) AS rk
-            FROM v JOIN c ON c.cidx <= $RepNCoarse) z2 WHERE rk = 1),
+            FROM v JOIN c ON c.cidx <= $RepNCoarse
+              AND c.cidx IN (SELECT DISTINCT g FROM grp)) z2 WHERE rk = 1),
         cell AS (
           SELECT vec_id, cidx AS cell FROM (
             SELECT v.vec_id, c.cidx,

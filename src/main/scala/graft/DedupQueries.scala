@@ -496,7 +496,7 @@ object DedupQueries {
           .select(col("aid"), col("bid"))
         val caught = found.filter(col("id_b") >= 20_000_000L &&
           col("id_a") === col("id_b") - 20_000_000L)
-        planted.agg(count(lit(1)).as("n_planted"))
+        val audit = planted.agg(count(lit(1)).as("n_planted"))
           .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
           .crossJoin(exact.agg(count(lit(1)).as("n_true_pairs")))
           .crossJoin(found.agg(count(lit(1)).as("n_found_pairs")))
@@ -506,6 +506,12 @@ object DedupQueries {
             col("n_true_pairs"), col("n_found_pairs"),
             (col("n_caught").cast("double") >= lit(0.8) * col("n_planted"))
               .as("recall_ok"))
+        // materialize the one-row result NOW (eager localCheckpoint) so
+        // the two cached frames can be released before the caller runs
+        // the other ~100 verify queries — the r14 persists stayed
+        // resident for the rest of the session (r15 advice)
+        try audit.localCheckpoint()
+        finally { planted.unpersist(); found.unpersist() }
       },
       Some("""WITH tr0 AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),

@@ -214,9 +214,11 @@ object SimilarityQueries {
     // query's 5 brute-force true neighbors, how many the nprobe=4 probe
     // over nlist=16 cells returned — the ORACLE replays both the IVF
     // pipeline and the brute-force top-5, so the recall numbers are
-    // differential. Measured at sf0.01: min 3/5, avg 0.92; the per-query
-    // floor is the measured min (recall_ok pins TRUE in SQL — a red row
-    // means the probe lost recall it used to have).
+    // differential, and recall_ok is DERIVED from the replayed n_found on
+    // both sides (n_found >= minRecall·k = 3) rather than pinned TRUE:
+    // measured at sf0.01 min 3/5, avg 0.92, and a legitimate
+    // data-dependent dip at a new SF turns the VALUE red identically in
+    // both engines instead of only in Spark (r15 advice).
     QueryDef(
       "a04a_ivf_recall",
       (s, d) => Similarity.ivfRecallAudit(Tables.embeddings(s, d),
@@ -266,7 +268,13 @@ object SimilarityQueries {
               FROM v q JOIN v t ON t.vec_id <> q.vec_id
               WHERE q.vec_id < 10) z
             WHERE rk <= 5)
-        SELECT b.query_id, COUNT(i.neighbor_id) AS n_found, TRUE AS recall_ok
+        SELECT b.query_id, COUNT(i.neighbor_id) AS n_found,
+          -- recall_ok DERIVED from the replayed counts on both sides
+          -- (minRecall·k = 0.6·5 = 3), not pinned TRUE: IVF recall is
+          -- data-dependent, so at a new verify SF a query can
+          -- legitimately dip and both engines must agree on the verdict
+          -- instead of the row going red with no code change (r15 advice)
+          COUNT(i.neighbor_id) >= 3 AS recall_ok
         FROM brute b LEFT JOIN ivf i ON i.query_id = b.query_id
           AND i.neighbor_id = b.neighbor_id
         GROUP BY 1 ORDER BY 1"""

@@ -545,10 +545,13 @@ class DedupSpec extends AnyFunSuite {
 
   test("incremental dedup composes: ledger + delta classification = full-corpus dedup") {
     // the invariant that makes d11 SAFE to run instead of re-deduping the
-    // archive: for every fingerprint, the keeper the incremental pass
-    // derives (archive keeper if present, else batch minimum) must equal
-    // the keeper a from-scratch exactDedup over archive ∪ delta picks,
-    // and the statuses must partition the delta consistently
+    // archive — stated with the operator's ARCHIVE-WINS semantics: for a
+    // fingerprint already in the ledger the keeper is the ARCHIVE's keeper
+    // (even when a delta doc has a smaller id — the archive was there
+    // first); only ledger-less fingerprints fall back to the full-corpus
+    // (= batch) minimum. The r14 form asserted keep == full-corpus min
+    // unconditionally, which is false in general and passed only because
+    // archive and delta shared zero fingerprints at this SF (r15 advice).
     val docs = Tables.documents(spark, sf)
     val archive = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
@@ -562,8 +565,10 @@ class DedupSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(inc.nonEmpty)
     inc.foreach { case (id, fp, status, keep) =>
-      assert(keep == full(fp),
-        s"doc $id: incremental keeper $keep != full-corpus keeper ${full(fp)}")
+      val expected = ledgerMap.getOrElse(fp, full(fp))
+      assert(keep == expected,
+        s"doc $id: incremental keeper $keep != expected $expected " +
+          s"(archive keeper if ledgered, else full-corpus min)")
       status match {
         case "dup_of_archive" => assert(ledgerMap.contains(fp))
         case "dup_in_batch" =>
@@ -574,6 +579,31 @@ class DedupSpec extends AnyFunSuite {
     }
     // every delta doc classified exactly once
     assert(inc.map(_._1).distinct.length == delta.count())
+  }
+
+  test("incremental dedup archive-wins: overlapping fingerprints keep the archive keeper") {
+    // explicit archive/delta fingerprint OVERLAP so dup_of_archive is
+    // actually exercised (the corpus split shares no fingerprints at the
+    // spec SFs, so the branch above passes vacuously — r15 advice):
+    //  - fp X: archived under id 10; delta holds ids 3 and 7 — BOTH must
+    //    classify dup_of_archive with keep_id 10 (archive-wins, even
+    //    though the global min 3 sits in the delta)
+    //  - fp Y: delta-only ids 5, 8 — batch semantics (novel/dup_in_batch)
+    val archive = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, "gamma beta alpha"),  // permutation of X, smaller id than 10
+      (7L, "alpha beta gamma"),  // verbatim X
+      (5L, "delta epsilon"),     // Y first
+      (8L, "epsilon delta")      // Y permutation
+    ).toDF("doc_id", "text")
+    val ledger = Dedup.exactDedup(archive, "doc_id", "text")
+    val out = Dedup.incrementalExactDedup(ledger, delta, "doc_id", "text")
+      .select("id", "status", "keep_id")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(3L) == (("dup_of_archive", 10L)))
+    assert(out(7L) == (("dup_of_archive", 10L)))
+    assert(out(5L) == (("novel", 5L)))
+    assert(out(8L) == (("dup_in_batch", 5L)))
   }
 
   test("cell kernels: empty coarse groups skipped, NaN vectors defined (r14 review)") {
