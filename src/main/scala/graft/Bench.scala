@@ -62,6 +62,13 @@ object Bench {
       case None => Queries.all.filter(_.headline)
     }
 
+    // environment fingerprint FIRST, before any warmup touches the data:
+    // cached_gb then reflects whether the testdata/shuffle dirs are page-
+    // cache-resident from a previous run — the r14 cross-session gap the
+    // CPU canary could not see (same-HEAD 9.88 s vs 13.22 s at equal
+    // canary). io_* measure the tmp disk the shuffles spill to.
+    val envFields = EnvProbe.jsonFields()
+
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
@@ -140,7 +147,7 @@ object Bench {
         System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         ""","streaming_tuples_per_s":-1"""
       }
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)}$envFields,"queries":${obj(results)},"queries_min":${obj(mins)},"isolated":${obj(isolated)},"isolated_min":${obj(isolatedMin)},"failed":$failedArr$streaming,"sf":"$sfDir"}"""
     // the streaming headline number alone (the per-worker breakdown stays
     // in the full artifact)
     val streamShort = ""","streaming_tuples_per_s":(-?\d+)""".r
@@ -160,7 +167,7 @@ object Bench {
     // driver's bounded tail capture parses
     try spark.stop()
     finally {
-      println(s"""{"metric":"total","abridged":true,"value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)},"queries":${obj(results)}$streamShort,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","abridged":true,"value":${jnum(total)},"unit":"sec","stat":"median","reps":$reps,"canary_sec":${jnum(canary)}$envFields,"queries":${obj(results)}$streamShort,"sf":"$sfDir"}""")
       System.out.flush()
     }
   }

@@ -47,9 +47,18 @@ object GraftSession {
       // engine's generators sit above a shuffle that could profit
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // shuffle/spill compression codec override (core conf — fixed at
+    // context start, so an env gate rather than a runtime set). The
+    // default lz4 optimizes CPU; `SPARK_GRAFT_IO_CODEC=zstd` trades ~2-4%
+    // map CPU for materially smaller shuffle files — the right side of
+    // the trade when a probe (or a disk-tight cluster) is BYTES-bound,
+    // like d02's ×10000 per-occurrence shuffle (r14: ~90 GB lz4 exceeded
+    // the box's free disk).
+    val c = sys.env.get("SPARK_GRAFT_IO_CODEC")
+      .fold(b)(codec => b.config("spark.io.compression.codec", codec))
     if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
-      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-    else b
+      c.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else c
   }
 
   def get(): SparkSession = {

@@ -202,19 +202,45 @@ object ScaleProbe {
         case (c, None) => spark.conf.unset(c)
       }
     }
-    def time1(q: QueryDef, d: String): Double = withScaleConf(d) {
+    // shuffle-volume accounting (r15 task 2: "measured shuffle bytes/row
+    // before/after" for the d02 payload work): a listener totals shuffle
+    // WRITE bytes/records across each timed run's stages — the number a
+    // payload packing actually moves. Deltas are read after draining the
+    // async listener bus, or the last stages of a just-finished job are
+    // still in flight.
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+    def time1(q: QueryDef, d: String): (Double, Long, Long) = withScaleConf(d) {
       System.gc()
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+      val b0 = shufBytes.get; val r0 = shufRecs.get
       val t0 = System.nanoTime()
       q.run(spark, d).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+      (t, shufBytes.get - b0, shufRecs.get - r0)
     }
     // median-of-N at BOTH scales (r12 task 8: the ×1000 single-shot
     // wall-clocks swung ±50 % same-code — 29.8–60.0 s for d02 — so
     // single-shot growth factors at the big scale are unusable). Reps
     // default 3; override with SPARK_GRAFT_SCALE_REPS for quick looks.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    def time(q: QueryDef, d: String): Double =
-      Bench.median((1 to reps).map(_ => time1(q, d)))
+    def time(q: QueryDef, d: String): (Double, Long, Long) = {
+      val ts = (1 to reps).map(_ => time1(q, d))
+      (Bench.median(ts.map(_._1)),
+        ts.map(_._2).sorted.apply(ts.length / 2),
+        ts.map(_._3).sorted.apply(ts.length / 2))
+    }
     // the same machine-speed canary the bench carries (bit_xor: ANSI
     // long-sum overflow is fatal) — lets a reader normalize growth
     // factors measured in different sessions before comparing them
@@ -223,20 +249,26 @@ object ScaleProbe {
       spark.range(2000000000L).selectExpr("bit_xor(id * 2654435761)").collect()
       (System.nanoTime() - t0) / 1e9
     })
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val envFields = EnvProbe.jsonFields()
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Double, Long, Long), (Double, Long, Long))]
     qs.foreach { q =>
       println(s"[scale] probing ${q.name} ($reps reps)")
       val base = time(q, src)
       val big = time(q, dir)
-      println(f"[scale] ${q.name}%-22s sf0.1 $base%6.2f s  x$k ${big}%7.2f s" +
-        f"  growth ${big / base}%5.1fx")
+      println(f"[scale] ${q.name}%-22s sf0.1 ${base._1}%6.2f s  x$k ${big._1}%7.2f s" +
+        f"  growth ${big._1 / base._1}%5.1fx  shuffle ${big._2 / 1048576.0}%9.1f MB" +
+        f" / ${big._3}%d rows")
       rows += ((q.name, base, big))
     }
+    def shuf(t: (Double, Long, Long)) =
+      s""","shuffle_mb":${Bench.jnum(t._2 / 1048576.0)},"shuffle_rows":${t._3}"""
     val json = "{\"metric\":\"scaleprobe\",\"k\":" + k + ",\"reps\":" + reps +
-      ",\"stat\":\"median\",\"canary_sec\":" + Bench.jnum(canary) +
+      ",\"stat\":\"median\",\"canary_sec\":" + Bench.jnum(canary) + envFields +
       ",\"queries\":{" +
       rows.map { case (n, b, g) =>
-        s""""$n":{"base":${Bench.jnum(b)},"scaled":${Bench.jnum(g)}}""" }
+        s""""$n":{"base":${Bench.jnum(b._1)},"scaled":${Bench.jnum(g._1)},""" +
+          s""""base_shuffle":{${shuf(b).drop(1)}},"scaled_shuffle":{${shuf(g).drop(1)}}}""" }
         .mkString(",") + "}}"
     Bench.writeArtifact("SPARK_GRAFT_SCALEPROBE_OUT", "scaleprobe_out.json", json)
     println(json)
