@@ -614,6 +614,149 @@ object DedupQueries {
                ELSE 'novel' END AS status,
           COALESCE(l.archive_keep, b.batch_keep) AS keep_id
         FROM delta d JOIN bm b USING (fp) LEFT JOIN ledger l USING (fp)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- d13: incremental NEAR-dup dedup — d11's archive-ledger shape
+    // applied to the dominant real workload: the archive (even doc_ids)
+    // is signatured ONCE into a banded LSH ledger; the delta batch (odd
+    // doc_ids) probes the ledger's (band, bucket) keys, verifies matched
+    // candidates at exact Jaccard ≥ 0.5 against only the MATCHED archive
+    // docs' text (restrictToCandidates semi-join), and dedups within the
+    // batch. Archive-wins: a delta doc with both an archive mate and a
+    // lower-id batch mate classifies dup_of_archive. The oracle replays
+    // the exact cross/in-batch Jaccard closures — an end-to-end recall
+    // check like d02's (recall 1.0 measured at these SFs with the seeded
+    // family; same accepted-risk note).
+    QueryDef(
+      "d13_incremental_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val archive = docs.filter(col("doc_id") % 2 === 0)
+        val delta = docs.filter(col("doc_id") % 2 === 1)
+        val ledger = Dedup.minhashLedger(archive, "doc_id", "text")
+        Dedup.incrementalMinhashDedup(ledger, archive, delta,
+          "doc_id", "text", threshold = 0.5)
+          .select(col("id").as("doc_id"), col("status"), col("dup_of"),
+            col("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, $shinglesSql AS sh
+          FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
+        ar AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+        de AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+        am AS (
+          SELECT d.doc_id AS id, a.doc_id AS aid,
+            CAST(len(list_intersect(a.sh, d.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, d.sh))) AS j
+          FROM ar a JOIN de d ON TRUE),
+        arch AS (
+          SELECT id, MIN(aid) AS arch_dup, arg_min(j, aid) AS arch_j
+          FROM am WHERE j >= 0.5 GROUP BY 1),
+        bm AS (
+          SELECT b.doc_id AS id, a.doc_id AS bid,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM de a JOIN de b ON a.doc_id < b.doc_id),
+        batch AS (
+          SELECT id, MIN(bid) AS batch_dup, arg_min(j, bid) AS batch_j
+          FROM bm WHERE j >= 0.5 GROUP BY 1)
+        SELECT d.doc_id,
+          CASE WHEN arch.id IS NOT NULL THEN 'dup_of_archive'
+               WHEN batch.id IS NOT NULL THEN 'dup_in_batch'
+               ELSE 'novel' END AS status,
+          COALESCE(arch.arch_dup, batch.batch_dup) AS dup_of,
+          CASE WHEN arch.id IS NOT NULL THEN arch.arch_j
+               ELSE batch.batch_j END AS jaccard
+        FROM de d LEFT JOIN arch ON arch.id = d.doc_id
+        LEFT JOIN batch ON batch.id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- d12: duplicated-passage REMOVAL (ExactSubstr shape, Lee et al.
+    // 2022) — d08 measures shared spans, this one REWRITES: every
+    // 20-token span occurring in >1 doc is cut from all but its min-id
+    // owner, overlapping cuts merge, and the cleaned text is md5-pinned
+    // per doc (the t18/t04 trick — wide content compared as one hash).
+    // A planted fixture guarantees the operator has real work at every
+    // SF: docs with doc_id % 37 = 1 and ≥ 40 tokens get a clone
+    // (id + 3·10⁷) carrying a unique marker token plus the source's
+    // first 40 tokens — the clone must come out with exactly that
+    // passage removed (owner = the smaller source id keeps it). The
+    // whole pipeline — span occurrences, owner stats, interval merge,
+    // slice rebuild — is replayed in SQL value-for-value.
+    QueryDef(
+      "d12_remove_passages",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+          .filter(col("doc_id") % 37 === 1 && size(col("tk")) >= 40)
+        val planted = src.select(
+          (col("doc_id") + lit(30_000_000L)).as("doc_id"),
+          concat_ws(" ", concat(lit("zzqplant"), col("doc_id")),
+            array_join(slice(col("tk"), 1, 40), " ")).as("text"))
+        val corpus = docs.select("doc_id", "text").unionByName(planted)
+        Dedup.removeDuplicatedPassages(corpus, "doc_id", "text", spanLen = 20)
+          .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+            col("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pl AS (
+          SELECT doc_id + 30000000 AS doc_id,
+            'zzqplant' || CAST(doc_id AS VARCHAR) || ' ' ||
+              array_to_string(tk[1:40], ' ') AS text
+          FROM (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents)
+          WHERE doc_id % 37 = 1 AND len(tk) >= 40),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM pl),
+        tk AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM corpus),
+        occ AS (
+          SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT doc_id, unnest([{'pos': i - 1,
+                'g': md5(array_to_string(toks[i:i+19], ' '))}
+              for i in range(1, greatest(len(toks) - 18, 1))]) AS u
+            FROM tk) z),
+        st AS (
+          SELECT g, MIN(doc_id) AS owner FROM occ GROUP BY 1
+          HAVING MIN(doc_id) <> MAX(doc_id)),
+        rem AS (
+          SELECT o.doc_id, o.pos FROM occ o JOIN st USING (g)
+          WHERE o.doc_id <> st.owner),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos <= COALESCE(MAX(pos + 20) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS brk
+          FROM rem),
+        isl2 AS (
+          SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl),
+        iv AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 20 AS e
+          FROM isl2 GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS ivl,
+            COUNT(*) AS n_spans, CAST(SUM(e - s) AS BIGINT) AS n_removed
+          FROM iv GROUP BY 1)
+        SELECT t.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+          COALESCE(a.n_removed, 0) AS n_removed,
+          CASE WHEN a.doc_id IS NULL THEN md5(array_to_string(toks, ' '))
+            -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+            -- array_join of an empty array is '' — a fully-removed doc
+            -- must hash the empty string in both engines
+            ELSE md5(COALESCE(array_to_string(
+              list_transform(
+                list_filter(range(1, len(toks) + 1),
+                  i -> len(list_filter(a.ivl,
+                    v -> i - 1 >= v.s AND i - 1 < v.e)) = 0),
+                i -> toks[i]), ' '), '')) END AS clean_md5
+        FROM tk t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }

@@ -635,10 +635,22 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   * lambda, where it re-evaluates once PER BAND (a 6× minhash recompute
   * measured as ~2× on d02's wall). A unary expression evaluates its
   * child exactly once per row, whatever the optimizer does around it. */
-case class BandBuckets(child: Expression, bands: Int, r: Int)
+case class BandBuckets(child: Expression, bands: Int, r: Int,
+    bits: Int = 64)
     extends UnaryExpression {
 
   require(bands >= 1 && r >= 1, "bands and r must be >= 1")
+  require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
+
+  /** `bits` < 64 keeps only the low bits of each band hash (the Column
+    * form `xxhash64(...) & mask`): with the bucket space sized to the
+    * corpus ([[graft.ops.Dedup.autoBucketBits]]) the narrowed value is
+    * both the join key and the packed tie-break payload
+    * ([[PackBandBits]]). Narrowing can only MERGE buckets (a pair with
+    * equal full hashes has equal masked hashes), so banding recall is
+    * preserved exactly; the rare random collision adds a false candidate
+    * pair that the downstream exact-verify filter removes. */
+  private val mask: Long = if (bits == 64) -1L else (1L << bits) - 1L
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_buckets"
@@ -662,7 +674,7 @@ case class BandBuckets(child: Expression, bands: Int, r: Int)
           .hashLong(sig.getLong(base + i), acc)
         i += 1
       }
-      out(b) = acc
+      out(b) = acc & mask
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -56,9 +56,9 @@ object TextFunctions {
     * to the previous `transform(…, b -> xxhash64(slice(sig…), b))` Column
     * form) so the signature child evaluates ONCE per row — the lambda form
     * re-evaluated an optimizer-inlined signature once per band. */
-  def lshBuckets(sig: Column, bands: Int, r: Int): Column =
+  def lshBuckets(sig: Column, bands: Int, r: Int, bits: Int = 64): Column =
     org.apache.spark.sql.GraftShims.column(BandBuckets(
-      org.apache.spark.sql.GraftShims.expression(sig), bands, r))
+      org.apache.spark.sql.GraftShims.expression(sig), bands, r, bits))
 
   // --- language ID ------------------------------------------------------
   // Stopword-profile scoring over the most frequent function words of each

@@ -220,3 +220,112 @@ case class FirstSharedBand(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): FirstSharedBand = copy(left = l, right = r)
 }
+
+/** Pack an array of band-bucket values into one BinaryType blob:
+  * `bytesPer` big-endian low bytes per element, concatenated in band
+  * order — the shuffle-payload form of the bucket array a pair join's
+  * first-shared-band tie-break carries ([[SharesBandSlice]]).
+  *
+  * Why: the d02 ×10000 probe measured the per-occurrence bucket shuffle
+  * at ~90 GB, a large slice of which was the full `bands` longs of
+  * bucket array riding EVERY exploded bucket row (plus UnsafeArrayData's
+  * header/null-bits overhead). With [[graft.functions.BandBuckets]]
+  * narrowing buckets to `bits` bits, the tie-break needs only those bits
+  * per band: 6 bands × 4 bytes = 24 bytes of binary replace 6 longs + 16
+  * bytes of array framing — and the caller carries only the PREFIX of
+  * bands before the exploded one, halving the average again. */
+case class PackBandBits(child: Expression, bytesPer: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bytesPer >= 1 && bytesPer <= 8, s"bytesPer must be 1..8, got $bytesPer")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_band_bits"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+
+  def compute(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n * bytesPer)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      var b = 0
+      while (b < bytesPer) {
+        out(i * bytesPer + b) = (v >>> ((bytesPer - 1 - b) * 8)).toByte
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("packBandBits", this, classOf[PackBandBits].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PackBandBits =
+    copy(child = c)
+}
+
+/** TRUE iff any aligned `bytesPer`-byte group of the two packed
+  * band-prefix blobs ([[PackBandBits]]) is equal — i.e. the two docs
+  * already shared a band BEFORE the one whose bucket group the join is
+  * evaluating. The banded pair joins emit a pair only when this is
+  * false, so each pair survives in exactly one (its first) shared-bucket
+  * band group: same duplicate suppression as [[FirstSharedBand]], with
+  * the payload cut from the full bucket array to the packed prefix. */
+case class SharesBandSlice(left: Expression, right: Expression, bytesPer: Int)
+    extends BinaryExpression {
+
+  require(bytesPer >= 1 && bytesPer <= 8, s"bytesPer must be 1..8, got $bytesPer")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "shares_band_slice"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  def compute(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val groups = math.min(a.length, b.length) / bytesPer
+    var g = 0
+    while (g < groups) {
+      var eq = true
+      var i = g * bytesPer
+      val end = i + bytesPer
+      while (eq && i < end) {
+        if (a(i) != b(i)) eq = false
+        i += 1
+      }
+      if (eq) return true
+      g += 1
+    }
+    false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sharesBandSlice", this, classOf[SharesBandSlice].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SharesBandSlice = copy(left = l, right = r)
+}

@@ -73,30 +73,73 @@ object Dedup {
         coalesce(col("archive_keep"), col("batch_keep")).as("keep_id"))
   }
 
-  /** Map-only LSH bucket frame: (id, band, bucket) — UNPARTITIONED; the
-    * caller picks the bucket-key partitioning (plain or triangle-blocked)
-    * and pins shuffle-hash (a broadcast build side would recompute the
-    * full signature pipeline in one task). The native one-pass MinHashSig
-    * expression computes the k-slot signature per doc inside whole-stage
-    * codegen. Shingle-less docs have a NULL sig → NULL bucket array →
-    * posexplode drops them (an explicit isNotNull filter would be PUSHED
-    * into the scan and evaluate the whole minhash twice per row). */
+  /** Bucket-hash width for the banded minhash joins: enough bits that
+    * RANDOM collisions between different band signatures stay negligible
+    * (expected false-candidate pairs per band ≈ n²/2^(bits+1); at
+    * ceil-log2(n) + `slackBits` that is ~n/2^(slackBits+1) — a vanishing
+    * fraction of the docs, each removed by the exact-verify stage), while
+    * the packed tie-break payload ([[graft.functions.PackBandBits]])
+    * stays ceil(bits/8) bytes per band instead of 8. Narrowing merges
+    * buckets, never splits them, so banding RECALL is exact for any
+    * width. The floor keeps every verify/bench SF at one stable width
+    * (and 3-byte groups); the cap bounds the key at 6 bytes — past
+    * n ≈ 4·10¹², bucketCap blocking absorbs the extra collisions. */
+  def autoBucketBits(n: Long, slackBits: Int = 6, minBits: Int = 24,
+      maxBits: Int = 48): Int = {
+    val ceilLog2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(maxBits, math.max(minBits, ceilLog2 + slackBits))
+  }
+
+  /** Map-only LSH bucket frame: (id, pfx, band, bucket) — UNPARTITIONED;
+    * the caller picks the bucket-key partitioning (plain or
+    * triangle-blocked) and pins shuffle-hash (a broadcast build side
+    * would recompute the full signature pipeline in one task). The native
+    * one-pass MinHashSig expression computes the k-slot signature per doc
+    * inside whole-stage codegen. Shingle-less docs have a NULL sig →
+    * NULL bucket array → posexplode drops them (an explicit isNotNull
+    * filter would be PUSHED into the scan and evaluate the whole minhash
+    * twice per row).
+    *
+    * Buckets are `bits`-bit hashes ([[autoBucketBits]]) and each exploded
+    * row carries `pfx` — the PACKED buckets of the bands BEFORE its own
+    * (band · ceil(bits/8) bytes) — instead of the full 8-byte-per-band
+    * bucket array: the pair joins' first-shared-band tie-break only ever
+    * inspects earlier bands (the pair is in THIS band's group, so
+    * equality here is given). The r14 ×10000 probe measured the exploded
+    * bucket exchange at ~90 GB with the full arrays riding every row;
+    * the prefix form carries (bands−1)/2 · ceil(bits/8) ≈ 10 bytes on
+    * average instead of 64+ (array data + UnsafeArrayData framing). */
   private def lshBucketFrame(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bands: Int, p: Int): DataFrame = {
+      shingleN: Int, k: Int, bands: Int, p: Int, bits: Int): DataFrame = {
     val r = k / bands
+    val bpb = (bits + 7) / 8
     spreadInput(docs, p) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"),
         minhashSignature(wordShingles(col("toks"), shingleN), k).as("sig"))
-      // every bucket row carries the FULL bucket array: the pair joins
-      // emit a pair only from its first shared band
-      // ([[graft.functions.FirstSharedBand]]), which needs both sides'
-      // arrays in the join condition. bands longs per row — noise next
-      // to the duplicate pair emissions it eliminates.
-      .select(col("id"), lshBuckets(col("sig"), bands, r).as("bkts"))
-      .select(col("id"), col("bkts"), posexplode(col("bkts")))
+      .select(col("id"), lshBuckets(col("sig"), bands, r, bits).as("bkts"))
+      // bkts is referenced twice (pack + explode) so CollapseProject
+      // cannot inline the signature kernel into both — it evaluates once
+      .select(col("id"), packBandBits(col("bkts"), bpb).as("pk"),
+        posexplode(col("bkts")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      // prefix BEFORE the exchange: this projection runs map-side, so
+      // only band·bpb bytes per row ever hit the shuffle
+      .select(col("id"), substring(col("pk"), lit(1), col("band") * bpb).as("pfx"),
+        col("band"), col("bucket"))
   }
+
+  private[ops] def packBandBits(bkts: Column, bytesPer: Int): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.PackBandBits(
+      org.apache.spark.sql.GraftShims.expression(bkts), bytesPer))
+
+  /** TRUE iff the two packed band prefixes share any aligned slice — see
+    * [[graft.functions.SharesBandSlice]]. */
+  private[ops] def sharesBandSlice(a: Column, b: Column, bytesPer: Int): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.SharesBandSlice(
+      org.apache.spark.sql.GraftShims.expression(a),
+      org.apache.spark.sql.GraftShims.expression(b), bytesPer))
 
   /** First index where two bucket arrays agree (codegen'd loop) — see
     * [[graft.functions.FirstSharedBand]]. */
@@ -122,24 +165,28 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 6,
       bucketCap: Int = 4096): DataFrame = {
+    val bits = autoBucketBits(exactRowCount(docs).getOrElse(docs.count()))
     // a (band, bucket) group holds ≤ one row per doc, so the doc-table
     // row bound (parquet footers) is a group bound: when it proves no
     // group can exceed the cap, blockKeyed skips its detection pass
     val buckets = blockKeyed(
-      lshBucketFrame(docs, idCol, textCol, shingleN, k, bands, par(docs)),
+      lshBucketFrame(docs, idCol, textCol, shingleN, k, bands, par(docs), bits),
       Seq("band", "bucket"), par(docs), bucketCap,
       maxGroupBound = leafRowBound(docs)).hint("shuffle_hash")
     // a pair sharing m bands survives ONLY in its first shared band's
     // bucket group: no duplicate emissions, and the raw-pair `distinct()`
     // exchange (the measured dominant cost on hot corpora — each reduce
-    // task wrote ~2M pair rows) disappears entirely
+    // task wrote ~2M pair rows) disappears entirely. The tie-break scans
+    // the packed PREFIX of earlier bands (equality at this band is given
+    // by the join key): no shared earlier slice ⇔ this is the pair's
+    // first shared band.
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           col("a.id") < col("b.id") &&
           (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
-          col("a.band") === firstSharedBand(col("a.bkts"), col("b.bkts")))
+          !sharesBandSlice(col("a.pfx"), col("b.pfx"), (bits + 7) / 8))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
@@ -170,9 +217,15 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 12,
       bands: Int = 6, bucketCap: Int = 4096): DataFrame = {
     val p = par(docsA)
+    // ONE bucket width for both sides (the join keys must agree), sized
+    // from the larger corpus — A by convention (train side, orders of
+    // magnitude bigger than the probe in the d09 shape)
+    val bits = autoBucketBits(math.max(
+      exactRowCount(docsA).getOrElse(docsA.count()),
+      exactRowCount(docsB).getOrElse(docsB.count())))
     val (ba, bb) = blockKeyedCross(
-      lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p),
-      lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p),
+      lshBucketFrame(docsA, idCol, textCol, shingleN, k, bands, p, bits),
+      lshBucketFrame(docsB, idCol, textCol, shingleN, k, bands, p, bits),
       Seq("band", "bucket"), p, bucketCap,
       boundA = leafRowBound(docsA), boundB = leafRowBound(docsB))
     ba.hint("shuffle_hash").as("a")
@@ -181,8 +234,104 @@ object Dedup {
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           // emit each cross pair from its first shared band only (see
           // [[minhashCandidates]]) — replaces the raw-pair distinct()
-          col("a.band") === firstSharedBand(col("a.bkts"), col("b.bkts")))
+          !sharesBandSlice(col("a.pfx"), col("b.pfx"), (bits + 7) / 8))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Column-metadata key carrying a minhash ledger's bucket-hash width —
+    * the delta probe must derive the SAME join keys the archive was
+    * signatured with ([[minhashLedger]] / [[incrementalMinhashDedup]]). */
+  val LedgerBitsKey = "graft.bucketBits"
+
+  /** The archived LSH signature ledger: the banded bucket frame of the
+    * archive corpus — [[incrementalExactDedup]]'s fingerprint ledger,
+    * near-dup edition. Built ONCE when documents enter the archive
+    * (in production: written to disk bucketed by (band, bucket) and
+    * appended per ingest batch); [[incrementalMinhashDedup]] then probes
+    * delta batches against it without ever re-tokenizing or
+    * re-signaturing the archive. One row per (doc, band):
+    * (id, pfx, band, bucket), with the bucket-hash width recorded in the
+    * bucket column's metadata so a probe built later derives identical
+    * join keys. */
+  def minhashLedger(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 6, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits
+      else autoBucketBits(exactRowCount(docs).getOrElse(docs.count()))
+    lshBucketFrame(docs, idCol, textCol, shingleN, k, bands, par(docs), b)
+      .withMetadata("bucket",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(LedgerBitsKey, b.toLong).build())
+  }
+
+  /** Incremental NEAR-dup dedup: classify a DELTA batch against the
+    * archived LSH [[minhashLedger]] — [[incrementalExactDedup]] for
+    * near-duplicates, the d11 shape applied to the dominant real
+    * workload. Per delta doc:
+    * `dup_of_archive` (a ledger-bucketed archive mate verified at
+    * shingle-Jaccard ≥ `threshold`; dup_of = the smallest such archive
+    * id — ARCHIVE WINS over any batch mate, whatever the ids),
+    * `dup_in_batch` (no archive mate, but a lower-id delta mate ≥
+    * threshold), or `novel`. `jaccard` is the similarity to the chosen
+    * mate (NULL for novel).
+    *
+    * Scale shape: the archive's TEXT is touched only for docs that
+    * actually match a candidate bucket (verifyJaccardCross's
+    * restrict-to-candidates semi-join — the sparse path it was measured
+    * for); the archive's signatures are never recomputed — only its
+    * ledger rows join, co-partitioned on the narrow (band, bucket) key
+    * with rectangle blocking for buckets hot on both sides. The
+    * in-batch pass is [[minhashCandidates]] + [[verifyJaccard]] over the
+    * delta alone. Recall is the banding's, as in d02 (deterministic for
+    * fixed data under the seeded family).
+    *
+    * PRECONDITION: ids unique across archive ∪ delta. */
+  def incrementalMinhashDedup(ledger: DataFrame, archiveDocs: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      k: Int = 12, bands: Int = 6, threshold: Double = 0.5,
+      bucketCap: Int = 4096): DataFrame = {
+    val meta = ledger.schema(ledger.schema.fieldIndex("bucket")).metadata
+    require(meta.contains(LedgerBitsKey),
+      "ledger must be built by minhashLedger (bucket-bits metadata missing)")
+    val bits = meta.getLong(LedgerBitsKey).toInt
+    val bpb = (bits + 7) / 8
+    val p = par(delta)
+    val dbk = lshBucketFrame(delta, idCol, textCol, shingleN, k, bands, p, bits)
+    val (la, db) = blockKeyedCross(ledger, dbk, Seq("band", "bucket"), p,
+      bucketCap, boundA = None, boundB = leafRowBound(delta))
+    val cands = la.hint("shuffle_hash").as("a")
+      .join(db.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
+          !sharesBandSlice(col("a.pfx"), col("b.pfx"), bpb))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // verify against the archive TEXT, restricted to matched candidates:
+    // the semi-join keeps the archive scan bounded by matches, not by
+    // archive size — the restrictToCandidates design case
+    val archMatches = verifyJaccardCross(cands, archiveDocs, delta,
+        idCol, textCol, shingleN, restrictToCandidates = true)
+      .filter(col("jaccard") >= threshold)
+    val archBest = archMatches.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("arch_dup"),
+        min_by(col("jaccard"), col("id_a")).as("arch_j"))
+    val batchPairs = verifyJaccard(
+        minhashCandidates(delta, idCol, textCol, shingleN, k, bands, bucketCap),
+        delta, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+    val batchBest = batchPairs.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("batch_dup"),
+        min_by(col("jaccard"), col("id_a")).as("batch_j"))
+    // the per-doc best frames are narrow but sit on pair-join pipelines
+    // whose stats would force sort-merge — hash-pin them on the id key
+    delta.select(col(idCol).as("id"))
+      .join(archBest.hint("shuffle_hash"), Seq("id"), "left")
+      .join(batchBest.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        when(col("arch_dup").isNotNull, lit("dup_of_archive"))
+          .when(col("batch_dup").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("arch_dup"), col("batch_dup")).as("dup_of"),
+        when(col("arch_dup").isNotNull, col("arch_j"))
+          .otherwise(col("batch_j")).as("jaccard"))
   }
 
   /** Exact shingle-Jaccard for a CROSS-corpus pair frame (id_a from A,
@@ -196,22 +345,27 @@ object Dedup {
       if (restrictToCandidates)
         pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else pairs
-    def sh(docs: DataFrame, side: String) = {
+    // exchange RAW TEXT per corpus and recompute shingles after the join
+    // (see verifyJaccard — the shingle arrays were the dominant shuffle
+    // payload; exact string semantics unchanged)
+    def txt(docs: DataFrame, side: String) = {
       val base =
         if (restrictToCandidates)
           docs.join(p.select(col(side).as(idCol)).distinct(), Seq(idCol), "left_semi")
         else docs
       spreadInput(base, par(docsA))
-        .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-        .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+        .select(col(idCol).as("id"), col(textCol).as("txt"))
     }
     // shuffle-hash pinned on the PAIR side: build the bounded candidate
-    // stream, stream the corpus shingles (see verifyJaccard — the hinted
+    // stream, stream the corpus text (see verifyJaccard — the hinted
     // side is the BUILD side)
     p.hint("shuffle_hash")
-      .join(sh(docsA, "id_a").withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(txt(docsA, "id_a").as("sa"), col("id_a") === col("sa.id"))
       .hint("shuffle_hash")
-      .join(sh(docsB, "id_b").withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .join(txt(docsB, "id_b").as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        wordShingles(tokens(col("sa.txt")), shingleN).as("sh_a"),
+        wordShingles(tokens(col("sb.txt")), shingleN).as("sh_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -246,28 +400,40 @@ object Dedup {
           .unionByName(p.select(col("id_b").as(idCol))).distinct()
         docs.join(ids, Seq(idCol), "left_semi")
       } else docs
-    val sh = spreadInput(base, par(docs))
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), wordShingles(col("toks"), shingleN).as("sh"))
+    // exchange RAW TEXT, not shingle arrays, and pin ONE id exchange that
+    // both probe joins reuse (ReusedExchange — the d11 fp-exchange
+    // lesson): the r15 ×1000 shuffle accounting showed the two
+    // shingle-frame exchanges dominating d02's ~8.4 GB shuffle — a
+    // 100-token doc's distinct 3-gram array is ~4× its own text. The
+    // shingles are recomputed AFTER the join, once per side per
+    // surviving pair row (a few µs of codegen kernel — the d08/t08
+    // recompute-don't-materialize lesson), exact string semantics
+    // unchanged.
+    val txt = spreadInput(base, par(docs))
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition(par(docs), col("id"))
     // pin shuffle-hash via a hint on the PAIR side, for two reasons:
-    // (1) no broadcast — the shingle side's stats-based size estimate
-    // ignores the array blow-up, so the planner would otherwise broadcast
-    // it and recompute the shingles in one task, twice; (2) the BUILD
-    // side must be the pair stream, not the shingles — Spark builds the
-    // hash table on the HINTED side, and the r12 ×1000 probe showed the
-    // old shingle-side hint materializing per-partition hash tables of
-    // the fat shingle arrays ("Can't acquire … to build hash relation")
-    // while the narrow (two-longs + carried arrays) candidate rows
-    // streamed. Candidates are cap-bounded per doc (blockKeyed); the
-    // corpus-shingle side is the unbounded one at 100 TB.
+    // (1) no broadcast — a broadcast text side would recompute per task;
+    // (2) the BUILD side must be the pair stream, not the corpus — Spark
+    // builds the hash table on the HINTED side, and the r12 ×1000 probe
+    // showed a corpus-side hint materializing per-partition hash tables
+    // ("Can't acquire … to build hash relation") while the narrow
+    // candidate rows streamed. Candidates are cap-bounded per doc
+    // (blockKeyed); the corpus side is the unbounded one at 100 TB.
     // No explicit repartition of the pair stream: the id_a equi-join
     // right below hash-exchanges it anyway (a round-robin first would be
     // a second full shuffle of every candidate pair that changes neither
     // placement nor skew — the post-AQE plan showed both stacked).
     p.hint("shuffle_hash")
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(txt.as("sa"), col("id_a") === col("sa.id"))
       .hint("shuffle_hash")
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .join(txt.as("sb"), col("id_b") === col("sb.id"))
+      // sh_a/sh_b in their own projection: each is referenced twice below
+      // (intersect + union), so CollapseProject cannot inline the shingle
+      // kernel into both — it evaluates once per pair row per side
+      .select(col("id_a"), col("id_b"),
+        wordShingles(tokens(col("sa.txt")), shingleN).as("sh_a"),
+        wordShingles(tokens(col("sb.txt")), shingleN).as("sh_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -1512,6 +1678,88 @@ object Dedup {
         when(col("n_shingles") > 0,
           round((col("n_shingles") - coalesce(col("n_unique"), lit(0L)))
             .cast("double") / col("n_shingles"), 9)).as("shared_frac"))
+  }
+
+  /** Cross-doc duplicated-passage REMOVAL — the rewrite counterpart of
+    * [[crossDocSharedShingles]] (which only MEASURES): the ExactSubstr
+    * shape of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better". Every `spanLen`-token span occurring in
+    * more than one document is removed from every document EXCEPT the
+    * span's min-id owner; overlapping removal spans merge into maximal
+    * intervals and the surviving tokens rebuild the cleaned text.
+    *
+    * Scale shape — an inverted span index, not a pair join:
+    *  1. one map-only pass explodes every span OCCURRENCE
+    *     (id, pos, md5(gram)) — [[graft.functions.WordShingles]]
+    *     keeps occurrences in position order, so the array index IS the
+    *     token position;
+    *  2. ONE pinned md5-key exchange feeds both the per-gram stats
+    *     aggregate (owner = min id, cross-doc = min ≠ max — both
+    *     combine, no hot-span task) and the occurrence-side join probe
+    *     (ReusedExchange — the d11 lesson applied at design time);
+    *  3. removal positions re-key by DOC: interval merging is a window
+    *     partitioned by doc (state bounded by one document's spans) and
+    *     the slice rebuild is a per-doc HOF evaluated ONLY for docs that
+    *     actually lost spans (the when-branch guards it).
+    * Nothing ever materializes a hot span's posting list in one task
+    * beyond its own occurrence rows, and no stage is all-pairs.
+    *
+    * The gram key is md5 so a SQL oracle replays the pipeline verbatim;
+    * a production run would swap in xxhash64 (8-byte keys, same plan —
+    * the d04/d04b family split).
+    *
+    * Returns one row per doc: (id, n_spans — merged removal intervals,
+    * n_removed — tokens removed, clean_md5 — md5 of the cleaned,
+    * normalized text). Docs below `spanLen` tokens pass through
+    * untouched (clean_md5 = md5 of the full normalized text). */
+  def removeDuplicatedPassages(docs: DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 20): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val p = par(docs)
+    val base = spreadInput(docs, p)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val occ = base
+      .select(col("id"), posexplode(wordShinglesAll(col("toks"), spanLen)))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("col").cast("binary")).as("g"))
+      .repartition(p, col("g"))
+    val st = occ.groupBy("g").agg(min("id").as("owner"), max("id").as("mx"))
+      .filter(col("owner") =!= col("mx")) // cross-doc grams only
+    // narrow probe: only non-owner occurrences of cross-doc grams become
+    // removal positions; shuffle-hash pinned (both sides sit on
+    // agg/exchange pipelines whose stats would force a sort-merge)
+    val rem = occ.join(st.hint("shuffle_hash"), Seq("g"))
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos"))
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + spanLen)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    // gaps-and-islands: a span starting at or before the running maximum
+    // end extends the current interval (adjacency merges too — the
+    // removal SET is identical either way, and n_spans then counts
+    // maximal contiguous removed blocks)
+    val ivs = rem
+      .withColumn("brk",
+        when(col("pos") <= coalesce(prevEnd, lit(-1L)), 0L).otherwise(1L))
+      .withColumn("island", sum("brk").over(wOrd))
+      .groupBy("id", "island")
+      .agg(min("pos").as("s"), (max("pos") + spanLen).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivl"),
+        count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("n_removed"))
+    base.join(ivs.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("ivl").isNull,
+          md5(concat_ws(" ", col("toks")).cast("binary")))
+          .otherwise(md5(array_join(expr(
+            """transform(
+                 filter(sequence(0, size(toks) - 1),
+                   p -> NOT exists(ivl, iv -> p >= iv.s AND p < iv.e)),
+                 p -> element_at(toks, cast(p + 1 as int)))"""), " ")
+            .cast("binary"))).as("clean_md5"))
   }
 
   /** Exact embedding-cosine near-dup pairs (brute force; verification path).

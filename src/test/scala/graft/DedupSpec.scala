@@ -531,6 +531,48 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ADC recall $recall is no better than chance")
   }
 
+  test("packed band prefixes: pack/share kernels match a reference model") {
+    import graft.functions.{PackBandBits, SharesBandSlice}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val rng = new scala.util.Random(7)
+    val child = Literal.create(Array(0L), ArrayType(LongType))
+    for (bpb <- Seq(1, 3, 4, 8); _ <- 1 to 50) {
+      val bands = 1 + rng.nextInt(8)
+      val mask = if (bpb == 8) -1L else (1L << (bpb * 8)) - 1L
+      val a = Array.fill(bands)(rng.nextLong() & mask)
+      // force slice collisions often: b copies a at random positions
+      val b = a.map(v => if (rng.nextBoolean()) v else rng.nextLong() & mask)
+      val pack = PackBandBits(child, bpb)
+      val pa = pack.compute(new GenericArrayData(a))
+      val pb = pack.compute(new GenericArrayData(b))
+      assert(pa.length == bands * bpb)
+      // reference: big-endian low bytes per element
+      val ref = a.flatMap(v =>
+        (0 until bpb).map(i => (v >>> ((bpb - 1 - i) * 8)).toByte))
+      assert(pa.toSeq == ref.toSeq)
+      val shares = SharesBandSlice(child, child, bpb).compute(pa, pb)
+      assert(shares == a.indices.exists(i => a(i) == b(i)),
+        s"bpb=$bpb a=${a.toSeq} b=${b.toSeq}")
+    }
+    // the join's use: PREFIXES of unequal content never alias across
+    // band positions (slice i compares only to slice i)
+    val p = PackBandBits(child, 2)
+    val x = p.compute(new GenericArrayData(Array(0x0102L, 0x0304L)))
+    val y = p.compute(new GenericArrayData(Array(0x0304L, 0x0102L)))
+    assert(!SharesBandSlice(child, child, 2).compute(x, y))
+  }
+
+  test("autoBucketBits: floors at 24, tracks ceil-log2(n)+6, caps at 48") {
+    assert(Dedup.autoBucketBits(0) == 24)
+    assert(Dedup.autoBucketBits(2000) == 24)
+    assert(Dedup.autoBucketBits(1L << 20) == 26)
+    assert(Dedup.autoBucketBits((1L << 20) + 1) == 27)
+    assert(Dedup.autoBucketBits(55_000_000L) == 32)
+    assert(Dedup.autoBucketBits(Long.MaxValue / 4) == 48)
+  }
+
   test("exact dedup groups permuted duplicates together") {
     val df = Seq(
       (1L, "alpha beta gamma"),
