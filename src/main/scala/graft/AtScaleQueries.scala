@@ -192,6 +192,83 @@ object AtScaleQueries {
         FROM cell ce LEFT JOIN dup ON dup.id = ce.vec_id
         ORDER BY ce.vec_id"""
 
+  // ---- d07c building blocks: the two-level assignment replay of d07b,
+  // parameterized over WHICH centroid CTE it assigns against, so the
+  // same SQL fragments replay both the training sweep (against the c0
+  // seeds) and the final dedup assignment (against the c1 TRAINED
+  // centroids).
+
+  /** Fine→coarse grouping of centroid CTE `c`: each fine centroid under
+    * its argmax-dot coarse mate (coarse = the first ⌈√nlist⌉ rows). */
+  private def grpSql(c: String, grp: String): String = s"""$grp AS (
+          SELECT fidx, coidx AS g FROM (
+            SELECT f.cidx AS fidx, co.cidx AS coidx,
+              row_number() OVER (PARTITION BY f.cidx
+                ORDER BY ${dotSql("f.cv", "co.cv")} DESC, co.cidx) AS rk
+            FROM $c f JOIN $c co ON co.cidx <= $RepNCoarse) zg WHERE rk = 1)"""
+
+  /** Corpus coarse winner over NON-EMPTY groups of `grp` (the kernel's
+    * empty-group skip), then fine argmax within the winner's members —
+    * emits `cell` rows (vec_id, cell). */
+  private def assignSql(c: String, grp: String, cw: String, cell: String): String =
+    s"""$cw AS (
+          SELECT vec_id, cidx AS w FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dotSql("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN $c c ON c.cidx <= $RepNCoarse
+              AND c.cidx IN (SELECT DISTINCT g FROM $grp)) zw WHERE rk = 1),
+        $cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dotSql("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN $cw ON $cw.vec_id = v.vec_id
+              JOIN $grp ON $grp.g = $cw.w
+              JOIN $c c ON c.cidx = $grp.fidx) zc WHERE rk = 1)"""
+
+  /** d07c: ONE distributed-kmeans sweep (KMeans.trainCentroids — means as
+    * round-6 DECIMAL sums, sequential-fold normalization, empty cells
+    * keeping their seed) replayed end to end, then semanticDedupTrained's
+    * assignment + min-id dedup against the TRAINED centroids. */
+  private def d07cSql: String = s"""WITH ${repSql(ReplD)},
+        $vSql,
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT $RepNlist) s0),
+        ${grpSql("c0", "grp0")},
+        ${assignSql("c0", "grp0", "cw0", "cell0")},
+        m AS (
+          SELECT ce.cell AS cidx, dims.dim,
+            CAST(SUM(CAST(ROUND(v.v[dims.dim], 6) AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(*) AS mv
+          FROM v JOIN cell0 ce ON ce.vec_id = v.vec_id
+          CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS dim) dims
+          GROUP BY ce.cell, dims.dim),
+        m1 AS (SELECT cidx, list(mv ORDER BY dim) AS ml FROM m GROUP BY cidx),
+        c1 AS (
+          SELECT c0.cidx,
+            COALESCE(list_transform(m1.ml, x -> x / greatest(
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(m1.ml, y -> y * y)), (a, x2) -> a + x2)),
+              1e-12)), c0.cv) AS cv
+          FROM c0 LEFT JOIN m1 USING (cidx)),
+        ${grpSql("c1", "grp1")},
+        ${assignSql("c1", "grp1", "cw1", "cell1")},
+        dup AS (
+          SELECT cb.vec_id AS id, MIN(ca.vec_id) AS dup_of
+          FROM cell1 ca JOIN cell1 cb
+            ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+          JOIN v a ON a.vec_id = ca.vec_id
+          JOIN v b ON b.vec_id = cb.vec_id
+          WHERE ROUND(${dotSql("a.v", "b.v")} / (a.norm * b.norm), 9) >= 0.4
+          GROUP BY cb.vec_id)
+        SELECT ce.vec_id, ce.cell, dup.dup_of,
+          dup.dup_of IS NOT NULL AS is_dup
+        FROM cell1 ce LEFT JOIN dup ON dup.id = ce.vec_id
+        ORDER BY ce.vec_id"""
+
   val entries: Seq[QueryDef] = Seq(
     // ---- a02b: the PRODUCTION lshNeighbors plan where autoLshR derives
     // r = 10 (NOT the rMin floor the static a02 oracle pins) — the first
@@ -231,5 +308,34 @@ object AtScaleQueries {
             col("is_dup"))
           .orderBy("vec_id")
       },
-      Some(d07bSql)))
+      Some(d07bSql)),
+
+    // ---- d07c: the TRAINED-centroid path (r14 verdict task 4) — one
+    // distributed kmeans sweep with the centroid set kept as a DataFrame
+    // (graft.ops.KMeans: broadcast-joined two-level assignment, means as
+    // round-6 DECIMAL sums, NO driver literal), then SemDeDup against the
+    // trained frame, at the replication where nlist = 68 > the two-level
+    // threshold — so the exact code a past-the-2^16-cap corpus runs is
+    // value-oracled end to end: seeding, grouping, empty-group skip,
+    // training means, re-grouping against TRAINED coarse, re-assignment,
+    // min-id dedup.
+    QueryDef(
+      "d07c_semantic_dedup_trained",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        require(Similarity.vecDim(embs, "embedding") == Dim,
+          s"d07c oracle SQL is generated for dim=$Dim embeddings")
+        val rep = replicate(embs, ReplD)
+        val nlist = Dedup.autoNlist(Similarity.sizingCount(rep))
+        OraclePin.assertPinned("d07c_semantic_dedup_trained", "nlist",
+          nlist, RepNlist)
+        val cents = graft.ops.KMeans.trainCentroids(rep, "vec_id",
+          "embedding", nlist, iters = 1)
+        graft.ops.KMeans.semanticDedupTrained(rep, "vec_id", "embedding",
+          cents, nlist, minCos = 0.4)
+          .select(col("id").as("vec_id"), col("cell"), col("dup_of"),
+            col("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(d07cSql)))
 }

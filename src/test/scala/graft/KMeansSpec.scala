@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, KMeans, Similarity}
+
+/** Trained-centroid (DataFrame) path: the frame-based assignment must be
+  * BIT-IDENTICAL to the TwoLevelArgmax kernel over the same centroid
+  * values, and the trained consumers must keep their operators' contracts
+  * — the value-level gate is the d07c differential oracle. */
+class KMeansSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.01"
+
+  test("seedCentroidsDF equals the driver-literal seedCentroids values") {
+    val embs = Tables.embeddings(spark, sf)
+    val lit = Similarity.seedCentroids(embs, "vec_id", "embedding", 32)
+    val df = KMeans.seedCentroidsDF(embs, "vec_id", "embedding", 32)
+      .orderBy("cidx").select("cv").as[Seq[Double]].collect()
+    assert(df.length == lit.length)
+    lit.zip(df).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"centroid $i differs between driver and frame seeding")
+    }
+  }
+
+  test("assignWithFrame is bit-identical to the TwoLevelArgmax kernel") {
+    val embs = Tables.embeddings(spark, sf)
+    val nlist = 68 // > twoLevelAbove: the regime the frame path serves
+    val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", nlist)
+    val viaKernel = embs
+      .select(col("vec_id"),
+        KMeans.kernelTwoLevel(col("embedding"), cents)
+          .as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val viaFrame = KMeans.assignWithFrame(embs, "vec_id", "embedding",
+        KMeans.seedCentroidsDF(embs, "vec_id", "embedding", nlist), nlist)
+      .select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaFrame.keySet == viaKernel.keySet)
+    val diff = viaFrame.count { case (id, c) => viaKernel(id) != c }
+    assert(diff == 0, s"$diff/${viaFrame.size} assignments differ from the kernel")
+  }
+
+  test("assignWithFrame skips empty coarse groups like the kernel (duplicate seeds)") {
+    // duplicate coarse seeds force an EMPTY coarse group (all fine mates
+    // tie-break to the earlier identical coarse); both paths must agree
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0), // coarse 0 and 1 identical
+      Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val centsDF = cents.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toDF("cidx", "cv")
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.05, 0.0)),  // near the duplicated coarse direction
+      (2L, Seq(0.0, 1.0, 0.1)),
+      (3L, Seq(0.1, 0.1, 1.0))).toDF("vec_id", "embedding")
+    val viaKernel = vecs.select(col("vec_id"),
+        KMeans.kernelTwoLevel(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val viaFrame = KMeans.assignWithFrame(vecs, "vec_id", "embedding",
+        centsDF, cents.length)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(viaFrame == viaKernel, s"frame $viaFrame vs kernel $viaKernel")
+  }
+
+  test("trainCentroids: unit norms, empty cells keep their seed, count stable") {
+    val embs = Tables.embeddings(spark, sf)
+    val nlist = 68
+    val seeds = KMeans.seedCentroidsDF(embs, "vec_id", "embedding", nlist)
+    val trained = KMeans.trainCentroids(embs, "vec_id", "embedding", nlist)
+    val rows = trained.orderBy("cidx").select("cidx", "cv")
+      .as[(Int, Seq[Double])].collect()
+    assert(rows.length == nlist)
+    rows.foreach { case (i, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid $i norm $n not unit")
+    }
+    // cells that lost all members must retain their seed verbatim
+    val assigned = KMeans.assignWithFrame(embs, "vec_id", "embedding", seeds, nlist)
+      .select("cell").distinct().as[Int].collect().toSet
+    val seedMap = seeds.orderBy("cidx").select("cidx", "cv")
+      .as[(Int, Seq[Double])].collect().toMap
+    rows.filterNot { case (i, _) => assigned(i) }.foreach { case (i, cv) =>
+      assert(cv == seedMap(i), s"empty cell $i did not keep its seed")
+    }
+    // and at least one populated cell actually moved
+    assert(rows.exists { case (i, cv) => assigned(i) && cv != seedMap(i) },
+      "no centroid moved after a sweep")
+  }
+
+  test("ivfTopKTrained with nprobe = nlist equals brute force") {
+    // probing every cell covers every corpus row — whatever the (two-
+    // level, approximate) assignment did, the top-k must equal exact
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter(col("vec_id") < 8)
+    val nlist = 68
+    val cents = KMeans.trainCentroids(embs, "vec_id", "embedding", nlist)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val full = KMeans.ivfTopKTrained(embs, queries, "vec_id", "embedding",
+        k = 5, cents, nlist, nprobe = nlist)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("semanticDedupTrained: dup pairs verify at the threshold, canonical ids kept") {
+    val embs = Tables.embeddings(spark, sf)
+    val nlist = 68
+    val cents = KMeans.trainCentroids(embs, "vec_id", "embedding", nlist)
+    val out = KMeans.semanticDedupTrained(embs, "vec_id", "embedding",
+      cents, nlist, minCos = 0.4)
+    val rows = out.select("id", "cell", "dup_of")
+      .as[(Long, Int, Option[Long])].collect()
+    assert(rows.length == embs.count())
+    rows.foreach { case (id, cell, dupOf) =>
+      assert(cell >= 1 && cell <= nlist)
+      dupOf.foreach(d => assert(d < id, s"dup_of $d not lower than $id"))
+    }
+    // every flagged pair really is cosine >= 0.4 (round-9)
+    val dim = Similarity.vecDim(embs, "embedding")
+    val v = embs.select(col("vec_id"), col("embedding"),
+      Similarity.normFlat(col("embedding"), dim).as("nm"))
+    val bad = out.filter(col("dup_of").isNotNull)
+      .join(v.select(col("vec_id").as("id"), col("embedding").as("va"),
+        col("nm").as("na")), "id")
+      .join(v.select(col("vec_id").as("dup_of"), col("embedding").as("vb"),
+        col("nm").as("nb")), "dup_of")
+      .filter(round(Similarity.dotFlat(col("va"), col("vb"), dim) /
+        (col("na") * col("nb")), 9) < 0.4)
+      .count()
+    assert(bad == 0, s"$bad dup pairs below the cosine threshold")
+  }
+}
