@@ -436,6 +436,43 @@ object RaqlQueries {
             CASE f.cyc WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
                        WHEN 2 THEN f.s2 ELSE f.s3 END, 6) AS hw6
         FROM ev e JOIN fold f ON f.rn = e.rn
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ---- r15: ungrouped sliding PAST in a MIXED operation — the lag
+    // alongside it rejects the whole-plan double-bucket union rewrite, so
+    // this runs the r15 bucket-JOIN form of PAST (time-bucket partitioned
+    // range window + previous-bucket ghost array; RaqlCompiler
+    // pastSlidingArray) in chunked mode, value-oracled: the trailing-30-
+    // minute window CONTENTS are md5-pinned per row as scaled-integer
+    // strings in the operator's deterministic (t, value) sort order, and
+    // DuckDB replays the window, the sort, and the pin.
+    QueryDef(
+      "r15_raql_past_sliding",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id, past 1800 of value AS win, lag value AS prev
+             WHERE event_id < 3000;""")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          expr("""md5(cast(array_join(transform(win,
+              x -> cast(cast(round(x * 10000) as long) as string)), ',')
+            as binary))""").as("win_md5"),
+          expr("size(win)").as("n_win"),
+          org.apache.spark.sql.functions.col("prev"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (
+          SELECT event_id, value, epoch_us(ts) AS tus
+          FROM events WHERE event_id < 3000),
+        w AS (
+          SELECT event_id, value, tus,
+            list({'t': tus, 'v': value}) OVER (ORDER BY tus
+              RANGE BETWEEN 1799999999 PRECEDING AND CURRENT ROW) AS raw
+          FROM e)
+        SELECT event_id,
+          md5(array_to_string(list_transform(list_sort(raw),
+            s -> CAST(CAST(round(s.v * 10000) AS BIGINT) AS VARCHAR)), ',')) AS win_md5,
+          len(raw) AS n_win,
+          lag(value, 1) OVER (ORDER BY event_id) AS prev
+        FROM w ORDER BY event_id"""))
   )
 }

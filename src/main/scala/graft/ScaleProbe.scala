@@ -156,7 +156,8 @@ object ScaleProbe {
     // the probe runs the same configs a user gets.
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",
       "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
-      "d11_incremental_dedup",
+      "d11_incremental_dedup", "d12_remove_passages", "d13_incremental_neardup",
+      "d07c_semantic_dedup_trained",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf", "a10_cell_diverse_sample",
       "t01_tokstats", "t08_bpe_tokens", "t17_dsir_weights", "t18_chunk_windows",
       "d10_semantic_contamination").filter(wanted)

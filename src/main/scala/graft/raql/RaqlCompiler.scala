@@ -851,6 +851,74 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         s => s.getField("v"))
     }
 
+    /** Ungrouped sliding-PAST CONTENTS in a MIXED operation (r15 — the
+      * larger of the two remaining sequentialWindow sites): unlike the
+      * whole-plan double-bucket ghost rewrite (which unions ghost ROWS
+      * and therefore only applies when EVERY stateful call is a sliding
+      * PAST), this distributes the one operator without touching the row
+      * set, so it composes with running aggregates and lag chains:
+      *
+      *  - rows partition by a 16·d-wide event-time bucket; the trailing
+      *    window of a row at time t reaches at most d−1µs before its
+      *    bucket, so a bucket-partitioned RANGE window covers everything
+      *    except the boundary band;
+      *  - each bucket's last-(d−1µs) band is aggregated into ONE sorted
+      *    GHOST ARRAY keyed to the NEXT bucket (bounded by the window-
+      *    contents bound — the op's own per-row output class) and joined
+      *    back; a row prepends the ghost entries still inside its window.
+      *
+      * Ghost volume ≈ 1/16 of rows; parallelism = time-span / 16d (a
+      * window long relative to the data's span degenerates toward few
+      * buckets — but then the output itself is near-global arrays).
+      * The result is sorted by (t, value), a deterministic refinement of
+      * the time-ordered frame (ties in t were frame-order-arbitrary);
+      * requires an ORDERABLE element type — map-valued operands keep the
+      * sequential window. */
+    def pastSlidingArray(v: Column, d: Double): Column = {
+      val dUs = math.max((d * 1e6).toLong, 1L)
+      val tUs = (time * 1e6).cast("long")
+      val chunked = ctx.parts.isEmpty &&
+        !spark.conf.getOption("graft.raql.chunkedRunning").contains("false") &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+          dtypeOf(struct(v.as("v"))))
+      if (!chunked) {
+        if (ctx.parts.isEmpty) sequentialWindow("PAST … SLIDING array")
+        val frame = orderedWindow(tUs).rangeBetween(-(dUs - 1), 0)
+        collect_list(v).over(frame)
+      } else {
+        withChunkCol(ctx) // freeze: the ghost agg re-evaluates the base
+        val B = dUs * 16
+        val tN = s"_graft_pt${ctx.df.columns.length}"
+        ctx.df = ctx.df.withColumn(tN, tUs)
+        val vN = s"_graft_pv${ctx.df.columns.length}"
+        ctx.df = ctx.df.withColumn(vN, v)
+        val bN = s"_graft_pb${ctx.df.columns.length}"
+        def bucketOf(t: Column): Column =
+          ((t - pmod(t, lit(B))) / lit(B)).cast("long") // floor for t < 0
+        ctx.df = ctx.df.withColumn(bN, bucketOf(col(tN)))
+        val within = collect_list(struct(col(tN).as("t"), col(vN).as("v")))
+          .over(Window.partitionBy(col(bN)).orderBy(col(tN))
+            .rangeBetween(-(dUs - 1), 0))
+        val gName = s"_graft_pgh${ctx.df.columns.length}"
+        // the ghost agg evaluates on the FROZEN base when the operand
+        // resolves there (totalsInput's contract)
+        val gsrc =
+          try ctx.frozen.select(tUs.as("t"), v.as("v"))
+          catch { case _: Throwable =>
+            ctx.df.select(col(tN).as("t"), col(vN).as("v")) }
+        val ghosts = gsrc
+          .filter(pmod(col("t"), lit(B)) >= B - dUs + 1)
+          .groupBy((bucketOf(col("t")) + 1).as("_gpb"))
+          .agg(sort_array(collect_list(struct(col("t"), col("v")))).as(gName))
+        ctx.df = ctx.df.join(ghosts.hint("shuffle_hash"),
+          ctx.df(bN) === ghosts("_gpb"), "left").drop("_gpb")
+        val merged = when(col(gName).isNull, within)
+          .otherwise(concat(filter(col(gName),
+            e => e.getField("t") >= col(tN) - lit(dUs - 1)), within))
+        transform(array_sort(merged), e => e.getField("v"))
+      }
+    }
+
     def lagOver(x: Expr, k: Int): Column = lagDistributed(goM(x), k, W)
 
     def deriveOf(x: Expr): Column = {
@@ -1352,15 +1420,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
             // time window — the dominance ring keeps state O(n·log W)
             // and chunk-distributes, so this form is NOT sequential
             case Some(n) => pastSampleRing(goM(x), n.toInt, d)
-            case None =>
-              // full contents: per-row state IS the window — flag the
-              // single-task shape when ungrouped (no carry can fix an
-              // O(window) per-row output)
-              if (ctx.parts.isEmpty) sequentialWindow("PAST … SLIDING array")
-              val tUs = (time * 1e6).cast("long")
-              val frame = orderedWindow(tUs)
-                .rangeBetween(-((d * 1e6).toLong - 1), 0)
-              collect_list(goM(x)).over(frame)
+            case None => pastSlidingArray(goM(x), d)
           }
         }
 

@@ -648,6 +648,67 @@ class DedupSpec extends AnyFunSuite {
     assert(out(8L) == (("dup_in_batch", 5L)))
   }
 
+  test("incremental near-dup: archive-wins on overlap, and composition matches the exact closure") {
+    // constructed overlap first — a delta doc near-dupping BOTH an
+    // archive doc and a lower-id batch mate must classify dup_of_archive
+    // (the archive was there first), mirroring d11's archive-wins spec
+    val archive = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog again tonight"), // near-dup of 10 AND of 7
+      (7L, "the quick brown fox jumps over the lazy dog again today"),   // verbatim archive dup
+      (5L, "completely novel delta content about something else entirely"),
+      (8L, "completely novel delta content about something else near")   // batch near-dup of 5
+    ).toDF("doc_id", "text")
+    val ledger = Dedup.minhashLedger(archive, "doc_id", "text")
+    val out = Dedup.incrementalMinhashDedup(ledger, archive, delta,
+        "doc_id", "text", threshold = 0.5)
+      .select("id", "status", "dup_of")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(3L) == (("dup_of_archive", Some(10L))),
+      s"archive must win over the lower-id batch mate: ${out(3L)}")
+    assert(out(7L) == (("dup_of_archive", Some(10L))))
+    assert(out(5L) == (("novel", None)))
+    assert(out(8L) == (("dup_in_batch", Some(5L))))
+
+    // corpus-level composition: the incremental classification must equal
+    // the exact Jaccard closure with archive-wins precedence (banding
+    // recall is 1.0 at this SF with the seeded family — the d02 accepted
+    // risk; a dip here would fail d02's own gate first)
+    val docs = Tables.documents(spark, sf)
+    val arch2 = docs.filter(col("doc_id") % 2 === 0)
+    val delta2 = docs.filter(col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalMinhashDedup(
+        Dedup.minhashLedger(arch2, "doc_id", "text"), arch2, delta2,
+        "doc_id", "text", threshold = 0.5)
+      .select("id", "status", "dup_of")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val allPairs = Dedup.jaccardPairsBruteForce(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val archMate = allPairs.flatMap { case (a, b) =>
+        Seq(a -> b, b -> a) }
+      .filter { case (d, m) => d % 2 == 1 && m % 2 == 0 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val batchMate = allPairs
+      .filter { case (a, b) => a % 2 == 1 && b % 2 == 1 }
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    delta2.select("doc_id").as[Long].collect().foreach { id =>
+      val expected = archMate.get(id) match {
+        case Some(m) => ("dup_of_archive", Some(m))
+        case None => batchMate.get(id) match {
+          case Some(m) => ("dup_in_batch", Some(m))
+          case None => ("novel", None)
+        }
+      }
+      assert(inc(id) == expected,
+        s"doc $id: incremental ${inc(id)} != exact-closure $expected")
+    }
+  }
+
   test("cell kernels: empty coarse groups skipped, NaN vectors defined (r14 review)") {
     import graft.functions.{CellProbes, TwoLevelArgmax}
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -750,6 +750,52 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("MIXED sliding PAST distributes via the bucket-join (no union ghosts)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.col
+    // the running SUM makes the plan MIXED: the whole-plan double-bucket
+    // union rewrite is rejected (timeWindowOnly sees an AggCall), so PAST
+    // previously fell onto the single-task global window — the r15
+    // bucket-JOIN form distributes it without touching the row set
+    val src = Map("run" -> """DEFINE f AS
+        SELECT start, v, past 5 of v AS win, sum v AS rs FROM tbl;""")
+    // irregular event times incl. duplicates, multi-partition
+    val base = spark.range(1, 20001)
+      .select((col("id") * 37 % 997).cast("double").as("start"),
+        col("id").as("v"))
+      .repartition(8)
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    // plan pin: every full-input window is partitioned (bucket or chunk);
+    // partition-less windows exist only over per-chunk/per-bucket totals
+    // frames (an Aggregate subtree) — and the PAST form must NOT have
+    // been flagged sequential
+    assert(c.sequentialForms.isEmpty, s"flagged: ${c.sequentialForms}")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getDouble(0), r.getLong(1),
+        r.getSeq[Long](2).sorted, r.getLong(3))).sortBy(x => (x._1, x._2))
+    val got = canon(df.select(col("start"), col("v"), col("win"), col("rs"))
+      .collect())
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      canon(c2.compile("run/f")
+        .select(col("start"), col("v"), col("win"), col("rs")).collect())
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 20000)
+    assert(got.sameElements(want))
+  }
+
   test("running count-distinct = novelty prefix sum: distributed and exact") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     import org.apache.spark.sql.functions.col
@@ -940,14 +986,21 @@ class RaqlSpec extends AnyFunSuite {
     // diagnostic must record both
     val c1 = compileWith("SELECT n, group n AS g FROM tbl")
     assert(c1.sequentialForms.contains("running GROUP"))
-    // plain `past d of x` distributes via the bounded-lookback ghost
-    // machinery — only shapes that defeat it (nested stateful operand)
-    // fall back to the partition-less collect and must flag
+    // `past d of x` distributes in every orderable shape now: plain via
+    // the whole-plan double-bucket rewrite, nested/mixed via the r15
+    // bucket-join operator (the operand's lag materializes first) — no
+    // flag either way; the sequential fallback survives only behind
+    // chunkedRunning=false (where the flag still fires, below)
     val c2 = compileWith("SELECT n, past 10 of (n + lag n) AS w FROM tbl")
-    assert(c2.sequentialForms.exists(_.startsWith("PAST")),
-      c2.sequentialForms.toString)
+    assert(c2.sequentialForms.isEmpty, c2.sequentialForms.toString)
     val c2b = compileWith("SELECT n, past 10 of n AS w FROM tbl")
     assert(c2b.sequentialForms.isEmpty, c2b.sequentialForms.toString)
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    try {
+      val c2c = compileWith("SELECT n, past 10 of n AS w, sum n AS rs FROM tbl")
+      assert(c2c.sequentialForms.exists(_.startsWith("PAST")),
+        c2c.sequentialForms.toString)
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
     // grouped forms partition their windows — no flag
     val c3 = compileWith("SELECT n % 3 AS k, group n AS g FROM tbl GROUP BY n % 3")
     assert(c3.sequentialForms.isEmpty, c3.sequentialForms.toString)
