@@ -188,16 +188,18 @@ object ScaleProbe {
       // pinned repartition can't be widened by shuffle conf afterwards
       graft.ops.GraftPar.Key)
     def withScaleConf[A](d: String)(body: => A): A = {
-      // waive the static-oracle pins at the scaled dir: the probe RUNS
+      // waive the static-oracle pins for BOTH probe dirs: the probe RUNS
       // pinned queries where the derived config legitimately diverges
       // from the static SQL (that divergence is what it measures) and
-      // never compares to that SQL. Base-dir runs keep the pins live.
+      // never compares to that SQL — and the base sf0.1 dir itself
+      // diverges for the replicating queries (d07c at sf0.1 ×17 derives
+      // nlist=272 where the verify-SF oracle embeds 68). Verify/bench
+      // never set the waiver, so the correctness gate keeps failing fast.
       val pinConfs = Seq(OraclePin.OffKey)
       val olds = (scaleConfs ++ pinConfs).map(c => c -> spark.conf.getOption(c))
-      if (d != src) {
+      spark.conf.set(OraclePin.OffKey, "off")
+      if (d != src)
         scaleConfs.foreach(c => spark.conf.set(c, bigPartitions.toString))
-        spark.conf.set(OraclePin.OffKey, "off")
-      }
       try body finally olds.foreach {
         case (c, Some(v)) => spark.conf.set(c, v)
         case (c, None) => spark.conf.unset(c)
