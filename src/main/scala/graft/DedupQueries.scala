@@ -334,7 +334,9 @@ object DedupQueries {
       Some(s"""WITH t AS (
         SELECT doc_id, $shinglesSql AS sh
         FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)),
-        e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        e AS (SELECT doc_id,
+          CAST(concat('0x', substring(md5(unnest(sh)), 1, 15)) AS BIGINT) AS g
+          FROM t),
         pd AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
         u AS (SELECT g, COUNT(*) AS ndocs, MIN(doc_id) AS owner FROM e GROUP BY 1),
         uq AS (SELECT owner AS doc_id, COUNT(*) AS n_unique FROM u
@@ -717,7 +719,9 @@ object DedupQueries {
         occ AS (
           SELECT doc_id, u.pos AS pos, u.g AS g FROM (
             SELECT doc_id, unnest([{'pos': i - 1,
-                'g': md5(array_to_string(toks[i:i+19], ' '))}
+                'g': CAST(concat('0x',
+                  substring(md5(array_to_string(toks[i:i+19], ' ')), 1, 15))
+                  AS BIGINT)}
               for i in range(1, greatest(len(toks) - 18, 1))]) AS u
             FROM tk) z),
         st AS (

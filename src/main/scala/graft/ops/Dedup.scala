@@ -820,14 +820,27 @@ object Dedup {
       par(embs)) // spread the per-row nlist×dim dot products
       .withColumn("cell", assign(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dedupWithinCells(assigned, par(embs), dim, minCos, cellCap,
+      leafRowBound(embs))
+  }
+
+  /** The within-cell min-id dedup downstream shared by every SemDeDup
+    * variant (literal-kernel assignment above, trained-frame assignment
+    * in [[KMeans.semanticDedupTrained]]): blocked co-partitioned cell
+    * self-join → min lower-id mate at cosine ≥ minCos → join-back.
+    * `assigned` must be (id, v, norm, cell), persisted by the caller
+    * (three consumers). */
+  private[graft] def dedupWithinCells(assigned: DataFrame, par: Int,
+      dim: Int, minCos: Double, cellCap: Int,
+      maxGroupBound: Option[Long]): DataFrame = {
     // co-partitioned blocked self-join (pinned: a broadcast build side
     // would redo the whole assignment pipeline in one task). The join key
     // carries the block-pair (kx, ky) so a hot cell's quadratic output is
     // spread across its block-pair tasks; the extra predicate keeps
     // same-block pairs on the diagonal task only (they'd otherwise match
     // on every (blk, t) replica key — B duplicates per pair).
-    val blocked = blockCells(assigned, par(embs), cellCap,
-      maxGroupBound = leafRowBound(embs)).hint("shuffle_hash")
+    val blocked = blockCells(assigned, par, cellCap, maxGroupBound)
+      .hint("shuffle_hash")
     val dupOf = blocked.as("a")
       .join(blocked.as("b"),
         col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
@@ -1655,7 +1668,17 @@ object Dedup {
     val base = docs
       .repartition(par(docs)) // single-file local input ⇒ force map parallelism
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("g"))
+      // key by the md5-derived 60-BIT span hash, not the span STRING: the
+      // per-occurrence exchange was the r14 ×10000 box-disk bound, and a
+      // 3-gram text key is ~60 bytes where the bigint is 8. The same
+      // d04b md5 family DuckDB replays bit-for-bit, so the (astronomically
+      // rare — E[collisions] ≈ (n_spans)²/2^61) hash merge reproduces
+      // IDENTICALLY in both engines: the oracle stays exact, not
+      // approximate. A production run would swap xxhash64 (same plan,
+      // half the map CPU, no SQL replay).
+      .select(col("id"), explode(wordShingles(col("toks"), shingleN)).as("gs"))
+      .select(col("id"), expr(
+        "cast(conv(substring(md5(gs), 1, 15), 16, 10) as bigint)").as("g"))
     val spans =
       if (leafRowBound(docs).exists(_ <= SpanCacheMaxDocs))
         base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1720,8 +1743,11 @@ object Dedup {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
     val occ = base
       .select(col("id"), posexplode(wordShinglesAll(col("toks"), spanLen)))
+      // 60-bit md5-derived span key (8 bytes on the per-occurrence
+      // exchange instead of the 32-char hex string — the d08 lesson);
+      // DuckDB replays the same family bit-for-bit
       .select(col("id"), col("pos").cast("long").as("pos"),
-        md5(col("col").cast("binary")).as("g"))
+        expr("cast(conv(substring(md5(col), 1, 15), 16, 10) as bigint)").as("g"))
       .repartition(p, col("g"))
     val st = occ.groupBy("g").agg(min("id").as("owner"), max("id").as("mx"))
       .filter(col("owner") =!= col("mx")) // cross-doc grams only

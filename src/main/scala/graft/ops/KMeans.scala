@@ -163,22 +163,10 @@ object KMeans {
     val dim = Similarity.vecDim(embs, vecCol)
     val assigned = assignWithFrame(embs, idCol, vecCol, cents, nlist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = Dedup.blockCells(assigned, GraftPar.of(embs), cellCap,
-      maxGroupBound = Dedup.leafRowBound(embs)).hint("shuffle_hash")
-    val dupOf = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.cell") === col("b.cell") && col("a.kx") === col("b.kx") &&
-          col("a.ky") === col("b.ky") && col("a.id") < col("b.id") &&
-          (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")))
-      .filter(Similarity.roundedAtLeast(
-        Similarity.dotFlat(col("a.v"), col("b.v"), dim) /
-          (col("a.norm") * col("b.norm")), minCos, 9))
-      .groupBy(col("b.id").as("id"))
-      .agg(min(col("a.id")).as("dup_of"))
-    assigned.select(col("id"), col("cell"))
-      .join(dupOf.hint("shuffle_hash"), Seq("id"), "left")
-      .select(col("id"), col("cell"), col("dup_of"),
-        col("dup_of").isNotNull.as("is_dup"))
+    // the downstream (blocked cell self-join → min-id mate → join-back)
+    // is exactly the literal-kernel SemDeDup's — shared
+    Dedup.dedupWithinCells(assigned, GraftPar.of(embs), dim, minCos,
+      cellCap, Dedup.leafRowBound(embs))
   }
 
   /** IVF top-k with a TRAINED centroid frame — [[Similarity.ivfTopK]]
