@@ -305,6 +305,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("d12 passage removal: one span exchange feeds stats agg AND probe join (r15)") {
+    val p = finalPlan("d12_remove_passages").split("== Initial Plan ==")(0)
+    // the pinned md5-span-key repartition must be REUSED by the
+    // owner-stats aggregate and the occurrence probe join — without the
+    // reuse the per-occurrence (token-count-sized) explode+hash pipeline
+    // executes twice (the d11/t17 lesson, applied at design time)
+    assert(p.contains("ReusedExchange"),
+      "d12 lost the shared span-key exchange (occurrence pipeline would run twice)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d13 incremental near-dup: co-partitioned ledger probe, no cartesian") {
+    // not via finalPlan: the persisted candidate frame
+    // (verifyJaccardCross's restrictToCandidates) renders as an
+    // InMemoryRelation whose CACHED subplan keeps isFinalPlan=false in
+    // toString even after execution — only the outer plan must be final
+    val df = Queries.byName("d13_incremental_neardup").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").head.contains("isFinalPlan=true"),
+      "outer d13 plan not final post-AQE")
+    assert(p.contains("ShuffledHashJoin"),
+      "d13's ledger-probe join lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // release the candidate-frame persist
+  }
+
   test("d10 semantic contamination: co-partitioned cell join, no cartesian") {
     val p = finalPlan("d10_semantic_contamination")
     assert(p.contains("ShuffledHashJoin"),
