@@ -38,6 +38,15 @@ import org.apache.spark.sql.types.DecimalType
   * round-6 + DECIMAL(18,6) sums (exact, order-free); argmax ties break
   * to the lowest cidx via max(struct(dot, −cidx)); every dot is the
   * sequential [[graft.functions.VecDot]] fold.
+  *
+  * Background: spherical k-means (Dhillon & Modha 2001, "Concept
+  * decompositions for large sparse text data using clustering"); the
+  * coarse/fine two-level layout is the IVF index of Jégou et al. 2011
+  * ("Product quantization for nearest neighbor search"); training at
+  * corpus scale with broadcast-joined centroid frames is the standard
+  * Spark MLlib-style shape, re-derived here so the assignment is
+  * bit-reproducible by a SQL oracle (MLlib's kmeans is neither seeded
+  * this way nor replayable).
   */
 object KMeans {
 

@@ -317,11 +317,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d13 incremental near-dup: co-partitioned ledger probe, no cartesian") {
-    // not via finalPlan: the persisted candidate frame
-    // (verifyJaccardCross's restrictToCandidates) renders as an
-    // InMemoryRelation whose CACHED subplan keeps isFinalPlan=false in
-    // toString even after execution — only the outer plan must be final
-    val df = Queries.byName("d13_incremental_neardup").run(spark, sf)
+    // the OPERATOR's plan, not the registered query's (the QueryDef
+    // returns an eager localCheckpoint — a Scan ExistingRDD — so the join
+    // pipeline is only visible here); outer-plan finality is asserted on
+    // the first line because the persisted candidate frame renders a
+    // cached subplan that keeps isFinalPlan=false in toString
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val archive = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val df = graft.ops.Dedup.incrementalMinhashDedup(
+      graft.ops.Dedup.minhashLedger(archive, "doc_id", "text"),
+      archive, delta, "doc_id", "text", threshold = 0.5)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.split("\n").head.contains("isFinalPlan=true"),
