@@ -528,11 +528,22 @@ object Similarity {
         org.apache.spark.sql.GraftShims.expression(col("v")), planes, bands, rEff))
     // hot buckets (a degenerate sign pattern collecting a large slice of
     // the corpus — boilerplate embeddings) triangle-block-split above
-    // bucketCap, same exact rewrite as the text LSH / SemDeDup cells
+    // bucketCap, same exact rewrite as the text LSH / SemDeDup cells.
+    // Each exploded row carries the packed PREFIX of the bands before its
+    // own instead of the full 8-bytes-per-band signature array (the r15
+    // d02 payload lesson) — sign buckets are rEff-bit values, so the
+    // ceil(rEff/8)-byte packing is LOSSLESS: prefix-slice equality ⇔
+    // bucket equality ⇔ the exact FirstSharedBand tie-break, and the
+    // pair set (and every a02* oracle) is bit-identical.
+    val bpb = (rEff + 7) / 8
     val buckets = Dedup.blockKeyed(v
       .select(col("id"), sigCol.as("sigs"))
-      .select(col("id"), col("sigs"), posexplode(col("sigs")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+      .select(col("id"), Dedup.packBandBits(col("sigs"), bpb).as("pk"),
+        posexplode(col("sigs")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      // map-side projection: only band·bpb bytes per row hit the shuffle
+      .select(col("id"), substring(col("pk"), lit(1), col("band") * bpb).as("pfx"),
+        col("band"), col("bucket")),
       Seq("band", "bucket"), par(embs), bucketCap,
       // ≤ one row per embedding per (band, bucket) group: the embedding
       // table's metadata row bound skips detection when provably small
@@ -541,18 +552,18 @@ object Similarity {
       // recompute the whole projection pipeline in one task
       .hint("shuffle_hash")
     // One pipelined codegen stage per bucket partition: generate pairs —
-    // each pair ONLY from its first shared band (the codegen'd
-    // FirstSharedBand over the carried signature arrays), so there are no
-    // duplicate emissions and no raw-pair distinct() exchange (previously
-    // the measured dominant cost on hot corpora: reduce tasks wrote ~2M
-    // pair rows each) — probe the vector table twice, flat-dot cosine
-    // once per unique pair, filter.
+    // each pair ONLY from its first shared band (no earlier shared packed
+    // slice — equality at this band is given by the join key), so there
+    // are no duplicate emissions and no raw-pair distinct() exchange
+    // (previously the measured dominant cost on hot corpora: reduce tasks
+    // wrote ~2M pair rows each) — probe the vector table twice, flat-dot
+    // cosine once per unique pair, filter.
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.kx") === col("b.kx") && col("a.ky") === col("b.ky") &&
           col("a.id") < col("b.id") &&
           (col("a.blk") =!= col("b.blk") || col("a.kx") === col("a.ky")) &&
-          col("a.band") === Dedup.firstSharedBand(col("a.sigs"), col("b.sigs")))
+          !Dedup.sharesBandSlice(col("a.pfx"), col("b.pfx"), bpb))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       // the vector-probe joins are deliberately UNHINTED — measured at
       // the r12 ×1000 probe (2 M vectors, ~61 M noise candidate pairs):
