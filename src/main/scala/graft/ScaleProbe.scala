@@ -159,6 +159,7 @@ object ScaleProbe {
       "d11_incremental_dedup", "d12_remove_passages", "d13_incremental_neardup",
       "d07c_semantic_dedup_trained",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf", "a10_cell_diverse_sample",
+      "a11_ivf_pq", "t19_decontaminate_spans",
       "t01_tokstats", "t08_bpe_tokens", "t17_dsir_weights", "t18_chunk_windows",
       "d10_semantic_contamination").filter(wanted)
     val qs = Queries.all.filter(q => names.contains(q.name))

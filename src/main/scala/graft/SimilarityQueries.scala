@@ -490,6 +490,88 @@ object SimilarityQueries {
           FROM adc) z
         WHERE rk <= 5 ORDER BY query_id, rk""")),
 
+    // ---- a11: IVF-PQ (IVFADC) top-k with exact refine — the COMPOSED
+    // production index (Jégou et al. 2011; FAISS IndexIVFPQ + refine):
+    // a04's coarse-cell pruning × a09's one-byte-per-subspace ADC scoring,
+    // then the rerank·k ADC shortlist re-ranked by exact cosine. Neither
+    // component alone has the 100 TB shape (a04 carries full vectors
+    // through the probe, a09 scans every code row); here the scan is
+    // nprobe/nlist of dim/8-byte rows and full vectors are touched only
+    // for the 15-row-per-query shortlist. The oracle replays EVERY stage
+    // — centroids, cell argmax, probe pick, codebooks, code assignment,
+    // LUT, decimal ADC, shortlist, exact re-rank — value-for-value.
+    QueryDef(
+      "a11_ivf_pq",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+          subs = 8, codes = 16, rerank = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            col("adc"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      Some {
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+              "list_transform(embedding, x -> CAST(x AS DOUBLE))")}) AS norm
+          FROM embeddings),
+          c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+              list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+            FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+          csc AS (
+            SELECT v.vec_id, c.cidx, ${dot("v.v", "c.cv")} AS dt
+            FROM v CROSS JOIN c),
+          cell AS (
+            SELECT vec_id, cidx AS cell FROM (
+              SELECT vec_id, cidx, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+              FROM csc) z WHERE rk = 1),
+          probe AS (
+            SELECT vec_id AS qid, cidx AS cell FROM (
+              SELECT vec_id, cidx, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+              FROM csc WHERE vec_id < 10) z WHERE rk <= 4),
+          seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS cj, v
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16) s1),
+          books AS (SELECT sub.s, seeds.cj,
+              list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], x -> x / greatest(
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], y -> y * y)),
+                  (a, z) -> a + z)), 1e-12)) AS cw
+            FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub),
+          psc AS (SELECT v.vec_id, b.s, b.cj,
+              ${dot("v.v[b.s*8+1 : b.s*8+8]", "b.cw")} AS dt
+            FROM v CROSS JOIN books b),
+          cd AS (SELECT vec_id, s, cj FROM (SELECT vec_id, s, cj,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk
+            FROM psc) z WHERE rk = 1),
+          lut AS (SELECT vec_id AS qid, s, cj,
+              CAST(ROUND(dt, 9) AS DECIMAL(18,9)) AS qdot
+            FROM psc WHERE vec_id < 10),
+          adc AS (SELECT lut.qid, cd.vec_id AS nid,
+              CAST(SUM(lut.qdot) AS DOUBLE) AS adc
+            FROM cd JOIN cell ce ON ce.vec_id = cd.vec_id
+              JOIN probe p ON p.cell = ce.cell
+              JOIN lut ON lut.qid = p.qid AND lut.s = cd.s AND lut.cj = cd.cj
+            WHERE cd.vec_id <> lut.qid GROUP BY 1, 2),
+          short AS (SELECT qid, nid, adc FROM (SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS ark
+            FROM adc) z WHERE ark <= 15),
+          rr AS (SELECT s.qid AS query_id, s.nid AS neighbor_id, s.adc,
+              ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) AS cos
+            FROM short s JOIN v q ON q.vec_id = s.qid
+              JOIN v t ON t.vec_id = s.nid)
+        SELECT query_id, rk, neighbor_id, adc, cos FROM (
+          SELECT query_id, neighbor_id, adc, cos, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          FROM rr) z
+        WHERE rk <= 5 ORDER BY query_id, rk"""
+      }),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

@@ -593,6 +593,105 @@ object TextQueries {
           FROM st)
         SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_toks,
           md5(array_to_string(ck, ' ')) AS chunk_md5
-        FROM w ORDER BY doc_id, chunk_id"""))
+        FROM w ORDER BY doc_id, chunk_id""")),
+
+    // ---- t19: span-level benchmark decontamination — the REWRITE
+    // counterpart of t09 (which flags whole docs): every 13-token span a
+    // training doc shares with the probe set (docs 0–4 stand in for the
+    // benchmark; 13-gram collision scrub à la Brown et al. 2020) is
+    // excised via d12's interval-merge + slice-rebuild machinery
+    // (Dedup.decontaminateSpans), so a leaked passage no longer costs the
+    // document. The probe gram set BROADCASTS (8-byte keys, bounded by
+    // benchmark tokens) — the training corpus is never shuffled on
+    // content, strictly cheaper than d12's corpus-wide exchange. A
+    // planted fixture guarantees real work at every SF: training docs
+    // with doc_id % 53 = 7 get the 26-token prefix of probe doc
+    // (doc_id % 5) appended — exactly that block must come out (the
+    // cleaned text md5-pinned, the t04/t18 trick). The whole pipeline —
+    // probe grams, span occurrences, interval merge, rebuild — is
+    // replayed in SQL value-for-value.
+    QueryDef(
+      "t19_decontaminate_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val probes = docs.filter(col("doc_id") < 5)
+        val psrc = probes
+          .select(col("doc_id").as("pd"),
+            slice(tokens(col("text")), 1, 26).as("ptk"))
+          .filter(size(col("ptk")) === 26)
+        val aug = docs.filter(col("doc_id") >= 5)
+          .withColumn("pd",
+            when(col("doc_id") % 53 === 7, col("doc_id") % 5))
+          .join(psrc, Seq("pd"), "left")
+          .select(col("doc_id"),
+            when(col("ptk").isNotNull,
+              concat_ws(" ", col("text"), array_join(col("ptk"), " ")))
+              .otherwise(col("text")).as("text"))
+        graft.ops.Dedup.decontaminateSpans(aug, probes,
+          "doc_id", "text", spanLen = 13)
+          .select(col("id").as("doc_id"), col("n_spans"), col("n_removed"),
+            col("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ps AS (
+          SELECT doc_id AS pd, toks[1:26] AS ptk
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+          WHERE doc_id < 5 AND len(toks) >= 26),
+        aug AS (
+          SELECT t.doc_id,
+            CASE WHEN p.pd IS NOT NULL
+              THEN t.text || ' ' || array_to_string(p.ptk, ' ')
+              ELSE t.text END AS text
+          FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 5) t
+          LEFT JOIN ps p ON t.doc_id % 53 = 7 AND p.pd = t.doc_id % 5),
+        pg AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest([CAST(concat('0x',
+                substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))
+                AS BIGINT)
+              for i in range(1, greatest(len(toks) - 11, 1))]) AS g
+            FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 5) p0) z),
+        tk AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM aug),
+        occ AS (
+          SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT doc_id, unnest([{'pos': i - 1,
+                'g': CAST(concat('0x',
+                  substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))
+                  AS BIGINT)}
+              for i in range(1, greatest(len(toks) - 11, 1))]) AS u
+            FROM tk) z),
+        rem AS (SELECT o.doc_id, o.pos FROM occ o JOIN pg USING (g)),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos <= COALESCE(MAX(pos + 13) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS brk
+          FROM rem),
+        isl2 AS (
+          SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl),
+        iv AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 13 AS e
+          FROM isl2 GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS ivl,
+            COUNT(*) AS n_spans, CAST(SUM(e - s) AS BIGINT) AS n_removed
+          FROM iv GROUP BY 1)
+        SELECT t.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+          COALESCE(a.n_removed, 0) AS n_removed,
+          CASE WHEN a.doc_id IS NULL THEN md5(array_to_string(toks, ' '))
+            ELSE md5(COALESCE(array_to_string(
+              list_transform(
+                list_filter(range(1, len(toks) + 1),
+                  i -> len(list_filter(a.ivl,
+                    v -> i - 1 >= v.s AND i - 1 < v.e)) = 0),
+                i -> toks[i]), ' '), '')) END AS clean_md5
+        FROM tk t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }

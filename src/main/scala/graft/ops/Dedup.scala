@@ -1757,6 +1757,15 @@ object Dedup {
     val rem = occ.join(st.hint("shuffle_hash"), Seq("g"))
       .filter(col("id") =!= col("owner"))
       .select(col("id"), col("pos"))
+    excisePositions(base, rem, spanLen)
+  }
+
+  /** Shared rewrite tail of [[removeDuplicatedPassages]] and
+    * [[decontaminateSpans]]: merge per-doc removal START positions
+    * (each covering `spanLen` tokens) into maximal intervals and rebuild
+    * the surviving text. `base` = (id, toks); `rem` = (id, pos). */
+  private def excisePositions(base: DataFrame, rem: DataFrame,
+      spanLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + spanLen)
@@ -1786,6 +1795,50 @@ object Dedup {
                    p -> NOT exists(ivl, iv -> p >= iv.s AND p < iv.e)),
                  p -> element_at(toks, cast(p + 1 as int)))"""), " ")
             .cast("binary"))).as("clean_md5"))
+  }
+
+  /** Span-level benchmark DECONTAMINATION — the rewrite counterpart of
+    * [[graft.ops.Packing.decontaminate]] (which only FLAGS whole docs):
+    * every `spanLen`-token span of a training document that also occurs
+    * anywhere in the `probes` corpus (the benchmark/eval set) is excised,
+    * overlapping cuts merge, and the surviving tokens rebuild the cleaned
+    * text — the GPT-3-style n-gram scrub (Brown et al. 2020 used 13-gram
+    * collision removal) applied as a REWRITE instead of a drop, so a
+    * single leaked passage no longer costs the whole document.
+    *
+    * Scale shape — strictly cheaper than [[removeDuplicatedPassages]]
+    * because the contamination side is the benchmark, not the corpus:
+    *  1. the probe gram set is DISTINCT spans of the benchmark — bounded
+    *     by benchmark tokens (a few million rows for any real eval suite),
+    *     so it BROADCASTS as 8-byte keys and the corpus-side probe is a
+    *     map-side hash join: the training corpus is never shuffled by
+    *     gram key at all (d12 needs that exchange because its stats side
+    *     IS the corpus);
+    *  2. only matched positions (bounded by true contamination) re-key by
+    *     doc for the interval merge + slice rebuild, which [[excisePositions]]
+    *     shares bit-for-bit with d12.
+    * The gram key is the same 60-bit md5 span key as d12/d08 — SQL
+    * oracles replay it verbatim; production would swap xxhash64.
+    *
+    * Returns one row per TRAINING doc: (id, n_spans, n_removed,
+    * clean_md5); docs shorter than `spanLen` tokens pass through whole. */
+  def decontaminateSpans(docs: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 13): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val p = par(docs)
+    val gramKey =
+      expr("cast(conv(substring(md5(col), 1, 15), 16, 10) as bigint)")
+    val probeGrams = probes
+      .select(posexplode(wordShinglesAll(tokens(col(textCol)), spanLen)))
+      .select(gramKey.as("g")).distinct()
+    val base = spreadInput(docs, p)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val rem = base
+      .select(col("id"), posexplode(wordShinglesAll(col("toks"), spanLen)))
+      .select(col("id"), col("pos").cast("long").as("pos"), gramKey.as("g"))
+      .join(broadcast(probeGrams), Seq("g"))
+      .select(col("id"), col("pos"))
+    excisePositions(base, rem, spanLen)
   }
 
   /** Exact embedding-cosine near-dup pairs (brute force; verification path).

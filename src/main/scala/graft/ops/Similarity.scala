@@ -450,6 +450,95 @@ object Similarity {
     adc.withColumn("rk", row_number().over(rkW)).filter(col("rk") <= k)
   }
 
+  /** IVF-PQ (IVFADC) top-k — the composed production index shape (Jégou
+    * et al. 2011; the FAISS `IndexIVFPQ` + refine pattern): the corpus is
+    * partitioned into [[ivfTopK]]'s coarse cells AND compressed to
+    * [[pqCodes]]' one-byte-per-subspace codes; a query scans only its
+    * `nprobe` best cells, scores candidates by the broadcast-LUT
+    * asymmetric distance ([[pqAdcTopK]]'s math), and the ADC shortlist of
+    * `rerank`·k is re-ranked by EXACT cosine to the final k — the "ADC
+    * search + exact refine" two-stage every production deployment runs.
+    *
+    * Scale shape — what neither component achieves alone:
+    *  - [[ivfTopK]] prunes the scan to nprobe/nlist of the corpus but
+    *    carries FULL vectors (dim floats/row) through the probe join;
+    *  - [[pqAdcTopK]] shrinks rows to subs bytes but scans ALL of them.
+    *    Here ONE map-only pass (cell argmax + PQ encode in the same
+    *    whole-stage-codegen stage, zero corpus shuffle) yields the
+    *    (id, cell, sub, code) frame; the probe-cells frame and the ADC
+    *    LUT (|queries|·(nprobe + subs·codes) tiny rows) both BROADCAST,
+    *    so candidate scoring touches nprobe/nlist of the code rows and
+    *    the full-width vectors are read again only for the rerank·k
+    *    shortlist per query (a broadcast semi-probe into the corpus).
+    *    At 100 TB: the code frame is dim/8 bytes a vector, the scan
+    *    fraction is nprobe/nlist, and no stage shuffles the corpus.
+    *
+    * Determinism (fully SQL-oracle-able): seeds/codebooks are the
+    * lowest-id corpus vectors ([[seedCentroids]]/[[pqCodebooks]]), ADC
+    * partial dots are ROUND-9 then DECIMAL-summed (order-free), the
+    * shortlist ranks by (adc DESC, id ASC) and the final ranking by
+    * (round-9 exact cosine DESC, id ASC) — every stage replayable
+    * value-for-value by the a11 DuckDB oracle.
+    *
+    * Returns (query_id, rk, neighbor_id, adc, cos), k rows per query. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      subs: Int = 8, codes: Int = 16, rerank: Int = 3): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    val w = dim / subs
+    val cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    val books = pqCodebooks(corpus, idCol, vecCol, subs, codes)
+    // corpus side: cell argmax AND PQ encode in one map-only pass
+    val enc = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftShims.expression(col("v")), books))
+    val c = Dedup.spreadInput(withVec(corpus, idCol, vecCol, dim), par(corpus))
+      .withColumn("cell", cellArgmax(col("v"), cents))
+    val cCodes = c.select(col("id"), col("cell"), posexplode(enc))
+      .select(col("id"), col("cell"), (col("pos") + 1).as("sub"),
+        col("col.code").as("code"))
+    // query side: nprobe probe cells + subs×codes ADC lookup table
+    def cellScores(v: Column): Column =
+      array(cents.map(cv => dotFlat(v, typedlit(cv), dim)): _*)
+    val q = withVec(queries, idCol, vecCol, dim)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    import org.apache.spark.sql.expressions.Window
+    val probe = q
+      .select(col("qid"), posexplode(cellScores(col("qv"))))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("col"), asc("pos"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("qid"), (col("pos") + 1).as("cell"))
+    val lut = q
+      .select(col("qid"), posexplode(array((0 until subs).map { s =>
+        array(books(s).map(cw =>
+          dotFlat(slice(col("qv"), s * w + 1, w), typedlit(cw), w)): _*)
+      }: _*)))
+      .select(col("qid"), (col("pos") + 1).as("sub"), posexplode(col("col")))
+      .select(col("qid"), col("sub"), (col("pos") + 1).as("code"),
+        round(col("col"), 9).cast(DecimalType(18, 9)).as("qdot"))
+    val adc = cCodes.join(broadcast(probe), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "id")
+      .agg(sum("qdot").cast("double").as("adc"))
+    val aW = Window.partitionBy("qid").orderBy(desc("adc"), asc("id"))
+    val shortlist = adc.withColumn("ark", row_number().over(aW))
+      .filter(col("ark") <= k * rerank)
+      .select(col("qid"), col("id"), col("adc"))
+    // exact refine: shortlist is |queries|·rerank·k rows — broadcast it
+    // into the corpus vectors, then the query vectors, re-rank by cosine
+    val rr = c.select(col("id"), col("v"), col("norm"))
+      .join(broadcast(shortlist), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("adc"),
+        round(dotFlat(col("qv"), col("v"), dim) / (col("qnorm") * col("norm")), 9)
+          .as("cos"))
+    val fW = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    rr.withColumn("rk", row_number().over(fW)).filter(col("rk") <= k)
+  }
+
   /** Scale-safe default for the per-band sign width: pick r so that
     * 2^r ≈ n / targetBucket, i.e. the EXPECTED bucket population — and
     * with it the per-band candidate-pair cost Σ|bucket|² ≈ n·targetBucket

@@ -517,6 +517,74 @@ class DedupSpec extends AnyFunSuite {
     assert(maxed > 0, "some vector's largest component must hit +127")
   }
 
+  test("IVF-PQ refine: full-shortlist run equals ivfTopK; truncated shortlist is rank-dominated") {
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter(col("vec_id") < 10)
+    val n = embs.count().toInt
+    // rerank·k ≥ corpus ⇒ the ADC shortlist covers every probed-cell
+    // candidate, so the exact refine must reproduce ivfTopK verbatim
+    val full = Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, rerank = n / 5 + 1)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == ivf, "rerank covering all candidates must equal ivfTopK")
+    // a truncated shortlist re-ranks a SUBSET of ivfTopK's candidates, so
+    // at every rank its exact cosine can only be ≤ ivfTopK's (theorem)
+    val pq = Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, rerank = 3)
+      .select("query_id", "rk", "cos").as[(Long, Int, Double)]
+      .collect().map { case (q, r, c) => (q, r) -> c }.toMap
+    val ivfByRk = ivf.map { case (q, r, _, c) => (q, r) -> c }.toMap
+    assert(pq.nonEmpty && pq.keySet == ivfByRk.keySet)
+    pq.foreach { case (key, c) =>
+      assert(c <= ivfByRk(key) + 1e-12,
+        s"rank-dominance violated at $key: pq $c > ivf ${ivfByRk(key)}")
+    }
+  }
+
+  test("decontaminateSpans excises exactly the leaked benchmark spans") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // 26-token benchmark doc
+    val probe = Seq((0L, "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet kilo lima mike november oscar papa quebec " +
+      "romeo sierra tango uniform victor whiskey xray yankee zulu"))
+      .toDF("doc_id", "text")
+    val prefix = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    val suffix = "red orange yellow green blue indigo violet brown " +
+      "black white gray pink cyan"
+    val leak13 = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike" // probe tokens 1–13
+    val wholly = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango" // probe tokens 1–20: starts 0–7 merge to [0, 20)
+    val docs = Seq(
+      (10L, s"$prefix $leak13 $suffix"),
+      (11L, "totally unrelated content nothing shared with the " +
+        "benchmark at all whatsoever in any way honestly truly"),
+      (12L, wholly)).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(docs, probe, "doc_id", "text",
+        spanLen = 13)
+      .select("id", "n_spans", "n_removed", "clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 10: one merged 13-token interval; cleaned = prefix + suffix
+    assert(out(10L) == ((1L, 13L, md5hex(s"$prefix $suffix"))))
+    // doc 11: untouched — cleaned text is the full normalized text
+    assert(out(11L)._1 == 0L && out(11L)._2 == 0L)
+    assert(out(11L)._3 == md5hex("totally unrelated content nothing " +
+      "shared with the benchmark at all whatsoever in any way honestly truly"))
+    // doc 12: entirely a leaked block — 8 span starts merge to one
+    // interval covering all 20 tokens; cleaned text is EMPTY
+    assert(out(12L) == ((1L, 20L, md5hex(""))))
+  }
+
   test("PQ ADC search finds a meaningful share of the exact top-k") {
     val embs = Tables.embeddings(spark, sf)
     val queries = embs.filter(col("vec_id") < 10)

@@ -339,6 +339,28 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the candidate-frame persist
   }
 
+  test("a11 IVF-PQ: probe cells, ADC LUT and refine shortlist all broadcast (r15)") {
+    val p = finalPlan("a11_ivf_pq")
+    // the corpus must never be shuffled by a JOIN key: probe-cell
+    // restriction, LUT scoring and the exact-refine probe are all
+    // broadcast hash joins (the only corpus exchange is the (qid, id)
+    // ADC aggregation over nprobe/nlist of the code rows)
+    assert(p.contains("BroadcastHashJoin"),
+      "a11 lost its broadcast joins (corpus would shuffle on a join key)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "a11 planned a corpus-wide join shuffle")
+  }
+
+  test("t19 span decontamination: probe grams broadcast, corpus never content-shuffled (r15)") {
+    val p = finalPlan("t19_decontaminate_spans")
+    // the benchmark gram set is the broadcast side of the only
+    // content-keyed join — unlike d12, NO corpus-wide gram exchange
+    // exists (contamination side is the benchmark, not the corpus)
+    assert(p.contains("BroadcastHashJoin"),
+      "t19's probe-gram join must broadcast the benchmark side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d10 semantic contamination: co-partitioned cell join, no cartesian") {
     val p = finalPlan("d10_semantic_contamination")
     assert(p.contains("ShuffledHashJoin"),
