@@ -473,6 +473,13 @@ object Similarity {
     *    At 100 TB: the code frame is dim/8 bytes a vector, the scan
     *    fraction is nprobe/nlist, and no stage shuffles the corpus.
     *
+    * Query-set contract (same as [[bruteForceTopK]]/[[pqAdcTopK]]): the
+    * QUERY side is assumed bounded — the probe-cell frame
+    * (|queries|·nprobe), the LUT (|queries|·subs·codes) and the
+    * shortlist (|queries|·rerank·k) all ride broadcasts. A corpus-sized
+    * query set should instead join the two code frames on (cell, sub,
+    * code) — a different operator (all-pairs), out of scope here.
+    *
     * Determinism (fully SQL-oracle-able): seeds/codebooks are the
     * lowest-id corpus vectors ([[seedCentroids]]/[[pqCodebooks]]), ADC
     * partial dots are ROUND-9 then DECIMAL-summed (order-free), the
