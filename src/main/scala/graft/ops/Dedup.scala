@@ -1821,7 +1821,12 @@ object Dedup {
     * oracles replay it verbatim; production would swap xxhash64.
     *
     * Returns one row per TRAINING doc: (id, n_spans, n_removed,
-    * clean_md5); docs shorter than `spanLen` tokens pass through whole. */
+    * clean_md5); docs shorter than `spanLen` tokens pass through whole.
+    *
+    * Streaming: a rewrite emits exactly one row per input doc (not an
+    * append-only match join like [[minhashDedupStream]]), so the
+    * streaming form is `foreachBatch` — run this batch plan per
+    * micro-batch against the static benchmark (StreamingSpec e2e). */
   def decontaminateSpans(docs: DataFrame, probes: DataFrame, idCol: String,
       textCol: String, spanLen: Int = 13): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")

@@ -1548,4 +1548,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2.exists(r => r._1 == 9003L && r._3 == 1.0), got2)
     } finally q.stop()
   }
+
+  test("streaming span decontamination: foreachBatch rewrites in-flight docs against the static benchmark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val probe = Seq((0L, "alpha bravo charlie delta echo foxtrot golf " +
+      "hotel india juliet kilo lima mike november oscar papa quebec " +
+      "romeo sierra tango uniform victor whiskey xray yankee zulu"))
+      .toDF("doc_id", "text")
+    val prefix = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    val suffix = "red orange yellow green blue indigo violet brown " +
+      "black white gray pink cyan"
+    val leak13 = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike"
+    val novel = "totally unrelated content nothing shared with the " +
+      "benchmark at all whatsoever in any way honestly truly"
+    // a rewrite emits one row per INPUT doc, so the streaming form is
+    // foreachBatch: the batch operator runs per micro-batch against the
+    // static benchmark (the production shape for streaming rewrites)
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.decontaminateSpans(batch, probe, "doc_id", "text",
+            spanLen = 13)
+          .collect().foreach(r =>
+            results.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      }.start()
+    try {
+      mem.addData((10L, s"$prefix $leak13 $suffix"), (11L, novel))
+      q.processAllAvailable()
+      assert(results.get(10L) == ((1L, 13L, md5hex(s"$prefix $suffix"))))
+      assert(results.get(11L) == ((0L, 0L, md5hex(novel))))
+      // a leak LANDING LATER is cleaned in its own trigger; a doc that is
+      // entirely a leaked block comes out EMPTY
+      mem.addData((12L, leak13))
+      q.processAllAvailable()
+      assert(results.get(12L) == ((1L, 13L, md5hex(""))))
+    } finally q.stop()
+  }
 }
