@@ -572,6 +572,100 @@ object SimilarityQueries {
         WHERE rk <= 5 ORDER BY query_id, rk"""
       }),
 
+    // ---- a11a: recall AUDIT of the composed IVF-PQ pipeline — the
+    // rerank × nprobe accuracy dial, measured (completing the dial set:
+    // a02a LSH banding, a04a IVF probe, d10a SemDeDup confinement, a11a
+    // the composed index). n_found = of each query's 5 brute-force true
+    // neighbors, how many the nprobe=4 / rerank=3 ADC+refine path
+    // returned; the oracle replays BOTH pipelines and derives recall_ok
+    // from its own replayed count (>= 2 = minRecall 0.4 · k), so a
+    // data-dependent dip at a new SF reds the VALUE in both engines
+    // identically — measured at sf0.01: min 1/5 (query 6, recorded
+    // FALSE by both engines), avg 0.64. Composed recall ≤ a04a's
+    // exact-IVF recall by construction (ADC truncation only loses
+    // candidates; uniform random vectors are the quantizer's hardest
+    // case — clustered real embeddings sit far higher).
+    QueryDef(
+      "a11a_ivfpq_recall",
+      (s, d) => Similarity.ivfPqRecallAudit(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        subs = 8, codes = 16, rerank = 3, nQueries = 10, minRecall = 0.4)
+        .orderBy("query_id"),
+      Some {
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+              "list_transform(embedding, x -> CAST(x AS DOUBLE))")}) AS norm
+          FROM embeddings),
+          c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+              list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+            FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+          csc AS (
+            SELECT v.vec_id, c.cidx, ${dot("v.v", "c.cv")} AS dt
+            FROM v CROSS JOIN c),
+          cell AS (
+            SELECT vec_id, cidx AS cell FROM (
+              SELECT vec_id, cidx, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+              FROM csc) z WHERE rk = 1),
+          probe AS (
+            SELECT vec_id AS qid, cidx AS cell FROM (
+              SELECT vec_id, cidx, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dt DESC, cidx) AS rk
+              FROM csc WHERE vec_id < 10) z WHERE rk <= 4),
+          seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS cj, v
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16) s1),
+          books AS (SELECT sub.s, seeds.cj,
+              list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], x -> x / greatest(
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], y -> y * y)),
+                  (a, z) -> a + z)), 1e-12)) AS cw
+            FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub),
+          psc AS (SELECT v.vec_id, b.s, b.cj,
+              ${dot("v.v[b.s*8+1 : b.s*8+8]", "b.cw")} AS dt
+            FROM v CROSS JOIN books b),
+          cd AS (SELECT vec_id, s, cj FROM (SELECT vec_id, s, cj,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk
+            FROM psc) z WHERE rk = 1),
+          lut AS (SELECT vec_id AS qid, s, cj,
+              CAST(ROUND(dt, 9) AS DECIMAL(18,9)) AS qdot
+            FROM psc WHERE vec_id < 10),
+          adc AS (SELECT lut.qid, cd.vec_id AS nid,
+              CAST(SUM(lut.qdot) AS DOUBLE) AS adc
+            FROM cd JOIN cell ce ON ce.vec_id = cd.vec_id
+              JOIN probe p ON p.cell = ce.cell
+              JOIN lut ON lut.qid = p.qid AND lut.s = cd.s AND lut.cj = cd.cj
+            WHERE cd.vec_id <> lut.qid GROUP BY 1, 2),
+          short AS (SELECT qid, nid, adc FROM (SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS ark
+            FROM adc) z WHERE ark <= 15),
+          rr AS (SELECT s.qid AS query_id, s.nid AS neighbor_id,
+              ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) AS cos
+            FROM short s JOIN v q ON q.vec_id = s.qid
+              JOIN v t ON t.vec_id = s.nid),
+          pqr AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            FROM rr) z WHERE rk <= 5),
+          brute AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) DESC,
+                t.vec_id) AS rk
+            FROM v q JOIN v t ON t.vec_id <> q.vec_id
+            WHERE q.vec_id < 10) z WHERE rk <= 5)
+        SELECT b.query_id, COUNT(p.neighbor_id) AS n_found,
+          -- recall_ok DERIVED from the replayed count on both sides
+          -- (minRecall·k = 0.4·5 = 2): data-dependent dips red the VALUE
+          -- identically in both engines (the a04a contract)
+          COUNT(p.neighbor_id) >= 2 AS recall_ok
+        FROM brute b LEFT JOIN pqr p ON p.query_id = b.query_id
+          AND p.neighbor_id = b.neighbor_id
+        GROUP BY 1 ORDER BY 1"""
+      }),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

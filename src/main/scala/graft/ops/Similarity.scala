@@ -757,4 +757,33 @@ object Similarity {
       .select(col("query_id"), col("n_found"),
         (col("n_found").cast("double") >= lit(minRecall * k)).as("recall_ok"))
   }
+
+  /** Recall AUDIT of the composed IVF-PQ pipeline ([[ivfPqTopK]]) against
+    * the [[bruteForceTopK]] ground truth — the rerank (ADC shortlist
+    * width) × nprobe accuracy dial, measured. Same differential shape as
+    * [[ivfRecallAudit]]: the oracle replays BOTH pipelines and derives
+    * `recall_ok` from the replayed n_found on each side, so a
+    * data-dependent dip at a new SF turns the VALUE red identically in
+    * both engines, while a genuine assignment/quantization bug shows as
+    * a hash mismatch. The composed recall is bounded above by a04a's
+    * (the exact-IVF dial): ADC truncation can only lose candidates the
+    * exact probe would have kept. */
+  def ivfPqRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, subs: Int, codes: Int, rerank: Int,
+      nQueries: Int, minRecall: Double): DataFrame = {
+    val queries = embs.filter(col(idCol) < nQueries)
+    val truth = bruteForceTopK(embs, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = ivfPqTopK(embs, queries, idCol, vecCol, k, nlist, nprobe,
+        subs, codes, rerank)
+      .select(col("query_id").as("gqid"), col("neighbor_id").as("nid"),
+        lit(true).as("hit"))
+    truth.join(broadcast(got),
+        truth("query_id") === col("gqid") &&
+          truth("neighbor_id") === col("nid"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_found"))
+      .select(col("query_id"), col("n_found"),
+        (col("n_found").cast("double") >= lit(minRecall * k)).as("recall_ok"))
+  }
 }
