@@ -19,6 +19,38 @@ import graft.ops.{Dedup, Packing, Sampling}
   */
 object PipelineQueries {
 
+  /** p04's composed plan, pre-materialization — one definition shared by
+    * the registered query and PlanSpec's exchange-reuse pin (the QueryDef
+    * returns a localCheckpoint, which hides the join pipeline from the
+    * registered plan). See the p04 QueryDef below for semantics. */
+  def incrementalBatchPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val archive = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val ex = Dedup.incrementalExactDedup(
+      Dedup.exactDedup(archive, "doc_id", "text"), delta, "doc_id", "text")
+    val surv1 = delta.join(
+      ex.filter(col("status") === "novel").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nd = Dedup.incrementalMinhashDedup(
+      Dedup.minhashLedger(archive, "doc_id", "text"), archive, surv1,
+      "doc_id", "text", threshold = 0.5)
+    val surv2 = delta.join(
+      nd.filter(col("status") === "novel").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.removeDuplicatedPassages(
+        archive.unionByName(surv2), "doc_id", "text", spanLen = 20)
+      .join(surv2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    ex.select(col("id").as("doc_id"), col("status").as("exact_status"))
+      .join(nd.select(col("id").as("doc_id"),
+          col("status").as("near_status"),
+          col("dup_of").as("near_dup_of")), Seq("doc_id"), "left")
+      .join(cleaned.select(col("id").as("doc_id"), col("n_spans"),
+          col("n_removed"), col("clean_md5")), Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef(
       "p01_curation",
@@ -192,6 +224,136 @@ object PipelineQueries {
           SELECT s AS doc_id, MIN(d) AS cluster_id,
             (s = MIN(d)) AS is_canonical
           FROM reach GROUP BY s ORDER BY doc_id"""
+      }),
+
+    // ---- p04: the INCREMENTAL ingest batch as ONE composed query — the
+    // refreshed-corpus production loop the d11/d13 ledgers exist for. A
+    // delta batch (odd doc_ids) is classified against the archive's
+    // (even doc_ids) EXACT fingerprint ledger (d11), its exact-novel
+    // survivors against the archive's banded LSH ledger (d13, archive
+    // text touched only for matched candidates), and the near-novel
+    // survivors are passage-cleaned against archive ∪ survivors (d12's
+    // ExactSubstr shape — a survivor that repeats an archived passage
+    // loses the passage, not the doc). Output: one row per DELTA doc
+    // carrying the whole classification trail (exact_status, then
+    // near_status/near_dup_of for exact-novel docs, then
+    // n_spans/n_removed/clean_md5 for docs that reached the rewrite).
+    //
+    // Scale shape: composing the stages adds NO new corpus-wide exchange
+    // — survivors travel as narrow doc_id semi-joins; d11's single fp
+    // exchange still feeds both its consumers inside the composed plan
+    // (ReusedExchange, PlanSpec-pinned); the archive documents are never
+    // rescanned by the ledger probes, only by the candidate-restricted
+    // verify and the final passage pass.
+    QueryDef(
+      "p04_incremental_batch",
+      (s, d) => {
+        val out = incrementalBatchPlan(s, d)
+        // the near-dup verify persists its candidate frame internally
+        // (restrictToCandidates); materialize and release, as in d13
+        try out.localCheckpoint()
+        finally s.catalog.clearCache()
+      },
+      Some {
+        val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        val shinglesSql =
+          """list_distinct([array_to_string(toks[i:i+2], ' ')
+             for i in range(1, greatest(len(toks) - 1, 1))])"""
+        s"""WITH tk AS (
+          SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+        fps AS (
+          SELECT doc_id, md5(array_to_string(list_sort(toks), ' ')) AS fp
+          FROM tk),
+        ledger AS (
+          SELECT fp, MIN(doc_id) AS archive_keep FROM fps
+          WHERE doc_id % 2 = 0 GROUP BY 1),
+        delta AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+        bm AS (SELECT fp, MIN(doc_id) AS batch_keep FROM delta GROUP BY 1),
+        ex AS (
+          SELECT d.doc_id,
+            CASE WHEN l.archive_keep IS NOT NULL THEN 'dup_of_archive'
+                 WHEN d.doc_id > b.batch_keep THEN 'dup_in_batch'
+                 ELSE 'novel' END AS exact_status
+          FROM delta d JOIN bm b USING (fp) LEFT JOIN ledger l USING (fp)),
+        s1 AS (SELECT doc_id FROM ex WHERE exact_status = 'novel'),
+        sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+        am AS (
+          SELECT d.doc_id AS id, a.doc_id AS aid,
+            CAST(len(list_intersect(a.sh, d.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, d.sh))) AS j
+          FROM (SELECT * FROM sh WHERE doc_id % 2 = 0) a
+          JOIN (SELECT s.* FROM sh s JOIN s1 USING (doc_id)) d ON TRUE),
+        arch AS (
+          SELECT id, MIN(aid) AS arch_dup FROM am WHERE j >= 0.5 GROUP BY 1),
+        bmp AS (
+          SELECT b.doc_id AS id, a.doc_id AS bid,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM (SELECT s.* FROM sh s JOIN s1 USING (doc_id)) a
+          JOIN (SELECT s.* FROM sh s JOIN s1 USING (doc_id)) b
+            ON a.doc_id < b.doc_id),
+        batch AS (
+          SELECT id, MIN(bid) AS batch_dup FROM bmp WHERE j >= 0.5 GROUP BY 1),
+        nd AS (
+          SELECT s1.doc_id,
+            CASE WHEN arch.id IS NOT NULL THEN 'dup_of_archive'
+                 WHEN batch.id IS NOT NULL THEN 'dup_in_batch'
+                 ELSE 'novel' END AS near_status,
+            COALESCE(arch.arch_dup, batch.batch_dup) AS near_dup_of
+          FROM s1 LEFT JOIN arch ON arch.id = s1.doc_id
+                  LEFT JOIN batch ON batch.id = s1.doc_id),
+        s2 AS (SELECT doc_id FROM nd WHERE near_status = 'novel'),
+        corpus2 AS (
+          SELECT doc_id, toks FROM tk WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT t.doc_id, t.toks FROM tk t JOIN s2 USING (doc_id)),
+        occ AS (
+          SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT doc_id, unnest([{'pos': i - 1,
+                'g': CAST(concat('0x',
+                  substring(md5(array_to_string(toks[i:i+19], ' ')), 1, 15))
+                  AS BIGINT)}
+              for i in range(1, greatest(len(toks) - 18, 1))]) AS u
+            FROM corpus2) z),
+        st AS (
+          SELECT g, MIN(doc_id) AS owner FROM occ GROUP BY 1
+          HAVING MIN(doc_id) <> MAX(doc_id)),
+        rem AS (
+          SELECT o.doc_id, o.pos FROM occ o JOIN st USING (g)
+          WHERE o.doc_id <> st.owner),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos <= COALESCE(MAX(pos + 20) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS brk
+          FROM rem),
+        isl2 AS (
+          SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl),
+        iv AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 20 AS e
+          FROM isl2 GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS ivl,
+            COUNT(*) AS n_spans, CAST(SUM(e - s) AS BIGINT) AS n_removed
+          FROM iv GROUP BY 1),
+        clean AS (
+          SELECT c.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+            COALESCE(a.n_removed, 0) AS n_removed,
+            CASE WHEN a.doc_id IS NULL THEN md5(array_to_string(c.toks, ' '))
+              ELSE md5(COALESCE(array_to_string(
+                list_transform(
+                  list_filter(range(1, len(c.toks) + 1),
+                    i -> len(list_filter(a.ivl,
+                      v -> i - 1 >= v.s AND i - 1 < v.e)) = 0),
+                  i -> c.toks[i]), ' '), '')) END AS clean_md5
+          FROM corpus2 c JOIN s2 USING (doc_id) LEFT JOIN agg a USING (doc_id))
+        SELECT ex.doc_id, ex.exact_status, nd.near_status, nd.near_dup_of,
+          clean.n_spans, clean.n_removed, clean.clean_md5
+        FROM ex LEFT JOIN nd USING (doc_id) LEFT JOIN clean USING (doc_id)
+        ORDER BY ex.doc_id"""
       })
   )
 }

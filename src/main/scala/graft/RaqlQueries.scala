@@ -473,6 +473,60 @@ object RaqlQueries {
             s -> CAST(CAST(round(s.v * 10000) AS BIGINT) AS VARCHAR)), ',')) AS win_md5,
           len(raw) AS n_win,
           lag(value, 1) OVER (ORDER BY event_id) AS prev
+        FROM w ORDER BY event_id""")),
+
+    // ---- r16: the once_every/f2 composition — a NULL-SPARSE stateful
+    // operand (ONCE EVERY yields its operand on the first row of each
+    // clock bucket, NULL otherwise) under a sliding PAST in a MIXED
+    // operation (the lag rejects the whole-plan rewrite, so this runs the
+    // chunked bucket-join pastSlidingArray). Guards the r15 regression
+    // (reference tests/func/once_every.test f2): the window CONTENTS must
+    // hold ONLY the non-null marks — collect_list's null-skip — and the
+    // f2-style GET arithmetic over the array must see real values, not
+    // (t, null) ghosts. Window contents md5-pinned in the operator's
+    // deterministic (t, value) order; DuckDB replays the clock buckets,
+    // the null-skip, the sort, and the pin.
+    QueryDef(
+      "r16_raql_once_every_past",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id,
+                    once every 3600 value AS mark,
+                    past 14400 of mark AS win,
+                    win[1] - win[0] AS delta,
+                    lag value AS prev
+             WHERE event_id < 3000;""")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          expr("""md5(cast(array_join(transform(win,
+              x -> cast(cast(round(x * 10000) as long) as string)), ',')
+            as binary))""").as("win_md5"),
+          expr("size(win)").as("n_win"),
+          expr("round(delta, 6)").as("delta6"),
+          org.apache.spark.sql.functions.col("prev"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (
+          SELECT event_id, value, epoch_us(ts) AS tus
+          FROM events WHERE event_id < 3000),
+        m AS (
+          SELECT event_id, value, tus,
+            CASE WHEN lag(CAST(floor(tus/1e6/3600) AS BIGINT)) OVER (ORDER BY tus)
+                      IS DISTINCT FROM CAST(floor(tus/1e6/3600) AS BIGINT)
+                 THEN value END AS mark
+          FROM e),
+        w AS (
+          SELECT event_id, value, tus,
+            list_transform(list_sort(list_filter(
+              list({'t': tus, 'v': mark}) OVER (ORDER BY tus
+                RANGE BETWEEN 14399999999 PRECEDING AND CURRENT ROW),
+              s -> s.v IS NOT NULL)), s -> s.v) AS vs
+          FROM m)
+        SELECT event_id,
+          md5(array_to_string(list_transform(vs,
+            x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)), ',')) AS win_md5,
+          len(vs) AS n_win,
+          round(vs[2] - vs[1], 6) AS delta6,
+          lag(value, 1) OVER (ORDER BY event_id) AS prev
         FROM w ORDER BY event_id"""))
   )
 }

@@ -1828,20 +1828,43 @@ object Dedup {
     * streaming form is `foreachBatch` — run this batch plan per
     * micro-batch against the static benchmark (StreamingSpec e2e). */
   def decontaminateSpans(docs: DataFrame, probes: DataFrame, idCol: String,
-      textCol: String, spanLen: Int = 13): DataFrame = {
+      textCol: String, spanLen: Int = 13,
+      confirmTokens: Boolean = false): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
     val p = par(docs)
     val gramKey =
       expr("cast(conv(substring(md5(col), 1, 15), 16, 10) as bigint)")
-    val probeGrams = probes
-      .select(posexplode(wordShinglesAll(tokens(col(textCol)), spanLen)))
-      .select(gramKey.as("g")).distinct()
+    // explode, not posexplode: the probe side only contributes the gram
+    // SET — a position column would be materialized per occurrence and
+    // immediately discarded (position matters only corpus-side, where it
+    // is the removal point)
+    val probeExploded = probes
+      .select(explode(wordShinglesAll(tokens(col(textCol)), spanLen)).as("col"))
+    // confirmTokens: unlike dedup, a decontamination false positive
+    // CORRUPTS clean text — a 60-bit collision between an innocent
+    // training gram and any probe gram silently excises spanLen unrelated
+    // tokens. The confirm rides the gram STRING on the broadcast (still
+    // bounded by benchmark tokens) and equates it at the map-side join, so
+    // a collision cannot excise; the shuffle story is unchanged (the
+    // corpus is still never content-shuffled). Off by default so the
+    // registered query replays the oracle's pure 60-bit family; identical
+    // output whenever no collision exists (DedupSpec differential).
+    val probeGrams =
+      if (confirmTokens)
+        probeExploded.select(gramKey.as("g"), col("col").as("gram")).distinct()
+      else probeExploded.select(gramKey.as("g")).distinct()
     val base = spreadInput(docs, p)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-    val rem = base
+    val occ = base
       .select(col("id"), posexplode(wordShinglesAll(col("toks"), spanLen)))
-      .select(col("id"), col("pos").cast("long").as("pos"), gramKey.as("g"))
-      .join(broadcast(probeGrams), Seq("g"))
+    val rem =
+      (if (confirmTokens)
+        occ.select(col("id"), col("pos").cast("long").as("pos"),
+            gramKey.as("g"), col("col").as("gram"))
+          .join(broadcast(probeGrams), Seq("g", "gram"))
+      else
+        occ.select(col("id"), col("pos").cast("long").as("pos"), gramKey.as("g"))
+          .join(broadcast(probeGrams), Seq("g")))
       .select(col("id"), col("pos"))
     excisePositions(base, rem, spanLen)
   }

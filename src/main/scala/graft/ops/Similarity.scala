@@ -740,13 +740,23 @@ object Similarity {
     * broadcast-query brute force, map-only cell argmax. */
   def ivfRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int, nprobe: Int, nQueries: Int,
-      minRecall: Double): DataFrame = {
+      minRecall: Double): DataFrame =
+    topKRecallAudit(embs, idCol, vecCol, k, nQueries, minRecall,
+      (e, q) => ivfTopK(e, q, idCol, vecCol, k, nlist, nprobe))
+
+  /** Shared differential-recall body of [[ivfRecallAudit]] and
+    * [[ivfPqRecallAudit]] — one definition so the two audits cannot
+    * drift: brute-force ground truth over the first `nQueries` ids, the
+    * approximate `topK` hit set broadcast onto the truth spine (≤
+    * nQueries·k rows at any corpus size — broadcasting beats shuffling
+    * both sides), per-query n_found + the minRecall floor. */
+  private def topKRecallAudit(embs: DataFrame, idCol: String,
+      vecCol: String, k: Int, nQueries: Int, minRecall: Double,
+      topK: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val queries = embs.filter(col(idCol) < nQueries)
     val truth = bruteForceTopK(embs, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-    // the probe's hit set is ≤ nQueries·k rows at any corpus size —
-    // broadcast it onto the truth spine rather than shuffling both sides
-    val got = ivfTopK(embs, queries, idCol, vecCol, k, nlist, nprobe)
+    val got = topK(embs, queries)
       .select(col("query_id").as("gqid"), col("neighbor_id").as("nid"),
         lit(true).as("hit"))
     truth.join(broadcast(got),
@@ -770,20 +780,8 @@ object Similarity {
     * exact probe would have kept. */
   def ivfPqRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int, nprobe: Int, subs: Int, codes: Int, rerank: Int,
-      nQueries: Int, minRecall: Double): DataFrame = {
-    val queries = embs.filter(col(idCol) < nQueries)
-    val truth = bruteForceTopK(embs, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val got = ivfPqTopK(embs, queries, idCol, vecCol, k, nlist, nprobe,
-        subs, codes, rerank)
-      .select(col("query_id").as("gqid"), col("neighbor_id").as("nid"),
-        lit(true).as("hit"))
-    truth.join(broadcast(got),
-        truth("query_id") === col("gqid") &&
-          truth("neighbor_id") === col("nid"), "left")
-      .groupBy("query_id")
-      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_found"))
-      .select(col("query_id"), col("n_found"),
-        (col("n_found").cast("double") >= lit(minRecall * k)).as("recall_ok"))
-  }
+      nQueries: Int, minRecall: Double): DataFrame =
+    topKRecallAudit(embs, idCol, vecCol, k, nQueries, minRecall,
+      (e, q) => ivfPqTopK(e, q, idCol, vecCol, k, nlist, nprobe,
+        subs, codes, rerank))
 }

@@ -148,7 +148,7 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
   private def dtypeOpt(c: Column): Option[DataType] =
     runCtx.map(_.df).orElse(typerDf).flatMap { df =>
       try Some(df.select(c).schema.head.dataType)
-      catch { case _: Throwable => None }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
 
   def sparkType(t: RType): DataType = t.base match {
@@ -350,8 +350,14 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
     * to the joined frame for expressions over compiler-added columns. */
   private def totalsInput(ctx: RunCtx, ckName: String, vName: String,
       c: Column): DataFrame =
-    try ctx.frozen.withColumn(vName, c).select(col(ckName), col(vName))
-    catch { case _: Throwable => ctx.df.select(col(ckName), col(vName)) }
+    if (ctx.frozen == null) // no chunk col yet — nothing frozen to prefer
+      ctx.df.select(col(ckName), col(vName))
+    else try ctx.frozen.withColumn(vName, c).select(col(ckName), col(vName))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      org.slf4j.LoggerFactory.getLogger(classOf[RaqlCompiler])
+        .info("graft: carry-totals input falls back to the rewritten" +
+          " frame (operand references materialized stateful columns)")
+      ctx.df.select(col(ckName), col(vName)) }
 
   /** Sequence-ordered running window, partitioned by the GROUP BY keys
     * when the program has any. */
@@ -896,18 +902,35 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         def bucketOf(t: Column): Column =
           ((t - pmod(t, lit(B))) / lit(B)).cast("long") // floor for t < 0
         ctx.df = ctx.df.withColumn(bN, bucketOf(col(tN)))
-        val within = collect_list(struct(col(tN).as("t"), col(vN).as("v")))
+        // collect_list SKIPS null inputs — the sequential path's window
+        // contents hold only non-null operand values (crucial under a
+        // null-sparse stateful operand like ONCE EVERY, whose column is
+        // NULL on all but one row per period). Wrapping the struct in
+        // when(v IS NOT NULL, …) preserves that: a null struct input is
+        // dropped by collect_list, exactly like collect_list(v) drops
+        // null v. (r15 shipped the bare struct — never null even when v
+        // is — which polluted the array with (t, null) entries and broke
+        // the reference once_every/f2 composition.)
+        val within = collect_list(when(col(vN).isNotNull,
+            struct(col(tN).as("t"), col(vN).as("v"))))
           .over(Window.partitionBy(col(bN)).orderBy(col(tN))
             .rangeBetween(-(dUs - 1), 0))
         val gName = s"_graft_pgh${ctx.df.columns.length}"
         // the ghost agg evaluates on the FROZEN base when the operand
-        // resolves there (totalsInput's contract)
+        // resolves there (totalsInput's contract); an operand that
+        // references columns materialized by PRIOR stateful rewrites only
+        // exists on ctx.df — that unresolved-column case is an
+        // AnalysisException, the one failure this fallback is for. Log
+        // when it fires so a mis-resolved ghost source is visible.
         val gsrc =
           try ctx.frozen.select(tUs.as("t"), v.as("v"))
-          catch { case _: Throwable =>
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            org.slf4j.LoggerFactory.getLogger(classOf[RaqlCompiler])
+              .info("graft: PAST ghost source falls back to the rewritten" +
+                " frame (operand references materialized stateful columns)")
             ctx.df.select(col(tN).as("t"), col(vN).as("v")) }
         val ghosts = gsrc
-          .filter(pmod(col("t"), lit(B)) >= B - dUs + 1)
+          .filter(col("v").isNotNull && pmod(col("t"), lit(B)) >= B - dUs + 1)
           .groupBy((bucketOf(col("t")) + 1).as("_gpb"))
           .agg(sort_array(collect_list(struct(col("t"), col("v")))).as(gName))
         ctx.df = ctx.df.join(ghosts.hint("shuffle_hash"),

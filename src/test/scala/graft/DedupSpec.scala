@@ -583,6 +583,16 @@ class DedupSpec extends AnyFunSuite {
     // doc 12: entirely a leaked block — 8 span starts merge to one
     // interval covering all 20 tokens; cleaned text is EMPTY
     assert(out(12L) == ((1L, 20L, md5hex(""))))
+    // confirmTokens (the production anti-collision path): gram STRING
+    // equality rides the broadcast — identical output on collision-free
+    // data, and the broadcast/map-side join shape is unchanged
+    val confirmed = Dedup.decontaminateSpans(docs, probe, "doc_id", "text",
+        spanLen = 13, confirmTokens = true)
+      .select("id", "n_spans", "n_removed", "clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(confirmed == out,
+      "confirmTokens=true must be output-identical absent hash collisions")
   }
 
   test("PQ ADC search finds a meaningful share of the exact top-k") {

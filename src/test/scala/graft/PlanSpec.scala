@@ -339,6 +339,25 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the candidate-frame persist
   }
 
+  test("p04 incremental batch: composed ledgers keep exchange reuse, no cartesian (r16)") {
+    // the COMPOSED plan (d11 → d13 → d12 over survivors) is where
+    // exchange-reuse regressions hide: each stage's pin holds in
+    // isolation, but an extra column or re-projection introduced by the
+    // composition can split d11's single fp exchange or d12's span-key
+    // exchange into two executions of the expensive map pipeline
+    val df = PipelineQueries.incrementalBatchPlan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").head.contains("isFinalPlan=true"),
+      "outer p04 plan not final post-AQE")
+    assert(p.contains("ReusedExchange"),
+      "p04 lost exchange reuse (a per-doc map pipeline now runs twice)")
+    assert(p.contains("ShuffledHashJoin"),
+      "p04's ledger-probe joins lost their shuffle_hash pins")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // release the candidate-frame persist
+  }
+
   test("a11 IVF-PQ: probe cells, ADC LUT and refine shortlist all broadcast (r15)") {
     val p = finalPlan("a11_ivf_pq")
     // the corpus must never be shuffled by a JOIN key: probe-cell
@@ -358,6 +377,12 @@ class PlanSpec extends AnyFunSuite {
     // exists (contamination side is the benchmark, not the corpus)
     assert(p.contains("BroadcastHashJoin"),
       "t19's probe-gram join must broadcast the benchmark side")
+    // the excisePositions joins are shuffle_hash-hinted, so ANY sort-merge
+    // here means the corpus got shuffled on the gram key (a lost broadcast
+    // with the exchange landing corpus-side would still satisfy the two
+    // asserts above)
+    assert(!p.contains("SortMergeJoin"),
+      "t19 shuffled the corpus on a content key (sort-merge appeared)")
     assert(!p.contains("CartesianProduct"))
   }
 
