@@ -768,6 +768,64 @@ object DedupQueries {
                     v -> i - 1 >= v.s AND i - 1 < v.e)) = 0),
                 i -> toks[i]), ' '), '')) END AS clean_md5
         FROM tk t LEFT JOIN agg a USING (doc_id)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ---- d14: the STREAMING incremental-ledger loop, replayed as three
+    // batch triggers (doc_id % 3 = the trigger order). Each trigger both
+    // classifies against the ledger accumulated by the PRIOR triggers and
+    // appends its novel fingerprints — so the oracle's archive keeper for
+    // a fingerprint is the min doc_id of the FIRST trigger that saw it,
+    // and a doc repeating content from two triggers ago classifies
+    // dup_of_archive (the case the static-corpus stream guards miss).
+    // Exercises LedgerStream.exactStep — the exact foreachBatch body the
+    // streaming wiring runs (LedgerStreamSpec covers the live-stream and
+    // replay-idempotency sides; this row value-pins the multi-trigger
+    // ledger evolution against DuckDB).
+    QueryDef(
+      "d14_ledger_stream_replay",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_d14").toString
+        try {
+          for (b <- 0L to 2L)
+            graft.streaming.LedgerStream.exactStep(s,
+              docs.filter(col("doc_id") % 3 === b), b,
+              s"$base/ledger", s"$base/out", "doc_id", "text")
+          s.read.option("basePath", s"$base/out").parquet(s"$base/out")
+            .select(col("id").as("doc_id"),
+              col("ingest_batch").cast("long").as("ingest_batch"),
+              col("fp"), col("status"), col("keep_id"))
+            .orderBy("doc_id").localCheckpoint()
+        } finally rmTree(base)
+      },
+      Some(s"""WITH fps AS (
+          SELECT doc_id, doc_id % 3 AS b,
+            md5(array_to_string(list_sort(string_split($normSql, ' ')), ' ')) AS fp
+          FROM documents),
+        fb AS (SELECT fp, MIN(b) AS fb FROM fps GROUP BY 1),
+        arch AS (
+          SELECT f.fp, MIN(f.doc_id) AS akeep, fb.fb
+          FROM fps f JOIN fb ON f.fp = fb.fp AND f.b = fb.fb
+          GROUP BY f.fp, fb.fb),
+        bm AS (SELECT fp, b, MIN(doc_id) AS bkeep FROM fps GROUP BY 1, 2)
+        SELECT f.doc_id, f.b AS ingest_batch, f.fp,
+          CASE WHEN f.b > a.fb THEN 'dup_of_archive'
+               WHEN f.doc_id > m.bkeep THEN 'dup_in_batch'
+               ELSE 'novel' END AS status,
+          CASE WHEN f.b > a.fb THEN a.akeep ELSE m.bkeep END AS keep_id
+        FROM fps f JOIN arch a ON a.fp = f.fp
+        JOIN bm m ON m.fp = f.fp AND m.b = f.b
+        ORDER BY f.doc_id"""))
   )
+
+  /** Recursive delete for the d14 scratch dirs (children before parents). */
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 }

@@ -528,5 +528,47 @@ object RaqlQueries {
           round(vs[2] - vs[1], 6) AS delta6,
           lag(value, 1) OVER (ORDER BY event_id) AS prev
         FROM w ORDER BY event_id"""))
+  ,
+
+    // ---- r17: UNGROUPED running GROUP — the last sequentialWindow site,
+    // now chunk-distributed (r15 verdict task 7): the per-row value is the
+    // whole value prefix in arrival order, computed as a within-chunk
+    // prefix collect_list plus a concatenated cross-chunk carry
+    // (RaqlCompiler.chunkedGroupPrefix). The prefix list is md5-hashed
+    // per row (the d12/t18 wide-content trick) so the driver compares
+    // every element of every prefix without shipping O(n²) values.
+    QueryDef(
+      "r17_raql_running_group",
+      (s, d) => compileRaql(s, d,
+        """DEFINE q AS
+             FROM tables/events
+             SELECT event_id,
+                    group value AS vals,
+                    sum 1 AS running_n
+             WHERE event_id < 1200;""")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          expr("size(vals)").as("n_vals"),
+          expr("""md5(cast(array_join(transform(vals,
+              x -> cast(cast(round(x * 10000) as long) as string)), ',')
+            as binary))""").as("grp_md5"),
+          org.apache.spark.sql.functions.col("running_n"))
+        .orderBy("event_id"),
+      Some("""WITH w AS (
+          SELECT event_id,
+            -- DuckDB's list() keeps nulls, Spark's collect_list skips them
+            list_filter(
+              list(value) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              x -> x IS NOT NULL) AS vs,
+            CAST(SUM(1) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS running_n
+          FROM events WHERE event_id < 1200)
+        SELECT event_id, len(vs) AS n_vals,
+          md5(array_to_string(list_transform(vs,
+            x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)), ','))
+            AS grp_md5,
+          running_n
+        FROM w ORDER BY event_id"""))
   )
 }

@@ -2072,6 +2072,51 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
         element_at(col(carryName), idx)))
   }
 
+  /** Chunk-distributed running GROUP (prefix collect_list) — the last
+    * sequentialWindow site, retired: the per-chunk total is the chunk's
+    * seq-ordered value list, mergeable by plain CONCATENATION (the same
+    * carry shape as the scan folds), so pass 1 is a within-chunk prefix
+    * collect_list (one task per input partition) and pass 2 concatenates
+    * prior chunks' lists in chunk order and broadcast-joins the carry
+    * back. Bit-identical to the single-task window: both passes append in
+    * seq order (the totals list is array_sort'ed on the unique seq riding
+    * each entry struct) and both skip nulls (null values collapse to null
+    * structs, which collect_list drops — the r15 once_every lesson,
+    * applied in BOTH passes).
+    *
+    * The honest scale note: distributing the computation does not shrink
+    * the OUTPUT — running GROUP's per-row value IS its whole prefix, so
+    * row width still grows O(prefix); that is the aggregate's semantics,
+    * not the plan's. What this removes is the single WindowExec task
+    * holding the whole INPUT. The carry broadcast is one array of all
+    * prior values per chunk — the same order of bytes the chunk's own
+    * output rows already carry. */
+  private def chunkedGroupPrefix(vC: Column): Column = {
+    val ctx = runCtx.get
+    val ckName = withChunkCol(ctx)
+    val vName = s"_graft_cv${ctx.df.columns.length}"
+    val entry = struct(col(ctx.seqName).as("s"), vC.as("v"))
+    ctx.df = ctx.df.withColumn(vName, entry)
+    def keep(e: Column) = when(e.getField("v").isNotNull, e)
+    val within = transform(collect_list(keep(col(vName))).over(
+      Window.partitionBy(col(ckName)).orderBy(col(ctx.seqName))
+        .rowsBetween(Window.unboundedPreceding, 0)), _.getField("v"))
+    val carryName = s"_graft_cc${ctx.df.columns.length}"
+    val totals0 = totalsInput(ctx, ckName, vName, entry)
+      .groupBy(col(ckName).as("_gck"))
+      .agg(array_sort(collect_list(keep(col(vName)))).as("_gtot"))
+    val prior = flatten(collect_list(col("_gtot")).over(
+      Window.partitionBy(graft.ops.Windows.oneGroup(col("_gck")))
+        .orderBy(col("_gck"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val totals = totals0.select(col("_gck"),
+      transform(prior, _.getField("v")).as(carryName))
+    ctx.df = ctx.df.join(broadcast(totals),
+      ctx.df(ckName) === totals("_gck"), "left").drop("_gck")
+    when(col(carryName).isNull, within)
+      .otherwise(concat(col(carryName), within))
+  }
+
   /** Chunk-distributable lag: [[chunkedLag]] in ungrouped chunked mode for
     * orderable values, the (group-partitioned or, ungrouped, sequential)
     * window otherwise. */
@@ -2187,8 +2232,15 @@ final class RaqlCompiler(spark: SparkSession, baseDir: String) {
       case "bitor" => call_function("bit_or", c).over(prefix)
       case "bitand" => call_function("bit_and", c).over(prefix)
       case "bitxor" => call_function("bit_xor", c).over(prefix)
+      case "group" if chunked &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(dtypeOf(c)) =>
+        chunkedGroupPrefix(c)
       case "group" =>
-        // per-row state IS the whole prefix — no distributing carry exists
+        // per-row state IS the whole prefix — orderable values distribute
+        // via chunkedGroupPrefix above; a non-orderable element type
+        // (map) cannot ride the seq-sorted carry structs, so it keeps the
+        // single-task window and the diagnostic
         if (runCtx.get.parts.isEmpty) sequentialWindow("running GROUP")
         collect_list(c).over(prefix)
       case "distinct" => // novelty flag: first sighting of this value

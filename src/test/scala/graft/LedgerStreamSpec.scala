@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.LedgerStream
+
+/** The always-on dedup ledger loop ([[graft.streaming.LedgerStream]]):
+  * each micro-batch classifies against the accumulated archive AND appends
+  * its novel rows — so a dup of a doc ingested TWO TRIGGERS AGO is flagged,
+  * which the static-corpus stream guards cannot do. Plus the replay
+  * contract: a re-delivered batchId must neither duplicate the ledger nor
+  * classify against its own first attempt. */
+class LedgerStreamSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.builder("4").getOrCreate()
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  test("exact ledger stream: a dup of a doc ingested two triggers ago flags dup_of_archive") {
+    implicit val sqlCtx = spark.sqlContext
+    val (ledgerDir, outDir, ckpt) = (tmp("led"), tmp("out"), tmp("ck"))
+    val mem = MemoryStream[(Long, String)]
+    val q = LedgerStream.exactLedgerStream(
+        mem.toDS().toDF("doc_id", "text"), ledgerDir, outDir,
+        "doc_id", "text")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, "aaa bbb ccc"), (2L, "ddd eee fff"))
+      q.processAllAvailable()
+      mem.addData((3L, "ggg hhh iii"))
+      q.processAllAvailable()
+      // trigger 3: doc 4 repeats trigger-1 content (TWO triggers ago),
+      // doc 5 repeats trigger 2's; 6/7 are an in-batch pair; 8 is novel
+      mem.addData((4L, "aaa bbb ccc"), (5L, "ggg hhh iii"),
+        (6L, "jjj kkk"), (7L, "jjj kkk"), (8L, "lll mmm"))
+      q.processAllAvailable()
+      val got = spark.read.option("basePath", outDir).parquet(outDir)
+        .select("id", "status", "keep_id").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) == (("novel", 1L)) && got(2L) == (("novel", 2L)))
+      assert(got(3L) == (("novel", 3L)))
+      assert(got(4L) == (("dup_of_archive", 1L)), got)
+      assert(got(5L) == (("dup_of_archive", 3L)), got)
+      assert(got(6L) == (("novel", 6L)))
+      assert(got(7L) == (("dup_in_batch", 6L)))
+      assert(got(8L) == (("novel", 8L)))
+      // the ledger holds exactly the novel fingerprints, once each
+      val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+      assert(led.count() == 5 &&
+        led.select("fp").distinct().count() == 5)
+    } finally q.stop()
+  }
+
+  test("near-dup ledger stream: archive grows per trigger; exact and fuzzy dups both flag") {
+    implicit val sqlCtx = spark.sqlContext
+    val (ledgerDir, archDir, outDir, ckpt) =
+      (tmp("nled"), tmp("narc"), tmp("nout"), tmp("nck"))
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank every single morning before the sun rises fully"
+    val fuzzy = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank every single morning before the moon rises fully"
+    val other = "completely different content about spark catalyst " +
+      "optimizer rules and whole stage code generation pipelines"
+    val mem = MemoryStream[(Long, String)]
+    val q = LedgerStream.minhashLedgerStream(
+        mem.toDS().toDF("doc_id", "text"), ledgerDir, archDir, outDir,
+        "doc_id", "text", threshold = 0.5)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      mem.addData((2L, other))
+      q.processAllAvailable()
+      // trigger 3: 3 = verbatim copy of doc 1 (two triggers ago),
+      // 4 = one-word variant of it, 5 = novel
+      mem.addData((3L, base), (4L, fuzzy),
+        (5L, "unrelated text with no shared shingles at all in here today"))
+      q.processAllAvailable()
+      val got = spark.read.option("basePath", outDir).parquet(outDir)
+        .select("id", "status", "dup_of", "jaccard")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+      assert(got(1L)._1 == "novel" && got(2L)._1 == "novel")
+      assert(got(3L) == (("dup_of_archive", 1L, 1.0)), got)
+      assert(got(4L)._1 == "dup_of_archive" && got(4L)._2 == 1L &&
+        got(4L)._3 >= 0.5, got)
+      assert(got(5L)._1 == "novel")
+      // the archive holds only the novel docs' text; the dup never entered
+      val arch = spark.read.option("basePath", archDir).parquet(archDir)
+      assert(arch.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
+  test("replayed batchId overwrites its own append and never classifies against it") {
+    val (ledgerDir, outDir) = (tmp("rled"), tmp("rout"))
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha beta"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+    LedgerStream.exactStep(spark, b0, 0L, ledgerDir, outDir, "doc_id", "text")
+    val first = LedgerStream
+      .exactStep(spark, b1, 1L, ledgerDir, outDir, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    // replay batch 1 (failure-recovery contract): identical classification
+    // — doc 4 must stay NOVEL (not dup_of_archive against its own first
+    // attempt) — and the ledger must not gain duplicate fingerprints
+    val replay = LedgerStream
+      .exactStep(spark, b1, 1L, ledgerDir, outDir, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    assert(first == replay)
+    assert(replay.map(r => (r.getLong(0), r.getString(2))) ==
+      Seq((3L, "dup_of_archive"), (4L, "novel")))
+    val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+    assert(led.count() == 3 && led.select("fp").distinct().count() == 3)
+  }
+
+  test("minhash ledger bits mismatch fails fast instead of probing misaligned keys") {
+    val (ledgerDir, archDir, outDir) = (tmp("bled"), tmp("barc"), tmp("bout"))
+    val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    LedgerStream.minhashStep(spark, b0, 0L, ledgerDir, archDir, outDir,
+      "doc_id", "text", bits = 24)
+    val b1 = Seq((2L, "seven eight nine ten eleven")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LedgerStream.minhashStep(spark, b1, 1L, ledgerDir, archDir, outDir,
+        "doc_id", "text", bits = 32)
+    }
+    assert(e.getMessage.contains("bits=24"))
+  }
+}

@@ -422,7 +422,8 @@ class PlanSpec extends AnyFunSuite {
     }
     for (name <- Seq("r04_raql_lag_changed", "r05_raql_running_aggs",
         "r06_raql_moveavg_latest", "r10_raql_hysteresis_holt",
-        "r11_raql_tumbling_commit", "r14_raql_holt_winters")) {
+        "r11_raql_tumbling_commit", "r14_raql_holt_winters",
+        "r17_raql_running_group")) {
       val df = Queries.byName(name).run(spark, sf)
       df.collect()
       val bad = windows(df.queryExecution.executedPlan)

@@ -595,6 +595,60 @@ class RaqlSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("ungrouped running GROUP distributes via concat carry (r15 verdict task 7)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val src = Map("run" -> """DEFINE f AS
+        SELECT n, group v AS g, sum v AS rsum
+        FROM tbl;""")
+    // nulls must be SKIPPED in arrival order by BOTH passes (within-chunk
+    // prefix and cross-chunk carry — the r15 once_every lesson); 8 real
+    // chunks exercise the concat across chunk boundaries. range(..., 8)
+    // yields CONTIGUOUS ordered partitions (no shuffle), so arrival order
+    // == n order and the absolute prefix values are predictable
+    val base = spark.range(1, 20001, 1, 8).toDF("n")
+      .withColumn("v",
+        when(col("n") % 7 === 0, lit(null)).otherwise(col("n") * 2))
+    val c = RaqlCompiler.fromSources(spark, funcDir, src)
+      .fold(e => fail(s"parse: $e"), identity)
+    c.registerTable("tbl", base)
+    val df = c.compile("run/f")
+    assert(c.sequentialForms.isEmpty, s"flagged: ${c.sequentialForms}")
+    // partition-less windows only over the bounded per-chunk totals frames
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.collectFirst { case a: LAgg => a }.nonEmpty,
+        "partition-less window over the full input")
+    }
+    // the output is O(n²) values — hash each prefix list EXECUTOR-side
+    // (the r17/d12 wide-content trick) so the driver compares 20k rows,
+    // not 200M elements
+    def shape(frame: org.apache.spark.sql.DataFrame) = frame
+      .selectExpr("n", "size(g) AS ng",
+        "md5(cast(array_join(transform(g, x -> cast(x as string)), ',') as binary)) AS gh",
+        "rsum")
+      .orderBy("n").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val got = shape(df)
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    val want = try {
+      val c2 = RaqlCompiler.fromSources(spark, funcDir, src)
+        .fold(e => fail(s"parse: $e"), identity)
+      c2.registerTable("tbl", base)
+      shape(c2.compile("run/f"))
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
+    assert(got.length == 20000)
+    assert(got.sameElements(want))
+    // spot-check absolute prefix values ACROSS a chunk boundary: chunk 0
+    // holds n = 1..2500, so n = 2503's prefix must concatenate chunk 0's
+    // full list with chunk 1's first three values, nulls (multiples of 7)
+    // skipped in both
+    val g = df.filter(col("n") === 2503).select("g")
+      .collect()(0).getSeq[Long](0)
+    assert(g.toList == (1 to 2503).filter(_ % 7 != 0).map(_ * 2L).toList)
+  }
+
   test("MIXED running aggs + lag family distribute via chunked lag (no ghosts)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
     // running sum/min disables the ghost rewrite (unbounded prefix), so
@@ -981,11 +1035,16 @@ class RaqlSpec extends AnyFunSuite {
       c.compile("run/f")
       c
     }
-    // ungrouped running GROUP and PAST … sliding: inherently one
-    // WindowExec task (per-row state = the window contents) — the typed
-    // diagnostic must record both
+    // ungrouped running GROUP chunk-distributes since r16
+    // (chunkedGroupPrefix — concat-mergeable carry), so no flag; the
+    // diagnostic survives only behind chunkedRunning=false (below)
     val c1 = compileWith("SELECT n, group n AS g FROM tbl")
-    assert(c1.sequentialForms.contains("running GROUP"))
+    assert(c1.sequentialForms.isEmpty, c1.sequentialForms.toString)
+    spark.conf.set("graft.raql.chunkedRunning", "false")
+    try {
+      val c1b = compileWith("SELECT n, group n AS g FROM tbl")
+      assert(c1b.sequentialForms.contains("running GROUP"))
+    } finally spark.conf.unset("graft.raql.chunkedRunning")
     // `past d of x` distributes in every orderable shape now: plain via
     // the whole-plan double-bucket rewrite, nested/mixed via the r15
     // bucket-join operator (the operand's lag materializes first) — no
@@ -1004,12 +1063,17 @@ class RaqlSpec extends AnyFunSuite {
     // grouped forms partition their windows — no flag
     val c3 = compileWith("SELECT n % 3 AS k, group n AS g FROM tbl GROUP BY n % 3")
     assert(c3.sequentialForms.isEmpty, c3.sequentialForms.toString)
-    // strict mode turns the diagnostic into a typed error
+    // strict mode turns the diagnostic into a typed error (running GROUP
+    // only reaches it with the chunked rewrite opted out)
     spark.conf.set("graft.raql.failOnSequential", "true")
+    spark.conf.set("graft.raql.chunkedRunning", "false")
     try {
       val e = intercept[Exception](compileWith("SELECT n, group n AS g FROM tbl"))
       assert(e.getMessage.contains("ONE WindowExec task"), e.getMessage)
-    } finally spark.conf.unset("graft.raql.failOnSequential")
+    } finally {
+      spark.conf.unset("graft.raql.failOnSequential")
+      spark.conf.unset("graft.raql.chunkedRunning")
+    }
   }
 
   test("ONE OUT OF distributes via the chunked row count") {
