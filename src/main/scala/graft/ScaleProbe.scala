@@ -117,6 +117,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val spark = GraftSession.get()
+    // generic conf injection for same-code A/B probes, e.g.
+    // SPARK_GRAFT_CONF=graft.dedup.packedPayload=false (the d02 payload
+    // toggle) — applied before any plan is built
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(ck, cv) = kv.split("=", 2)
+      spark.conf.set(ck, cv)
+    })
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dir = s"/tmp/graft_scale_x$k"
     // build under a scratch name and move PER TABLE when complete — with
@@ -157,7 +164,8 @@ object ScaleProbe {
     val names = Seq("d01_exact_dedup", "d02_minhash_lsh", "d04_simhash",
       "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
       "d11_incremental_dedup", "d12_remove_passages", "d13_incremental_neardup",
-      "d07c_semantic_dedup_trained",
+      "d07c_semantic_dedup_trained", "p04_incremental_batch",
+      "d14_ledger_stream_replay", "a11b_ivf_pq_trained",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf", "a10_cell_diverse_sample",
       "a11_ivf_pq", "t19_decontaminate_spans",
       "t01_tokstats", "t08_bpe_tokens", "t17_dsir_weights", "t18_chunk_windows",

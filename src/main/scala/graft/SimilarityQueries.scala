@@ -666,6 +666,160 @@ object SimilarityQueries {
         GROUP BY 1 ORDER BY 1"""
       }),
 
+    // ---- a11b: IVF-PQ with TRAINED centroids AND trained PQ codebooks
+    // (r15 verdict task 6) — the full trained production index: one
+    // distributed-kmeans sweep refines the coarse quantizer as a
+    // DATAFRAME (KMeans.trainCentroids — the above-the-2^16-cap path,
+    // corpus assigned through the broadcast-joined two-level frame),
+    // one per-subspace kmeans sweep refines the PQ codebooks
+    // (KMeans.trainPqCodebooks — the Jégou 2011 construction), and
+    // Similarity.ivfPqTopKTrained composes them into a11's ADC + exact-
+    // refine search. The oracle replays EVERY stage: centroid seeding,
+    // fine→coarse grouping with the empty-group skip, the training means
+    // (round-6 DECIMAL), re-grouping and re-assignment against the
+    // TRAINED coarse rows, codebook seeding, per-subspace assignment and
+    // means, trained encode, LUT, decimal ADC, shortlist, exact re-rank.
+    QueryDef(
+      "a11b_ivf_pq_trained",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        require(Similarity.vecDim(embs, "embedding") == 64,
+          "a11b oracle SQL is generated for dim=64 embeddings")
+        val cents = graft.ops.KMeans.trainCentroids(
+          embs, "vec_id", "embedding", nlist = 16, iters = 1)
+        val books = graft.ops.KMeans.trainPqCodebooks(
+          embs, "vec_id", "embedding", subs = 8, codes = 16, iters = 1)
+        val out = Similarity.ivfPqTopKTrained(embs,
+          embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          cents, nlist = 16, books, subs = 8, codes = 16,
+          nprobe = 4, rerank = 3)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            col("adc"), col("cos"))
+          .orderBy("query_id", "rk")
+        // the trained search persists its assignment frame internally
+        // (two consumers); materialize the bounded result and release the
+        // session caches (the d13 discipline)
+        try out.localCheckpoint()
+        finally s.catalog.clearCache()
+      },
+      Some {
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
+        // two-level assignment of the corpus against centroid CTE $c
+        // (coarse = cidx ≤ 4 of the SAME CTE, non-empty groups only —
+        // the d07c fragments at nlist=16, nCoarse=4)
+        def grp(c: String, g: String) = s"""$g AS (
+          SELECT fidx, coidx AS g FROM (
+            SELECT f.cidx AS fidx, co.cidx AS coidx,
+              row_number() OVER (PARTITION BY f.cidx
+                ORDER BY ${dot("f.cv", "co.cv")} DESC, co.cidx) AS rk
+            FROM $c f JOIN $c co ON co.cidx <= 4) zg$g WHERE rk = 1)"""
+        def assign(c: String, g: String, cw: String, cell: String) = s"""$cw AS (
+          SELECT vec_id, cidx AS w FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN $c c ON c.cidx <= 4
+              AND c.cidx IN (SELECT DISTINCT g FROM $g)) zw$cw WHERE rk = 1),
+        $cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN $cw ON $cw.vec_id = v.vec_id
+              JOIN $g ON $g.g = $cw.w
+              JOIN $c c ON c.cidx = $g.fidx) zc$cell WHERE rk = 1)"""
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+              "list_transform(embedding, x -> CAST(x AS DOUBLE))")}) AS norm
+          FROM embeddings),
+          c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+              list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+            FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+          ${grp("c0", "grp0")},
+          ${assign("c0", "grp0", "cw0", "cell0")},
+          m AS (
+            SELECT ce.cell AS cidx, dims.dim,
+              CAST(SUM(CAST(ROUND(v.v[dims.dim], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS mv
+            FROM v JOIN cell0 ce ON ce.vec_id = v.vec_id
+            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dims
+            GROUP BY ce.cell, dims.dim),
+          m1 AS (SELECT cidx, list(mv ORDER BY dim) AS ml FROM m GROUP BY cidx),
+          c1 AS (
+            SELECT c0.cidx,
+              COALESCE(list_transform(m1.ml, x -> x / greatest(
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(m1.ml, y -> y * y)), (a, x2) -> a + x2)),
+                1e-12)), c0.cv) AS cv
+            FROM c0 LEFT JOIN m1 USING (cidx)),
+          ${grp("c1", "grp1")},
+          ${assign("c1", "grp1", "cw1", "cell1")},
+          probe AS (
+            SELECT vec_id AS qid, cidx AS cell FROM (
+              SELECT v.vec_id, c.cidx,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+              FROM v CROSS JOIN c1 c WHERE v.vec_id < 10) zp WHERE rk <= 4),
+          seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS cj, v
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 16) s1),
+          b0 AS (SELECT sub.s, seeds.cj,
+              list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], x -> x / greatest(
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(seeds.v[sub.s*8+1 : sub.s*8+8], y -> y * y)),
+                  (a, z) -> a + z)), 1e-12)) AS cw
+            FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sub),
+          psc0 AS (SELECT v.vec_id, b.s, b.cj,
+              ${dot("v.v[b.s*8+1 : b.s*8+8]", "b.cw")} AS dt
+            FROM v CROSS JOIN b0 b),
+          cd0 AS (SELECT vec_id, s, cj FROM (SELECT vec_id, s, cj,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk
+            FROM psc0) z0 WHERE rk = 1),
+          bm AS (
+            SELECT cd0.s, cd0.cj, dims.dim,
+              CAST(SUM(CAST(ROUND(v.v[cd0.s*8 + dims.dim], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*) AS mv
+            FROM v JOIN cd0 ON cd0.vec_id = v.vec_id
+            CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS dim) dims
+            GROUP BY cd0.s, cd0.cj, dims.dim),
+          bm1 AS (SELECT s, cj, list(mv ORDER BY dim) AS ml FROM bm GROUP BY s, cj),
+          b1 AS (
+            SELECT b0.s, b0.cj,
+              COALESCE(list_transform(bm1.ml, x -> x / greatest(
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(bm1.ml, y -> y * y)), (a, x2) -> a + x2)),
+                1e-12)), b0.cw) AS cw
+            FROM b0 LEFT JOIN bm1 USING (s, cj)),
+          psc1 AS (SELECT v.vec_id, b.s, b.cj,
+              ${dot("v.v[b.s*8+1 : b.s*8+8]", "b.cw")} AS dt
+            FROM v CROSS JOIN b1 b),
+          cd1 AS (SELECT vec_id, s, cj FROM (SELECT vec_id, s, cj,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dt DESC, cj) AS rk
+            FROM psc1) z1 WHERE rk = 1),
+          lut AS (SELECT vec_id AS qid, s, cj,
+              CAST(ROUND(dt, 9) AS DECIMAL(18,9)) AS qdot
+            FROM psc1 WHERE vec_id < 10),
+          adc AS (SELECT lut.qid, cd1.vec_id AS nid,
+              CAST(SUM(lut.qdot) AS DOUBLE) AS adc
+            FROM cd1 JOIN cell1 ce ON ce.vec_id = cd1.vec_id
+              JOIN probe p ON p.cell = ce.cell
+              JOIN lut ON lut.qid = p.qid AND lut.s = cd1.s AND lut.cj = cd1.cj
+            WHERE cd1.vec_id <> lut.qid GROUP BY 1, 2),
+          short AS (SELECT qid, nid, adc FROM (SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS ark
+            FROM adc) zs WHERE ark <= 15),
+          rr AS (SELECT s.qid AS query_id, s.nid AS neighbor_id, s.adc,
+              ROUND(${dot("q.v", "t.v")} / (q.norm * t.norm), 9) AS cos
+            FROM short s JOIN v q ON q.vec_id = s.qid
+              JOIN v t ON t.vec_id = s.nid)
+        SELECT query_id, rk, neighbor_id, adc, cos FROM (
+          SELECT query_id, neighbor_id, adc, cos, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          FROM rr) zf
+        WHERE rk <= 5 ORDER BY query_id, rk"""
+      }),
+
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
     QueryDef(

@@ -162,6 +162,65 @@ object KMeans {
     cents
   }
 
+  /** PQ codebook TRAINING — k-means per SUBSPACE, the Jégou et al. 2011
+    * construction ("Product quantization for nearest neighbor search",
+    * §II.C: a separate quantizer per subvector): subspace s's codebook
+    * refines [[Similarity.pqCodebooks]]' lowest-id seeds by `iters`
+    * sweeps of assign → mean → re-normalize, with the SAME determinism
+    * contract as [[trainCentroids]] — assignment is the argmax dot of the
+    * RAW subvector against the unit codewords computed by the ONE
+    * [[graft.functions.PqEncode]] kernel the encode path itself runs
+    * (ties to the lowest code), means are round-6 DECIMAL(18,6) sums
+    * (exact, order-free), empty codes keep their previous codeword.
+    *
+    * Scale shape: each sweep is ONE map-only encode pass (the PqEncode
+    * literal rides the plan — a codebook is dim·codes doubles, the
+    * [[Similarity.hyperplanes]] footprint class, NOT the nlist×dim
+    * centroid matrix that forced [[trainCentroids]]' frame design) plus
+    * one (sub, code, dim)-keyed mean aggregation of subs narrow rows per
+    * vector; the only driver transit is the ≤ subs·codes mean rows per
+    * sweep. Returned as a (sub, code, cw) FRAME (1-based sub and code)
+    * for API symmetry with [[trainCentroids]]. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      subs: Int, codes: Int, iters: Int = 1): DataFrame = {
+    val dim = Similarity.vecDim(corpus, vecCol)
+    require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
+    val w = dim / subs
+    var books = Similarity.pqCodebooks(corpus, idCol, vecCol, subs, codes)
+    for (_ <- 1 to iters) {
+      val enc = org.apache.spark.sql.GraftShims.column(
+        graft.functions.PqEncode(
+          org.apache.spark.sql.GraftShims.expression(col("v")), books))
+      val trained = Dedup.spreadInput(
+          corpus.select(col(vecCol).as("v")), GraftPar.of(corpus))
+        .select(col("v"), posexplode(enc))
+        .select(col("v"), col("pos").as("sub0"), col("col.code").as("code"))
+        .select(col("sub0"), col("code"),
+          posexplode(slice(col("v"), col("sub0") * w + 1, lit(w))))
+        .select(col("sub0"), col("code"), (col("pos") + 1).as("dim"),
+          round(col("col").cast("double"), 6).as("xq"))
+        .groupBy("sub0", "code", "dim")
+        .agg((sum(col("xq").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("mv"))
+        .groupBy("sub0", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)")
+          .as("_raw"))
+        .select(col("sub0"), col("code"), normalizeArr(col("_raw")).as("cw"))
+        .collect() // ≤ subs·codes rows — the bounded per-sweep transit
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      books = books.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (cw, c) =>
+          trained.getOrElse((s, c + 1), cw)
+        }
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cw, c) => (s + 1, c + 1, cw) }
+    }.toDF("sub", "code", "cw")
+  }
+
   /** SemDeDup with a TRAINED centroid frame — [[Dedup.semanticDedupAuto]]
     * above the literal cap: assignment through [[assignWithFrame]], then
     * the standard cell-confined blocked pair join (min lower-id mate at

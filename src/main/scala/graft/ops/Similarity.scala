@@ -546,6 +546,100 @@ object Similarity {
     rr.withColumn("rk", row_number().over(fW)).filter(col("rk") <= k)
   }
 
+  /** IVF-PQ with TRAINED centroid and codebook FRAMES (the full trained
+    * production index; [[ivfPqTopK]] is the seeded construction): the
+    * coarse quantizer is a (cidx, cv) frame — [[KMeans.trainCentroids]]'
+    * output, broadcast-joined through [[KMeans.assignWithFrame]], so
+    * nlist may exceed the 2^16 plan-literal cap — and the PQ codebooks a
+    * (sub, code, cw) frame ([[KMeans.trainPqCodebooks]]).
+    *
+    * The codebook frame IS collected to the [[graft.functions.PqEncode]]
+    * literal: a codebook is dim·codes doubles at ANY corpus size (the
+    * [[hyperplanes]] footprint class — 131 kB at dim=64, codes=256),
+    * so unlike the nlist×dim centroid matrix the literal is principled,
+    * and it keeps the corpus-side encode inside one map-only
+    * whole-stage-codegen pass. Queries rank their nprobe cells EXACTLY
+    * through the broadcast centroid frame ([[KMeans.ivfTopKTrained]]'s
+    * probe shape — the query side is bounded, so the exact rank costs
+    * |queries|·nlist broadcast-joined rows, while the corpus side keeps
+    * the two-level O(n·√nlist) assignment). ADC scoring, shortlist and
+    * exact refine are [[ivfPqTopK]]'s, unchanged: probe cells, LUT and
+    * shortlist all broadcast; the corpus never shuffles by content.
+    *
+    * Same determinism contract as the seeded path (round-9 + DECIMAL ADC,
+    * ties to lowest id/code), so the whole trained pipeline — centroid
+    * sweep, codebook sweep, two-level assignment, encode, LUT, ADC,
+    * refine — replays value-for-value in SQL (the a11b oracle). */
+  def ivfPqTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: DataFrame, nlist: Int,
+      books: DataFrame, subs: Int, codes: Int, nprobe: Int = 4,
+      rerank: Int = 3): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    val w = dim / subs
+    val bookSeq: Seq[Seq[Seq[Double]]] = {
+      val m = books.select("sub", "code", "cw").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      (1 to subs).map(s => (1 to codes).map(c => m((s, c)).toSeq))
+    }
+    val assigned = KMeans.assignWithFrame(corpus, idCol, vecCol, cents, nlist)
+      // two consumers (code frame + refine) — materialize the assignment
+      // once instead of re-running the broadcast-join argmax per subtree
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enc = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftShims.expression(col("v")), bookSeq))
+    val cCodes = assigned.select(col("id"), col("cell"), posexplode(enc))
+      .select(col("id"), col("cell"), (col("pos") + 1).as("sub"),
+        col("col.code").as("code"))
+    val q = withVec(queries, idCol, vecCol, dim)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    import org.apache.spark.sql.expressions.Window
+    val probe = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cidx").as("cell"),
+        dotFlat(col("qv"), col("cv"), dim).as("dt"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("dt"), asc("cell"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val lut = q
+      .select(col("qid"), posexplode(array((0 until subs).map { s =>
+        array(bookSeq(s).map(cw =>
+          dotFlat(slice(col("qv"), s * w + 1, w), typedlit(cw), w)): _*)
+      }: _*)))
+      .select(col("qid"), (col("pos") + 1).as("sub"), posexplode(col("col")))
+      .select(col("qid"), col("sub"), (col("pos") + 1).as("code"),
+        round(col("col"), 9).cast(DecimalType(18, 9)).as("qdot"))
+    val adc = cCodes.join(broadcast(probe), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "id")
+      .agg(sum("qdot").cast("double").as("adc"))
+    val aW = Window.partitionBy("qid").orderBy(desc("adc"), asc("id"))
+    val shortlist = adc.withColumn("ark", row_number().over(aW))
+      .filter(col("ark") <= k * rerank)
+      .select(col("qid"), col("id"), col("adc"))
+    val rr = assigned.select(col("id"), col("v"), col("norm"))
+      .join(broadcast(shortlist), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("adc"),
+        round(dotFlat(col("qv"), col("v"), dim) / (col("qnorm") * col("norm")), 9)
+          .as("cos"))
+    val fW = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    rr.withColumn("rk", row_number().over(fW)).filter(col("rk") <= k)
+  }
+
+  /** [[ivfPqRecallAudit]] for the TRAINED pipeline ([[ivfPqTopKTrained]])
+    * — same differential body, so trained-vs-seeded recall is directly
+    * comparable row for row. */
+  def ivfPqTrainedRecallAudit(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, nlist: Int, books: DataFrame, subs: Int,
+      codes: Int, nprobe: Int, rerank: Int, nQueries: Int,
+      minRecall: Double): DataFrame =
+    topKRecallAudit(embs, idCol, vecCol, k, nQueries, minRecall,
+      (e, q) => ivfPqTopKTrained(e, q, idCol, vecCol, k, cents, nlist,
+        books, subs, codes, nprobe, rerank))
+
   /** Scale-safe default for the per-band sign width: pick r so that
     * 2^r ≈ n / targetBucket, i.e. the EXPECTED bucket population — and
     * with it the per-band candidate-pair cost Σ|bucket|² ≈ n·targetBucket

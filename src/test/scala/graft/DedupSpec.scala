@@ -303,6 +303,23 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("packedPayload=false (the r14-shape A/B toggle) is value-identical on the d02 path") {
+    // the toggle moves BYTES (full bucket arrays + shingle-array verify
+    // exchange vs packed prefixes + raw-text recompute), never values:
+    // candidate pair set and verified jaccards must match exactly
+    val docs = Tables.documents(spark, sf)
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.verifyJaccard(
+          Dedup.minhashCandidates(docs, "doc_id", "text"),
+          docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+    val packed = run()
+    spark.conf.set("graft.dedup.packedPayload", "false")
+    val unpacked = try run()
+      finally spark.conf.unset("graft.dedup.packedPayload")
+    assert(packed.nonEmpty && packed == unpacked)
+  }
+
   test("cross-corpus near-dup join finds planted contamination") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

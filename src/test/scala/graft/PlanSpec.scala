@@ -370,6 +370,33 @@ class PlanSpec extends AnyFunSuite {
       "a11 planned a corpus-wide join shuffle")
   }
 
+  test("a11b trained IVF-PQ: frame assignment and search stay broadcast-joined (r16)") {
+    // the OPERATOR's plan (the QueryDef returns an eager localCheckpoint);
+    // the trained path must keep a11's contract — centroid frame, probe
+    // cells, LUT and shortlist all broadcast, the corpus never shuffled
+    // by a join key (its only exchanges: the assignment's id-keyed argmax
+    // agg and the (qid, id) ADC agg)
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.embeddings(spark, sf)
+    val cents = graft.ops.KMeans.trainCentroids(
+      embs, "vec_id", "embedding", nlist = 16, iters = 1)
+    val books = graft.ops.KMeans.trainPqCodebooks(
+      embs, "vec_id", "embedding", subs = 8, codes = 16, iters = 1)
+    val df = graft.ops.Similarity.ivfPqTopKTrained(embs,
+      embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      cents, nlist = 16, books, subs = 8, codes = 16,
+      nprobe = 4, rerank = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").head.contains("isFinalPlan=true"),
+      "outer a11b plan not final post-AQE")
+    assert(p.contains("BroadcastHashJoin"),
+      "a11b lost its broadcast joins (corpus would shuffle on a join key)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "a11b planned a corpus-wide join shuffle")
+    spark.catalog.clearCache() // release the assignment persist
+  }
+
   test("t19 span decontamination: probe grams broadcast, corpus never content-shuffled (r15)") {
     val p = finalPlan("t19_decontaminate_spans")
     // the benchmark gram set is the broadcast side of the only
