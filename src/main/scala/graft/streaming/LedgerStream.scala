@@ -155,6 +155,34 @@ object LedgerStream {
     out
   }
 
+  /** OFFLINE ledger compaction — the production completion of the
+    * batchId-partitioned ingest layout. Per-trigger append partitions are
+    * cheap and replay-idempotent, but every probe re-clusters the
+    * accumulated ledger on its join key; compaction rewrites it ONCE as a
+    * catalog table BUCKETED and sorted by `fp` ([[graft.ops.Bucketing]] —
+    * bucket count should match the probe fan-out,
+    * [[graft.ops.GraftPar]]), after which the incremental classifier
+    * reads the ledger CO-LOCATED: zero exchange on the ledger side of the
+    * fp probe join, pinned in LedgerStreamSpec. Run out-of-band (the
+    * nightly ingest-then-compact discipline); triggers landing after a
+    * compaction probe the bucketed table UNION the post-compaction
+    * partitions — both sides stay narrow, and the union re-compacts on
+    * the next cycle. The rows are preserved verbatim (same fp set — novel
+    * fingerprints are appended at most once), so classification against
+    * the compacted table is value-identical to the directory read. The
+    * near-dup ledger compacts with the same rewrite keyed on
+    * (band, bucket); its probe co-location additionally depends on the
+    * hot-bucket blocking columns, so only the exact ledger carries the
+    * zero-exchange pin. */
+  def compactExactLedger(spark: SparkSession, ledgerDir: String,
+      table: String, buckets: Int): DataFrame = {
+    graft.ops.Bucketing.writeBucketed(
+      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+        .select("fp", "keep_id"),
+      table, "fp", buckets)
+    spark.table(table)
+  }
+
   /** Wire [[minhashStep]] as a foreachBatch sink (see [[exactLedgerStream]]
     * for the checkpoint requirement). */
   def minhashLedgerStream(stream: DataFrame, ledgerDir: String,

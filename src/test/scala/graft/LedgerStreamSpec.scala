@@ -117,6 +117,61 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(led.count() == 3 && led.select("fp").distinct().count() == 3)
   }
 
+  test("compacted exact ledger probes with ZERO exchange on the ledger side") {
+    // the ingest layout optimizes appends; compaction rewrites the
+    // accumulated ledger bucketed by fp so the incremental classifier
+    // reads it co-located — the "at scale the ledger is bucketed on disk
+    // and never moves" claim of incrementalExactDedup's scale notes,
+    // pinned. Values must be identical to the directory-read probe.
+    val (ledgerDir, outDir) = (tmp("cled"), tmp("cout"))
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "epsilon zeta"), (4L, "eta theta")).toDF("doc_id", "text")
+    LedgerStream.exactStep(spark, b0, 0L, ledgerDir, outDir, "doc_id", "text")
+    LedgerStream.exactStep(spark, b1, 1L, ledgerDir, outDir, "doc_id", "text")
+    val buckets = spark.sparkContext.defaultParallelism // = the probe fan-out
+    val compacted = LedgerStream.compactExactLedger(
+      spark, ledgerDir, "graft_ledger_b", buckets)
+    val b2 = Seq((5L, "alpha beta"), (6L, "eta theta"), (7L, "iota kappa"))
+      .toDF("doc_id", "text")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val viaTable = graft.ops.Dedup.incrementalExactDedup(
+        compacted, b2, "doc_id", "text")
+      val got = viaTable.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+      assert(got == Seq((5L, "dup_of_archive", 1L),
+        (6L, "dup_of_archive", 4L), (7L, "novel", 7L)))
+      // value-identical to the directory-read ledger
+      val viaDir = graft.ops.Dedup.incrementalExactDedup(
+          spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+            .select("fp", "keep_id"),
+          b2, "doc_id", "text")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+      assert(got == viaDir)
+      // plan pin: the ONLY fp exchange is the DELTA side's pinned
+      // repartition — the bucketed ledger scan provides its partitioning
+      // in place (count exchanges on fp in the final plan)
+      viaTable.collect()
+      val p = viaTable.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // one EXECUTED fp exchange (a ReusedExchange line cites the same
+      // exchange textually but runs no second shuffle), and the ledger
+      // scan must provide its layout in place
+      val fpExchanges = p.split("\n")
+        .filterNot(_.contains("ReusedExchange"))
+        .count(_.contains("Exchange hashpartitioning(fp"))
+      assert(fpExchanges == 1,
+        s"expected exactly the delta-side fp exchange, got $fpExchanges:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"ledger scan lost its bucket layout:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS graft_ledger_b")
+    }
+  }
+
   test("minhash ledger bits mismatch fails fast instead of probing misaligned keys") {
     val (ledgerDir, archDir, outDir) = (tmp("bled"), tmp("barc"), tmp("bout"))
     val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
