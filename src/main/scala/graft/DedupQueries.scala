@@ -816,10 +816,102 @@ object DedupQueries {
           CASE WHEN f.b > a.fb THEN a.akeep ELSE m.bkeep END AS keep_id
         FROM fps f JOIN arch a ON a.fp = f.fp
         JOIN bm m ON m.fp = f.fp AND m.b = f.b
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id""")),
+
+    // ---- d15: the SEMANTIC member of the streaming-ledger trio replayed
+    // as three batch triggers (vec_id % 3) — LedgerStream.semanticStep:
+    // each trigger probes its vectors' top-2 EXACT centroid ranks against
+    // the prior triggers' NOVEL vectors (whose home cells are the
+    // two-level frame assignment), cosine ≥ 0.4 round-9, archive-wins
+    // over the in-batch trained-frame SemDeDup. The oracle unrolls the
+    // novelty recursion (novel₀ → archive₁ → novel₁ → archive₂) and
+    // replays home cells with the shared OracleSql two-level fragments.
+    QueryDef(
+      "d15_semantic_ledger_replay",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = graft.ops.KMeans.seedCentroidsDF(
+          embs, "vec_id", "embedding", 16).localCheckpoint()
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_d15").toString
+        try {
+          for (b <- 0L to 2L)
+            graft.streaming.LedgerStream.semanticStep(s,
+              embs.filter(col("vec_id") % 3 === b), b,
+              s"$base/ledger", s"$base/out", "vec_id", "embedding",
+              cents, nlist = 16, minCos = 0.4, nprobe = 2)
+          s.read.option("basePath", s"$base/out").parquet(s"$base/out")
+            .select(col("id").as("vec_id"),
+              col("ingest_batch").cast("long").as("ingest_batch"),
+              col("status"), col("dup_of"), col("cos"))
+            .orderBy("vec_id").localCheckpoint()
+        } finally rmTree(base)
+      },
+      Some {
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
+        s"""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+              "list_transform(embedding, x -> CAST(x AS DOUBLE))")}) AS norm
+          FROM embeddings),
+          c AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+              list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+            FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT 16) s0),
+          ${OracleSql.twoLevelGrp("c", "grp", 4)},
+          ${OracleSql.twoLevelAssign("c", "grp", "cww", "cellh", 4)},
+          pr AS (
+            SELECT vec_id, cidx AS cell FROM (
+              SELECT v.vec_id, c.cidx, row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+              FROM v CROSS JOIN c) zp WHERE rk <= 2),
+          bb AS (SELECT vec_id, vec_id % 3 AS b FROM v),
+          ib AS (
+            SELECT q.vec_id AS id, MIN(a.vec_id) AS ib_dup
+            FROM v q JOIN bb qb ON qb.vec_id = q.vec_id
+              JOIN cellh qc ON qc.vec_id = q.vec_id
+              JOIN cellh ac ON ac.cell = qc.cell
+              JOIN v a ON a.vec_id = ac.vec_id AND a.vec_id < q.vec_id
+              JOIN bb ab ON ab.vec_id = a.vec_id AND ab.b = qb.b
+            WHERE ROUND(${dot("q.v", "a.v")} / (q.norm * a.norm), 9) >= 0.4
+            GROUP BY q.vec_id),
+          am AS (
+            SELECT q.vec_id AS id, qb.b AS qb, l.vec_id AS lid,
+              ROUND(${dot("q.v", "l.v")} / (q.norm * l.norm), 9) AS cos
+            FROM v q JOIN bb qb ON qb.vec_id = q.vec_id
+              JOIN pr ON pr.vec_id = q.vec_id
+              JOIN cellh lc ON lc.cell = pr.cell
+              JOIN v l ON l.vec_id = lc.vec_id
+              JOIN bb lb ON lb.vec_id = l.vec_id AND lb.b < qb.b
+            WHERE ROUND(${dot("q.v", "l.v")} / (q.norm * l.norm), 9) >= 0.4),
+          n0 AS (SELECT bb.vec_id FROM bb LEFT JOIN ib ON ib.id = bb.vec_id
+            WHERE bb.b = 0 AND ib.id IS NULL),
+          a1 AS (SELECT id, MIN(lid) AS arch, arg_min(cos, lid) AS acos
+            FROM am WHERE qb = 1 AND lid IN (SELECT vec_id FROM n0)
+            GROUP BY id),
+          n1 AS (SELECT bb.vec_id FROM bb
+            LEFT JOIN ib ON ib.id = bb.vec_id
+            LEFT JOIN a1 ON a1.id = bb.vec_id
+            WHERE bb.b = 1 AND ib.id IS NULL AND a1.id IS NULL),
+          a2 AS (SELECT id, MIN(lid) AS arch, arg_min(cos, lid) AS acos
+            FROM am WHERE qb = 2 AND (lid IN (SELECT vec_id FROM n0)
+              OR lid IN (SELECT vec_id FROM n1))
+            GROUP BY id),
+          arch AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        SELECT bb.vec_id, bb.b AS ingest_batch,
+          CASE WHEN arch.id IS NOT NULL THEN 'dup_of_archive'
+               WHEN ib.id IS NOT NULL THEN 'dup_in_batch'
+               ELSE 'novel' END AS status,
+          COALESCE(arch.arch, ib.ib_dup) AS dup_of,
+          arch.acos AS cos
+        FROM bb LEFT JOIN arch ON arch.id = bb.vec_id
+        LEFT JOIN ib ON ib.id = bb.vec_id
+        ORDER BY bb.vec_id"""
+      })
   )
 
-  /** Recursive delete for the d14 scratch dirs (children before parents). */
+  /** Recursive delete for the d14/d15 scratch dirs (children before parents). */
   private def rmTree(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)

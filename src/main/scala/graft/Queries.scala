@@ -72,6 +72,36 @@ object OracleSql {
     s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
         q -> CAST(struct_extract(q, 1) AS DOUBLE) * CAST(struct_extract(q, 2) AS DOUBLE))),
         (acc, x) -> acc + x)"""
+
+  /** Fine→coarse grouping of centroid CTE `c` (coarse = its first
+    * `nCoarse` rows) — the KMeans.assignWithFrame replay fragment shared
+    * by the a11b and d15 oracles (one spelling, no drift). */
+  def twoLevelGrp(c: String, g: String, nCoarse: Int): String = s"""$g AS (
+          SELECT fidx, coidx AS g FROM (
+            SELECT f.cidx AS fidx, co.cidx AS coidx,
+              row_number() OVER (PARTITION BY f.cidx
+                ORDER BY ${dot("f.cv", "co.cv")} DESC, co.cidx) AS rk
+            FROM $c f JOIN $c co ON co.cidx <= $nCoarse) zg$g WHERE rk = 1)"""
+
+  /** Two-level corpus assignment against centroid CTE `c` with grouping
+    * `g` (non-empty coarse groups only — the kernel's empty-group skip):
+    * emits `$cell` rows (vec_id, cell) over source CTE `v` (vec_id, v). */
+  def twoLevelAssign(c: String, g: String, cw: String, cell: String,
+      nCoarse: Int): String = s"""$cw AS (
+          SELECT vec_id, cidx AS w FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN $c c ON c.cidx <= $nCoarse
+              AND c.cidx IN (SELECT DISTINCT g FROM $g)) zw$cw WHERE rk = 1),
+        $cell AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT v.vec_id, c.cidx,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN $cw ON $cw.vec_id = v.vec_id
+              JOIN $g ON $g.g = $cw.w
+              JOIN $c c ON c.cidx = $g.fidx) zc$cell WHERE rk = 1)"""
 }
 
 /** Deterministic-aggregation helpers (shared Spark side). */

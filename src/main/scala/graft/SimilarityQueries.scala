@@ -704,30 +704,11 @@ object SimilarityQueries {
       },
       Some {
         def dot(a: String, b: String) = OracleSql.dot(a, b)
-        // two-level assignment of the corpus against centroid CTE $c
-        // (coarse = cidx ≤ 4 of the SAME CTE, non-empty groups only —
-        // the d07c fragments at nlist=16, nCoarse=4)
-        def grp(c: String, g: String) = s"""$g AS (
-          SELECT fidx, coidx AS g FROM (
-            SELECT f.cidx AS fidx, co.cidx AS coidx,
-              row_number() OVER (PARTITION BY f.cidx
-                ORDER BY ${dot("f.cv", "co.cv")} DESC, co.cidx) AS rk
-            FROM $c f JOIN $c co ON co.cidx <= 4) zg$g WHERE rk = 1)"""
-        def assign(c: String, g: String, cw: String, cell: String) = s"""$cw AS (
-          SELECT vec_id, cidx AS w FROM (
-            SELECT v.vec_id, c.cidx,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
-            FROM v JOIN $c c ON c.cidx <= 4
-              AND c.cidx IN (SELECT DISTINCT g FROM $g)) zw$cw WHERE rk = 1),
-        $cell AS (
-          SELECT vec_id, cidx AS cell FROM (
-            SELECT v.vec_id, c.cidx,
-              row_number() OVER (PARTITION BY v.vec_id
-                ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
-            FROM v JOIN $cw ON $cw.vec_id = v.vec_id
-              JOIN $g ON $g.g = $cw.w
-              JOIN $c c ON c.cidx = $g.fidx) zc$cell WHERE rk = 1)"""
+        // two-level assignment fragments shared with the d15 oracle
+        // (OracleSql — one spelling, no drift) at nlist=16, nCoarse=4
+        def grp(c: String, g: String) = OracleSql.twoLevelGrp(c, g, 4)
+        def assign(c: String, g: String, cw: String, cell: String) =
+          OracleSql.twoLevelAssign(c, g, cw, cell, 4)
         s"""WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
             sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",

@@ -155,6 +155,98 @@ object LedgerStream {
     out
   }
 
+  /** One micro-batch step of the SEMANTIC ledger loop — the embedding-
+    * space member of the always-on dedup trio (exact fingerprints /
+    * banded LSH signatures / IVF-celled vectors): is this incoming
+    * vector a PARAPHRASE of anything the stream has already admitted?
+    * The archive ledger stores each novel vector's (id, v, norm, home
+    * cell); an incoming vector probes its `nprobe` best cells through
+    * the BROADCAST centroid frame and cosine-compares only those cells'
+    * ledger rows (the [[Dedup.semanticDupGuardStream]] probe shape, but
+    * against a GROWING archive). In-batch paraphrase pairs classify
+    * through [[graft.ops.KMeans.semanticDedupTrained]] — archive wins
+    * over any batch mate. Classification: (id, status, dup_of, cos).
+    *
+    * `cents` is a TRAINED centroid frame fixed for the stream's lifetime
+    * (train offline with [[graft.ops.KMeans.trainCentroids]] and re-index
+    * to rotate it — cell ids are meaningless across centroid sets, so a
+    * mid-stream swap would misroute every probe; size nlist for the
+    * corpus the archive will grow into). Same batchId-keyed idempotent
+    * replay discipline as [[exactStep]]/[[minhashStep]]. */
+  def semanticStep(spark: SparkSession, batch: DataFrame, batchId: Long,
+      ledgerDir: String, outDir: String, idCol: String, vecCol: String,
+      cents: DataFrame, nlist: Int, minCos: Double, nprobe: Int = 2,
+      cellCap: Int = 4096): DataFrame = {
+    import graft.ops.{KMeans, Similarity}
+    // dim from the CENTROID frame, not the batch — an empty micro-batch
+    // (idle trigger) must classify to zero rows, not throw on first();
+    // stamping it as column metadata routes every downstream vecDim
+    // through the metadata instead of a first()-row probe
+    val dim = cents.select(size(col("cv"))).first().getInt(0)
+    val batch0 = batch.withMetadata(vecCol,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(Similarity.VecDimKey, dim.toLong).build())
+    val ledger = readPrior(spark, ledgerDir, batchId,
+      KMeans.assignWithFrame(batch0, idCol, vecCol, cents, nlist).limit(0))
+    // archive matches: probe top-nprobe cells via the broadcast centroid
+    // frame, compare round-9 cosine against only those cells' ledger rows
+    import org.apache.spark.sql.expressions.Window
+    val q = batch0.select(col(idCol).as("id"), col(vecCol).as("qv"),
+      Similarity.normFlat(col(vecCol), dim).as("qnorm"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("id"), col("qv"), col("qnorm"), col("cidx").as("cell"),
+        Similarity.dotFlat(col("qv"), col("cv"), dim).as("dt"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("dt"), asc("cell"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("id"), col("qv"), col("qnorm"), col("cell"))
+    val archBest = probes
+      .join(ledger.select(col("id").as("lid"), col("v").as("lv"),
+        col("norm").as("lnorm"), col("cell")), Seq("cell"))
+      .select(col("id"), col("lid"),
+        round(Similarity.dotFlat(col("qv"), col("lv"), dim) /
+          (col("qnorm") * col("lnorm")), 9).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("id")
+      .agg(min(col("lid")).as("arch_dup"),
+        min_by(col("cos"), col("lid")).as("arch_cos"))
+    // in-batch paraphrase pairs: the trained-frame SemDeDup over the
+    // micro-batch alone (lower-id mate wins within the batch)
+    val inBatch = KMeans.semanticDedupTrained(batch0, idCol, vecCol,
+        cents, nlist, minCos, cellCap)
+      .select(col("id"), col("dup_of").as("batch_dup"))
+    batch0.select(col(idCol).as("id"))
+      .join(archBest, Seq("id"), "left")
+      .join(inBatch, Seq("id"), "left")
+      .select(col("id"),
+        when(col("arch_dup").isNotNull, lit("dup_of_archive"))
+          .when(col("batch_dup").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("arch_dup"), col("batch_dup")).as("dup_of"),
+        col("arch_cos").as("cos"))
+      .write.mode("overwrite").parquet(part(outDir, batchId))
+    spark.catalog.clearCache() // semanticDedupTrained's assignment persist
+    val out = spark.read.parquet(part(outDir, batchId))
+    val novel = batch0.join(
+      out.filter(col("status") === "novel").select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    KMeans.assignWithFrame(novel, idCol, vecCol, cents, nlist)
+      .write.mode("overwrite").parquet(part(ledgerDir, batchId))
+    out
+  }
+
+  /** Wire [[semanticStep]] as a foreachBatch sink (see
+    * [[exactLedgerStream]] for the checkpoint requirement). */
+  def semanticLedgerStream(stream: DataFrame, ledgerDir: String,
+      outDir: String, idCol: String, vecCol: String, cents: DataFrame,
+      nlist: Int, minCos: Double, nprobe: Int = 2,
+      cellCap: Int = 4096): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      semanticStep(b.sparkSession, b, id, ledgerDir, outDir, idCol,
+        vecCol, cents, nlist, minCos, nprobe, cellCap)
+      ()
+    }
+
   /** OFFLINE ledger compaction — the production completion of the
     * batchId-partitioned ingest layout. Per-trigger append partitions are
     * cheap and replay-idempotent, but every probe re-clusters the

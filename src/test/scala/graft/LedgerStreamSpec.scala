@@ -117,6 +117,51 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(led.count() == 3 && led.select("fp").distinct().count() == 3)
   }
 
+  test("semantic ledger stream: a paraphrase of a vector ingested two triggers ago flags dup_of_archive") {
+    implicit val sqlCtx = spark.sqlContext
+    val (ledgerDir, outDir, ckpt) = (tmp("sled"), tmp("sout"), tmp("sck"))
+    // 4-dim corpus; trained/seed centroid frame fixed for the stream's
+    // lifetime (axis-aligned seeds → cells are the four axes)
+    val seeds = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val cents = graft.ops.KMeans.seedCentroidsDF(seeds, "id", "v", 4)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = LedgerStream.semanticLedgerStream(mem.toDS().toDF("id", "v"),
+        ledgerDir, outDir, "id", "v", cents, nlist = 4, minCos = 0.9)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((10L, Seq(0.9, 0.1, 0.0, 0.0)))
+      q.processAllAvailable()
+      mem.addData((11L, Seq(0.0, 0.0, 1.0, 0.1)))
+      q.processAllAvailable()
+      // trigger 3: 12 paraphrases doc 10 (TWO triggers ago, cos ≈ 0.9998),
+      // 13 is novel, 14/15 are an in-batch paraphrase pair
+      mem.addData((12L, Seq(0.88, 0.12, 0.0, 0.0)),
+        (13L, Seq(0.1, 0.95, 0.0, 0.0)),
+        (14L, Seq(0.0, 0.1, 0.05, 0.9)), (15L, Seq(0.0, 0.12, 0.03, 0.9)))
+      q.processAllAvailable()
+      val got = spark.read.option("basePath", outDir).parquet(outDir)
+        .select("id", "status", "dup_of")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(got(10L) == (("novel", -1L)) && got(11L) == (("novel", -1L)))
+      assert(got(12L) == (("dup_of_archive", 10L)), got)
+      assert(got(13L) == (("novel", -1L)), got)
+      assert(got(14L) == (("novel", -1L)), got)
+      assert(got(15L) == (("dup_in_batch", 14L)), got)
+      // archive cosine recorded for the archive match
+      val cos12 = spark.read.option("basePath", outDir).parquet(outDir)
+        .filter(col("id") === 12L).select("cos").as[Double].collect()(0)
+      assert(cos12 >= 0.99, cos12)
+      // the ledger holds exactly the novel vectors with their home cells
+      val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+      assert(led.select("id").as[Long].collect().toSet ==
+        Set(10L, 11L, 13L, 14L))
+    } finally q.stop()
+  }
+
   test("compacted exact ledger probes with ZERO exchange on the ledger side") {
     // the ingest layout optimizes appends; compaction rewrites the
     // accumulated ledger bucketed by fp so the incremental classifier
