@@ -117,6 +117,46 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(led.count() == 3 && led.select("fp").distinct().count() == 3)
   }
 
+  test("ledger stream survives a RESTART: batch ids continue from the checkpoint, archive intact") {
+    // the exactly-once keying depends on the checkpoint carrying batch
+    // numbering across restarts (scaladoc caveat (a)) — drive it with a
+    // recoverable FILE source: run, stop, land new files, restart on the
+    // SAME checkpoint; the new trigger must get a FRESH batchId (not
+    // re-0, which would overwrite the first trigger's ledger partition)
+    // and classify against the pre-restart archive
+    val (src, ledgerDir, outDir, ckpt) =
+      (tmp("fsrc"), tmp("fled"), tmp("fout"), tmp("fck"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stream() = LedgerStream.exactLedgerStream(
+        spark.readStream.schema(schema).parquet(src),
+        ledgerDir, outDir, "doc_id", "text")
+      .option("checkpointLocation", ckpt)
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = stream().start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Seq((3L, "alpha beta"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = stream().start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.option("basePath", outDir).parquet(outDir)
+      .select("id", "status", "keep_id", "ingest_batch")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got(1L)._1 == "novel" && got(2L)._1 == "novel")
+    assert(got(1L)._3 == 0, got) // first trigger = batch 0
+    // post-restart trigger continues numbering and sees the old archive
+    assert(got(3L) == (("dup_of_archive", 1L, got(3L)._3)) &&
+      got(3L)._3 > 0, got)
+    assert(got(4L)._1 == "novel" && got(4L)._3 == got(3L)._3)
+    val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+    assert(led.count() == 3 && led.select("fp").distinct().count() == 3)
+  }
+
   test("semantic ledger stream: a paraphrase of a vector ingested two triggers ago flags dup_of_archive") {
     implicit val sqlCtx = spark.sqlContext
     val (ledgerDir, outDir, ckpt) = (tmp("sled"), tmp("sout"), tmp("sck"))
