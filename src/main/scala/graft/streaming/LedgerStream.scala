@@ -200,12 +200,19 @@ object LedgerStream {
         Window.partitionBy("id").orderBy(desc("dt"), asc("cell"))))
       .filter(col("prk") <= nprobe)
       .select(col("id"), col("qv"), col("qnorm"), col("cell"))
-    val archBest = probes
-      .join(ledger.select(col("id").as("lid"), col("v").as("lv"),
-        col("norm").as("lnorm"), col("cell")), Seq("cell"))
-      .select(col("id"), col("lid"),
-        round(Similarity.dotFlat(col("qv"), col("lv"), dim) /
-          (col("qnorm") * col("lnorm")), 9).as("cos"))
+    // the cell key is LOW-cardinality (nlist values) and a boilerplate
+    // cluster makes one cell hot on BOTH sides — rectangle-block the
+    // probe join like the minhash ledger's ([[graft.ops.Dedup]]
+    // blockKeyedCross: exact pair set, each task bounded near cellCap)
+    val (lb, pb) = graft.ops.Dedup.blockKeyedCross(ledger, probes,
+      Seq("cell"), graft.ops.GraftPar.of(batch0), cellCap)
+    val archBest = lb.hint("shuffle_hash").as("l")
+      .join(pb.hint("shuffle_hash").as("pr"),
+        col("l.cell") === col("pr.cell") &&
+          col("l.kx") === col("pr.kx") && col("l.ky") === col("pr.ky"))
+      .select(col("pr.id").as("id"), col("l.id").as("lid"),
+        round(Similarity.dotFlat(col("pr.qv"), col("l.v"), dim) /
+          (col("pr.qnorm") * col("l.norm")), 9).as("cos"))
       .filter(col("cos") >= minCos)
       .groupBy("id")
       .agg(min(col("lid")).as("arch_dup"),
