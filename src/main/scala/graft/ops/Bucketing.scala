@@ -23,10 +23,18 @@ object Bucketing {
     * `buckets` files per partition. Overwrites any existing table. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
       buckets: Int): Unit =
+    writeBucketedBy(df, table, Seq(keyCol), buckets)
+
+  /** Multi-column variant — e.g. the near-dup signature ledger's
+    * (band, bucket) key ([[graft.streaming.LedgerStream]] compaction). */
+  def writeBucketedBy(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "at least one bucket key")
     df.write
-      .bucketBy(buckets, keyCol)
-      .sortBy(keyCol)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+  }
 }

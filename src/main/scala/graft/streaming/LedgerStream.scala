@@ -282,6 +282,24 @@ object LedgerStream {
     spark.table(table)
   }
 
+  /** [[compactExactLedger]] for the NEAR-dup signature ledger: the same
+    * offline rewrite keyed on (band, bucket) — its bucket-hash-width
+    * column metadata rides the catalog schema, so a probe against the
+    * compacted table still derives identical join keys (spec'd). The
+    * probe's full co-location additionally depends on the hot-bucket
+    * blocking columns ([[graft.ops.Dedup]] blockKeyedCross), so the
+    * zero-exchange pin stays with the exact ledger; what compaction buys
+    * here is clustering — bucket-pruned scans and one-side-pre-sorted
+    * joins instead of a many-small-partition directory read. */
+  def compactMinhashLedger(spark: SparkSession, ledgerDir: String,
+      table: String, buckets: Int): DataFrame = {
+    graft.ops.Bucketing.writeBucketedBy(
+      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+        .select("id", "pfx", "band", "bucket"),
+      table, Seq("band", "bucket"), buckets)
+    spark.table(table)
+  }
+
   /** Wire [[minhashStep]] as a foreachBatch sink (see [[exactLedgerStream]]
     * for the checkpoint requirement). */
   def minhashLedgerStream(stream: DataFrame, ledgerDir: String,

@@ -257,6 +257,50 @@ class LedgerStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("compacted minhash ledger: metadata survives the catalog round-trip, classification identical") {
+    val (ledgerDir, archDir, outDir) = (tmp("mcl"), tmp("mca"), tmp("mco"))
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely different content about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "unrelated third document with its own words entirely"))
+      .toDF("doc_id", "text")
+    LedgerStream.minhashStep(spark, b0, 0L, ledgerDir, archDir, outDir,
+      "doc_id", "text")
+    LedgerStream.minhashStep(spark, b1, 1L, ledgerDir, archDir, outDir,
+      "doc_id", "text")
+    val compacted = LedgerStream.compactMinhashLedger(
+      spark, ledgerDir, "graft_mledger_b", 4)
+    try {
+      // the bucket-width metadata must survive saveAsTable + spark.table —
+      // without it incrementalMinhashDedup refuses the probe
+      val meta = compacted.schema(
+        compacted.schema.fieldIndex("bucket")).metadata
+      assert(meta.contains(graft.ops.Dedup.LedgerBitsKey))
+      val archive = spark.read.option("basePath", archDir).parquet(archDir)
+        .select("doc_id", "text")
+      val b2 = Seq(
+        (4L, "the quick brown fox jumps over the lazy dog near the river"),
+        (5L, "nothing in common with anything archived so far at all"))
+        .toDF("doc_id", "text")
+      def classify(ledger: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dedup.incrementalMinhashDedup(ledger, archive, b2,
+            "doc_id", "text")
+          .orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val viaTable = classify(compacted)
+      val viaDir = classify(
+        spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+          .drop("ingest_batch"))
+      assert(viaTable == viaDir)
+      assert(viaTable.map(t => (t._1, t._2)) ==
+        Seq((4L, "dup_of_archive"), (5L, "novel")))
+      assert(viaTable.head._3 == 1L)
+      spark.catalog.clearCache()
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mledger_b")
+  }
+
   test("minhash ledger bits mismatch fails fast instead of probing misaligned keys") {
     val (ledgerDir, archDir, outDir) = (tmp("bled"), tmp("barc"), tmp("bout"))
     val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
