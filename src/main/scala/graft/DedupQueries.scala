@@ -636,18 +636,18 @@ object DedupQueries {
         val archive = docs.filter(col("doc_id") % 2 === 0)
         val delta = docs.filter(col("doc_id") % 2 === 1)
         val ledger = Dedup.minhashLedger(archive, "doc_id", "text")
+        // the verify stage persists its candidate frame internally
+        // (restrictToCandidates — three consumers); scope it, materialize
+        // the bounded classification and release exactly that frame so it
+        // doesn't stay resident across the other verify queries
+        val scope = graft.ops.CacheScope()
         val out = Dedup.incrementalMinhashDedup(ledger, archive, delta,
-          "doc_id", "text", threshold = 0.5)
+          "doc_id", "text", threshold = 0.5, scope = scope)
           .select(col("id").as("doc_id"), col("status"), col("dup_of"),
             col("jaccard"))
           .orderBy("doc_id")
-        // the verify stage persists its candidate frame internally
-        // (restrictToCandidates — three consumers); materialize the
-        // bounded classification and release the session caches so the
-        // frame doesn't stay resident across the other verify queries
-        // (the d10a lesson)
         try out.localCheckpoint()
-        finally s.catalog.clearCache()
+        finally scope.release()
       },
       Some(s"""WITH t AS (
           SELECT doc_id, $shinglesSql AS sh

@@ -23,8 +23,9 @@ object PipelineQueries {
     * the registered query and PlanSpec's exchange-reuse pin (the QueryDef
     * returns a localCheckpoint, which hides the join pipeline from the
     * registered plan). See the p04 QueryDef below for semantics. */
-  def incrementalBatchPlan(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  def incrementalBatchPlan(s: org.apache.spark.sql.SparkSession, d: String,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.untracked)
+      : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val archive = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
@@ -35,7 +36,7 @@ object PipelineQueries {
       Seq("doc_id"), "left_semi")
     val nd = Dedup.incrementalMinhashDedup(
       Dedup.minhashLedger(archive, "doc_id", "text"), archive, surv1,
-      "doc_id", "text", threshold = 0.5)
+      "doc_id", "text", threshold = 0.5, scope = scope)
     val surv2 = delta.join(
       nd.filter(col("status") === "novel").select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -248,11 +249,12 @@ object PipelineQueries {
     QueryDef(
       "p04_incremental_batch",
       (s, d) => {
-        val out = incrementalBatchPlan(s, d)
         // the near-dup verify persists its candidate frame internally
-        // (restrictToCandidates); materialize and release, as in d13
-        try out.localCheckpoint()
-        finally s.catalog.clearCache()
+        // (restrictToCandidates); scope it, materialize, release exactly
+        // that frame — as in d13
+        val scope = graft.ops.CacheScope()
+        try incrementalBatchPlan(s, d, scope).localCheckpoint()
+        finally scope.release()
       },
       Some {
         val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

@@ -12,19 +12,27 @@ object RaqlQueries {
   private def compileRaql(s: org.apache.spark.sql.SparkSession, dir: String,
       src: String): org.apache.spark.sql.DataFrame = {
     val c = new RaqlCompiler(s, dir)
+    // a registration failure (missing/renamed fixture parquet, schema
+    // drift) must fail HERE with the table named — swallowing it would
+    // resurface later as a confusing unresolved-relation error inside
+    // whatever program happens to reference the table first
+    def register(name: String, df: => org.apache.spark.sql.DataFrame): Unit =
+      try c.registerTable(name, df)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[raql] registerTable $name failed: $e")
+        throw e
+      }
     Tables.names.foreach { t =>
       // events goes through the nanos→micros normalization so RaQL sees a
       // proper TimestampType ts (time windows cast it to epoch seconds)
-      try c.registerTable(s"tables/$t",
+      register(s"tables/$t",
         if (t == "events") Tables.events(s, dir) else Tables.load(s, dir, t))
-      catch { case _: Throwable => () }
     }
     // an epoch-seconds view of events for time-window programs (the
     // reference's sources carry numeric start columns)
-    try c.registerTable("tables/events_ets",
+    register("tables/events_ets",
       Tables.events(s, dir).withColumn("ets",
         org.apache.spark.sql.functions.col("ts").cast("double")))
-    catch { case _: Throwable => () }
     RaqlParser.parseProgram(src) match {
       case Right(p) => c.register("main", p); c.compile("main/q")
       case Left(e) => throw new IllegalArgumentException(s"RaQL parse: $e")

@@ -689,18 +689,19 @@ object SimilarityQueries {
           embs, "vec_id", "embedding", nlist = 16, iters = 1)
         val books = graft.ops.KMeans.trainPqCodebooks(
           embs, "vec_id", "embedding", subs = 8, codes = 16, iters = 1)
+        // the trained search persists its assignment frame internally
+        // (two consumers); scope it, materialize the bounded result and
+        // release exactly that frame (the d13 discipline)
+        val scope = graft.ops.CacheScope()
         val out = Similarity.ivfPqTopKTrained(embs,
           embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
           cents, nlist = 16, books, subs = 8, codes = 16,
-          nprobe = 4, rerank = 3)
+          nprobe = 4, rerank = 3, scope = scope)
           .select(col("query_id"), col("rk"), col("neighbor_id"),
             col("adc"), col("cos"))
           .orderBy("query_id", "rk")
-        // the trained search persists its assignment frame internally
-        // (two consumers); materialize the bounded result and release the
-        // session caches (the d13 discipline)
         try out.localCheckpoint()
-        finally s.catalog.clearCache()
+        finally scope.release()
       },
       Some {
         def dot(a: String, b: String) = OracleSql.dot(a, b)

@@ -324,7 +324,8 @@ object Dedup {
   def incrementalMinhashDedup(ledger: DataFrame, archiveDocs: DataFrame,
       delta: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
       k: Int = 12, bands: Int = 6, threshold: Double = 0.5,
-      bucketCap: Int = 4096): DataFrame = {
+      bucketCap: Int = 4096,
+      scope: CacheScope = CacheScope.untracked): DataFrame = {
     val meta = ledger.schema(ledger.schema.fieldIndex("bucket")).metadata
     require(meta.contains(LedgerBitsKey),
       "ledger must be built by minhashLedger (bucket-bits metadata missing)")
@@ -344,7 +345,7 @@ object Dedup {
     // the semi-join keeps the archive scan bounded by matches, not by
     // archive size — the restrictToCandidates design case
     val archMatches = verifyJaccardCross(cands, archiveDocs, delta,
-        idCol, textCol, shingleN, restrictToCandidates = true)
+        idCol, textCol, shingleN, restrictToCandidates = true, scope)
       .filter(col("jaccard") >= threshold)
     val archBest = archMatches.groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("arch_dup"),
@@ -370,16 +371,95 @@ object Dedup {
           .otherwise(col("batch_j")).as("jaccard"))
   }
 
+  /** Incremental SEMANTIC dedup — [[incrementalMinhashDedup]] in embedding
+    * space: classify a DELTA batch of vectors against an archive LEDGER of
+    * (id, v, norm, cell) rows ([[KMeans.assignWithFrame]]'s schema — each
+    * archived vector under its home IVF cell of the shared trained/seeded
+    * centroid frame `cents`). Per delta vector:
+    * `dup_of_archive` (cosine ≥ `minCos`, round-9, to some archived vector
+    * in one of the delta vector's top-`nprobe` probe cells; dup_of = the
+    * smallest such archive id — ARCHIVE WINS over any batch mate),
+    * `dup_in_batch` (no archive mate, but a lower-id batch mate ≥ minCos
+    * sharing its home cell — [[KMeans.semanticDedupTrained]] over the
+    * delta alone), or `novel`. `cos` is the archive-mate cosine (NULL
+    * otherwise). Returns (id, status, dup_of, cos).
+    *
+    * Scale shape: the centroid frame broadcasts (probe ranking costs
+    * |delta|·nlist broadcast-joined rows); the probe join is rectangle-
+    * blocked on the low-cardinality cell key ([[blockKeyedCross]] — a
+    * boilerplate-hot cell bounded near `cellCap` on both sides); the
+    * archive is touched only through its narrow ledger rows. Recall is
+    * the nprobe dial's (the d10a-measured trade).
+    *
+    * PRECONDITION: ids unique across archive ∪ delta; `cents` is the SAME
+    * frame the ledger was assigned with (cell ids are meaningless across
+    * centroid sets). */
+  def incrementalSemanticDedup(ledger: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, cents: DataFrame, nlist: Int,
+      minCos: Double, nprobe: Int = 2, cellCap: Int = 4096,
+      scope: CacheScope = CacheScope.untracked): DataFrame = {
+    // dim from the CENTROID frame, not the batch — an empty delta (idle
+    // trigger) must classify to zero rows, not throw on first(); stamping
+    // it as column metadata routes every downstream vecDim through the
+    // metadata instead of a first()-row probe
+    val dim = cents.select(size(col("cv"))).first().getInt(0)
+    val batch0 = batch.withMetadata(vecCol,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(Similarity.VecDimKey, dim.toLong).build())
+    // archive matches: probe top-nprobe cells via the broadcast centroid
+    // frame, compare round-9 cosine against only those cells' ledger rows
+    val q = batch0.select(col(idCol).as("id"), col(vecCol).as("qv"),
+      Similarity.normFlat(col(vecCol), dim).as("qnorm"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("id"), col("qv"), col("qnorm"), col("cidx").as("cell"),
+        Similarity.dotFlat(col("qv"), col("cv"), dim).as("dt"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("dt"), asc("cell"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("id"), col("qv"), col("qnorm"), col("cell"))
+    // the cell key is LOW-cardinality (nlist values) and a boilerplate
+    // cluster makes one cell hot on BOTH sides — rectangle-block the
+    // probe join ([[blockKeyedCross]]: exact pair set, each task bounded
+    // near cellCap)
+    val (lb, pb) = blockKeyedCross(ledger, probes, Seq("cell"),
+      GraftPar.of(batch0), cellCap)
+    val archBest = lb.hint("shuffle_hash").as("l")
+      .join(pb.hint("shuffle_hash").as("pr"),
+        col("l.cell") === col("pr.cell") &&
+          col("l.kx") === col("pr.kx") && col("l.ky") === col("pr.ky"))
+      .select(col("pr.id").as("id"), col("l.id").as("lid"),
+        round(Similarity.dotFlat(col("pr.qv"), col("l.v"), dim) /
+          (col("pr.qnorm") * col("l.norm")), 9).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("id")
+      .agg(min(col("lid")).as("arch_dup"),
+        min_by(col("cos"), col("lid")).as("arch_cos"))
+    // in-batch paraphrase pairs: the trained-frame SemDeDup over the
+    // delta alone (lower-id mate wins within the batch)
+    val inBatch = KMeans.semanticDedupTrained(batch0, idCol, vecCol,
+        cents, nlist, minCos, cellCap, scope)
+      .select(col("id"), col("dup_of").as("batch_dup"))
+    batch0.select(col(idCol).as("id"))
+      .join(archBest, Seq("id"), "left")
+      .join(inBatch, Seq("id"), "left")
+      .select(col("id"),
+        when(col("arch_dup").isNotNull, lit("dup_of_archive"))
+          .when(col("batch_dup").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("arch_dup"), col("batch_dup")).as("dup_of"),
+        col("arch_cos").as("cos"))
+  }
+
   /** Exact shingle-Jaccard for a CROSS-corpus pair frame (id_a from A,
     * id_b from B) — the verification stage after
     * [[minhashCandidatesCross]]. `restrictToCandidates` as in
     * [[verifyJaccard]] (same measured dense-vs-sparse trade-off). */
   def verifyJaccardCross(pairs: DataFrame, docsA: DataFrame, docsB: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
-      restrictToCandidates: Boolean = false): DataFrame = {
+      restrictToCandidates: Boolean = false,
+      scope: CacheScope = CacheScope.untracked): DataFrame = {
     val p =
-      if (restrictToCandidates)
-        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (restrictToCandidates) scope.persist(pairs)
       else pairs
     // exchange RAW TEXT per corpus and recompute shingles after the join
     // (see verifyJaccard — the shingle arrays were the dominant shuffle
@@ -425,10 +505,10 @@ object Dedup {
     *     the shingle cost scales with matches, not corpus. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3,
-      restrictToCandidates: Boolean = false): DataFrame = {
+      restrictToCandidates: Boolean = false,
+      scope: CacheScope = CacheScope.untracked): DataFrame = {
     val p =
-      if (restrictToCandidates)
-        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (restrictToCandidates) scope.persist(pairs)
       else pairs
     val base =
       if (restrictToCandidates) {

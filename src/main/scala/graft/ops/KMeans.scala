@@ -226,11 +226,11 @@ object KMeans {
     * the standard cell-confined blocked pair join (min lower-id mate at
     * cosine ≥ minCos). Returns (id, cell, dup_of, is_dup). */
   def semanticDedupTrained(embs: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, nlist: Int, minCos: Double,
-      cellCap: Int = 4096): DataFrame = {
+      cents: DataFrame, nlist: Int, minCos: Double, cellCap: Int = 4096,
+      scope: CacheScope = CacheScope.untracked): DataFrame = {
     val dim = Similarity.vecDim(embs, vecCol)
-    val assigned = assignWithFrame(embs, idCol, vecCol, cents, nlist)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = scope.persist(
+      assignWithFrame(embs, idCol, vecCol, cents, nlist))
     // the downstream (blocked cell self-join → min-id mate → join-back)
     // is exactly the literal-kernel SemDeDup's — shared
     Dedup.dedupWithinCells(assigned, GraftPar.of(embs), dim, minCos,

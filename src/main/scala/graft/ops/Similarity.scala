@@ -573,7 +573,7 @@ object Similarity {
   def ivfPqTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: DataFrame, nlist: Int,
       books: DataFrame, subs: Int, codes: Int, nprobe: Int = 4,
-      rerank: Int = 3): DataFrame = {
+      rerank: Int = 3, scope: CacheScope = CacheScope.untracked): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     val w = dim / subs
     val bookSeq: Seq[Seq[Seq[Double]]] = {
@@ -581,10 +581,10 @@ object Similarity {
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
       (1 to subs).map(s => (1 to codes).map(c => m((s, c)).toSeq))
     }
-    val assigned = KMeans.assignWithFrame(corpus, idCol, vecCol, cents, nlist)
-      // two consumers (code frame + refine) — materialize the assignment
-      // once instead of re-running the broadcast-join argmax per subtree
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two consumers (code frame + refine) — materialize the assignment
+    // once instead of re-running the broadcast-join argmax per subtree
+    val assigned = scope.persist(
+      KMeans.assignWithFrame(corpus, idCol, vecCol, cents, nlist))
     val enc = org.apache.spark.sql.GraftShims.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.GraftShims.expression(col("v")), bookSeq))

@@ -141,9 +141,14 @@ object LedgerStream {
         "would not align; restart with the ledger's width")
     val archive = readPrior(spark, archiveDir, batchId,
       batch.limit(0).select(col(idCol), col(textCol)))
-    Dedup.incrementalMinhashDedup(ledger, archive, batch, idCol, textCol,
-        shingleN, k, bands, threshold, bucketCap)
+    // scope the classifier's internal candidate-frame persist to THIS
+    // trigger: release after the write materializes it, without touching
+    // unrelated frames a shared session may have cached
+    val scope = graft.ops.CacheScope()
+    try Dedup.incrementalMinhashDedup(ledger, archive, batch, idCol, textCol,
+        shingleN, k, bands, threshold, bucketCap, scope)
       .write.mode("overwrite").parquet(part(outDir, batchId))
+    finally scope.release()
     val out = spark.read.parquet(part(outDir, batchId))
     val novel = batch.join(
       out.filter(col("status") === "novel").select(col("id").as(idCol)),
@@ -179,60 +184,25 @@ object LedgerStream {
       cellCap: Int = 4096): DataFrame = {
     import graft.ops.{KMeans, Similarity}
     // dim from the CENTROID frame, not the batch — an empty micro-batch
-    // (idle trigger) must classify to zero rows, not throw on first();
-    // stamping it as column metadata routes every downstream vecDim
-    // through the metadata instead of a first()-row probe
+    // (idle trigger) must classify to zero rows, not throw on first()
     val dim = cents.select(size(col("cv"))).first().getInt(0)
     val batch0 = batch.withMetadata(vecCol,
       new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(Similarity.VecDimKey, dim.toLong).build())
     val ledger = readPrior(spark, ledgerDir, batchId,
       KMeans.assignWithFrame(batch0, idCol, vecCol, cents, nlist).limit(0))
-    // archive matches: probe top-nprobe cells via the broadcast centroid
-    // frame, compare round-9 cosine against only those cells' ledger rows
-    import org.apache.spark.sql.expressions.Window
-    val q = batch0.select(col(idCol).as("id"), col(vecCol).as("qv"),
-      Similarity.normFlat(col(vecCol), dim).as("qnorm"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("id"), col("qv"), col("qnorm"), col("cidx").as("cell"),
-        Similarity.dotFlat(col("qv"), col("cv"), dim).as("dt"))
-      .withColumn("prk", row_number().over(
-        Window.partitionBy("id").orderBy(desc("dt"), asc("cell"))))
-      .filter(col("prk") <= nprobe)
-      .select(col("id"), col("qv"), col("qnorm"), col("cell"))
-    // the cell key is LOW-cardinality (nlist values) and a boilerplate
-    // cluster makes one cell hot on BOTH sides — rectangle-block the
-    // probe join like the minhash ledger's ([[graft.ops.Dedup]]
-    // blockKeyedCross: exact pair set, each task bounded near cellCap)
-    val (lb, pb) = graft.ops.Dedup.blockKeyedCross(ledger, probes,
-      Seq("cell"), graft.ops.GraftPar.of(batch0), cellCap)
-    val archBest = lb.hint("shuffle_hash").as("l")
-      .join(pb.hint("shuffle_hash").as("pr"),
-        col("l.cell") === col("pr.cell") &&
-          col("l.kx") === col("pr.kx") && col("l.ky") === col("pr.ky"))
-      .select(col("pr.id").as("id"), col("l.id").as("lid"),
-        round(Similarity.dotFlat(col("pr.qv"), col("l.v"), dim) /
-          (col("pr.qnorm") * col("l.norm")), 9).as("cos"))
-      .filter(col("cos") >= minCos)
-      .groupBy("id")
-      .agg(min(col("lid")).as("arch_dup"),
-        min_by(col("cos"), col("lid")).as("arch_cos"))
-    // in-batch paraphrase pairs: the trained-frame SemDeDup over the
-    // micro-batch alone (lower-id mate wins within the batch)
-    val inBatch = KMeans.semanticDedupTrained(batch0, idCol, vecCol,
-        cents, nlist, minCos, cellCap)
-      .select(col("id"), col("dup_of").as("batch_dup"))
-    batch0.select(col(idCol).as("id"))
-      .join(archBest, Seq("id"), "left")
-      .join(inBatch, Seq("id"), "left")
-      .select(col("id"),
-        when(col("arch_dup").isNotNull, lit("dup_of_archive"))
-          .when(col("batch_dup").isNotNull, lit("dup_in_batch"))
-          .otherwise(lit("novel")).as("status"),
-        coalesce(col("arch_dup"), col("batch_dup")).as("dup_of"),
-        col("arch_cos").as("cos"))
+    // classification = the batch incremental classifier
+    // ([[Dedup.incrementalSemanticDedup]] — probe top-nprobe cells via the
+    // broadcast centroid frame, rectangle-blocked cell join, archive wins
+    // over any in-batch mate), with its internal assignment persist
+    // SCOPED to this trigger: release after the write materializes it,
+    // not spark.catalog.clearCache() (which would evict every unrelated
+    // frame a shared session has cached, every micro-batch)
+    val scope = graft.ops.CacheScope()
+    try Dedup.incrementalSemanticDedup(ledger, batch0, idCol, vecCol,
+        cents, nlist, minCos, nprobe, cellCap, scope)
       .write.mode("overwrite").parquet(part(outDir, batchId))
-    spark.catalog.clearCache() // semanticDedupTrained's assignment persist
+    finally scope.release()
     val out = spark.read.parquet(part(outDir, batchId))
     val novel = batch0.join(
       out.filter(col("status") === "novel").select(col("id").as(idCol)),
