@@ -270,6 +270,26 @@ object LedgerStream {
     spark.table(table)
   }
 
+  /** [[compactExactLedger]] for the SEMANTIC vector ledger: the offline
+    * rewrite keyed on `cell` — after compaction the per-trigger probe
+    * reads the archive vectors clustered by the very key the
+    * [[graft.ops.Dedup.incrementalSemanticDedup]] probe joins on
+    * (bucket-pruned scans, one side pre-sorted). As with the minhash
+    * ledger, full probe co-location additionally depends on the
+    * hot-cell blocking columns ([[graft.ops.Dedup]] blockKeyedCross),
+    * so the zero-exchange pin stays with the exact ledger; the
+    * classification against the compacted table is value-identical to
+    * the directory read (spec'd, incl. the vector payload surviving the
+    * catalog round-trip). */
+  def compactSemanticLedger(spark: SparkSession, ledgerDir: String,
+      table: String, buckets: Int): DataFrame = {
+    graft.ops.Bucketing.writeBucketedBy(
+      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+        .select("id", "v", "norm", "cell"),
+      table, Seq("cell"), buckets)
+    spark.table(table)
+  }
+
   /** Wire [[minhashStep]] as a foreachBatch sink (see [[exactLedgerStream]]
     * for the checkpoint requirement). */
   def minhashLedgerStream(stream: DataFrame, ledgerDir: String,

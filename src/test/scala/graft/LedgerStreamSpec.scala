@@ -301,6 +301,211 @@ class LedgerStreamSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_mledger_b")
   }
 
+  test("minhash ledger replay: re-delivered batchId overwrites all three tables, never self-matches") {
+    // the near-dup step writes THREE batch-partitioned tables (ledger +
+    // archive text + out) — more ways to half-fail than the exact step's
+    // two. A replayed batch must overwrite all of them (no duplicate
+    // signature rows, no duplicate archive text) and must not classify a
+    // doc dup_of_archive against its own first attempt's archive rows.
+    val (ledgerDir, archDir, outDir) = (tmp("mrl"), tmp("mra"), tmp("mro"))
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank every single morning before the sun rises fully"
+    val b0 = Seq((1L, base),
+      (2L, "completely different content about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, base),
+      (4L, "novel words sharing nothing with anything else at all here"))
+      .toDF("doc_id", "text")
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      LedgerStream.minhashStep(spark, b, id, ledgerDir, archDir, outDir,
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    step(b0, 0L)
+    val first = step(b1, 1L)
+    val ledN = spark.read.option("basePath", ledgerDir).parquet(ledgerDir).count()
+    val replay = step(b1, 1L)
+    assert(first == replay)
+    // doc 3 = archive dup of 1; doc 4 must STAY novel on replay (its own
+    // first-attempt archive text row is excluded from the probe)
+    assert(replay.map(t => (t._1, t._2, t._3)) ==
+      Seq((3L, "dup_of_archive", 1L), (4L, "novel", -1L)), replay)
+    // signature ledger unchanged by the replay (overwrite, not append)
+    val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+    assert(led.count() == ledN)
+    // archive text: each novel doc exactly once
+    val arch = spark.read.option("basePath", archDir).parquet(archDir)
+    assert(arch.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
+  test("semantic ledger replay: re-delivered batchId overwrites ledger+out, never self-matches") {
+    val (ledgerDir, outDir) = (tmp("srl"), tmp("sro"))
+    val seeds = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val cents = graft.ops.KMeans.seedCentroidsDF(seeds, "id", "v", 4)
+      .localCheckpoint()
+    val b0 = Seq((10L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 1.0, 0.1))).toDF("id", "v")
+    val b1 = Seq((12L, Seq(0.88, 0.12, 0.0, 0.0)),
+      (13L, Seq(0.1, 0.95, 0.0, 0.0))).toDF("id", "v")
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      LedgerStream.semanticStep(spark, b, id, ledgerDir, outDir,
+        "id", "v", cents, nlist = 4, minCos = 0.9)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    step(b0, 0L)
+    val first = step(b1, 1L)
+    val replay = step(b1, 1L)
+    assert(first == replay)
+    // 12 paraphrases archived 10; 13 must STAY novel on replay (its own
+    // first-attempt ledger vector is excluded from the probe)
+    assert(replay == Seq((12L, "dup_of_archive", 10L), (13L, "novel", -1L)),
+      replay)
+    // vector ledger: each novel vector exactly once after the replay
+    val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+    assert(led.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L, 13L))
+  }
+
+  test("minhash ledger stream survives a RESTART on the same checkpoint") {
+    // exactLedgerStream's restart contract extended to the three-table
+    // member: batch ids continue (no re-0 overwrite of trigger 0's
+    // partitions), the post-restart trigger classifies against the
+    // pre-restart signature ledger AND archive text
+    val (src, ledgerDir, archDir, outDir, ckpt) =
+      (tmp("mfs"), tmp("mfl"), tmp("mfa"), tmp("mfo"), tmp("mfc"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stream() = LedgerStream.minhashLedgerStream(
+        spark.readStream.schema(schema).parquet(src),
+        ledgerDir, archDir, outDir, "doc_id", "text", threshold = 0.5)
+      .option("checkpointLocation", ckpt)
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank every single morning before the sun rises fully"
+    Seq((1L, base),
+      (2L, "completely different content about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = stream().start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Seq((3L, base),
+      (4L, "novel words sharing nothing with anything else at all here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = stream().start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.option("basePath", outDir).parquet(outDir)
+      .select("id", "status", "dup_of", "ingest_batch")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getInt(3)))).toMap
+    assert(got(1L)._1 == "novel" && got(2L)._1 == "novel")
+    assert(got(1L)._3 == 0, got)
+    assert(got(3L)._1 == "dup_of_archive" && got(3L)._2 == 1L &&
+      got(3L)._3 > 0, got)
+    assert(got(4L)._1 == "novel" && got(4L)._3 == got(3L)._3)
+    val arch = spark.read.option("basePath", archDir).parquet(archDir)
+    assert(arch.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
+  test("semantic ledger stream survives a RESTART on the same checkpoint") {
+    val (src, ledgerDir, outDir, ckpt) =
+      (tmp("sfs"), tmp("sfl"), tmp("sfo"), tmp("sfc"))
+    val seeds = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val cents = graft.ops.KMeans.seedCentroidsDF(seeds, "id", "v", 4)
+      .localCheckpoint()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def stream() = LedgerStream.semanticLedgerStream(
+        spark.readStream.schema(schema).parquet(src),
+        ledgerDir, outDir, "id", "v", cents, nlist = 4, minCos = 0.9)
+      .option("checkpointLocation", ckpt)
+    Seq((10L, Seq(0.9, 0.1, 0.0, 0.0)), (11L, Seq(0.0, 0.0, 1.0, 0.1)))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(src)
+    val q1 = stream().start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Seq((12L, Seq(0.88, 0.12, 0.0, 0.0)), (13L, Seq(0.1, 0.95, 0.0, 0.0)))
+      .toDF("id", "v").coalesce(1).write.mode("append").parquet(src)
+    val q2 = stream().start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.option("basePath", outDir).parquet(outDir)
+      .select("id", "status", "dup_of", "ingest_batch")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getInt(3)))).toMap
+    assert(got(10L)._1 == "novel" && got(11L)._1 == "novel")
+    assert(got(10L)._3 == 0, got)
+    // post-restart trigger continues numbering and probes the
+    // pre-restart vector ledger
+    assert(got(12L)._1 == "dup_of_archive" && got(12L)._2 == 10L &&
+      got(12L)._3 > 0, got)
+    assert(got(13L)._1 == "novel" && got(13L)._3 == got(12L)._3)
+    val led = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+    assert(led.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L, 13L))
+  }
+
+  test("compacted semantic ledger: classification identical, probe plan keeps its blocked SHJ shape") {
+    val (ledgerDir, outDir) = (tmp("scl"), tmp("sco"))
+    val seeds = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("id", "v")
+    val cents = graft.ops.KMeans.seedCentroidsDF(seeds, "id", "v", 4)
+      .localCheckpoint()
+    LedgerStream.semanticStep(spark,
+      Seq((10L, Seq(0.9, 0.1, 0.0, 0.0)), (11L, Seq(0.0, 0.0, 1.0, 0.1)))
+        .toDF("id", "v"),
+      0L, ledgerDir, outDir, "id", "v", cents, nlist = 4, minCos = 0.9)
+    LedgerStream.semanticStep(spark,
+      Seq((12L, Seq(0.0, 0.95, 0.0, 0.1))).toDF("id", "v"),
+      1L, ledgerDir, outDir, "id", "v", cents, nlist = 4, minCos = 0.9)
+    val compacted = LedgerStream.compactSemanticLedger(
+      spark, ledgerDir, "graft_sledger_b", 4)
+    try {
+      val b2 = Seq((20L, Seq(0.88, 0.12, 0.0, 0.0)),
+        (21L, Seq(0.0, 0.1, 0.05, 0.9))).toDF("id", "v")
+      def classify(ledger: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dedup.incrementalSemanticDedup(ledger, b2, "id", "v",
+            cents, nlist = 4, minCos = 0.9)
+          .orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val viaTable = classify(compacted)
+      val viaDir = classify(
+        spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+          .drop("ingest_batch"))
+      assert(viaTable == viaDir)
+      assert(viaTable == Seq((20L, "dup_of_archive", 10L),
+        (21L, "novel", -1L)), viaTable)
+      // probe shape against the compacted catalog table: the blocked
+      // cell join stays a pinned ShuffledHashJoin, no cartesian (as with
+      // the minhash ledger, full co-location additionally depends on the
+      // hot-cell blocking columns — the zero-exchange pin stays with the
+      // exact ledger; compaction buys CLUSTERING on the probe key)
+      val df = graft.ops.Dedup.incrementalSemanticDedup(compacted, b2,
+        "id", "v", cents, nlist = 4, minCos = 0.9)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        s"compacted semantic probe lost its shuffle_hash pin:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sledger_b")
+  }
+
   test("minhash ledger bits mismatch fails fast instead of probing misaligned keys") {
     val (ledgerDir, archDir, outDir) = (tmp("bled"), tmp("barc"), tmp("bout"))
     val b0 = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
