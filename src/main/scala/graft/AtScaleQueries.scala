@@ -269,6 +269,79 @@ object AtScaleQueries {
         FROM cell1 ce LEFT JOIN dup ON dup.id = ce.vec_id
         ORDER BY ce.vec_id"""
 
+  /** d15b: the SIZED streaming semantic ledger ([[graft.streaming
+    * .LedgerStream.semanticStep]] with nlist DERIVED from corpus size —
+    * the production configuration) replayed as three batch triggers over
+    * the ×[[ReplD]] corpus. The d15 oracle pins nlist = 16 so its SQL
+    * stays writable, which makes the in-batch SemDeDup's per-cell pair
+    * work quadratic in the probe; here the derivation lands at
+    * [[RepNlist]] = 68 > the two-level threshold, and the oracle SQL is
+    * GENERATED from that derived config — so the sized `semanticStep`
+    * path (two-level frame assignment of the archive, exact top-nprobe
+    * probe, archive-wins recursion across triggers) is value-oracled
+    * DIRECTLY, not transitively through d07b/d07c. The oracle unrolls
+    * the novelty recursion (novel₀ → archive₁ → novel₁ → archive₂) with
+    * the shared OracleSql two-level fragments at the derived width. */
+  private def d15bSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH ${repSql(ReplD)},
+        $vSql,
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v ORDER BY vec_id LIMIT $RepNlist) s0),
+        ${OracleSql.twoLevelGrp("c", "grp", RepNCoarse)},
+        ${OracleSql.twoLevelAssign("c", "grp", "cww", "cellh", RepNCoarse)},
+        pr AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT v.vec_id, c.cidx, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v CROSS JOIN c) zp WHERE rk <= 2),
+        bb AS (SELECT vec_id, vec_id % 3 AS b FROM v),
+        ib AS (
+          SELECT q.vec_id AS id, MIN(a.vec_id) AS ib_dup
+          FROM v q JOIN bb qb ON qb.vec_id = q.vec_id
+            JOIN cellh qc ON qc.vec_id = q.vec_id
+            JOIN cellh ac ON ac.cell = qc.cell
+            JOIN v a ON a.vec_id = ac.vec_id AND a.vec_id < q.vec_id
+            JOIN bb ab ON ab.vec_id = a.vec_id AND ab.b = qb.b
+          WHERE ROUND(${dot("q.v", "a.v")} / (q.norm * a.norm), 9) >= 0.4
+          GROUP BY q.vec_id),
+        am0 AS (
+          SELECT q.vec_id AS id, qb.b AS qb, l.vec_id AS lid,
+            ROUND(${dot("q.v", "l.v")} / (q.norm * l.norm), 9) AS cos
+          FROM v q JOIN bb qb ON qb.vec_id = q.vec_id
+            JOIN pr ON pr.vec_id = q.vec_id
+            JOIN cellh lc ON lc.cell = pr.cell
+            JOIN v l ON l.vec_id = lc.vec_id
+            JOIN bb lb ON lb.vec_id = l.vec_id AND lb.b < qb.b),
+        am AS (SELECT id, qb, lid, cos FROM am0 WHERE cos >= 0.4),
+        n0 AS (SELECT bb.vec_id FROM bb LEFT JOIN ib ON ib.id = bb.vec_id
+          WHERE bb.b = 0 AND ib.id IS NULL),
+        a1 AS (SELECT id, MIN(lid) AS arch, arg_min(cos, lid) AS acos
+          FROM am WHERE qb = 1 AND lid IN (SELECT vec_id FROM n0)
+          GROUP BY id),
+        n1 AS (SELECT bb.vec_id FROM bb
+          LEFT JOIN ib ON ib.id = bb.vec_id
+          LEFT JOIN a1 ON a1.id = bb.vec_id
+          WHERE bb.b = 1 AND ib.id IS NULL AND a1.id IS NULL),
+        a2 AS (SELECT id, MIN(lid) AS arch, arg_min(cos, lid) AS acos
+          FROM am WHERE qb = 2 AND (lid IN (SELECT vec_id FROM n0)
+            OR lid IN (SELECT vec_id FROM n1))
+          GROUP BY id),
+        arch AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+      SELECT bb.vec_id, bb.b AS ingest_batch,
+        CASE WHEN arch.id IS NOT NULL THEN 'dup_of_archive'
+             WHEN ib.id IS NOT NULL THEN 'dup_in_batch'
+             ELSE 'novel' END AS status,
+        COALESCE(arch.arch, ib.ib_dup) AS dup_of,
+        arch.acos AS cos
+      FROM bb LEFT JOIN arch ON arch.id = bb.vec_id
+      LEFT JOIN ib ON ib.id = bb.vec_id
+      ORDER BY bb.vec_id"""
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // ---- a02b: the PRODUCTION lshNeighbors plan where autoLshR derives
     // r = 10 (NOT the rMin floor the static a02 oracle pins) — the first
@@ -337,5 +410,42 @@ object AtScaleQueries {
             col("is_dup"))
           .orderBy("vec_id")
       },
-      Some(d07cSql)))
+      Some(d07cSql)),
+
+    // ---- d15b: the streaming semantic ledger at its PRODUCTION sizing
+    // (r16 verdict task 1) — LedgerStream.semanticStep replayed as three
+    // triggers (vec_id % 3) over the replicated corpus, with nlist
+    // DERIVED from the corpus size (autoNlist → 68, two-level frame
+    // assignment) and the oracle SQL generated from the derived config.
+    // Closes the gap the d15 row leaves: its nlist=16 pin certifies the
+    // recursion but runs the in-batch pair work quadratically; this row
+    // certifies the SIZED path d14-class-linear probes measure.
+    QueryDef(
+      "d15b_semantic_ledger_scaled",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        require(Similarity.vecDim(embs, "embedding") == Dim,
+          s"d15b oracle SQL is generated for dim=$Dim embeddings")
+        val rep = replicate(embs, ReplD)
+        val nlist = graft.ops.Dedup.autoNlist(Similarity.sizingCount(rep))
+        OraclePin.assertPinned("d15b_semantic_ledger_scaled", "nlist",
+          nlist, RepNlist)
+        val cents = graft.ops.KMeans.seedCentroidsDF(
+          rep, "vec_id", "embedding", nlist).localCheckpoint()
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_d15b").toString
+        try {
+          for (b <- 0L to 2L)
+            graft.streaming.LedgerStream.semanticStep(s,
+              rep.filter(col("vec_id") % 3 === b), b,
+              s"$base/ledger", s"$base/out", "vec_id", "embedding",
+              cents, nlist = nlist, minCos = 0.4, nprobe = 2)
+          s.read.option("basePath", s"$base/out").parquet(s"$base/out")
+            .select(col("id").as("vec_id"),
+              col("ingest_batch").cast("long").as("ingest_batch"),
+              col("status"), col("dup_of"), col("cos"))
+            .orderBy("vec_id").localCheckpoint()
+        } finally DedupQueries.rmTree(base)
+      },
+      Some(d15bSql)))
 }

@@ -911,8 +911,9 @@ object DedupQueries {
       })
   )
 
-  /** Recursive delete for the d14/d15 scratch dirs (children before parents). */
-  private def rmTree(dir: String): Unit = {
+  /** Recursive delete for the d14/d15 (and d15b) scratch dirs (children
+    * before parents). */
+  private[graft] def rmTree(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root))

@@ -166,7 +166,7 @@ object ScaleProbe {
       "d11_incremental_dedup", "d12_remove_passages", "d13_incremental_neardup",
       "d07c_semantic_dedup_trained", "p04_incremental_batch",
       "d14_ledger_stream_replay", "a11b_ivf_pq_trained",
-      "d15_semantic_ledger_replay",
+      "d15_semantic_ledger_replay", "d15b_semantic_ledger_scaled",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf", "a10_cell_diverse_sample",
       "a11_ivf_pq", "t19_decontaminate_spans",
       "t01_tokstats", "t08_bpe_tokens", "t17_dsir_weights", "t18_chunk_windows",
