@@ -52,6 +52,88 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p05's composed plan, pre-materialization — the FULL production
+    * ingest loop: p04's exact → near-dup ledger stages, then the
+    * EMBEDDING guard on the survivors (the d15/semanticStep shape:
+    * archive vectors ledgered under their home IVF cells of a seeded
+    * centroid frame, each surviving delta vector probing its top-2 cells
+    * — [[Dedup.incrementalSemanticDedup]]), then BENCHMARK span
+    * decontamination (the t19 shape: 13-gram collision scrub against a
+    * broadcast probe-gram set, docs 0–4 standing in for the benchmark)
+    * on the final survivors. The t19 planted fixture guarantees real
+    * decontamination work at every SF: delta docs with doc_id % 53 = 7
+    * get the 26-token prefix of probe doc (doc_id % 5) appended BEFORE
+    * the pipeline, so both engines run the identical augmented corpus.
+    * A probe doc that itself survives as delta (docs 1, 3) is fully
+    * excised — the benchmark-leaked-verbatim case.
+    *
+    * Scale shape: the new stages add NO corpus-wide exchange beyond
+    * their own — survivors travel as narrow doc_id semi-joins into the
+    * embeddings table; the centroid frame broadcasts; the probe-gram set
+    * broadcasts (bounded by benchmark tokens); the semantic cell count
+    * derives from the archive-vector count (OraclePin-guarded — the
+    * static oracle embeds the verify-SF derivation of 16). */
+  def fullIngestPlan(s: org.apache.spark.sql.SparkSession, d: String,
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.untracked)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ops.{Dedup, KMeans, Similarity}
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val probes = docs0.filter(col("doc_id") < 5)
+    val psrc = probes
+      .select(col("doc_id").as("pd"),
+        slice(tokens(col("text")), 1, 26).as("ptk"))
+      .filter(size(col("ptk")) === 26)
+    val docs = docs0
+      .withColumn("pd",
+        when(col("doc_id") % 2 === 1 && col("doc_id") % 53 === 7,
+          col("doc_id") % 5))
+      .join(psrc, Seq("pd"), "left")
+      .select(col("doc_id"),
+        when(col("ptk").isNotNull,
+          concat_ws(" ", col("text"), array_join(col("ptk"), " ")))
+          .otherwise(col("text")).as("text"))
+    val archive = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val ex = Dedup.incrementalExactDedup(
+      Dedup.exactDedup(archive, "doc_id", "text"), delta, "doc_id", "text")
+    val surv1 = delta.join(
+      ex.filter(col("status") === "novel").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val nd = Dedup.incrementalMinhashDedup(
+      Dedup.minhashLedger(archive, "doc_id", "text"), archive, surv1,
+      "doc_id", "text", threshold = 0.5, scope = scope)
+    val surv2 = delta.join(
+      nd.filter(col("status") === "novel").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // embedding guard: vec_id is the document key in the testdata schema
+    val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val archEmbs = embs.filter(col("vec_id") % 2 === 0)
+    val nlist = Dedup.autoNlist(Similarity.sizingCount(archEmbs))
+    OraclePin.assertPinned("p05_full_ingest_batch", "nlist", nlist, 16)
+    val cents = KMeans.seedCentroidsDF(archEmbs, "vec_id", "embedding", nlist)
+      .localCheckpoint()
+    val ledger = KMeans.assignWithFrame(archEmbs, "vec_id", "embedding",
+      cents, nlist)
+    val deltaEmbs = embs.join(surv2.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val sem = Dedup.incrementalSemanticDedup(ledger, deltaEmbs, "vec_id",
+      "embedding", cents, nlist, minCos = 0.4, nprobe = 2, scope = scope)
+    val surv3 = surv2.join(
+      sem.filter(col("status") === "novel").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val clean = Dedup.decontaminateSpans(surv3, probes, "doc_id", "text",
+      spanLen = 13)
+    ex.select(col("id").as("doc_id"), col("status").as("exact_status"))
+      .join(nd.select(col("id").as("doc_id"),
+          col("status").as("near_status")), Seq("doc_id"), "left")
+      .join(sem.select(col("id").as("doc_id"),
+          col("status").as("sem_status"), col("dup_of").as("sem_dup_of")),
+        Seq("doc_id"), "left")
+      .join(clean.select(col("id").as("doc_id"), col("n_spans"),
+          col("n_removed"), col("clean_md5")), Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef(
       "p01_curation",
@@ -355,6 +437,183 @@ object PipelineQueries {
         SELECT ex.doc_id, ex.exact_status, nd.near_status, nd.near_dup_of,
           clean.n_spans, clean.n_removed, clean.clean_md5
         FROM ex LEFT JOIN nd USING (doc_id) LEFT JOIN clean USING (doc_id)
+        ORDER BY ex.doc_id"""
+      }),
+
+    // ---- p05: the FULL production ingest loop as ONE composed query —
+    // p04's exact → near-dup ledger stages, then the EMBEDDING guard on
+    // the survivors (archive vectors under seeded IVF cells, survivors
+    // probing top-2 cells — Dedup.incrementalSemanticDedup, the
+    // d15/semanticStep shape), then BENCHMARK span decontamination on
+    // the final survivors (t19's 13-gram scrub with its planted fixture,
+    // so the decon stage provably works at every SF). Output: one row
+    // per DELTA doc with the whole classification trail (exact_status →
+    // near_status → sem_status/sem_dup_of → n_spans/n_removed/clean_md5
+    // for docs that reached the rewrite). See [[fullIngestPlan]] for the
+    // scale shape; PlanSpec pins exchange reuse on the composed plan.
+    QueryDef(
+      "p05_full_ingest_batch",
+      (s, d) => {
+        val scope = graft.ops.CacheScope()
+        try fullIngestPlan(s, d, scope).localCheckpoint()
+        finally scope.release()
+      },
+      Some {
+        val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        val toksSql = s"string_split($normSql, ' ')"
+        val shinglesSql =
+          """list_distinct([array_to_string(toks[i:i+2], ' ')
+             for i in range(1, greatest(len(toks) - 1, 1))])"""
+        def dot(a: String, b: String) = OracleSql.dot(a, b)
+        s"""WITH ps AS (
+          SELECT doc_id AS pd, toks[1:26] AS ptk
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+          WHERE doc_id < 5 AND len(toks) >= 26),
+        aug AS (
+          SELECT t.doc_id,
+            CASE WHEN p.pd IS NOT NULL
+              THEN t.text || ' ' || array_to_string(p.ptk, ' ')
+              ELSE t.text END AS text
+          FROM documents t
+          LEFT JOIN ps p ON t.doc_id % 2 = 1 AND t.doc_id % 53 = 7
+            AND p.pd = t.doc_id % 5),
+        tk AS (SELECT doc_id, $toksSql AS toks FROM aug),
+        fps AS (
+          SELECT doc_id, md5(array_to_string(list_sort(toks), ' ')) AS fp
+          FROM tk),
+        ledger AS (
+          SELECT fp, MIN(doc_id) AS archive_keep FROM fps
+          WHERE doc_id % 2 = 0 GROUP BY 1),
+        delta AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+        bm AS (SELECT fp, MIN(doc_id) AS batch_keep FROM delta GROUP BY 1),
+        ex AS (
+          SELECT d.doc_id,
+            CASE WHEN l.archive_keep IS NOT NULL THEN 'dup_of_archive'
+                 WHEN d.doc_id > b.batch_keep THEN 'dup_in_batch'
+                 ELSE 'novel' END AS exact_status
+          FROM delta d JOIN bm b USING (fp) LEFT JOIN ledger l USING (fp)),
+        s1 AS (SELECT doc_id FROM ex WHERE exact_status = 'novel'),
+        sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+        am AS (
+          SELECT d.doc_id AS id, a.doc_id AS aid,
+            CAST(len(list_intersect(a.sh, d.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, d.sh))) AS j
+          FROM (SELECT * FROM sh WHERE doc_id % 2 = 0) a
+          JOIN (SELECT s.* FROM sh s JOIN s1 USING (doc_id)) d ON TRUE),
+        arch AS (
+          SELECT id, MIN(aid) AS arch_dup FROM am WHERE j >= 0.5 GROUP BY 1),
+        bmp AS (
+          SELECT b.doc_id AS id, a.doc_id AS bid,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+          FROM (SELECT s.* FROM sh s JOIN s1 USING (doc_id)) a
+          JOIN (SELECT s.* FROM sh s JOIN s1 USING (doc_id)) b
+            ON a.doc_id < b.doc_id),
+        batch AS (
+          SELECT id, MIN(bid) AS batch_dup FROM bmp WHERE j >= 0.5 GROUP BY 1),
+        nd AS (
+          SELECT s1.doc_id,
+            CASE WHEN arch.id IS NOT NULL THEN 'dup_of_archive'
+                 WHEN batch.id IS NOT NULL THEN 'dup_in_batch'
+                 ELSE 'novel' END AS near_status
+          FROM s1 LEFT JOIN arch ON arch.id = s1.doc_id
+                  LEFT JOIN batch ON batch.id = s1.doc_id),
+        s2 AS (SELECT doc_id FROM nd WHERE near_status = 'novel'),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(${dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+              "list_transform(embedding, x -> CAST(x AS DOUBLE))")}) AS norm
+          FROM embeddings),
+        c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+            list_transform(v, x -> x / greatest(norm, 1e-12)) AS cv
+          FROM (SELECT vec_id, v, norm FROM v WHERE vec_id % 2 = 0
+                ORDER BY vec_id LIMIT 16) s0),
+        ${OracleSql.twoLevelGrp("c", "grp", 4)},
+        ${OracleSql.twoLevelAssign("c", "grp", "cww", "cellh", 4)},
+        pr AS (
+          SELECT vec_id, cidx AS cell FROM (
+            SELECT v.vec_id, c.cidx, row_number() OVER (
+              PARTITION BY v.vec_id
+              ORDER BY ${dot("v.v", "c.cv")} DESC, c.cidx) AS rk
+            FROM v JOIN s2 ON s2.doc_id = v.vec_id CROSS JOIN c) zp
+          WHERE rk <= 2),
+        sa0 AS (
+          SELECT q.vec_id AS id, l.vec_id AS lid,
+            ROUND(${dot("q.v", "l.v")} / (q.norm * l.norm), 9) AS cos
+          FROM v q JOIN pr ON pr.vec_id = q.vec_id
+            JOIN cellh lc ON lc.cell = pr.cell
+            JOIN v l ON l.vec_id = lc.vec_id AND l.vec_id % 2 = 0),
+        sarch AS (
+          SELECT id, MIN(lid) AS arch_dup FROM sa0 WHERE cos >= 0.4
+          GROUP BY id),
+        sib AS (
+          SELECT q.vec_id AS id, MIN(a.vec_id) AS ib_dup
+          FROM v q JOIN s2 sq ON sq.doc_id = q.vec_id
+            JOIN cellh qc ON qc.vec_id = q.vec_id
+            JOIN cellh ac ON ac.cell = qc.cell
+            JOIN v a ON a.vec_id = ac.vec_id AND a.vec_id < q.vec_id
+            JOIN s2 sb ON sb.doc_id = a.vec_id
+          WHERE ROUND(${dot("q.v", "a.v")} / (q.norm * a.norm), 9) >= 0.4
+          GROUP BY q.vec_id),
+        sem AS (
+          SELECT s2.doc_id,
+            CASE WHEN sarch.id IS NOT NULL THEN 'dup_of_archive'
+                 WHEN sib.id IS NOT NULL THEN 'dup_in_batch'
+                 ELSE 'novel' END AS sem_status,
+            COALESCE(sarch.arch_dup, sib.ib_dup) AS sem_dup_of
+          FROM s2 LEFT JOIN sarch ON sarch.id = s2.doc_id
+            LEFT JOIN sib ON sib.id = s2.doc_id),
+        s3 AS (SELECT doc_id FROM sem WHERE sem_status = 'novel'),
+        pg AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest([CAST(concat('0x',
+                substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))
+                AS BIGINT)
+              for i in range(1, greatest(len(toks) - 11, 1))]) AS g
+            FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 5) p0) z),
+        occ AS (
+          SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT tk.doc_id, unnest([{'pos': i - 1,
+                'g': CAST(concat('0x',
+                  substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 15))
+                  AS BIGINT)}
+              for i in range(1, greatest(len(toks) - 11, 1))]) AS u
+            FROM tk JOIN s3 USING (doc_id)) z2),
+        rem AS (SELECT o.doc_id, o.pos FROM occ o JOIN pg USING (g)),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos <= COALESCE(MAX(pos + 13) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS brk
+          FROM rem),
+        isl2 AS (
+          SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl),
+        iv AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 13 AS e
+          FROM isl2 GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS ivl,
+            COUNT(*) AS n_spans, CAST(SUM(e - s) AS BIGINT) AS n_removed
+          FROM iv GROUP BY 1),
+        clean AS (
+          SELECT t.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+            COALESCE(a.n_removed, 0) AS n_removed,
+            CASE WHEN a.doc_id IS NULL THEN md5(array_to_string(t.toks, ' '))
+              ELSE md5(COALESCE(array_to_string(
+                list_transform(
+                  list_filter(range(1, len(t.toks) + 1),
+                    i -> len(list_filter(a.ivl,
+                      iv2 -> i - 1 >= iv2.s AND i - 1 < iv2.e)) = 0),
+                  i -> t.toks[i]), ' '), '')) END AS clean_md5
+          FROM tk t JOIN s3 USING (doc_id) LEFT JOIN agg a USING (doc_id))
+        SELECT ex.doc_id, ex.exact_status, nd.near_status, sem.sem_status,
+          sem.sem_dup_of, clean.n_spans, clean.n_removed, clean.clean_md5
+        FROM ex LEFT JOIN nd USING (doc_id) LEFT JOIN sem USING (doc_id)
+        LEFT JOIN clean USING (doc_id)
         ORDER BY ex.doc_id"""
       })
   )

@@ -358,6 +358,29 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the candidate-frame persist
   }
 
+  test("p05 full ingest batch: composed guard stages keep reuse + broadcasts, no cartesian (r17)") {
+    // p04's contract extended over the two new stages: the embedding
+    // guard must keep its centroid frame and blocked-probe broadcasts,
+    // span decontamination its broadcast probe-gram set, and the
+    // composition must not split d11's fp exchange into two executions
+    // or degenerate any survivor semi-join into a cartesian
+    val scope = graft.ops.CacheScope()
+    try {
+      val df = PipelineQueries.fullIngestPlan(spark, sf, scope)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.split("\n").head.contains("isFinalPlan=true"),
+        "outer p05 plan not final post-AQE")
+      assert(p.contains("ReusedExchange"),
+        "p05 lost exchange reuse (a per-doc map pipeline now runs twice)")
+      assert(p.contains("ShuffledHashJoin"),
+        "p05's ledger-probe joins lost their shuffle_hash pins")
+      assert(p.contains("BroadcastHashJoin"),
+        "p05's centroid/probe-gram frames lost their broadcasts")
+      assert(!p.contains("CartesianProduct"))
+    } finally scope.release()
+  }
+
   test("a11 IVF-PQ: probe cells, ADC LUT and refine shortlist all broadcast (r15)") {
     val p = finalPlan("a11_ivf_pq")
     // the corpus must never be shuffled by a JOIN key: probe-cell
