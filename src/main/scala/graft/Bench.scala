@@ -109,9 +109,14 @@ object Bench {
     }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    (1 to reps).foreach { _ =>
+    // per-query budget: a QueryDef may cap its reps (benchReps) — the
+    // round-robin still interleaves whatever reps it does run
+    def budget(q: QueryDef, suite: Int): Int =
+      if (q.benchReps > 0) math.min(q.benchReps, suite) else suite
+    (1 to reps).foreach { r =>
       selected.foreach { q =>
-        timeRep(q, "").foreach(t => times(q.name) = t :: times(q.name))
+        if (r <= budget(q, reps))
+          timeRep(q, "").foreach(t => times(q.name) = t :: times(q.name))
       }
     }
     // a query with zero successful reps reports -1 (never a plausible time)
@@ -126,7 +131,7 @@ object Bench {
     // (round-5 verdict: q01/n01/r01 swung ±20% between same-day suites).
     val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "3").toInt
     val isoTimes = selected.map { q =>
-      q.name -> (1 to isoReps).flatMap(_ => timeRep(q, " isolated"))
+      q.name -> (1 to budget(q, isoReps)).flatMap(_ => timeRep(q, " isolated"))
     }
     val isolated = isoTimes.map { case (n, ts) => n -> stat(median)(ts) }
     val isolatedMin = isoTimes.map { case (n, ts) => n -> stat(_.min)(ts) }

@@ -816,7 +816,11 @@ object DedupQueries {
           CASE WHEN f.b > a.fb THEN a.akeep ELSE m.bkeep END AS keep_id
         FROM fps f JOIN arch a ON a.fp = f.fp
         JOIN bm m ON m.fp = f.fp AND m.b = f.b
-        ORDER BY f.doc_id""")),
+        ORDER BY f.doc_id"""),
+      // headline (r16 verdict task 6): the flagship streaming-ledger
+      // shape, tracked per-round so a classify-and-append regression
+      // shows up as a wall delta, not only in a one-off probe
+      headline = true, benchReps = 3),
 
     // ---- d15: the SEMANTIC member of the streaming-ledger trio replayed
     // as three batch triggers (vec_id % 3) — LedgerStream.semanticStep:

@@ -438,7 +438,11 @@ object PipelineQueries {
           clean.n_spans, clean.n_removed, clean.clean_md5
         FROM ex LEFT JOIN nd USING (doc_id) LEFT JOIN clean USING (doc_id)
         ORDER BY ex.doc_id"""
-      }),
+      },
+      // headline (r16 verdict task 6): the composed incremental-ingest
+      // shape, tracked per-round for composition regressions; ~20 s/rep
+      // at sf0.1, so reps-budgeted
+      headline = true, benchReps = 2),
 
     // ---- p05: the FULL production ingest loop as ONE composed query —
     // p04's exact → near-dup ledger stages, then the EMBEDDING guard on

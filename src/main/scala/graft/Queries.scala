@@ -27,7 +27,14 @@ final case class QueryDef(
       * production variant whose VALUES are not SQL-expressible while an
       * identically-coded, fully-oracled sibling certifies the operator
       * (d04's xxh64 fingerprints vs d04b's md5 family) */
-    benchOnly: Boolean = false)
+    benchOnly: Boolean = false,
+    /** per-query cap on Bench reps (0 = the suite default). For headline
+      * queries an order of magnitude slower than the rest (p04's composed
+      * pipeline at ~20 s/rep): the suite's 5+3 reps exist to stabilize
+      * SUB-SECOND medians against scheduler noise; on a 20 s query the
+      * noise is proportionally small and 8 reps would triple the bench
+      * wall for nothing. */
+    benchReps: Int = 0)
 
 /** Guard for queries whose static DuckDB oracle embeds an auto-derived
   * config constant (LSH band width r, IVF cell count nlist). The

@@ -800,7 +800,11 @@ object SimilarityQueries {
             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
           FROM rr) zf
         WHERE rk <= 5 ORDER BY query_id, rk"""
-      }),
+      },
+      // headline (r16 verdict task 6): the full trained IVF-PQ index,
+      // tracked per-round — a regression in either training sweep or the
+      // search composition shows up as a wall delta
+      headline = true, benchReps = 3),
 
     // ---- a03: per-label centroid (first 4 dims) — float aggregation via
     // quantize-to-6dp + exact decimal sums so both engines agree bitwise
