@@ -22,27 +22,45 @@ object PipelineQueries {
   /** p04's composed plan, pre-materialization — one definition shared by
     * the registered query and PlanSpec's exchange-reuse pin (the QueryDef
     * returns a localCheckpoint, which hides the join pipeline from the
-    * registered plan). See the p04 QueryDef below for semantics. */
+    * registered plan). See the p04 QueryDef below for semantics.
+    *
+    * `cut` is a stage-boundary materialization hook: the identity default
+    * keeps the ONE-plan composition PlanSpec pins (exchange reuse across
+    * stages); the registered query passes `_.localCheckpoint()` so each
+    * classification stage materializes before the next consumes it — the
+    * exact discipline the streaming production loop already runs
+    * ([[graft.streaming.LedgerStream]] writes every stage's output to
+    * parquet before the next trigger reads it). Without the cuts the
+    * composed lineage re-executes shared subtrees (ex feeds both its
+    * consumers, nd three) and ships the WHOLE pipeline as the task
+    * binary of every downstream stage — measured r17: 11–25 MiB task
+    * broadcasts, 10–30 s of executorDeserializeTime per stage, and a
+    * 4× GC-amplified wall under suite co-residency (guide §3.3:
+    * materialize intermediates to truncate enormous plans). Values are
+    * identical either way — every stage is value-deterministic — and the
+    * driver's oracle gate runs the cut variant. */
   def incrementalBatchPlan(s: org.apache.spark.sql.SparkSession, d: String,
-      scope: graft.ops.CacheScope = graft.ops.CacheScope.untracked)
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.untracked,
+      cut: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity)
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val archive = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
-    val ex = Dedup.incrementalExactDedup(
-      Dedup.exactDedup(archive, "doc_id", "text"), delta, "doc_id", "text")
-    val surv1 = delta.join(
+    val ex = cut(Dedup.incrementalExactDedup(
+      Dedup.exactDedup(archive, "doc_id", "text"), delta, "doc_id", "text"))
+    val surv1 = cut(delta.join(
       ex.filter(col("status") === "novel").select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val nd = Dedup.incrementalMinhashDedup(
+      Seq("doc_id"), "left_semi"))
+    val nd = cut(Dedup.incrementalMinhashDedup(
       Dedup.minhashLedger(archive, "doc_id", "text"), archive, surv1,
-      "doc_id", "text", threshold = 0.5, scope = scope)
-    val surv2 = delta.join(
+      "doc_id", "text", threshold = 0.5, scope = scope))
+    val surv2 = cut(delta.join(
       nd.filter(col("status") === "novel").select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val cleaned = Dedup.removeDuplicatedPassages(
+      Seq("doc_id"), "left_semi"))
+    val cleaned = cut(Dedup.removeDuplicatedPassages(
         archive.unionByName(surv2), "doc_id", "text", spanLen = 20)
-      .join(surv2.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .join(surv2.select(col("doc_id").as("id")), Seq("id"), "left_semi"))
     ex.select(col("id").as("doc_id"), col("status").as("exact_status"))
       .join(nd.select(col("id").as("doc_id"),
           col("status").as("near_status"),
@@ -74,7 +92,9 @@ object PipelineQueries {
     * derives from the archive-vector count (OraclePin-guarded — the
     * static oracle embeds the verify-SF derivation of 16). */
   def fullIngestPlan(s: org.apache.spark.sql.SparkSession, d: String,
-      scope: graft.ops.CacheScope = graft.ops.CacheScope.untracked)
+      scope: graft.ops.CacheScope = graft.ops.CacheScope.untracked,
+      cut: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity)
       : org.apache.spark.sql.DataFrame = {
     import graft.ops.{Dedup, KMeans, Similarity}
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -83,7 +103,10 @@ object PipelineQueries {
       .select(col("doc_id").as("pd"),
         slice(tokens(col("text")), 1, 26).as("ptk"))
       .filter(size(col("ptk")) === 26)
-    val docs = docs0
+    // the probe-augmented corpus feeds every stage (archive AND delta
+    // sides) — cut it so the augmentation join runs once, not once per
+    // consuming subtree
+    val docs = cut(docs0
       .withColumn("pd",
         when(col("doc_id") % 2 === 1 && col("doc_id") % 53 === 7,
           col("doc_id") % 5))
@@ -91,20 +114,20 @@ object PipelineQueries {
       .select(col("doc_id"),
         when(col("ptk").isNotNull,
           concat_ws(" ", col("text"), array_join(col("ptk"), " ")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")).as("text")))
     val archive = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
-    val ex = Dedup.incrementalExactDedup(
-      Dedup.exactDedup(archive, "doc_id", "text"), delta, "doc_id", "text")
-    val surv1 = delta.join(
+    val ex = cut(Dedup.incrementalExactDedup(
+      Dedup.exactDedup(archive, "doc_id", "text"), delta, "doc_id", "text"))
+    val surv1 = cut(delta.join(
       ex.filter(col("status") === "novel").select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val nd = Dedup.incrementalMinhashDedup(
+      Seq("doc_id"), "left_semi"))
+    val nd = cut(Dedup.incrementalMinhashDedup(
       Dedup.minhashLedger(archive, "doc_id", "text"), archive, surv1,
-      "doc_id", "text", threshold = 0.5, scope = scope)
-    val surv2 = delta.join(
+      "doc_id", "text", threshold = 0.5, scope = scope))
+    val surv2 = cut(delta.join(
       nd.filter(col("status") === "novel").select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
     // embedding guard: vec_id is the document key in the testdata schema
     val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val archEmbs = embs.filter(col("vec_id") % 2 === 0)
@@ -116,13 +139,13 @@ object PipelineQueries {
       cents, nlist)
     val deltaEmbs = embs.join(surv2.select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
-    val sem = Dedup.incrementalSemanticDedup(ledger, deltaEmbs, "vec_id",
-      "embedding", cents, nlist, minCos = 0.4, nprobe = 2, scope = scope)
-    val surv3 = surv2.join(
+    val sem = cut(Dedup.incrementalSemanticDedup(ledger, deltaEmbs, "vec_id",
+      "embedding", cents, nlist, minCos = 0.4, nprobe = 2, scope = scope))
+    val surv3 = cut(surv2.join(
       sem.filter(col("status") === "novel").select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val clean = Dedup.decontaminateSpans(surv3, probes, "doc_id", "text",
-      spanLen = 13)
+      Seq("doc_id"), "left_semi"))
+    val clean = cut(Dedup.decontaminateSpans(surv3, probes, "doc_id", "text",
+      spanLen = 13))
     ex.select(col("id").as("doc_id"), col("status").as("exact_status"))
       .join(nd.select(col("id").as("doc_id"),
           col("status").as("near_status")), Seq("doc_id"), "left")
@@ -333,9 +356,14 @@ object PipelineQueries {
       (s, d) => {
         // the near-dup verify persists its candidate frame internally
         // (restrictToCandidates); scope it, materialize, release exactly
-        // that frame — as in d13
+        // that frame — as in d13. Stage boundaries materialize via the
+        // localCheckpoint cut (see incrementalBatchPlan's scaladoc): the
+        // downstream stages read delta-sized materialized blocks instead
+        // of re-planning the whole upstream pipeline into every task
+        // binary — the streaming loop's write-per-stage discipline, r17.
         val scope = graft.ops.CacheScope()
-        try incrementalBatchPlan(s, d, scope).localCheckpoint()
+        try incrementalBatchPlan(s, d, scope, cut = _.localCheckpoint())
+          .localCheckpoint()
         finally scope.release()
       },
       Some {
@@ -459,7 +487,8 @@ object PipelineQueries {
       "p05_full_ingest_batch",
       (s, d) => {
         val scope = graft.ops.CacheScope()
-        try fullIngestPlan(s, d, scope).localCheckpoint()
+        try fullIngestPlan(s, d, scope, cut = _.localCheckpoint())
+          .localCheckpoint()
         finally scope.release()
       },
       Some {

@@ -358,6 +358,30 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the candidate-frame persist
   }
 
+  test("p04/p05 stage-cut variant returns exactly the composed plan's rows (r17 opt)") {
+    // the registered queries materialize each pipeline stage
+    // (cut = localCheckpoint — truncates the composed lineage that shipped
+    // 11–25 MiB task binaries); the cut is a pure materialization hook, so
+    // the staged output must be row-identical to the one-plan composition
+    // these pins certify
+    val composed = PipelineQueries.incrementalBatchPlan(spark, sf)
+      .collect().toSeq
+    val staged = PipelineQueries.incrementalBatchPlan(spark, sf,
+      cut = _.localCheckpoint()).collect().toSeq
+    assert(staged == composed, "p04 stage cut changed the output")
+    val scope5a = graft.ops.CacheScope()
+    val composed5 =
+      try PipelineQueries.fullIngestPlan(spark, sf, scope5a).collect().toSeq
+      finally scope5a.release()
+    val scope5b = graft.ops.CacheScope()
+    val staged5 =
+      try PipelineQueries.fullIngestPlan(spark, sf, scope5b,
+        cut = _.localCheckpoint()).collect().toSeq
+      finally scope5b.release()
+    assert(staged5 == composed5, "p05 stage cut changed the output")
+    spark.catalog.clearCache()
+  }
+
   test("p05 full ingest batch: composed guard stages keep reuse + broadcasts, no cartesian (r17)") {
     // p04's contract extended over the two new stages: the embedding
     // guard must keep its centroid frame and blocked-probe broadcasts,
