@@ -144,6 +144,14 @@ object Bench {
     val streaming =
       if (sys.env.get("SPARK_GRAFT_STREAMBENCH").contains("0")) ""
       else try {
+        // same hygiene as timeRep's per-rep System.gc(), applied to the
+        // streaming phase: the query suite leaves checkpoint/broadcast
+        // blocks that only ContextCleaner (triggered by GC) releases, and
+        // r17 measured the in-bench streaming rate at ~1/3 of the same
+        // code's fresh-JVM rate purely from that residue. Two gc passes
+        // with a drain gap let the async cleaner actually drop the blocks
+        // before the rate is measured.
+        System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
         val r = StreamBench.run(spark)
         val pw = r.perWorker.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + math.round(v) }.mkString("{", ",", "}")

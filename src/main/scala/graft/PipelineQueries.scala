@@ -26,9 +26,10 @@ object PipelineQueries {
     *
     * `cut` is a stage-boundary materialization hook: the identity default
     * keeps the ONE-plan composition PlanSpec pins (exchange reuse across
-    * stages); the registered query passes `_.localCheckpoint()` so each
-    * classification stage materializes before the next consumes it — the
-    * exact discipline the streaming production loop already runs
+    * stages); the registered query passes its CacheScope's tracked
+    * `checkpoint` so each classification stage materializes once as a
+    * LogicalRDD leaf and is released deterministically with the scope —
+    * the exact discipline the streaming production loop already runs
     * ([[graft.streaming.LedgerStream]] writes every stage's output to
     * parquet before the next trigger reads it). Without the cuts the
     * composed lineage re-executes shared subtrees (ex feeds both its
@@ -356,13 +357,18 @@ object PipelineQueries {
       (s, d) => {
         // the near-dup verify persists its candidate frame internally
         // (restrictToCandidates); scope it, materialize, release exactly
-        // that frame — as in d13. Stage boundaries materialize via the
-        // localCheckpoint cut (see incrementalBatchPlan's scaladoc): the
-        // downstream stages read delta-sized materialized blocks instead
-        // of re-planning the whole upstream pipeline into every task
-        // binary — the streaming loop's write-per-stage discipline, r17.
+        // that frame — as in d13. Stage boundaries materialize via a
+        // scope-tracked checkpoint cut (see incrementalBatchPlan's and
+        // CacheScope.checkpoint's scaladoc): the downstream stages read
+        // delta-sized LogicalRDD leaves instead of re-planning the whole
+        // upstream pipeline into every task binary — the streaming loop's
+        // write-per-stage discipline — and scope.release() frees every
+        // boundary DETERMINISTICALLY once the final localCheckpoint has
+        // materialized (an untracked localCheckpoint would leave its
+        // blocks to GC/ContextCleaner, which measurably starved the
+        // bench's later queries and streaming phase, r17).
         val scope = graft.ops.CacheScope()
-        try incrementalBatchPlan(s, d, scope, cut = _.localCheckpoint())
+        try incrementalBatchPlan(s, d, scope, cut = scope.checkpoint)
           .localCheckpoint()
         finally scope.release()
       },
@@ -487,7 +493,7 @@ object PipelineQueries {
       "p05_full_ingest_batch",
       (s, d) => {
         val scope = graft.ops.CacheScope()
-        try fullIngestPlan(s, d, scope, cut = _.localCheckpoint())
+        try fullIngestPlan(s, d, scope, cut = scope.checkpoint)
           .localCheckpoint()
         finally scope.release()
       },

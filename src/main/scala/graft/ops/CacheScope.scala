@@ -24,23 +24,44 @@ import org.apache.spark.storage.StorageLevel
   * callers are unaffected until they opt in.
   */
 final class CacheScope private[ops] (track: Boolean) {
-  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val drops = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Persist `df` (MEMORY_AND_DISK — the level every internal operator
     * frame uses: spills at corpus scale rather than recomputing) and, in
     * a tracking scope, record it for [[release]]. */
   private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if (track) synchronized { frames += p }
+    if (track) synchronized { drops += (() => p.unpersist()) }
     p
   }
 
-  /** Unpersist exactly the frames this scope tracked (non-blocking) and
-    * forget them. Idempotent; a fresh operator call on the same scope
-    * starts tracking again. */
+  /** Eagerly `localCheckpoint` `df` and, in a tracking scope, record the
+    * checkpointed blocks for [[release]]. The stage-boundary cut for deep
+    * composed pipelines (p04/p05): unlike [[persist]]'s InMemoryRelation
+    * — whose plan STRING embeds the whole cached subtree, so nested cuts
+    * make every AQE plan-string render quadratic in pipeline depth
+    * (measured r17: the composed-p05 equivalence check pinned a core for
+    * >15 min inside TreeNode.generateTreeString) — a checkpoint is a true
+    * LogicalRDD leaf. CAUTION: released blocks are the frame's ONLY copy
+    * (no lineage); `release()` only after every consumer of the cut
+    * frames has fully materialized. */
+  private[graft] def checkpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    if (track) cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = lr.rdd
+        synchronized { drops += (() => { rdd.unpersist(false); () }) }
+      case _ => () // not a checkpoint leaf (future-proofing): nothing to drop
+    }
+    cp
+  }
+
+  /** Release exactly what this scope tracked (non-blocking) and forget
+    * it. Idempotent; a fresh operator call on the same scope starts
+    * tracking again. */
   def release(): Unit = synchronized {
-    frames.foreach(_.unpersist())
-    frames.clear()
+    drops.foreach(_())
+    drops.clear()
   }
 }
 

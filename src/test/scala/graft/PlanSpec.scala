@@ -359,15 +359,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("p04/p05 stage-cut variant returns exactly the composed plan's rows (r17 opt)") {
-    // the registered queries materialize each pipeline stage
-    // (cut = localCheckpoint — truncates the composed lineage that shipped
-    // 11–25 MiB task binaries); the cut is a pure materialization hook, so
-    // the staged output must be row-identical to the one-plan composition
-    // these pins certify
+    // the registered queries materialize each pipeline stage through a
+    // scope-tracked persist cut (truncates the composed lineage that
+    // shipped 11–25 MiB task binaries, released with the scope); the cut
+    // is a pure materialization hook, so the staged output must be
+    // row-identical to the one-plan composition these pins certify
     val composed = PipelineQueries.incrementalBatchPlan(spark, sf)
       .collect().toSeq
-    val staged = PipelineQueries.incrementalBatchPlan(spark, sf,
-      cut = _.localCheckpoint()).collect().toSeq
+    val scope4 = graft.ops.CacheScope()
+    val staged =
+      try PipelineQueries.incrementalBatchPlan(spark, sf, scope4,
+        cut = scope4.checkpoint).collect().toSeq
+      finally scope4.release()
     assert(staged == composed, "p04 stage cut changed the output")
     val scope5a = graft.ops.CacheScope()
     val composed5 =
@@ -376,7 +379,7 @@ class PlanSpec extends AnyFunSuite {
     val scope5b = graft.ops.CacheScope()
     val staged5 =
       try PipelineQueries.fullIngestPlan(spark, sf, scope5b,
-        cut = _.localCheckpoint()).collect().toSeq
+        cut = scope5b.checkpoint).collect().toSeq
       finally scope5b.release()
     assert(staged5 == composed5, "p05 stage cut changed the output")
     spark.catalog.clearCache()
