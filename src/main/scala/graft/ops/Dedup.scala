@@ -59,9 +59,18 @@ object Dedup {
     // sort+md5 map — the t17 "explode runs once" lesson. Dedup groups are
     // tiny, so the map-side combine this forgoes would not have shrunk
     // the shuffle anyway.
+    // Keyed repartition WITHOUT an explicit width (r17, guide §2.2/§2.4):
+    // the width follows spark.sql.shuffle.partitions (the cluster-sized
+    // knob) and AQE coalesces it to the advisory byte target — a small
+    // delta batch (the streaming-trigger case, d14's three per rep)
+    // collapses to one post-shuffle partition instead of `cores` tasks
+    // each writing a tiny ledger/classification file per trigger. The
+    // post-shuffle work is trivial per row (group-min + two narrow
+    // joins); the heavy bagFingerprint map runs BEFORE this exchange at
+    // spreadInput's width, so coalescing costs no compute parallelism.
     val fps = spreadInput(delta, par(delta))
       .select(col(idCol).as("id"), bagFingerprint(col(textCol)).as("fp"))
-      .repartition(par(delta), col("fp"))
+      .repartition(col("fp"))
     val batchMin = fps.groupBy("fp").agg(min(col("id")).as("batch_keep"))
     fps.join(batchMin, Seq("fp"))
       .join(ledger.select(col("fp"), col("keep_id").as("archive_keep")),
