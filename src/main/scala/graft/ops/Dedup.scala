@@ -59,18 +59,29 @@ object Dedup {
     // sort+md5 map — the t17 "explode runs once" lesson. Dedup groups are
     // tiny, so the map-side combine this forgoes would not have shrunk
     // the shuffle anyway.
-    // Keyed repartition WITHOUT an explicit width (r17, guide §2.2/§2.4):
-    // the width follows spark.sql.shuffle.partitions (the cluster-sized
-    // knob) and AQE coalesces it to the advisory byte target — a small
-    // delta batch (the streaming-trigger case, d14's three per rep)
-    // collapses to one post-shuffle partition instead of `cores` tasks
-    // each writing a tiny ledger/classification file per trigger. The
-    // post-shuffle work is trivial per row (group-min + two narrow
+    // Exchange width (r17, guide §2.2/§2.4 — scale-adaptive, not a core
+    // constant):
+    //  - ledger BUCKETED by fp (the compacted-table probe): repartition
+    //    the delta at exactly the ledger's bucket count, so the probe
+    //    join co-locates with ZERO exchange on the ledger side
+    //    (LedgerStreamSpec pin). The old core-count width matched the
+    //    bucket count only when buckets == cores; deriving it from the
+    //    layout holds for any sizing.
+    //  - otherwise: keyed repartition WITHOUT an explicit width — it
+    //    follows spark.sql.shuffle.partitions (the cluster-sized knob)
+    //    and AQE coalesces to the advisory byte target, so a small delta
+    //    batch (the streaming-trigger case, d14's three per rep)
+    //    collapses to one post-shuffle partition instead of `cores`
+    //    tasks each writing a tiny ledger/classification file.
+    // The post-shuffle work is trivial per row (group-min + two narrow
     // joins); the heavy bagFingerprint map runs BEFORE this exchange at
-    // spreadInput's width, so coalescing costs no compute parallelism.
-    val fps = spreadInput(delta, par(delta))
+    // spreadInput's width, so neither form costs compute parallelism.
+    val fpsBase = spreadInput(delta, par(delta))
       .select(col(idCol).as("id"), bagFingerprint(col(textCol)).as("fp"))
-      .repartition(col("fp"))
+    val fps = fpBucketWidth(ledger) match {
+      case Some(n) => fpsBase.repartition(n, col("fp"))
+      case None => fpsBase.repartition(col("fp"))
+    }
     val batchMin = fps.groupBy("fp").agg(min(col("id")).as("batch_keep"))
     fps.join(batchMin, Seq("fp"))
       .join(ledger.select(col("fp"), col("keep_id").as("archive_keep")),
@@ -81,6 +92,15 @@ object Dedup {
           .otherwise(lit("novel")).as("status"),
         coalesce(col("archive_keep"), col("batch_keep")).as("keep_id"))
   }
+
+  /** The ledger's fp-bucket count when it is a 1:1 view of a table
+    * BUCKETED by exactly ("fp") — the [[graft.streaming.LedgerStream]]
+    * compaction layout — None otherwise (directory reads, unions,
+    * in-flight frames). Metadata-only plan walk, same shape as
+    * [[leafFsRelation]]. */
+  private def fpBucketWidth(ledger: DataFrame): Option[Int] =
+    leafFsRelation(ledger).flatMap(_.bucketSpec)
+      .filter(_.bucketColumnNames == Seq("fp")).map(_.numBuckets)
 
   /** Bucket-hash width for the banded minhash joins: enough bits that
     * RANDOM collisions between different band signatures stay negligible
