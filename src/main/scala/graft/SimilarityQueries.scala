@@ -685,10 +685,17 @@ object SimilarityQueries {
         val embs = Tables.embeddings(s, d)
         require(Similarity.vecDim(embs, "embedding") == 64,
           "a11b oracle SQL is generated for dim=64 embeddings")
-        val cents = graft.ops.KMeans.trainCentroids(
-          embs, "vec_id", "embedding", nlist = 16, iters = 1)
-        val books = graft.ops.KMeans.trainPqCodebooks(
-          embs, "vec_id", "embedding", subs = 8, codes = 16, iters = 1)
+        // the two training sweeps are independent until the search (the
+        // coarse quantizer and the per-subspace codebooks never read each
+        // other) and each is a SERIAL chain of bounded jobs — overlap
+        // them so one sweep's stage tails back-fill the other's
+        // (Concurrently, guide §2.6); values are unchanged, both sweeps
+        // are deterministic in isolation
+        val (cents, books) = graft.ops.Concurrently.both(
+          graft.ops.KMeans.trainCentroids(
+            embs, "vec_id", "embedding", nlist = 16, iters = 1),
+          graft.ops.KMeans.trainPqCodebooks(
+            embs, "vec_id", "embedding", subs = 8, codes = 16, iters = 1))
         // the trained search persists its assignment frame internally
         // (two consumers); scope it, materialize the bounded result and
         // release exactly that frame (the d13 discipline)

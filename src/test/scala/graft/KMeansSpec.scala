@@ -196,4 +196,36 @@ class KMeansSpec extends AnyFunSuite {
     assert(trained >= seeded,
       s"training LOWERED full-probe recall: $trained < $seeded")
   }
+
+  test("Concurrently.both: overlapped training sweeps equal the sequential" +
+      " ones, and failures propagate (r17 opt)") {
+    // a11b overlaps trainCentroids and trainPqCodebooks on two driver
+    // threads (guide §2.6); the overlap must be value-invisible
+    val embs = Tables.embeddings(spark, sf)
+    val seqC = KMeans.trainCentroids(embs, "vec_id", "embedding", 16)
+      .orderBy("cidx").as[(Int, Seq[Double])].collect().toSeq
+    val seqB = KMeans.trainPqCodebooks(embs, "vec_id", "embedding", 8, 16)
+      .orderBy("sub", "code").as[(Int, Int, Seq[Double])].collect().toSeq
+    val (cc, cb) = graft.ops.Concurrently.both(
+      KMeans.trainCentroids(embs, "vec_id", "embedding", 16),
+      KMeans.trainPqCodebooks(embs, "vec_id", "embedding", 8, 16))
+    assert(cc.orderBy("cidx").as[(Int, Seq[Double])].collect().toSeq == seqC,
+      "overlapped trainCentroids diverged from the sequential run")
+    assert(cb.orderBy("sub", "code").as[(Int, Int, Seq[Double])]
+      .collect().toSeq == seqB,
+      "overlapped trainPqCodebooks diverged from the sequential run")
+    // plain values pass through
+    assert(graft.ops.Concurrently.both(1 + 1, "x") == (2, "x"))
+    // the helper-thread failure surfaces UNWRAPPED (not ExecutionException)
+    val eb = intercept[IllegalStateException] {
+      graft.ops.Concurrently.both(42, throw new IllegalStateException("b"))
+    }
+    assert(eb.getMessage == "b")
+    // the calling-thread failure wins even while b runs
+    val ea = intercept[IllegalArgumentException] {
+      graft.ops.Concurrently.both(
+        throw new IllegalArgumentException("a"), { Thread.sleep(50); 7 })
+    }
+    assert(ea.getMessage == "a")
+  }
 }
