@@ -13,6 +13,28 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark = GraftSession.builder("8").getOrCreate()
   private val sf = "/root/testdata/sf0.001"
 
+  /** Run `f` with the SQL plan-string renderer bounded to 64 KiB.
+    *
+    * Spark renders a fresh physicalPlanDescription for the listener bus
+    * at execution start AND on every AQE stage re-optimization — for the
+    * COMPOSED p04/p05 plans (15 MB / 99k lines, hundreds of AQE stages)
+    * those per-stage re-renders went quadratic and dominated this suite's
+    * wall (>10 min measured for PlanSpec alone, nearly all inside
+    * TreeNode.generateTreeString; r17 optimization round). Nothing reads
+    * those event strings here (UI disabled), so bound them DURING
+    * execution only; every plan-string assertion renders AFTER the bound
+    * is restored, against the full untruncated string — a truncated
+    * string could hide the very node an absence pin looks for. */
+  private def boundedRender[A](f: => A): A = {
+    val key = "spark.sql.maxPlanStringLength"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, (64 * 1024).toString)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Execute and render the final adaptive plan. The action must run
     * through THIS QueryExecution (collect, not a sink write — a write
     * spawns its own QueryExecution and leaves this one un-executed, so
@@ -20,7 +42,7 @@ class PlanSpec extends AnyFunSuite {
     * join-strategy regressions would go unseen). */
   private def finalPlan(name: String): String = {
     val df = Queries.byName(name).run(spark, sf)
-    df.collect()
+    boundedRender(df.collect())
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("isFinalPlan=false"), s"$name plan not final post-AQE")
     p
@@ -346,7 +368,7 @@ class PlanSpec extends AnyFunSuite {
     // composition can split d11's single fp exchange or d12's span-key
     // exchange into two executions of the expensive map pipeline
     val df = PipelineQueries.incrementalBatchPlan(spark, sf)
-    df.collect()
+    boundedRender(df.collect())
     val p = df.queryExecution.executedPlan.toString
     assert(p.split("\n").head.contains("isFinalPlan=true"),
       "outer p04 plan not final post-AQE")
@@ -364,22 +386,23 @@ class PlanSpec extends AnyFunSuite {
     // shipped 11–25 MiB task binaries, released with the scope); the cut
     // is a pure materialization hook, so the staged output must be
     // row-identical to the one-plan composition these pins certify
-    val composed = PipelineQueries.incrementalBatchPlan(spark, sf)
-      .collect().toSeq
+    val composed = boundedRender(
+      PipelineQueries.incrementalBatchPlan(spark, sf).collect().toSeq)
     val scope4 = graft.ops.CacheScope()
     val staged =
-      try PipelineQueries.incrementalBatchPlan(spark, sf, scope4,
-        cut = scope4.checkpoint).collect().toSeq
+      try boundedRender(PipelineQueries.incrementalBatchPlan(spark, sf,
+        scope4, cut = scope4.checkpoint).collect().toSeq)
       finally scope4.release()
     assert(staged == composed, "p04 stage cut changed the output")
     val scope5a = graft.ops.CacheScope()
     val composed5 =
-      try PipelineQueries.fullIngestPlan(spark, sf, scope5a).collect().toSeq
+      try boundedRender(
+        PipelineQueries.fullIngestPlan(spark, sf, scope5a).collect().toSeq)
       finally scope5a.release()
     val scope5b = graft.ops.CacheScope()
     val staged5 =
-      try PipelineQueries.fullIngestPlan(spark, sf, scope5b,
-        cut = scope5b.checkpoint).collect().toSeq
+      try boundedRender(PipelineQueries.fullIngestPlan(spark, sf, scope5b,
+        cut = scope5b.checkpoint).collect().toSeq)
       finally scope5b.release()
     assert(staged5 == composed5, "p05 stage cut changed the output")
     spark.catalog.clearCache()
@@ -394,7 +417,7 @@ class PlanSpec extends AnyFunSuite {
     val scope = graft.ops.CacheScope()
     try {
       val df = PipelineQueries.fullIngestPlan(spark, sf, scope)
-      df.collect()
+      boundedRender(df.collect())
       val p = df.queryExecution.executedPlan.toString
       assert(p.split("\n").head.contains("isFinalPlan=true"),
         "outer p05 plan not final post-AQE")
