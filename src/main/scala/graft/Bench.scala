@@ -97,14 +97,32 @@ object Bench {
     // with only a stderr note (round-6 advisory)
     def timeRep(q: QueryDef, tag: String): Option[Double] = {
       System.gc() // don't bill query N for query N-1's garbage
-      val t0 = System.nanoTime()
+      // r18 (additive, disclosed): snapshot the persisted-RDD set so the
+      // blocks a rep leaves behind can be released DETERMINISTICALLY after
+      // its sink returns. The heavy queries (p04/p05/d14/d15*) return an
+      // eager localCheckpoint — the only way a QueryDef can hand back a
+      // frame whose internal caches are already scope-released — and those
+      // final blocks used to wait for GC + ContextCleaner; five reps of
+      // residue measurably poisoned later queries and cut the driver's
+      // 32-core streaming phase to ~1/3 of the same binary's fresh-JVM
+      // rate (r17 verdict item 1). The purge sits OUTSIDE the timed
+      // region's endpoints (after the nanoTime diff) and releases only
+      // blocks created by THIS rep, so per-query timings and methodology
+      // are unchanged; no cross-rep reuse was possible anyway (each rep
+      // rebuilds from parquet).
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       try {
+        val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name}$tag failed: ${e.getMessage}")
         failed += q.name
         None
+      } finally {
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting(id)) rdd.unpersist(blocking = false)
+        }
       }
     }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -148,9 +166,16 @@ object Bench {
         // streaming phase: the query suite leaves checkpoint/broadcast
         // blocks that only ContextCleaner (triggered by GC) releases, and
         // r17 measured the in-bench streaming rate at ~1/3 of the same
-        // code's fresh-JVM rate purely from that residue. Two gc passes
-        // with a drain gap let the async cleaner actually drop the blocks
-        // before the rate is measured.
+        // code's fresh-JVM rate purely from that residue. r18: the
+        // gc+sleep alone was NOT deterministic (it recovered the rate on
+        // the builder's box but not the driver's — r17 verdict item 1), so
+        // first drop every still-persisted RDD block explicitly and
+        // BLOCKING (timeRep's per-rep purge should leave none, but the
+        // warmup entry and any future leak path are covered), then let the
+        // gc passes clear broadcast residue, which has no public explicit
+        // release.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
         val r = StreamBench.run(spark)
         val pw = r.perWorker.toSeq.sortBy(_._1)

@@ -19,6 +19,37 @@ import graft.ops.{Dedup, Packing, Sampling}
   */
 object PipelineQueries {
 
+  /** Broadcast-hint `df` when it is a MATERIALIZED localCheckpoint leaf
+    * whose ACTUAL stored block size fits the session's
+    * autoBroadcastJoinThreshold — identity otherwise.
+    *
+    * Why (r17 verdict item 4, guide §3.1 "pick the join deliberately"):
+    * the stage cuts trade the composed lineage for LogicalRDD leaves with
+    * no usable stats, so the final-assembly joins over the delta-bounded
+    * status frames planned blind SortMergeJoins (every side "unknown" ⇒
+    * conservative). A checkpoint's storage blocks give the one size
+    * estimate that cannot be wrong — the bytes actually materialized — so
+    * the hint fires exactly when the planner itself would have broadcast
+    * had the frame been a stats-bearing scan, and falls back to SMJ the
+    * moment a delta outgrows the threshold (a corpus-scale delta must not
+    * be collected to the driver). On non-checkpoint frames (the composed
+    * cut=identity variant PlanSpec pins) this is the identity. */
+  private[graft] def broadcastIfSmall(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val raw = df.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+        val thresh =
+          if (raw.startsWith("-")) -1L
+          else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+          catch { case _: NumberFormatException => -1L }
+        val stored = df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id).map(i => i.memSize + i.diskSize)
+        if (thresh > 0 && stored.exists(_ <= thresh)) broadcast(df) else df
+      case _ => df
+    }
+
   /** p04's composed plan, pre-materialization — one definition shared by
     * the registered query and PlanSpec's exchange-reuse pin (the QueryDef
     * returns a localCheckpoint, which hides the join pipeline from the
@@ -62,11 +93,16 @@ object PipelineQueries {
     val cleaned = cut(Dedup.removeDuplicatedPassages(
         archive.unionByName(surv2), "doc_id", "text", spanLen = 20)
       .join(surv2.select(col("doc_id").as("id")), Seq("id"), "left_semi"))
+    // final assembly: the right sides are delta-bounded status frames —
+    // when the cuts materialized them, hint their TRUE stored size so the
+    // planner broadcasts instead of blind-SMJing stat-less checkpoint
+    // leaves (see broadcastIfSmall)
     ex.select(col("id").as("doc_id"), col("status").as("exact_status"))
-      .join(nd.select(col("id").as("doc_id"),
+      .join(broadcastIfSmall(nd).select(col("id").as("doc_id"),
           col("status").as("near_status"),
           col("dup_of").as("near_dup_of")), Seq("doc_id"), "left")
-      .join(cleaned.select(col("id").as("doc_id"), col("n_spans"),
+      .join(broadcastIfSmall(cleaned).select(col("id").as("doc_id"),
+          col("n_spans"),
           col("n_removed"), col("clean_md5")), Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
@@ -147,13 +183,16 @@ object PipelineQueries {
       Seq("doc_id"), "left_semi"))
     val clean = cut(Dedup.decontaminateSpans(surv3, probes, "doc_id", "text",
       spanLen = 13))
+    // final assembly: same truth-sized broadcast of the checkpointed
+    // delta-bounded frames as incrementalBatchPlan's (broadcastIfSmall)
     ex.select(col("id").as("doc_id"), col("status").as("exact_status"))
-      .join(nd.select(col("id").as("doc_id"),
+      .join(broadcastIfSmall(nd).select(col("id").as("doc_id"),
           col("status").as("near_status")), Seq("doc_id"), "left")
-      .join(sem.select(col("id").as("doc_id"),
+      .join(broadcastIfSmall(sem).select(col("id").as("doc_id"),
           col("status").as("sem_status"), col("dup_of").as("sem_dup_of")),
         Seq("doc_id"), "left")
-      .join(clean.select(col("id").as("doc_id"), col("n_spans"),
+      .join(broadcastIfSmall(clean).select(col("id").as("doc_id"),
+          col("n_spans"),
           col("n_removed"), col("clean_md5")), Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
@@ -367,10 +406,20 @@ object PipelineQueries {
         // materialized (an untracked localCheckpoint would leave its
         // blocks to GC/ContextCleaner, which measurably starved the
         // bench's later queries and streaming phase, r17).
-        val scope = graft.ops.CacheScope()
-        try incrementalBatchPlan(s, d, scope, cut = scope.checkpoint)
-          .localCheckpoint()
-        finally scope.release()
+        //
+        // `graft.pipeline.stageCuts=false` is a PROBE-ONLY A/B arm
+        // (ScaleProbe SPARK_GRAFT_CONF, r18): it reverts to the one-plan
+        // composition so the cut discipline can be measured against it
+        // beyond sf0.1. Values are identical either way (PlanSpec pins
+        // staged == composed row equality); verify/bench never set it.
+        if (s.conf.getOption("graft.pipeline.stageCuts").contains("false"))
+          incrementalBatchPlan(s, d).localCheckpoint()
+        else {
+          val scope = graft.ops.CacheScope()
+          try incrementalBatchPlan(s, d, scope, cut = scope.checkpoint)
+            .localCheckpoint()
+          finally scope.release()
+        }
       },
       Some {
         val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -492,10 +541,15 @@ object PipelineQueries {
     QueryDef(
       "p05_full_ingest_batch",
       (s, d) => {
-        val scope = graft.ops.CacheScope()
-        try fullIngestPlan(s, d, scope, cut = scope.checkpoint)
-          .localCheckpoint()
-        finally scope.release()
+        // same probe-only stage-cut A/B gate as p04 (see above)
+        if (s.conf.getOption("graft.pipeline.stageCuts").contains("false"))
+          fullIngestPlan(s, d).localCheckpoint()
+        else {
+          val scope = graft.ops.CacheScope()
+          try fullIngestPlan(s, d, scope, cut = scope.checkpoint)
+            .localCheckpoint()
+          finally scope.release()
+        }
       },
       Some {
         val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

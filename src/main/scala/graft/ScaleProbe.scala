@@ -192,11 +192,18 @@ object ScaleProbe {
     // data volume on 32 cores means simulating that floor too.
     val cores = spark.sparkContext.defaultParallelism
     val bigPartitions = math.max(cores, cores * k / 100)
+    // SPARK_GRAFT_SCALE_MANUAL=0 drops the hand-set operator fan-out from
+    // the scaled confs (r18): the probe then exercises GraftPar's
+    // DATA-DERIVED widths (spark.graft.bytesPerTask) alone, so the
+    // derivation can be A/B'd against the manually certified widths on
+    // one binary. shuffle.partitions/minPartitionNum always stay scaled —
+    // they model the CLUSTER the probe simulates, not the operators.
+    val manualFanout = !sys.env.get("SPARK_GRAFT_SCALE_MANUAL").contains("0")
     val scaleConfs = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum") ++
       // widen the operators' PINNED fan-outs too (ops.GraftPar): a
       // pinned repartition can't be widened by shuffle conf afterwards
-      graft.ops.GraftPar.Key)
+      (if (manualFanout) Seq(graft.ops.GraftPar.Key) else Nil)
     def withScaleConf[A](d: String)(body: => A): A = {
       // waive the static-oracle pins for BOTH probe dirs: the probe RUNS
       // pinned queries where the derived config legitimately diverges

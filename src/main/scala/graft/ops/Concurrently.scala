@@ -14,9 +14,13 @@ package graft.ops
   * the session idle.
   *
   * Scheduling stays the session default (FIFO): chain `a` keeps priority
-  * and `b` back-fills — the guide's recommended shape. Job
-  * groups/descriptions are thread-local in Spark, so the spawned chain
-  * does not inherit or clobber the caller's labels.
+  * and `b` back-fills — the guide's recommended shape. Spark's local
+  * properties (job group, description) live in an InheritableThreadLocal
+  * cloned into child threads, so the spawned chain INHERITS the caller's
+  * labels at spawn time (cancelling the caller's job group cancels the
+  * helper chain too — the desired all-or-nothing contract); because the
+  * clone is a snapshot, the helper can never clobber labels the caller
+  * sets afterwards.
   */
 object Concurrently {
 
@@ -33,7 +37,16 @@ object Concurrently {
     val ra =
       try a
       catch { case e: Throwable =>
-        try fb.get() catch { case _: Throwable => () }
+        // bound the drain wait so a hung `b` cannot bury a's error, and
+        // preserve interrupt status if the wait itself is interrupted;
+        // b's failure (if any) rides along as suppressed
+        try fb.get(600L, java.util.concurrent.TimeUnit.SECONDS)
+        catch {
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt()
+            e.addSuppressed(ie)
+          case be: Throwable => e.addSuppressed(be)
+        }
         throw e
       }
     val rb =

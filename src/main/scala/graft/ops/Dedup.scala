@@ -426,7 +426,8 @@ object Dedup {
   def incrementalSemanticDedup(ledger: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, cents: DataFrame, nlist: Int,
       minCos: Double, nprobe: Int = 2, cellCap: Int = 4096,
-      scope: CacheScope = CacheScope.untracked): DataFrame = {
+      scope: CacheScope = CacheScope.untracked,
+      assigned: Option[DataFrame] = None): DataFrame = {
     // dim from the CENTROID frame, not the batch — an empty delta (idle
     // trigger) must classify to zero rows, not throw on first(); stamping
     // it as column metadata routes every downstream vecDim through the
@@ -436,9 +437,19 @@ object Dedup {
       new org.apache.spark.sql.types.MetadataBuilder()
         .putLong(Similarity.VecDimKey, dim.toLong).build())
     // archive matches: probe top-nprobe cells via the broadcast centroid
-    // frame, compare round-9 cosine against only those cells' ledger rows
-    val q = batch0.select(col(idCol).as("id"), col(vecCol).as("qv"),
-      Similarity.normFlat(col(vecCol), dim).as("qnorm"))
+    // frame, compare round-9 cosine against only those cells' ledger rows.
+    // `assigned` — the caller's already-persisted [[KMeans.assignWithFrame]]
+    // frame over THIS batch with THIS cents (the caller's contract) —
+    // supplies (id, v, norm) without re-scanning the batch or recomputing
+    // norms, and is handed to the in-batch SemDeDup below so the whole
+    // trigger runs ONE assignment pass (r18; the streaming semantic
+    // ledger's probe/append fusion)
+    val q = assigned match {
+      case Some(a) => a.select(col("id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+      case None => batch0.select(col(idCol).as("id"), col(vecCol).as("qv"),
+        Similarity.normFlat(col(vecCol), dim).as("qnorm"))
+    }
     val probes = q.crossJoin(broadcast(cents))
       .select(col("id"), col("qv"), col("qnorm"), col("cidx").as("cell"),
         Similarity.dotFlat(col("qv"), col("cv"), dim).as("dt"))
@@ -466,7 +477,7 @@ object Dedup {
     // in-batch paraphrase pairs: the trained-frame SemDeDup over the
     // delta alone (lower-id mate wins within the batch)
     val inBatch = KMeans.semanticDedupTrained(batch0, idCol, vecCol,
-        cents, nlist, minCos, cellCap, scope)
+        cents, nlist, minCos, cellCap, scope, preAssigned = assigned)
       .select(col("id"), col("dup_of").as("batch_dup"))
     batch0.select(col(idCol).as("id"))
       .join(archBest, Seq("id"), "left")

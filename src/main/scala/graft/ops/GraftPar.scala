@@ -24,21 +24,54 @@ import org.apache.spark.sql.DataFrame
 object GraftPar {
   val Key = "spark.graft.fanout"
 
+  /** Input bytes each pinned-fan-out task should own —
+    * `spark.graft.bytesPerTask`, default 2 MiB. Derivation (r18, the
+    * amplification-aware width the r16/r17 pair-join analyses scoped):
+    * the pinned widths feed PAIR-EXPANSION kernels whose in-memory
+    * amplification of input bytes is large — shingle/signature arrays
+    * plus capped pair blocks measured ~100–150× input at the ×1000 probe,
+    * where 32 partitions over a 16 g heap (~290 MB execution share per
+    * task) died building a shuffled-hash side ("Can't acquire 268435456
+    * bytes") at ~18 MB input/task. 290 MB ÷ ~150× ⇒ ~2 MB of input per
+    * task keeps the amplified working set inside a standard per-task
+    * execution share at ANY scale — and it reproduces the manually
+    * certified probe widths (×1000: 584 MB/2 MiB ≈ 280 vs the hand-set
+    * 320; ×10000: ≈ 2800 vs 3200) without the hand-set knob. */
+  val BytesPerTaskKey = "spark.graft.bytesPerTask"
+  private val DefaultBytesPerTask = 2L * 1024 * 1024
+
   def of(df: DataFrame): Int = {
     val ss = df.sparkSession
     val cores = ss.sparkContext.defaultParallelism
-    val fanout =
-      try ss.conf.getOption(Key).map(_.toInt).getOrElse(0)
+    def intConf(key: String, parse: String => Long): Long =
+      try ss.conf.getOption(key).map(parse).getOrElse(0L)
       catch {
         case _: NumberFormatException =>
-          // loud, not silent: a typo'd fanout falling back to core count
-          // quietly reintroduces the ×1000 pinned-fanout OOM the knob
-          // exists to prevent (r12 ADVICE)
+          // loud, not silent: a typo'd conf falling back to defaults
+          // quietly reintroduces the ×1000 pinned-fanout OOM the knobs
+          // exist to prevent (r12 ADVICE)
           org.slf4j.LoggerFactory.getLogger(GraftPar.getClass).warn(
-            s"malformed $Key='${ss.conf.getOption(Key).getOrElse("")}' " +
+            s"malformed $key='${ss.conf.getOption(key).getOrElse("")}' " +
               s"ignored; falling back to core count $cores")
-          0
+          0L
       }
-    math.max(cores, fanout)
+    val fanout = intConf(Key, _.toLong)
+    // DATA-DERIVED width (r18): when the frame is a 1:1 view of a file
+    // scan, size the pinned fan-out from the bytes it will actually feed
+    // through the kernels — max(floor, bytes / bytesPerTask). The floor
+    // (core count / explicit fanout) keeps small corpora at full machine
+    // parallelism, so every local-SF plan is byte-identical to the
+    // pre-derivation form; past the floor the width grows with the data
+    // exactly as a data-scaled deployment must widen its pinned shuffles
+    // (guide §2.2/§2.5 — and the ×1000-measured OOM above). Frames whose
+    // lineage is not a plain scan view (post-join/aggregate deltas) keep
+    // the floor: their stats undersell pair amplification, which is the
+    // reason the explicit widths exist at all.
+    val bptRaw = intConf(BytesPerTaskKey, _.toLong)
+    val bytesPerTask = if (bptRaw > 0) bptRaw else DefaultBytesPerTask
+    val derived = Dedup.leafScanBytes(df)
+      .filter(b => b > 0 && b < Long.MaxValue / 4) // stats-less ⇒ unknown
+      .map(b => b / bytesPerTask).getOrElse(0L)
+    math.max(math.max(cores, fanout), math.min(derived, 1 << 20)).toInt
   }
 }

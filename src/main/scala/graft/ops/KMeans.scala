@@ -227,10 +227,17 @@ object KMeans {
     * cosine ≥ minCos). Returns (id, cell, dup_of, is_dup). */
   def semanticDedupTrained(embs: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, nlist: Int, minCos: Double, cellCap: Int = 4096,
-      scope: CacheScope = CacheScope.untracked): DataFrame = {
+      scope: CacheScope = CacheScope.untracked,
+      preAssigned: Option[DataFrame] = None): DataFrame = {
     val dim = Similarity.vecDim(embs, vecCol)
-    val assigned = scope.persist(
-      assignWithFrame(embs, idCol, vecCol, cents, nlist))
+    // `preAssigned` lets a caller that already materialized THIS corpus's
+    // [[assignWithFrame]] frame (same embs, same cents — the caller's
+    // contract) share it instead of paying a second assignment pass; the
+    // streaming semantic trigger reuses one assignment for both the
+    // in-batch SemDeDup and its ledger append (r18, guide §2.4 "two
+    // operations keyed the same way can share one exchange")
+    val assigned = preAssigned.getOrElse(scope.persist(
+      assignWithFrame(embs, idCol, vecCol, cents, nlist)))
     // the downstream (blocked cell self-join → min-id mate → join-back)
     // is exactly the literal-kernel SemDeDup's — shared
     Dedup.dedupWithinCells(assigned, GraftPar.of(embs), dim, minCos,

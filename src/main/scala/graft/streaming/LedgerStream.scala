@@ -194,22 +194,50 @@ object LedgerStream {
     // classification = the batch incremental classifier
     // ([[Dedup.incrementalSemanticDedup]] — probe top-nprobe cells via the
     // broadcast centroid frame, rectangle-blocked cell join, archive wins
-    // over any in-batch mate), with its internal assignment persist
-    // SCOPED to this trigger: release after the write materializes it,
-    // not spark.catalog.clearCache() (which would evict every unrelated
-    // frame a shared session has cached, every micro-batch)
+    // over any in-batch mate), with the trigger's frames SCOPED: release
+    // after the writes materialize them, not spark.catalog.clearCache()
+    // (which would evict every unrelated frame a shared session has
+    // cached, every micro-batch).
+    //
+    // ONE assignment pass per trigger (r18, guide §2.4): the home-cell
+    // frame is computed and persisted here once and shared by (a) the
+    // classifier's probe/in-batch sides and (b) the ledger append below,
+    // which used to re-run the full assignWithFrame pipeline (norm +
+    // two-level argmax + broadcast join + id-keyed exchange) over the
+    // novel rows. Restricting the persisted assignment to the novel ids
+    // is value-identical to assigning the novel rows directly — the
+    // assignment is per-row deterministic in (vector, cents) alone
+    // (LedgerStreamSpec's replay/restart pins re-certify the bytes).
+    // `graft.ledger.fuseAssign=false` is a PROBE-ONLY A/B arm (ScaleProbe
+    // SPARK_GRAFT_CONF): the pre-r18 two-pass trigger, kept so the fusion
+    // can be measured against it on one binary; values are identical
+    // either way (LedgerStreamSpec re-certifies the written bytes)
+    val fuse = !spark.conf.getOption("graft.ledger.fuseAssign")
+      .contains("false")
     val scope = graft.ops.CacheScope()
-    try Dedup.incrementalSemanticDedup(ledger, batch0, idCol, vecCol,
-        cents, nlist, minCos, nprobe, cellCap, scope)
-      .write.mode("overwrite").parquet(part(outDir, batchId))
-    finally scope.release()
-    val out = spark.read.parquet(part(outDir, batchId))
-    val novel = batch0.join(
-      out.filter(col("status") === "novel").select(col("id").as(idCol)),
-      Seq(idCol), "left_semi")
-    KMeans.assignWithFrame(novel, idCol, vecCol, cents, nlist)
-      .write.mode("overwrite").parquet(part(ledgerDir, batchId))
-    out
+    try {
+      val assigned =
+        if (fuse) Some(scope.persist(
+          KMeans.assignWithFrame(batch0, idCol, vecCol, cents, nlist)))
+        else None
+      Dedup.incrementalSemanticDedup(ledger, batch0, idCol, vecCol,
+          cents, nlist, minCos, nprobe, cellCap, scope,
+          assigned = assigned)
+        .write.mode("overwrite").parquet(part(outDir, batchId))
+      val out = spark.read.parquet(part(outDir, batchId))
+      val novelIds = out.filter(col("status") === "novel").select(col("id"))
+      assigned match {
+        case Some(a) =>
+          a.join(novelIds, Seq("id"), "left_semi")
+            .write.mode("overwrite").parquet(part(ledgerDir, batchId))
+        case None =>
+          val novel = batch0.join(novelIds.select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
+          KMeans.assignWithFrame(novel, idCol, vecCol, cents, nlist)
+            .write.mode("overwrite").parquet(part(ledgerDir, batchId))
+      }
+      out
+    } finally scope.release()
   }
 
   /** Wire [[semanticStep]] as a foreachBatch sink (see

@@ -27,6 +27,10 @@ class PlanSpec extends AnyFunSuite {
     * string could hide the very node an absence pin looks for. */
   private def boundedRender[A](f: => A): A = {
     val key = "spark.sql.maxPlanStringLength"
+    // note (r17 ADVICE): RuntimeConfig.getOption returns the REGISTERED
+    // DEFAULT for this key even when never set, so the None branch below
+    // is effectively dead — restore just re-sets the default explicitly,
+    // which is behaviorally identical
     val old = spark.conf.getOption(key)
     spark.conf.set(key, (64 * 1024).toString)
     try f finally old match {
