@@ -36,7 +36,14 @@ object PipelineQueries {
     * cut=identity variant PlanSpec pins) this is the identity. */
   private[graft] def broadcastIfSmall(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    df.queryExecution.analyzed match {
+    // `graft.pipeline.assemblyBroadcast=false` is a PROBE/PLAN-DUMP-ONLY
+    // A/B arm: the pre-r18 stat-blind assembly (SMJ over checkpoint
+    // leaves), kept so the broadcast can be measured/dumped against it on
+    // one binary; values identical either way (join keys and rows don't
+    // move). Verify/bench never set it.
+    if (df.sparkSession.conf.getOption("graft.pipeline.assemblyBroadcast")
+      .contains("false")) df
+    else df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val raw = df.sparkSession.conf
           .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim

@@ -17,6 +17,13 @@ object PlanDump {
     val Array(outDir, suffix, names) = args.take(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    // same generic conf injection as ScaleProbe, so a "before" plan can
+    // be dumped from the probe-only A/B arms on one binary (r18), e.g.
+    // SPARK_GRAFT_CONF=graft.pipeline.assemblyBroadcast=false
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(ck, cv) = kv.split("=", 2)
+      spark.conf.set(ck, cv)
+    })
     new java.io.File(outDir).mkdirs()
     def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       // capture the formatted explain string (Dataset.explain prints)

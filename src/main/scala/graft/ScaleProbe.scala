@@ -165,6 +165,7 @@ object ScaleProbe {
       "p03_neardup_consolidation", "d07_semantic_dedup", "d08_shared_spans",
       "d11_incremental_dedup", "d12_remove_passages", "d13_incremental_neardup",
       "d07c_semantic_dedup_trained", "p04_incremental_batch",
+      "p05_full_ingest_batch",
       "d14_ledger_stream_replay", "a11b_ivf_pq_trained",
       "d15_semantic_ledger_replay", "d15b_semantic_ledger_scaled",
       "a01_ann_bruteforce", "a02_ann_lsh", "a04_ann_ivf", "a10_cell_diverse_sample",
